@@ -1,0 +1,59 @@
+"""Transcript derivation parity: Spark and DuckDB must produce
+byte-identical (conv_id, turn_idx, role, text, tool, ts) rows —
+this underwrites every downstream oracle comparison, including the
+per-turn text equality invariant."""
+
+from __future__ import annotations
+
+from fluent_bit_spark.transcripts import load_transcripts, oracle_cte
+
+from tests.oracle import assert_matches_oracle
+
+
+def test_transcripts_parity(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    assert_matches_oracle(df, oracle_cte() + "SELECT * FROM transcripts", sf_dir)
+
+
+def test_transcripts_shape(spark, sf_dir):
+    df = load_transcripts(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ]
+    n = df.count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # turn_idx dense per conversation starting at 0
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("mn"),
+        F.max("turn_idx").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    bad = agg.filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)).count()
+    assert bad == 0
+
+
+def test_all_grammars_present(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = load_transcripts(spark, sf_dir)
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy((F.length("text") % 1).alias("_"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("g", F.lit(0))
+        .collect()
+    }
+    assert sum(counts.values()) > 0
+    # each grammar marker appears
+    assert df.filter(F.col("text").startswith("10.0.")).count() > 0
+    assert df.filter(F.col("text").startswith("level=")).count() > 0
+    assert df.filter(F.col("text").startswith('{"id"')).count() > 0
+    assert df.filter(F.col("text").startswith("<165>1 ")).count() > 0
+    assert df.filter(F.col("text").startswith("k1:")).count() > 0
