@@ -1,38 +1,183 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship parse->enrich->route->aggregate
+pipeline at sf0.001. `queries()` exposes each pipeline stage (and the
+standalone operators) as (spark, sf_dir) -> DataFrame; `oracle_sql()`
+carries the independent DuckDB reimplementation for the driver's
+row-count/schema/value-hash gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    return load_transcripts(spark, sf_dir)
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.plans.flagship import run_pipeline
+
+    return run_pipeline(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-sink flowcounter aggregates at sf0.001."""
+    from fluent_bit_spark.plans.flagship import sink_aggregates
+
+    routed = _routed(spark, "/root/testdata/sf0.001")
+    return sink_aggregates(routed)["flowcounter"]
+
+
+# ---------------------------------------------------------------------------
+
+_PARSE_COLS = [
+    "conv_id", "turn_idx", "fmt", "parse_ok", "host", "http_user", "method",
+    "path", "code", "size", "event_time", "level", "msg", "latency_cents",
+    "json_id", "word1", "bytes_cents", "usage", "pri", "smsg", "k1", "k2",
+    "ltsv_cents", "evt_name", "amount_cents",
+]
+
+
+def _q_transcripts(spark, sf_dir):
+    return _transcripts(spark, sf_dir)
+
+
+def _q_parse_fields(spark, sf_dir):
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    return parse_stage(_transcripts(spark, sf_dir)).select(*_PARSE_COLS)
+
+
+def _q_parse_summary(spark, sf_dir):
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    return (
+        parse_stage(_transcripts(spark, sf_dir))
+        .groupBy("fmt", "parse_ok")
+        .agg(F.count("*").alias("n"), F.sum("amount_cents").alias("total_cents"))
+    )
+
+
+def _q_enrich_lookup(spark, sf_dir):
+    from fluent_bit_spark.plans.flagship import enrich_stage, parse_stage
+
+    df = enrich_stage(parse_stage(_transcripts(spark, sf_dir)), spark)
+    return df.select("conv_id", "turn_idx", "tool", "category", "risk_level", "role", "norm_role")
+
+
+def _q_enrich_summary(spark, sf_dir):
+    from fluent_bit_spark.plans.flagship import enrich_stage, parse_stage
+
+    df = enrich_stage(parse_stage(_transcripts(spark, sf_dir)), spark)
+    return df.groupBy("category", "risk_level", "norm_role").agg(F.count("*").alias("n"))
+
+
+def _q_route_tags(spark, sf_dir):
+    return _routed(spark, sf_dir).select("conv_id", "turn_idx", "tag")
+
+
+def _q_route_fanout(spark, sf_dir):
+    from fluent_bit_spark.operators.route import explode_routes
+
+    return (
+        explode_routes(_routed(spark, sf_dir))
+        .groupBy("sink")
+        .agg(F.count("*").alias("records"))
+    )
+
+
+def _q_sink_flowcounter(spark, sf_dir):
+    from fluent_bit_spark.operators.route import explode_routes
+    from fluent_bit_spark.operators.aggregate import flowcounter
+
+    return flowcounter(explode_routes(_routed(spark, sf_dir)), ["sink", "tag"], "1 hour")
+
+
+def _q_counter_totals(spark, sf_dir):
+    from fluent_bit_spark.operators.route import explode_routes
+    from fluent_bit_spark.operators.aggregate import counter
+
+    return counter(explode_routes(_routed(spark, sf_dir)), ["sink"])
+
+
+def _q_stable_order(spark, sf_dir):
+    df = _routed(spark, sf_dir)
+    return df.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min_by("text", "turn_idx").alias("first_text"),
+        F.max_by("text", "turn_idx").alias("last_text"),
+    )
+
+
+def _q_conv_stats(spark, sf_dir):
+    from fluent_bit_spark.operators.skew import salted_agg
+
+    df = _transcripts(spark, sf_dir).withColumn("text_len", F.length("text"))
+    return salted_agg(
+        df,
+        "conv_id",
+        {
+            "turns": ("count", "conv_id"),
+            "bytes": ("sum", "text_len"),
+            "tool_turns": ("count", "tool"),
+        },
+        salt_buckets=16,
+    )
+
+
+def _q_forecast_hourly(spark, sf_dir):
+    from fluent_bit_spark.operators.aggregate import timeseries_forecast
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', date_trunc('hour', ts)) AS DOUBLE)"
+            ).alias("h"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    fc = timeseries_forecast(hourly, x="h", y="n", group_keys=["event_type"])
+    return fc.select(
+        "event_type",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": _q_transcripts,
+        "parse_fields": _q_parse_fields,
+        "parse_summary": _q_parse_summary,
+        "enrich_lookup": _q_enrich_lookup,
+        "enrich_summary": _q_enrich_summary,
+        "route_tags": _q_route_tags,
+        "route_fanout": _q_route_fanout,
+        "sink_flowcounter": _q_sink_flowcounter,
+        "counter_totals": _q_counter_totals,
+        "stable_order": _q_stable_order,
+        "conv_stats": _q_conv_stats,
+        "forecast_hourly": _q_forecast_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fluent_bit_spark.plans.flagship_oracle import oracle_queries
+
+    out = oracle_queries()
+    # rename oracle keys that differ from queries() keys
+    out["conv_stats"] = out.pop("conv_stats")
+    return {k: v for k, v in out.items() if k in queries()}

@@ -1,0 +1,50 @@
+"""Enrich operators — the reference's lookup/append filters as
+broadcast-join stages.
+
+- `lookup_enrich` ≙ apm_ldap lookup with RETRIES/DEFAULT
+  (plugins/filter_apm_ldap/filter_ldap.h:21-45): broadcast left join
+  against a small dim table, missing keys filled from defaults —
+  the north-star "lookup filter" shape. Also covers filter_kubernetes
+  metadata enrich (plugins/filter_kubernetes/kube_meta.c:1312) and
+  geoip2 (dim = geo table).
+- `record_append` ≙ record_modifier `Record k v`
+  (plugins/filter_record_modifier/filter_modifier.c:54-88) and the
+  env-constant filters (filter_aws, apm_kubernetes_labels): literal
+  columns, no shuffle.
+
+At 100 TB the dim tables here are KBs–MBs; `F.broadcast` pins the
+hash-join build side on every executor so the enrich stage is
+shuffle-free and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Broadcast left-join `dim` onto `df[key]`; every non-key dim
+    column is appended, misses filled from `defaults` (≙ apm_ldap
+    DEFAULT on lookup failure)."""
+    dim_key = dim_key or key
+    value_cols = [c for c in dim.columns if c != dim_key]
+    joined = df.join(
+        F.broadcast(dim), on=df[key] == dim[dim_key], how="left"
+    ).drop(dim[dim_key])
+    if defaults:
+        joined = joined.withColumns(
+            {c: F.coalesce(F.col(c), F.lit(d)) for c, d in defaults.items() if c in value_cols}
+        )
+    return joined
+
+
+def record_append(df: DataFrame, fields: dict[str, object]) -> DataFrame:
+    """Append literal key/values (record_modifier `Record`, filter_aws)."""
+    return df.withColumns({k: F.lit(v) for k, v in fields.items()})

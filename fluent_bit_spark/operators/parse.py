@@ -1,0 +1,219 @@
+"""Parse operators — the reference's parser plugins re-expressed as
+columnar DataFrame transforms.
+
+Reference behaviors mirrored (see SURVEY.md §2.2):
+
+- regex parser with named capture groups (src/flb_parser_regex.c:115,
+  engine src/flb_regex.c:228-240): named groups -> new columns;
+  no-match -> nulls. Two backends:
+    * "native": one `regexp_extract` per group — stays inside
+      whole-stage codegen, zero Python. Preferred when the pattern is
+      Java-regex compatible (the hot path).
+    * "arrow": one pandas-on-Arrow UDF applying a precompiled Python
+      regex via `Series.str.extract` — vectorized, no per-row Python
+      loops; for Onigmo/Ruby-syntax patterns Java can't run.
+- json parser (src/flb_parser_json.c): `from_json` with schema.
+- ltsv parser (src/flb_parser_ltsv.c): `str_to_map`.
+- logfmt parser (src/flb_parser_logfmt.c): regexp_extract_all pairs ->
+  map (quoted values unwrapped).
+- time lookup (flb_parser_time_lookup, include/fluent-bit/
+  flb_parser.h:106-108): `to_timestamp(field, fmt)`; Time_Keep=Off
+  drops the raw field.
+- typecast (`Types k:integer ...`, include/fluent-bit/flb_parser.h:69-75):
+  `cast`, hex via `conv(x,16,10)`.
+- field decoders decode_field_as=json (src/flb_parser_decoder.c):
+  `from_json` on a sub-field, escaped/escaped_utf8 via regexp_replace.
+
+Per-turn text-equality invariant: parsers only ADD columns; the source
+`text` column is never rewritten.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_NAMED_GROUP = re.compile(r"\(\?P?<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def named_groups(pattern: str) -> list[str]:
+    """Capture-group names in order of appearance."""
+    return _NAMED_GROUP.findall(pattern)
+
+
+def _java_pattern(pattern: str) -> str:
+    """Strip named groups to plain groups for the JVM backend (Java
+    group names can't contain underscores); extraction is by index."""
+    return _NAMED_GROUP.sub("(", pattern)
+
+
+def regex_extract_native(
+    text: Column, pattern: str, groups: Iterable[str] | None = None
+) -> dict[str, Column]:
+    """Named-group regex parse with JVM `regexp_extract` — one call per
+    group against the same pattern; Catalyst dedups the compiled regex
+    per task. No-match and empty-capture both yield NULL (the reference
+    skips unmatched/unnamed groups, src/flb_parser_regex.c:142-156)."""
+    groups = list(groups) if groups is not None else named_groups(pattern)
+    jpat = _java_pattern(pattern)
+    out = {}
+    for i, g in enumerate(groups, start=1):
+        out[g] = F.nullif(F.regexp_extract(text, jpat, i), F.lit("")).alias(g)
+    return out
+
+
+def regex_parse_arrow(pattern: str, groups: list[str] | None = None):
+    """Arrow-vectorized grok: precompiled Python regex applied once per
+    batch with `Series.str.extract` (no per-row Python). Returns a
+    pandas UDF producing a struct of string fields, NULL per group on
+    no-match."""
+    groups = groups if groups is not None else named_groups(pattern)
+    schema = T.StructType([T.StructField(g, T.StringType()) for g in groups])
+    compiled = re.compile(pattern)
+
+    @pandas_udf(schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        df = s.str.extract(compiled)
+        df.columns = groups
+        # empty captures -> null, matching the native backend
+        return df.replace({"": None}).where(df.notna(), None)
+
+    return extract
+
+
+def apply_regex_parser(
+    df: DataFrame,
+    pattern: str,
+    source: str = "text",
+    backend: str = "native",
+    types: dict[str, str] | None = None,
+    time_key: str | None = None,
+    time_format: str | None = None,
+    time_keep: bool = True,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Full regex-parser semantics: extract named groups as columns,
+    apply per-key typecasts, then time-lookup on `time_key`."""
+    groups = named_groups(pattern)
+    if backend == "arrow":
+        udf = regex_parse_arrow(pattern, groups)
+        df = df.withColumn("_p", udf(F.col(source)))
+        cols = {g: F.col(f"_p.{g}") for g in groups}
+        df = df.withColumns({g: c for g, c in cols.items()}).drop("_p")
+    else:
+        df = df.withColumns(regex_extract_native(F.col(source), pattern, groups))
+    if types:
+        df = typecast(df, types)
+    if time_key:
+        df = time_lookup(df, time_key, time_format, keep=time_keep, out=time_col)
+    return df
+
+
+def typecast(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Per-key declared casts: integer/float/bool/string/hex
+    (include/fluent-bit/flb_parser.h:69-75)."""
+    cols = {}
+    for key, ty in types.items():
+        c = F.col(key)
+        if ty in ("integer", "int"):
+            cols[key] = c.cast("long")
+        elif ty == "float":
+            cols[key] = c.cast("double")
+        elif ty in ("bool", "boolean"):
+            cols[key] = c.cast("boolean")
+        elif ty == "hex":
+            cols[key] = F.conv(c, 16, 10).cast("long")
+        else:
+            cols[key] = c.cast("string")
+    return df.withColumns(cols)
+
+
+def time_lookup(
+    df: DataFrame,
+    time_key: str,
+    time_format: str | None,
+    keep: bool = True,
+    out: str = "event_time",
+) -> DataFrame:
+    """Extract the parsed time field to a timestamp column; Time_Keep=Off
+    drops the raw field (src/flb_parser.c flb_parser_time_lookup)."""
+    ts = (
+        F.try_to_timestamp(F.col(time_key), F.lit(time_format))
+        if time_format
+        else F.try_to_timestamp(F.col(time_key))
+    )
+    df = df.withColumn(out, ts)
+    if not keep:
+        df = df.drop(time_key)
+    return df
+
+
+def json_parser(
+    df: DataFrame,
+    schema: T.StructType | str,
+    source: str = "text",
+    prefix: str = "",
+    mode: str = "flatten",
+) -> DataFrame:
+    """JSON parse (src/flb_parser_json.c): `from_json` with an explicit
+    schema. mode='flatten' splats fields (optionally prefixed) to top
+    level; mode='struct' keeps one struct column `parsed`."""
+    parsed = F.from_json(F.col(source), schema)
+    if mode == "struct":
+        return df.withColumn("parsed", parsed)
+    df = df.withColumn("_j", parsed)
+    names = (
+        schema.fieldNames()
+        if isinstance(schema, T.StructType)
+        else df.select("_j.*").columns
+    )
+    df = df.withColumns({prefix + n: F.col(f"_j.{n}") for n in names})
+    return df.drop("_j")
+
+
+def ltsv_parser(df: DataFrame, source: str = "text", out: str = "ltsv") -> DataFrame:
+    """LTSV `k:v<TAB>...` -> MapType column (src/flb_parser_ltsv.c)."""
+    return df.withColumn(out, F.str_to_map(F.col(source), F.lit("\t"), F.lit(":")))
+
+
+# logfmt: key=value pairs, value either bare token or double-quoted.
+_LOGFMT_PAIR = r'([A-Za-z0-9_.-]+)=("[^"]*"|\S+)'
+
+
+def logfmt_parser(df: DataFrame, source: str = "text", out: str = "logfmt") -> DataFrame:
+    """logfmt -> MapType column entirely with builtins: extract key and
+    value arrays with `regexp_extract_all`, unquote quoted values, zip
+    into a map (src/flb_parser_logfmt.c semantics)."""
+    keys = F.regexp_extract_all(F.col(source), F.lit(_LOGFMT_PAIR), F.lit(1))
+    vals = F.regexp_extract_all(F.col(source), F.lit(_LOGFMT_PAIR), F.lit(2))
+    unquoted = F.transform(
+        vals,
+        lambda v: F.when(
+            v.startswith('"') & v.endswith('"'),
+            v.substr(F.lit(2), F.length(v) - F.lit(2)),
+        ).otherwise(v),
+    )
+    return df.withColumn(out, F.map_from_arrays(keys, unquoted))
+
+
+def decode_field_as_json(
+    df: DataFrame, field: str, schema: T.StructType | str, out: str | None = None
+) -> DataFrame:
+    """Decode_Field_As json (src/flb_parser_decoder.c:419-443): re-parse
+    an embedded JSON string field, replacing (or aliasing) the value."""
+    return df.withColumn(out or field, F.from_json(F.col(field), schema))
+
+
+def decode_field_escaped(df: DataFrame, field: str, out: str | None = None) -> DataFrame:
+    r"""Decoder `escaped`/`escaped_utf8`: unescape \n \t \" \\ sequences
+    (src/flb_unescape.c semantics for the common escapes)."""
+    c = F.col(field)
+    for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\\"", '"'), (r"\\\\", "\\")):
+        c = F.regexp_replace(c, esc, rep)
+    return df.withColumn(out or field, c)

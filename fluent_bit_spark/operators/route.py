@@ -1,0 +1,117 @@
+"""Router — Fluent Bit's tag/Match fan-out re-expressed as columnar
+predicates.
+
+Reference semantics (SURVEY.md §2.4):
+
+- tag glob match: '*' wildcard anywhere, case-sensitive, recursive
+  backtrack (src/flb_router.c:39-104). Here: glob -> anchored regex,
+  evaluated as a `rlike` predicate per sink.
+- route mask: the set of sinks a record matches, computed once; a
+  record can match many sinks (copy fan-out), zero matches => dropped
+  (src/flb_routes_mask.c:18-60). Here: `routes` array<string> column
+  + either per-sink filtered writes (single persist) or
+  `explode(routes)` for per-sink aggregates.
+- rewrite_tag (plugins/filter_rewrite_tag/rewrite_tag.c:287-334):
+  per rule (condition, new-tag template, keep); matching records are
+  re-emitted under the new tag — `keep=True` keeps the original too
+  (copy), `keep=False` replaces it. The reference re-enters the whole
+  pipeline through an emitter input; unbounded in C, we apply a
+  bounded number of passes (configs are acyclic in practice).
+
+Tag assignment itself mirrors filter_grep's ordered first-decisive-rule
+evaluation (plugins/filter_grep/grep.c:148-175) as a lazy `when` chain.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def glob_to_regex(glob: str) -> str:
+    """Fluent Bit Match glob ('*' only) -> anchored Java/RE2 regex."""
+    parts = [re.escape(p) for p in glob.split("*")]
+    return "^" + ".*".join(parts) + "$"
+
+
+def first_match_tag(
+    df: DataFrame,
+    rules: list[tuple[Column, Column]],
+    default: Column,
+    out: str = "tag",
+) -> DataFrame:
+    """Ordered first-match-wins tag assignment: nested when-chain, so
+    later predicates short-circuit exactly like grep's decisive-rule
+    loop."""
+    expr = None
+    for cond, tag in rules:
+        expr = F.when(cond, tag) if expr is None else expr.when(cond, tag)
+    expr = expr.otherwise(default) if expr is not None else default
+    return df.withColumn(out, expr)
+
+
+@dataclass(frozen=True)
+class RewriteRule:
+    condition: Column
+    new_tag: Column
+    keep: bool = False
+
+
+def rewrite_tag(df: DataFrame, rules: list[RewriteRule], passes: int = 1) -> DataFrame:
+    """Bounded rewrite_tag cascade. Each pass applies the first matching
+    rule per record: non-keep rules rewrite in place (cheap, no union);
+    keep rules emit a re-tagged copy via a union (the reference's
+    emitter copy fan-out)."""
+    for _ in range(passes):
+        replace_expr = F.col("tag")
+        # build replace chain in reverse so earlier rules win
+        for rule in reversed([r for r in rules if not r.keep]):
+            replace_expr = F.when(rule.condition, rule.new_tag).otherwise(replace_expr)
+        copies = []
+        for rule in rules:
+            if rule.keep:
+                copies.append(
+                    df.filter(rule.condition).withColumn("tag", rule.new_tag)
+                )
+        df = df.withColumn("tag", replace_expr)
+        for c in copies:
+            df = df.unionByName(c)
+    return df
+
+
+def route_mask(
+    df: DataFrame, sinks: list[tuple[str, str]], drop_unrouted: bool = True
+) -> DataFrame:
+    """Compute `routes: array<string>` = sinks whose Match glob matches
+    the record's tag. Zero matches => record dropped (reference drops
+    chunks with an empty route mask)."""
+    matches = F.array(
+        *[
+            F.when(F.col("tag").rlike(glob_to_regex(glob)), F.lit(name))
+            for name, glob in sinks
+        ]
+    )
+    df = df.withColumn("routes", F.filter(matches, lambda x: x.isNotNull()))
+    if drop_unrouted:
+        df = df.filter(F.size("routes") > 0)
+    return df
+
+
+def explode_routes(df: DataFrame, out: str = "sink") -> DataFrame:
+    """One row per (record, matched sink) — the aggregate-side view of
+    the copy fan-out."""
+    return df.withColumn(out, F.explode("routes"))
+
+
+def fanout(df: DataFrame, sinks: list[tuple[str, str]]) -> dict[str, DataFrame]:
+    """Per-sink filtered views of an (ideally persisted) routed frame.
+    Callers should `df.persist()` before materializing more than one —
+    the reference's zero-copy chunk sharing across output coroutines
+    (src/flb_engine_dispatch.c:180-194) maps to persist-once,
+    filter-N-times."""
+    return {
+        name: df.filter(F.array_contains("routes", name)) for name, _ in sinks
+    }

@@ -1,0 +1,74 @@
+"""Skew handling & stable ordering for hot conversations.
+
+The transcript table is Zipf-skewed on conv_id (a few conversations
+hold a large share of turns). Two distinct needs:
+
+1. High-cardinality per-conv aggregates (counts, bytes per conv):
+   `salted_agg` — two-phase aggregation, partial per (conv_id, salt)
+   then final merge. At 1000 executors this bounds any single task to
+   1/salt_buckets of the hottest key instead of the whole key.
+   (Low-cardinality aggregates don't need this — map-side combine
+   already collapses them; see aggregate.py.)
+
+2. Stable (conv_id, turn_idx) ordering for sequence-dependent logic
+   (`turn_rank`, first/last turn): a window must see a whole
+   conversation, which is bounded by max conversation length — fine to
+   co-locate. AQE skew-join/partition splitting plus
+   `repartition(conv_id)` keeps the layout balanced; rows within a
+   conversation are ordered by turn_idx with event-ts tiebreak, never
+   by arrival order, so results are deterministic under any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    `aggs`: out_name -> (fn, col) with fn in {count, sum, min, max}.
+    Phase 1 aggregates per (key, salt) — salt derived from a hash of
+    stable row identity, not random, so reruns are deterministic.
+    Phase 2 merges partials per key (count -> sum of partials, etc.).
+    """
+    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    # salt = input partition id mod buckets: free to compute, splits a
+    # hot key across however many partitions it arrived in, and the
+    # merged result is salt-invariant.
+    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    phase1_aggs = []
+    for out, (fn, col) in aggs.items():
+        c = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        phase1_aggs.append(c.alias(out))
+    partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*phase1_aggs)
+    final_aggs = [
+        merge_fn[fn](out).alias(out) for out, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(key).agg(*final_aggs)
+
+
+def stable_turn_order(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    ts: str = "ts",
+    out: str = "turn_rank",
+) -> DataFrame:
+    """Deterministic within-conversation rank — (turn_idx, ts) ordered,
+    independent of arrival/shuffle order. This is the ordering the
+    per-turn text-equality invariant is defined under."""
+    w = Window.partitionBy(conv).orderBy(F.col(idx), F.col(ts))
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def repartition_conversations(df: DataFrame, n: int, conv: str = "conv_id") -> DataFrame:
+    """Hash-co-locate conversations ahead of per-conv windows/joins so
+    downstream stages reuse one shuffle."""
+    return df.repartition(n, conv)

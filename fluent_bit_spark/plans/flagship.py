@@ -1,0 +1,264 @@
+"""The flagship pipeline: parse -> enrich -> route -> aggregate over
+the transcript table — the Spark-native equivalent of a Fluent Bit
+config with five parsers, lookup/modify filters, glob-routed outputs
+and counter/flowcounter aggregate sinks.
+
+Every stage is pure `pyspark.sql.functions` (whole-stage codegen, no
+Python in the hot path); the optional Arrow backend for the apache
+grok exists to cover Onigmo-only patterns and for benchmarking the
+UDF path. Stage-by-stage reference parity is documented in the
+operator modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+import re as _re
+
+from fluent_bit_spark.operators import enrich as E
+from fluent_bit_spark.operators import route as R
+from fluent_bit_spark.operators import aggregate as A
+from fluent_bit_spark.operators.parse import apply_regex_parser
+from fluent_bit_spark.transcripts import load_transcripts
+
+# ---------------------------------------------------------------------------
+# dims (≙ the lookup tables behind apm_ldap / record_modifier filters)
+
+TOOL_CATEGORIES = [
+    ("bash", "shell", "high"),
+    ("python", "code", "medium"),
+    ("browser", "web", "medium"),
+    ("search", "retrieval", "low"),
+    ("editor", "code", "low"),
+    ("sql", "data", "medium"),
+]
+
+ROLE_MAP = [
+    ("user", "user"),
+    ("USER", "user"),
+    ("human", "user"),
+    ("assistant", "assistant"),
+    ("Assistant", "assistant"),
+    ("ai", "assistant"),
+    ("system", "system"),
+    ("tool", "tool"),
+    ("function", "tool"),
+]
+
+SINKS = [
+    ("sink_errors", "errors.*"),
+    ("sink_alerts", "alerts.*"),
+    ("sink_tools", "tools.*"),
+    ("sink_all", "*"),
+]
+
+APACHE_RE = (
+    r'^(?P<host>\S+) - (?P<http_user>\S+) \[(?P<atime>[^\]]+) \+0000\] '
+    r'"(?P<method>\S+) (?P<path>\S+) HTTP/1\.1" (?P<code>\d+) (?P<size>\d+)$'
+)
+SYSLOG_RE = r"^<(?P<pri>\d+)>1 (?P<stime>\S+) (?P<shost>\S+) (?P<sapp>\S+) (?P<sproc>\d+) (?P<smsgid>\S+) - (?P<smsg>.*)$"
+
+_SYSLOG_JAVA = _re.sub(r"\(\?P<[^>]+>", "(", SYSLOG_RE)
+
+JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("word1", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("usage", T.LongType()),
+    ]
+)
+
+
+def tool_categories_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TOOL_CATEGORIES, ["tool_key", "category", "risk_level"])
+
+
+def role_map_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROLE_MAP, ["raw_role", "norm_role"])
+
+
+# ---------------------------------------------------------------------------
+# stage 1: parse
+
+def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
+    """Multi-grammar parse. Grammar detection is an ordered anchored-
+    regex chain (the reference's filter_parser tries its parser list in
+    order, first success wins); each grammar then contributes its field
+    columns, and unified columns (`evt_name`, `amount_cents`, `level`)
+    feed routing. Adds columns only — `text` is untouched."""
+    t = F.col("text")
+    df = df.withColumn(
+        "fmt",
+        F.when(t.rlike(r"^\S+ - \S+ \["), F.lit("apache"))
+        .when(t.rlike(r"^level="), F.lit("logfmt"))
+        .when(t.rlike(r"^\{"), F.lit("json"))
+        .when(t.rlike(r"^<\d+>1 "), F.lit("syslog"))
+        .when(t.rlike(r"^[A-Za-z0-9_]+:[^\t]*\t"), F.lit("ltsv"))
+        .otherwise(F.lit("unknown")),
+    )
+    # apache (grok; named-group regex parser with typecast + time lookup)
+    df = apply_regex_parser(
+        df,
+        APACHE_RE,
+        backend=backend,
+        types={"code": "integer", "size": "integer"},
+        time_key="atime",
+        time_format="dd/MMM/yyyy:HH:mm:ss",
+        time_keep=True,
+        time_col="event_time",
+    )
+    # logfmt (unified fields via anchored extracts — JVM path)
+    lf = lambda pat: F.nullif(F.regexp_extract(t, pat, 1), F.lit(""))
+    df = df.withColumns(
+        {
+            "level": F.when(F.col("fmt") == "logfmt", lf(r"(?:^|\s)level=(\S+)")),
+            "msg": F.when(F.col("fmt") == "logfmt", lf(r'msg="([^"]*)"')),
+            "latency_cents": F.when(
+                F.col("fmt") == "logfmt", lf(r"latency_cents=(\d+)").cast("long")
+            ),
+        }
+    )
+    # json
+    j = F.from_json(t, JSON_SCHEMA)
+    df = df.withColumns(
+        {
+            "json_id": F.when(F.col("fmt") == "json", j["id"]),
+            "word1": F.when(F.col("fmt") == "json", j["word1"]),
+            "bytes_cents": F.when(F.col("fmt") == "json", j["bytes"]),
+            "usage": F.when(F.col("fmt") == "json", j["usage"]),
+        }
+    )
+    # syslog
+    df = df.withColumns(
+        {
+            "pri": F.when(
+                F.col("fmt") == "syslog",
+                F.nullif(F.regexp_extract(t, _SYSLOG_JAVA, 1), F.lit("")),
+            ).cast("long"),
+            "smsg": F.when(
+                F.col("fmt") == "syslog",
+                F.nullif(F.regexp_extract(t, _SYSLOG_JAVA, 7), F.lit("")),
+            ),
+        }
+    )
+    # ltsv
+    ltsv_map = F.str_to_map(t, F.lit("\t"), F.lit(":"))
+    df = df.withColumns(
+        {
+            "k1": F.when(F.col("fmt") == "ltsv", F.try_element_at(ltsv_map, F.lit("k1"))),
+            "k2": F.when(F.col("fmt") == "ltsv", F.try_element_at(ltsv_map, F.lit("k2"))).cast("long"),
+            "ltsv_cents": F.when(F.col("fmt") == "ltsv", F.try_element_at(ltsv_map, F.lit("cents"))).cast(
+                "long"
+            ),
+        }
+    )
+    # unified fields
+    df = df.withColumns(
+        {
+            "evt_name": F.when(
+                F.col("fmt") == "apache", F.regexp_extract(F.col("path"), r"^/api/(.*)$", 1)
+            )
+            .when(F.col("fmt") == "logfmt", F.regexp_extract(F.col("msg"), r"^evt (.*)$", 1))
+            .when(F.col("fmt") == "json", F.col("word1"))
+            .when(
+                F.col("fmt") == "syslog",
+                F.regexp_extract(F.col("smsg"), r"^(\S+) happened$", 1),
+            )
+            .when(F.col("fmt") == "ltsv", F.col("k1")),
+            "amount_cents": F.when(F.col("fmt") == "logfmt", F.col("latency_cents"))
+            .when(F.col("fmt") == "json", F.col("bytes_cents"))
+            .when(F.col("fmt") == "ltsv", F.col("ltsv_cents")),
+        }
+    )
+    df = df.withColumn(
+        "parse_ok",
+        (F.col("fmt") != "unknown")
+        & F.when(F.col("fmt") == "apache", F.col("code").isNotNull())
+        .when(F.col("fmt") == "logfmt", F.col("level").isNotNull())
+        .when(F.col("fmt") == "json", F.col("json_id").isNotNull())
+        .when(F.col("fmt") == "syslog", F.col("pri").isNotNull())
+        .when(F.col("fmt") == "ltsv", F.col("k1").isNotNull())
+        .otherwise(F.lit(False)),
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# stage 2: enrich
+
+def enrich_stage(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Broadcast lookup enrich: tool -> (category, risk_level) with
+    'Unknown' default on miss/null, and raw role -> norm_role (misses
+    normalize to 'other')."""
+    df = E.lookup_enrich(
+        df,
+        tool_categories_dim(spark),
+        key="tool",
+        dim_key="tool_key",
+        defaults={"category": "Unknown", "risk_level": "none"},
+    )
+    df = E.lookup_enrich(
+        df,
+        role_map_dim(spark),
+        key="role",
+        dim_key="raw_role",
+        defaults={"norm_role": "other"},
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# stage 3: route
+
+def route_stage(df: DataFrame) -> DataFrame:
+    """Ordered tag rules (first match wins), one bounded rewrite_tag
+    pass, then the sink route mask (zero matches would drop, though
+    sink_all matches everything here)."""
+    df = R.first_match_tag(
+        df,
+        [
+            (~F.col("parse_ok"), F.concat(F.lit("unparsed."), F.col("norm_role"))),
+            (F.col("evt_name") == "error", F.concat(F.lit("errors."), F.col("norm_role"))),
+            (F.col("category") != "Unknown", F.concat(F.lit("tools."), F.col("category"))),
+            (F.col("norm_role") == "tool", F.lit("tools.misc")),
+        ],
+        default=F.concat(F.lit("chat."), F.col("norm_role")),
+    )
+    df = R.rewrite_tag(
+        df,
+        [
+            R.RewriteRule(
+                condition=F.col("tag").rlike(r"^errors\.") & (F.col("fmt") == "apache"),
+                new_tag=F.concat(F.lit("alerts."), F.col("norm_role")),
+                keep=False,
+            )
+        ],
+        passes=1,
+    )
+    return R.route_mask(df, SINKS)
+
+
+# ---------------------------------------------------------------------------
+# composition
+
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, backend: str = "native", source: DataFrame | None = None
+) -> DataFrame:
+    """Full routed frame (pre-sink): transcripts + parsed fields +
+    enrich + tag + routes."""
+    df = source if source is not None else load_transcripts(spark, sf_dir)
+    df = parse_stage(df, backend=backend)
+    df = enrich_stage(df, spark)
+    return route_stage(df)
+
+
+def sink_aggregates(routed: DataFrame) -> dict[str, DataFrame]:
+    """Per-sink aggregate outputs (counter + flowcounter)."""
+    per_sink = R.explode_routes(routed)
+    return {
+        "counter": A.counter(per_sink, ["sink"]),
+        "flowcounter": A.flowcounter(per_sink, ["sink", "tag"], window="1 hour"),
+    }

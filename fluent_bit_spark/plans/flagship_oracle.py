@@ -1,0 +1,173 @@
+"""DuckDB oracle SQL for the flagship pipeline.
+
+Independent reimplementation of parse -> enrich -> route -> aggregate
+in portable SQL, used by the driver's correctness gate and by tests.
+Intentionally NOT generated from the Spark code — divergence here is
+the point (it's the oracle).
+"""
+
+from __future__ import annotations
+
+from fluent_bit_spark.plans.flagship import ROLE_MAP, SINKS, TOOL_CATEGORIES
+from fluent_bit_spark.transcripts import transcripts_sql
+
+_APACHE = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d+)$'
+_SYSLOG = r"^<(\d+)>1 (\S+) (\S+) (\S+) (\d+) (\S+) - (.*)$"
+
+
+def _values(rows, alias, cols) -> str:
+    def lit(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return f"(VALUES {body}) AS {alias}({', '.join(cols)})"
+
+
+def _glob_to_like(glob: str) -> str:
+    return glob.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
+
+
+def pipeline_ctes() -> str:
+    """WITH chain: transcripts -> parsed -> enriched -> routed -> per_sink."""
+    sinks_values = _values(
+        [(name, _glob_to_like(glob)) for name, glob in SINKS], "s", ["sink", "pat"]
+    )
+    tools_values = _values(TOOL_CATEGORIES, "tc", ["tool_key", "category", "risk_level"])
+    roles_values = _values(ROLE_MAP, "rm", ["raw_role", "norm_role"])
+    return f"""
+WITH transcripts AS ({transcripts_sql('duckdb')}),
+parsed AS (
+  SELECT t.*,
+    CASE
+      WHEN regexp_matches(text, '^\\S+ - \\S+ \\[') THEN 'apache'
+      WHEN regexp_matches(text, '^level=') THEN 'logfmt'
+      WHEN regexp_matches(text, '^\\{{') THEN 'json'
+      WHEN regexp_matches(text, '^<\\d+>1 ') THEN 'syslog'
+      WHEN regexp_matches(text, '^[A-Za-z0-9_]+:[^\t]*\t') THEN 'ltsv'
+      ELSE 'unknown' END AS fmt,
+    nullif(regexp_extract(text, '{_APACHE}', 1), '') AS host,
+    nullif(regexp_extract(text, '{_APACHE}', 2), '') AS http_user,
+    nullif(regexp_extract(text, '{_APACHE}', 3), '') AS atime,
+    nullif(regexp_extract(text, '{_APACHE}', 4), '') AS method,
+    nullif(regexp_extract(text, '{_APACHE}', 5), '') AS path,
+    CAST(nullif(regexp_extract(text, '{_APACHE}', 6), '') AS BIGINT) AS code,
+    CAST(nullif(regexp_extract(text, '{_APACHE}', 7), '') AS BIGINT) AS size,
+    strptime(nullif(regexp_extract(text, '{_APACHE}', 3), ''), '%d/%b/%Y:%H:%M:%S') AS event_time,
+    CASE WHEN starts_with(text, 'level=') THEN nullif(regexp_extract(text, '(^|\\s)level=(\\S+)', 2), '') END AS level,
+    CASE WHEN starts_with(text, 'level=') THEN nullif(regexp_extract(text, 'msg="([^"]*)"', 1), '') END AS msg,
+    CASE WHEN starts_with(text, 'level=') THEN CAST(nullif(regexp_extract(text, 'latency_cents=(\\d+)', 1), '') AS BIGINT) END AS latency_cents,
+    CASE WHEN starts_with(text, '{{') THEN CAST(nullif(regexp_extract(text, '"id": (\\d+)', 1), '') AS BIGINT) END AS json_id,
+    CASE WHEN starts_with(text, '{{') THEN nullif(regexp_extract(text, '"word1": "([^"]*)"', 1), '') END AS word1,
+    CASE WHEN starts_with(text, '{{') THEN CAST(nullif(regexp_extract(text, '"bytes": (\\d+)', 1), '') AS BIGINT) END AS bytes_cents,
+    CASE WHEN starts_with(text, '{{') THEN CAST(nullif(regexp_extract(text, '"usage": (\\d+)', 1), '') AS BIGINT) END AS usage,
+    CAST(nullif(regexp_extract(text, '{_SYSLOG}', 1), '') AS BIGINT) AS pri,
+    nullif(regexp_extract(text, '{_SYSLOG}', 7), '') AS smsg,
+    CASE WHEN regexp_matches(text, '^[A-Za-z0-9_]+:[^\t]*\t') THEN nullif(regexp_extract(text, 'k1:([^\t]*)', 1), '') END AS k1,
+    CASE WHEN regexp_matches(text, '^[A-Za-z0-9_]+:[^\t]*\t') THEN CAST(nullif(regexp_extract(text, 'k2:([^\t]*)', 1), '') AS BIGINT) END AS k2,
+    CASE WHEN regexp_matches(text, '^[A-Za-z0-9_]+:[^\t]*\t') THEN CAST(nullif(regexp_extract(text, 'cents:(\\d+)', 1), '') AS BIGINT) END AS ltsv_cents
+  FROM transcripts t
+),
+unified AS (
+  SELECT p.*,
+    CASE fmt
+      WHEN 'apache' THEN regexp_extract(path, '^/api/(.*)$', 1)
+      WHEN 'logfmt' THEN regexp_extract(msg, '^evt (.*)$', 1)
+      WHEN 'json'   THEN word1
+      WHEN 'syslog' THEN regexp_extract(smsg, '^(\\S+) happened$', 1)
+      WHEN 'ltsv'   THEN k1
+    END AS evt_name,
+    CASE fmt
+      WHEN 'logfmt' THEN latency_cents
+      WHEN 'json'   THEN bytes_cents
+      WHEN 'ltsv'   THEN ltsv_cents
+    END AS amount_cents,
+    coalesce(CASE fmt
+      WHEN 'apache' THEN code IS NOT NULL
+      WHEN 'logfmt' THEN level IS NOT NULL
+      WHEN 'json'   THEN json_id IS NOT NULL
+      WHEN 'syslog' THEN pri IS NOT NULL
+      WHEN 'ltsv'   THEN k1 IS NOT NULL
+      ELSE FALSE END, FALSE) AS parse_ok
+  FROM parsed p
+),
+enriched AS (
+  SELECT u.*,
+    coalesce(tc.category, 'Unknown') AS category,
+    coalesce(tc.risk_level, 'none') AS risk_level,
+    coalesce(rm.norm_role, 'other') AS norm_role
+  FROM unified u
+  LEFT JOIN {tools_values} ON u.tool = tc.tool_key
+  LEFT JOIN {roles_values} ON u.role = rm.raw_role
+),
+routed AS (
+  SELECT e.* EXCLUDE (tag0),
+    CASE WHEN tag0 LIKE 'errors.%' AND fmt = 'apache'
+         THEN 'alerts.' || norm_role ELSE tag0 END AS tag
+  FROM (
+    SELECT e.*,
+      CASE
+        WHEN NOT parse_ok THEN 'unparsed.' || norm_role
+        WHEN evt_name = 'error' THEN 'errors.' || norm_role
+        WHEN category <> 'Unknown' THEN 'tools.' || category
+        WHEN norm_role = 'tool' THEN 'tools.misc'
+        ELSE 'chat.' || norm_role
+      END AS tag0
+    FROM enriched e
+  ) e
+),
+per_sink AS (
+  SELECT r.*, s.sink FROM routed r JOIN {sinks_values} ON r.tag LIKE s.pat ESCAPE '\\'
+)
+"""
+
+
+PARSE_COLS = (
+    "conv_id, turn_idx, fmt, parse_ok, host, http_user, method, path, code, size, "
+    "event_time, level, msg, latency_cents, json_id, word1, bytes_cents, usage, "
+    "pri, smsg, k1, k2, ltsv_cents, evt_name, amount_cents"
+)
+
+
+def oracle_queries() -> dict[str, str]:
+    c = pipeline_ctes()
+    return {
+        "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+        "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
+        "parse_summary": c
+        + """SELECT fmt, parse_ok, COUNT(*) AS n, SUM(amount_cents) AS total_cents
+             FROM unified GROUP BY fmt, parse_ok""",
+        "enrich_lookup": c
+        + """SELECT conv_id, turn_idx, tool, category, risk_level, role, norm_role
+             FROM enriched""",
+        "enrich_summary": c
+        + """SELECT category, risk_level, norm_role, COUNT(*) AS n
+             FROM enriched GROUP BY category, risk_level, norm_role""",
+        "route_tags": c + "SELECT conv_id, turn_idx, tag FROM routed",
+        "route_fanout": c + "SELECT sink, COUNT(*) AS records FROM per_sink GROUP BY sink",
+        "sink_flowcounter": c
+        + """SELECT sink, tag, date_trunc('hour', ts) AS window_start,
+                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                    COUNT(*) AS counts, SUM(length(text)) AS bytes
+             FROM per_sink GROUP BY sink, tag, date_trunc('hour', ts)""",
+        "counter_totals": c
+        + "SELECT sink, COUNT(*) AS records FROM per_sink GROUP BY sink",
+        "stable_order": c
+        + """SELECT conv_id, COUNT(*) AS n_turns,
+                    arg_min(text, turn_idx) AS first_text,
+                    arg_max(text, turn_idx) AS last_text
+             FROM routed GROUP BY conv_id""",
+        "conv_stats": c
+        + """SELECT conv_id, COUNT(*) AS turns, SUM(length(text)) AS bytes,
+                    COUNT(tool) AS tool_turns
+             FROM transcripts GROUP BY conv_id""",
+        "forecast_hourly": c
+        + """SELECT event_type,
+                    round(regr_slope(n, h), 4) AS slope,
+                    round(regr_intercept(n, h), 4) AS intercept
+             FROM (
+               SELECT event_type,
+                      CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', date_trunc('hour', ts)) AS DOUBLE) AS h,
+                      CAST(COUNT(*) AS DOUBLE) AS n
+               FROM events GROUP BY event_type, date_trunc('hour', ts)
+             ) GROUP BY event_type""",
+    }

@@ -25,6 +25,7 @@ src/flb_parser_{regex,json,ltsv,logfmt}.c):
                         tests/internal/data/stream_processor/samples.json)
                    3 -> syslog RFC5424 line
                    4 -> LTSV line
+    (event_id % 89 == 0 overrides with a corrupt line -> parse_ok=false path)
 
 `role` is intentionally unnormalized (user/USER/human/ai/...) to
 exercise the role-normalization enrich stage, and `tool` includes NULLs
@@ -91,7 +92,8 @@ SELECT
     WHEN event_type = 'signup'   THEN (CASE WHEN event_id % 2 = 0 THEN 'Assistant' ELSE 'assistant' END)
     ELSE (CASE WHEN event_id % 2 = 0 THEN 'system' ELSE 'function' END)
   END AS role,
-  CASE CAST(event_id % 5 AS INT)
+  CASE WHEN event_id % 89 = 0 THEN '!!corrupt ' || CAST(event_id AS @STR@)
+  ELSE CASE CAST(event_id % 5 AS INT)
     WHEN 0 THEN '10.0.' || CAST(user_id % 256 AS @STR@) || '.1 - u' || CAST(user_id AS @STR@)
              || ' [' || @APACHETS@ || ' +0000] "GET /api/' || event_type || ' HTTP/1.1" '
              || CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS @STR@)
@@ -106,7 +108,7 @@ SELECT
              || CAST(event_id AS @STR@) || ' ID47 - ' || event_type || ' happened'
     ELSE 'k1:' || event_type || chr(9) || 'k2:' || CAST(user_id AS @STR@)
              || chr(9) || 'cents:' || CAST(CAST(round(value * 100) AS BIGINT) AS @STR@)
-  END AS text,
+  END END AS text,
   CASE CAST(event_id % 8 AS INT)
     WHEN 0 THEN 'bash' WHEN 1 THEN 'python' WHEN 2 THEN 'browser' WHEN 3 THEN 'search'
     WHEN 4 THEN 'editor' WHEN 5 THEN 'sql' WHEN 6 THEN NULL
