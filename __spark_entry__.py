@@ -157,6 +157,43 @@ def _q_forecast_hourly(spark, sf_dir):
     )
 
 
+def _q_grep_filter(spark, sf_dir):
+    from fluent_bit_spark.operators.filters import grep
+
+    df = grep(
+        _transcripts(spark, sf_dir),
+        [("exclude", "tool", r"^unknown-"), ("regex", "text", r"^(level=|\{)")],
+    )
+    return df.select("conv_id", "turn_idx")
+
+
+def _q_throttle_hourly(spark, sf_dir):
+    from fluent_bit_spark.operators.filters import throttle
+
+    df = throttle(
+        _transcripts(spark, sf_dir),
+        rate=3 / 3600,
+        window_seconds=3600,
+        order_cols=["conv_id", "turn_idx"],
+    )
+    return df.select("conv_id", "turn_idx", "ts")
+
+
+def _q_modify_normalize(spark, sf_dir):
+    from fluent_bit_spark.operators.filters import Condition, ModifyRule, modify
+
+    df = modify(
+        _transcripts(spark, sf_dir),
+        [ModifyRule("copy", "tool", "tool_orig")],
+    )
+    df = modify(
+        df,
+        [ModifyRule("set", "flagged", "1")],
+        [Condition("key_value_matches", "role", r"^(USER|Assistant)$")],
+    )
+    return df.select("conv_id", "turn_idx", "tool_orig", "flagged")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -171,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_order": _q_stable_order,
         "conv_stats": _q_conv_stats,
         "forecast_hourly": _q_forecast_hourly,
+        "grep_filter": _q_grep_filter,
+        "throttle_hourly": _q_throttle_hourly,
+        "modify_normalize": _q_modify_normalize,
     }
 
 

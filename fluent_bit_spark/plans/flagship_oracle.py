@@ -160,6 +160,20 @@ def oracle_queries() -> dict[str, str]:
         + """SELECT conv_id, COUNT(*) AS turns, SUM(length(text)) AS bytes,
                     COUNT(tool) AS tool_turns
              FROM transcripts GROUP BY conv_id""",
+        "grep_filter": c
+        + """SELECT conv_id, turn_idx FROM transcripts
+             WHERE NOT coalesce(regexp_matches(tool, '^unknown-'), FALSE)
+               AND regexp_matches(text, '^(level=|\\{)')""",
+        "throttle_hourly": c
+        + """SELECT conv_id, turn_idx, ts FROM transcripts
+             QUALIFY row_number() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts, conv_id, turn_idx) <= 3""",
+        "modify_normalize": c
+        + """SELECT conv_id, turn_idx, tool AS tool_orig,
+                    CASE WHEN regexp_matches(role, '^(USER|Assistant)$')
+                         THEN '1' END AS flagged
+             FROM transcripts""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,

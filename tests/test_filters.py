@@ -1,0 +1,186 @@
+"""Unit tests for the filter algebra, mirroring the reference's
+runtime-test assertions (tests/runtime/filter_*.c patterns)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators import filters as FL
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = [
+        ("a1", "GET /index.html", 200, "alice", None),
+        ("a2", "POST /login", 500, "bob", "x"),
+        ("a3", "GET /health", 200, None, None),
+        ("a4", "DELETE /admin", 403, "mallory", "y"),
+        ("a5", "GET /metrics", 200, "carol", None),
+    ]
+    return spark.createDataFrame(rows, ["id", "request", "code", "user", "extra"])
+
+
+# --- grep ------------------------------------------------------------------
+
+def test_grep_regex_keep(records):
+    out = FL.grep(records, [("regex", "request", r"^GET ")])
+    assert sorted(r.id for r in out.collect()) == ["a1", "a3", "a5"]
+
+
+def test_grep_exclude(records):
+    out = FL.grep(records, [("exclude", "code", r"^5\d\d$")])
+    assert sorted(r.id for r in out.collect()) == ["a1", "a3", "a4", "a5"]
+
+
+def test_grep_ordered_first_decisive(records):
+    # exclude 403 first; then regex keeps only GET; exclude runs first
+    out = FL.grep(
+        records,
+        [("exclude", "code", "403"), ("regex", "request", r"^GET ")],
+    )
+    assert sorted(r.id for r in out.collect()) == ["a1", "a3", "a5"]
+
+
+def test_grep_missing_field_drops_on_regex(records):
+    # 'user' null on a3 -> regex rule non-match -> drop
+    out = FL.grep(records, [("regex", "user", r".")])
+    assert sorted(r.id for r in out.collect()) == ["a1", "a2", "a4", "a5"]
+
+
+# --- record_modifier -------------------------------------------------------
+
+def test_record_modifier_remove_and_append(records):
+    out = FL.record_modifier(records, remove_keys=["extra"], records={"env": "prod"})
+    assert "extra" not in out.columns and out.collect()[0].env == "prod"
+
+
+def test_record_modifier_whitelist(records):
+    out = FL.record_modifier(records, whitelist_keys=["id", "code"])
+    assert out.columns == ["id", "code"]
+
+
+def test_record_modifier_exclusive(records):
+    with pytest.raises(ValueError):
+        FL.record_modifier(records, remove_keys=["a"], whitelist_keys=["b"])
+
+
+# --- modify ----------------------------------------------------------------
+
+def test_modify_set_add(records):
+    out = FL.modify(
+        records,
+        [FL.ModifyRule("add", "user", "anon"), FL.ModifyRule("set", "code", "0")],
+    )
+    got = {r.id: (r.user, r.code) for r in out.collect()}
+    assert got["a3"] == ("anon", "0")  # add fills absent
+    assert got["a1"] == ("alice", "0")  # add skips present, set overwrites
+
+
+def test_modify_conditional(records):
+    out = FL.modify(
+        records,
+        [FL.ModifyRule("set", "flag", "hot")],
+        [FL.Condition("key_value_matches", "code", "^5")],
+    )
+    got = {r.id: r.flag for r in out.collect()}
+    assert got == {"a1": None, "a2": "hot", "a3": None, "a4": None, "a5": None}
+
+
+def test_modify_rename_vs_hard_rename(records):
+    out = FL.modify(records, [FL.ModifyRule("rename", "user", "extra")])
+    got = {r.id: (r.user, r.extra) for r in out.collect()}
+    assert got["a1"] == (None, "alice")  # extra absent -> renamed
+    assert got["a2"] == ("bob", "x")  # extra present -> rename skipped
+    out2 = FL.modify(records, [FL.ModifyRule("hard_rename", "user", "extra")])
+    got2 = {r.id: (r.user, r.extra) for r in out2.collect()}
+    assert got2["a2"] == (None, "bob")  # overwrites
+
+
+def test_modify_remove_wildcard(records):
+    out = FL.modify(records, [FL.ModifyRule("remove_wildcard", "ext*")])
+    assert all(r.extra is None for r in out.collect())
+
+
+def test_modify_copy(records):
+    out = FL.modify(records, [FL.ModifyRule("copy", "user", "owner")])
+    assert {r.id: r.owner for r in out.collect()}["a1"] == "alice"
+
+
+def test_modify_key_exists_condition(records):
+    out = FL.modify(
+        records,
+        [FL.ModifyRule("set", "mark", "1")],
+        [FL.Condition("key_exists", "extra")],
+    )
+    got = {r.id: r.mark for r in out.collect()}
+    assert got == {"a1": None, "a2": "1", "a3": None, "a4": "1", "a5": None}
+
+
+# --- nest / lift -----------------------------------------------------------
+
+def test_nest_then_lift_roundtrip(records):
+    nested = FL.nest(records, "us*", "meta", add_prefix="n_")
+    assert "user" not in nested.columns and "meta" in nested.columns
+    lifted = FL.lift(nested, "meta", remove_prefix="n_")
+    assert "user" in lifted.columns
+    vals = {r.id: r.user for r in lifted.collect()}
+    assert vals["a1"] == "alice"
+
+
+# --- throttle --------------------------------------------------------------
+
+def test_throttle(spark):
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["i", "ts"])
+    out = FL.throttle(df, rate=0.5, window_seconds=10, order_cols=["i"])
+    # budget 5 per 10s window, 10 windows -> 50 rows, first 5 of each
+    got = sorted(r.i for r in out.collect())
+    assert len(got) == 50
+    assert got[:5] == [0, 1, 2, 3, 4] and 5 not in got
+
+
+def test_throttle_size(spark):
+    rows = [
+        ("k", "x" * 40, dt.datetime(2024, 1, 1, 0, 0, 1)),
+        ("k", "x" * 40, dt.datetime(2024, 1, 1, 0, 0, 2)),
+        ("k", "x" * 40, dt.datetime(2024, 1, 1, 0, 0, 3)),
+        ("j", "x" * 10, dt.datetime(2024, 1, 1, 0, 0, 4)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "text", "ts"])
+    out = FL.throttle_size(df, key="k", byte_limit=100, window_seconds=60)
+    got = [(r.k, len(r.text)) for r in out.collect()]
+    assert sorted(got) == [("j", 10), ("k", 40), ("k", 40)]
+
+
+# --- expect ----------------------------------------------------------------
+
+def test_expect_warn_and_exit(records):
+    FL.expect(records, [("key_val_is_not_null", "user", None)], action="warn")
+    with pytest.raises(FL.ExpectError):
+        FL.expect(records, [("key_val_is_not_null", "user", None)], action="exit")
+    FL.expect(records, [("key_exists", "id", None)], action="exit")  # passes
+
+
+# --- alter_size ------------------------------------------------------------
+
+def test_alter_size(records, spark):
+    out = FL.alter_size(records, remove=2, order_cols=["id"])
+    assert sorted(r.id for r in out.collect()) == ["a3", "a4", "a5"]
+
+
+# --- record_function (lua analog) -----------------------------------------
+
+def test_record_function_drop_modify_split(records):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf.code != 500]  # drop
+        dup = pdf[pdf.code == 403].copy()  # split: emit a copy
+        dup["user"] = "copy-" + dup["user"].astype(str)
+        return pd.concat([pdf, dup])
+
+    out = FL.record_function(records, fn)
+    users = sorted(str(r.user) for r in out.collect())
+    assert "copy-mallory" in users and len(users) == 5
