@@ -194,6 +194,54 @@ def _q_modify_normalize(spark, sf_dir):
     return df.select("conv_id", "turn_idx", "tool_orig", "flagged")
 
 
+def _sp_engine(spark, sf_dir):
+    from fluent_bit_spark.sp import SpEngine
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SpEngine(spark, {"events": events})
+
+
+def _q_sp_select_where(spark, sf_dir):
+    return _sp_engine(spark, sf_dir).execute(
+        "SELECT event_id, event_type, value FROM STREAM:events "
+        "WHERE value >= 100 AND event_type != 'view';"
+    )
+
+
+def _q_sp_tumbling(spark, sf_dir):
+    return _sp_engine(spark, sf_dir).execute(
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS total "
+        "FROM STREAM:events WINDOW TUMBLING (1 HOUR) GROUP BY event_type;"
+    ).withColumn("total", F.round("total", 6))
+
+
+def _q_sp_hopping(spark, sf_dir):
+    return _sp_engine(spark, sf_dir).execute(
+        "SELECT COUNT(*) AS n FROM STREAM:events "
+        "WINDOW HOPPING (2 HOUR, ADVANCE BY 1 HOUR);"
+    )
+
+
+def _q_sp_forecast(spark, sf_dir):
+    eng = _sp_engine(spark, sf_dir)
+    hourly = (
+        eng.streams["events"]
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', date_trunc('hour', ts)) AS DOUBLE)"
+            ).alias("h"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    eng.register("hourly", hourly)
+    out = eng.execute(
+        "SELECT event_type, TIMESERIES_FORECAST(h, n, 1) AS fc "
+        "FROM STREAM:hourly GROUP BY event_type;"
+    )
+    return out.withColumn("fc", F.round("fc", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -211,6 +259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_filter": _q_grep_filter,
         "throttle_hourly": _q_throttle_hourly,
         "modify_normalize": _q_modify_normalize,
+        "sp_select_where": _q_sp_select_where,
+        "sp_tumbling": _q_sp_tumbling,
+        "sp_hopping": _q_sp_hopping,
+        "sp_forecast": _q_sp_forecast,
     }
 
 

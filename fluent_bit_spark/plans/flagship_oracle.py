@@ -174,6 +174,28 @@ def oracle_queries() -> dict[str, str]:
                     CASE WHEN regexp_matches(role, '^(USER|Assistant)$')
                          THEN '1' END AS flagged
              FROM transcripts""",
+        "sp_select_where": c
+        + """SELECT event_id, event_type, value FROM events
+             WHERE value >= 100 AND event_type != 'view'""",
+        "sp_tumbling": c
+        + """SELECT event_type, date_trunc('hour', ts) AS window_start,
+                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                    COUNT(*) AS n, round(SUM(value), 6) AS total
+             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "sp_hopping": c
+        + """SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+                    COUNT(*) AS n
+             FROM (SELECT date_trunc('hour', ts) - to_hours(k.k) AS ws
+                   FROM events CROSS JOIN (VALUES (0), (1)) k(k))
+             GROUP BY ws""",
+        "sp_forecast": c
+        + """SELECT event_type, round(regr_intercept(n, h) + regr_slope(n, h) * (MAX(h) + 1), 4) AS fc
+             FROM (
+               SELECT event_type,
+                      CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', date_trunc('hour', ts)) AS DOUBLE) AS h,
+                      CAST(COUNT(*) AS DOUBLE) AS n
+               FROM events GROUP BY event_type, date_trunc('hour', ts)
+             ) GROUP BY event_type""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,
