@@ -242,6 +242,92 @@ def _q_sp_forecast(spark, sf_dir):
     return out.withColumn("fc", F.round("fc", 4))
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from fluent_bit_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id").select("doc_id")
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from fluent_bit_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.8, num_perm=64, bands=32
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from fluent_bit_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_jaccard_blocked(spark, sf_dir):
+    from fluent_bit_spark.operators.dedup import jaccard_pairs_blocked
+
+    return jaccard_pairs_blocked(_docs(spark, sf_dir), "source", threshold=0.5)
+
+
+def _q_doc_stats(spark, sf_dir):
+    from fluent_bit_spark.operators.text_analysis import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from fluent_bit_spark.operators.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    cands = embs.filter(F.col("vec_id") >= 5)
+    return cosine_topk(cands, queries_df, k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from fluent_bit_spark.operators.similarity import lsh_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    cands = embs.filter(F.col("vec_id") >= 5)
+    return lsh_topk(cands, queries_df, k=10, nbits=4)
+
+
+def _q_embed_near_dup(spark, sf_dir):
+    from fluent_bit_spark.operators.similarity import as_double_array, cosine_col
+
+    v = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), as_double_array(F.col("embedding")).alias("vv")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on=[F.col("a.id") < F.col("b.id")])
+        .withColumn("cosine", cosine_col(F.col("a.vv"), F.col("b.vv")))
+        .filter(F.col("cosine") >= 0.25)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -263,6 +349,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_tumbling": _q_sp_tumbling,
         "sp_hopping": _q_sp_hopping,
         "sp_forecast": _q_sp_forecast,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "jaccard_blocked": _q_jaccard_blocked,
+        "doc_stats": _q_doc_stats,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embed_near_dup": _q_embed_near_dup,
     }
 
 

@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (a log pipeline has no dedup stage) —
+these are the operations a 100 TB training-data pipeline needs, built
+Spark-first:
+
+- exact_dedup: hash-groupBy. Grouping key is a digest of the content,
+  not the content itself, so the shuffle moves 16-byte keys instead of
+  documents.
+- minhash_lsh: word-shingle MinHash signatures (affine permutations of
+  xxhash64 values, all JVM expressions), banded LSH bucketing, bucket
+  self-join for candidates, exact Jaccard verification of candidates.
+  At scale: candidate generation is an equi-join on (band_idx,
+  band_hash) — shuffle proportional to candidate count, never O(n^2).
+- simhash: 64-bit SimHash via one Arrow-vectorized pandas UDF (numpy
+  bit-packing), near-dup = banded signature join + Hamming check.
+- ngram_jaccard: exact Jaccard over token sets within a blocking key
+  (for oracle-checkable exact dedup of modest blocks).
+- embedding near-dup: random-hyperplane LSH buckets + in-bucket cosine
+  (see similarity.py for the shared primitives).
+
+Dedup policy: a document is dropped if it pairs with a smaller id —
+the standard keep-first policy; transitive chains collapse toward the
+minimum via `resolve_clusters` (iterated min-label propagation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the smallest id per identical content (digest group key)."""
+    digest = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    keep = (
+        df.withColumn("_d", digest)
+        .groupBy("_d")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_d")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# tokens & shingles (shared)
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+# deterministic affine permutation constants (seeded, module-level).
+# 31-bit Mersenne prime: a,b,h < 2^31 keeps a*h+b < 2^62 (no int64
+# overflow under ANSI arithmetic).
+_P = (1 << 31) - 1
+
+
+def _perm_consts(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _P - 1)), int(rng.randint(0, _P - 1)))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
+    """Array<long> MinHash signature, all JVM expressions: base hash =
+    xxhash64(shingle); permutation i = (a_i*h + b_i) mod p; signature_i
+    = min over shingles."""
+    sh = shingles_col(text, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_P)))
+    sig = []
+    for a, b in _perm_consts(num_perm):
+        sig.append(
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): equal band slice of the
+    signature => candidate. Returns distinct pairs."""
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold."""
+    cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep-first policy: drop ids that appear as the larger member of
+    any duplicate pair."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def resolve_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over the duplicate graph: returns
+    (id, cluster_id=min id in its connected component). Bounded
+    iterations; each round is one groupBy — at scale this is the
+    standard iterative connected-components-by-hashmin."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    labels = sym.groupBy("id_a").agg(F.min("id_b").alias("lbl"))
+    labels = labels.select(
+        F.col("id_a").alias("id"), F.least("id_a", "lbl").alias("lbl")
+    )
+    for _ in range(max_iter):
+        joined = (
+            sym.join(labels, sym.id_a == labels.id, "left")
+            .select(F.col("id_b").alias("id"), "lbl")
+            .union(labels)
+        )
+        new_labels = joined.groupBy("id").agg(F.min("lbl").alias("lbl"))
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash_col(text_col: str = "text"):
+    """64-bit SimHash as a pandas UDF (one Arrow batch pass, numpy
+    bit-unpacking; no per-row Python hashing loops beyond the token
+    hash which numpy vectorizes via int64 ops)."""
+
+    @pandas_udf("long")
+    def simhash(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            toks = txt.split()
+            if not toks:
+                continue
+            # FNV-1a per token, vectorized per doc
+            hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint64)
+            v = int((acc << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v  # two's-complement long
+        return pd.Series(out)
+
+    return simhash(F.col(text_col))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Banded simhash join + exact Hamming verification. Band count =
+    max_hamming+1 (pigeonhole: any pair within the Hamming budget
+    shares at least one untouched band), band width = 64 // bands."""
+    nbands = max(2, max_hamming + 1)
+    width = 64 // nbands
+    mask = (1 << width) - 1
+    sigs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sh", "e.band", "e.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within a blocking key
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs sharing a blocking key.
+    O(block^2) — for bounded blocks / oracle checking."""
+    docs = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .withColumn("jaccard", jaccard_col(F.col("a.tok"), F.col("b.tok")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

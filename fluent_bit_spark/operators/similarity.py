@@ -1,0 +1,250 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force top-k — broadcast the (small) query set,
+  JVM-side dot products via zip_with/aggregate, per-query top-k via a
+  window. Baseline and oracle-checkable.
+- lsh_topk: random-hyperplane LSH — deterministic seeded planes,
+  signature prefix buckets, candidates = bucket join, then exact
+  cosine within candidates. The 100 TB path: candidate generation is
+  an equi-join on the signature, probing `probe_bits` mirrored buckets
+  for recall.
+- ivf_topk: inverted-file variant — coarse centroids from a seeded
+  sample (k-means|| via summary statistics), assign via best centroid,
+  probe `nprobe` nearest centroid lists.
+
+All distance math stays in JVM expressions (no Python in the row
+path); only centroid training (driver-side, on a bounded sample) uses
+numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (JVM higher-order fns)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k: for each query row, the k nearest candidate
+    vectors by cosine. Queries are broadcast (small side); candidates
+    stream through one scan — no shuffle until the final per-query
+    top-k (tiny)."""
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    v = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_vv"))
+    scored = v.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_col(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+
+def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).tolist()
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit signature: sign of the dot product against each seeded
+    hyperplane, packed into a long."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + (b * F.lit(1 << i))
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 12,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signature; candidates
+    share the query's bucket or any 1-bit-flipped bucket (multi-probe);
+    exact cosine within candidates."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _planes(dim, nbits)
+    v = vectors.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_vv"),
+    ).withColumn("sig", hyperplane_signature(F.col("_vv"), planes))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    ).withColumn("sig0", hyperplane_signature(F.col("_qv"), planes))
+    # multi-probe: original signature + each 1-bit flip
+    probes = [F.col("sig0")]
+    if probe_bits >= 1:
+        probes += [F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+    q = q.withColumn("sig", F.explode(F.array(*probes)))
+    scored = v.join(F.broadcast(q), "sig").withColumn(
+        "cosine", cosine_col(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.select(query_id_col, id_col, "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file with sampled centroids)
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    sample: int = 2048,
+    seed: int = 42,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF: train coarse centroids on a bounded driver-side sample
+    (deterministic), assign every vector to its nearest centroid
+    (JVM expression over a broadcast centroid array), then search only
+    the `nprobe` centroid lists nearest to each query."""
+    samp = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(sample).collect()], dtype=float
+    )
+    rng = np.random.RandomState(seed)
+    cents = samp[rng.choice(len(samp), size=min(ncentroids, len(samp)), replace=False)]
+    for _ in range(iters):
+        d = ((samp[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = samp[assign == c]
+            if len(m):
+                cents[c] = m.mean(0)
+
+    def nearest_centroids(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    v = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_vv"))
+    v = v.withColumn("cell", nearest_centroids(F.col("_vv"), 1)[0]["c"])
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    q = q.withColumn("probe", F.explode(F.transform(
+        nearest_centroids(F.col("_qv"), nprobe), lambda s: s["c"]
+    )))
+    scored = v.join(F.broadcast(q), v.cell == q.probe).withColumn(
+        "cosine", cosine_col(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: hyperplane-signature blocking +
+    exact cosine verification (cosine >= threshold, id_a < id_b)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _planes(dim, nbits)
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("vv")
+    ).withColumn("sig", hyperplane_signature(F.col("vv"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on=[F.col("a.sig") == F.col("b.sig"), F.col("a.id") < F.col("b.id")])
+        .withColumn("cosine", cosine_col(F.col("a.vv"), F.col("b.vv")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Text analysis operators for corpus curation: language ID, quality
+scoring, token counting, document fingerprinting. All JVM expressions
+(regexp/array/aggregate builtins) — oracle-expressible in ANSI SQL and
+shuffle-free (pure map stage) at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker words (tiny demonstration lexicons; the operator
+# shape — argmax over per-language marker hit counts — is the real
+# n-gram-heuristic structure)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a cheap BPE proxy), counting the
+    resulting segments."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|[^a-zA-Z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length, mean word
+    length in [3,10], some stopwords, low punctuation noise. The exact
+    formula is arbitrary but deterministic and SQL-expressible."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(text)
+    wl_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(text) >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + wl_ok + sw_ok + punct_ok
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax over per-language marker-word hit counts; 'und' when no
+    marker hits. Ties break by language-code order (deterministic)."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(F.lower(text))
+    scores = []
+    for lang in sorted(markers):
+        arr = F.array(*[F.lit(w) for w in markers[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, then reversed lang order) => earliest lang wins ties
+    best = F.reverse(F.array_sort(F.array(*scores)))[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Fingerprint normalization: lowercase, collapse whitespace,
+    strip punctuation."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def rolling_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over the normalized text's characters
+    (JVM aggregate over the codepoint array) — the classic
+    Rabin-Karp-style document fingerprint."""
+    chars = F.split(normalized_text(text), "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(mod),
+    )
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop per-document stats frame."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(t),
+            "n_tokens": token_count(t),
+            "n_subword_tokens": bpe_ish_token_count(t),
+            "mean_word_len": F.round(mean_word_len(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint_md5(t),
+        }
+    )

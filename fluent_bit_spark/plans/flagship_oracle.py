@@ -196,6 +196,69 @@ def oracle_queries() -> dict[str, str]:
                       CAST(COUNT(*) AS DOUBLE) AS n
                FROM events GROUP BY event_type, date_trunc('hour', ts)
              ) GROUP BY event_type""",
+        "dedup_exact": c
+        + "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "jaccard_blocked": c
+        + """, d AS (
+               SELECT doc_id, source,
+                      list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+               FROM documents)
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                          / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+             FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                   / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""",
+        "doc_stats": c
+        + """, t AS (
+               SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toksl
+               FROM documents),
+             s AS (
+               SELECT doc_id, text, len(toks) AS n_tok,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS mwl,
+                 CASE WHEN len(toksl) > 0
+                      THEN CAST(len(list_filter(toksl, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toksl)
+                      ELSE 0.0 END AS swr,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                      ELSE 0.0 END AS pr,
+                 len(list_filter(toksl, x -> list_contains(['the','and','of','to','a'], x))) AS s_en,
+                 len(list_filter(toksl, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+                 len(list_filter(toksl, x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
+                 len(list_filter(toksl, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de
+               FROM t)
+             SELECT doc_id, n_tok AS n_tokens, round(mwl, 6) AS mean_word_len,
+                    round(swr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+                    (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END) AS quality,
+                    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                         ELSE CASE greatest(s_de*10+0, s_en*10+1, s_es*10+2, s_fr*10+3) % 10
+                              WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
+                    END AS lang_pred,
+                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+             FROM s""",
+        "ann_cosine_topk": c
+        + """SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+               SELECT query_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+               FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id,
+                        list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cos
+                 FROM embeddings q, embeddings c
+                 WHERE q.vec_id < 5 AND c.vec_id >= 5))
+             WHERE rank <= 10""",
+        "embed_near_dup": c
+        + """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id
+               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,
