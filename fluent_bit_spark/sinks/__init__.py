@@ -1,0 +1,204 @@
+"""Sink adapters — the reference's output plugins as format
+transforms + writes (SURVEY.md §2.6).
+
+The reference's outputs all decompose into (format transform, deliver,
+optional aggregate). Delivery is engine-managed here (DataFrame
+writers); this module provides:
+
+- format transforms: json lines (out_stdout/out_file json), csv with
+  optional header (out_file csv, plugins/out_file/file.c:145), ltsv
+  (:182), template '{time} {key}' substitution (:261), GELF key remap
+  (src/flb_pack_gelf.c:408), Elasticsearch logstash-style derived
+  index (plugins/out_es/es.c:314-428), Loki label-set derivation
+  (plugins/out_loki/loki.c:251-421).
+- fanout_write: the multi-sink writer — persist the routed frame once,
+  then one predicate-filtered write per sink (the reference's
+  zero-copy chunk fan-out across output coroutines,
+  src/flb_engine_dispatch.c:180-194). Aggregate sinks (out_counter /
+  out_flowcounter) ride the same persisted frame.
+- write modes: parquet/json/csv/text, partitioned by tag (out_file's
+  file-per-tag) or any column; idempotent overwrite per partition for
+  resume safety.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.aggregate import counter, flowcounter
+from fluent_bit_spark.operators.route import explode_routes
+
+
+# ---------------------------------------------------------------------------
+# format transforms
+
+def to_json_lines(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One JSON object per record (out_stdout json_lines,
+    include/fluent-bit/flb_pack.h:39-50)."""
+    struct = F.struct(*[F.col(c) for c in (cols or df.columns)])
+    return df.select(F.to_json(struct).alias("value"))
+
+
+def to_csv_lines(df: DataFrame, cols: list[str], sep: str = ",") -> DataFrame:
+    """CSV-formatted lines (out_file csv; quoting: embedded sep/quote
+    => double-quoted field, matching the common CSV rule)."""
+    def fmt(c: str) -> Column:
+        s = F.col(c).cast("string")
+        needs = s.contains(sep) | s.contains('"') | s.contains("\n")
+        quoted = F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"'))
+        return F.coalesce(F.when(needs, quoted).otherwise(s), F.lit(""))
+
+    return df.select(F.concat_ws(sep, *[fmt(c) for c in cols]).alias("value"))
+
+
+def to_ltsv_lines(df: DataFrame, cols: list[str]) -> DataFrame:
+    """LTSV lines `k:v<TAB>...` (out_file ltsv)."""
+    parts = [
+        F.concat(F.lit(c + ":"), F.coalesce(F.col(c).cast("string"), F.lit("")))
+        for c in cols
+    ]
+    return df.select(F.concat_ws("\t", *parts).alias("value"))
+
+
+_TEMPLATE_VAR = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def to_template_lines(df: DataFrame, template: str, time_col: str = "ts") -> DataFrame:
+    """out_file `template` format: '{time} {key}' substitution
+    (plugins/out_file/file.c:261). Unknown keys render empty."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_VAR.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        var = m.group(1)
+        if var == "time":
+            parts.append(F.date_format(F.col(time_col), "yyyy-MM-dd HH:mm:ss"))
+        elif var in df.columns:
+            parts.append(F.coalesce(F.col(var).cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(""))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return df.select(F.concat(*parts).alias("value"))
+
+
+def gelf_transform(
+    df: DataFrame,
+    host_col: str = "host",
+    short_message_col: str = "text",
+    ts_col: str = "ts",
+    level_col: str | None = None,
+) -> DataFrame:
+    """GELF field mapping (src/flb_pack_gelf.c:408): version, host,
+    short_message, timestamp (epoch float), level."""
+    out = df.select(
+        F.lit("1.1").alias("version"),
+        F.coalesce(F.col(host_col).cast("string"), F.lit("unknown")).alias("host"),
+        F.col(short_message_col).alias("short_message"),
+        F.col(ts_col).cast("double").alias("timestamp"),
+        (F.col(level_col) if level_col else F.lit(1)).alias("level"),
+    )
+    return out
+
+
+def es_logstash_index(
+    df: DataFrame, prefix: str = "logstash", ts_col: str = "ts"
+) -> DataFrame:
+    """Elasticsearch Logstash_Format index derivation:
+    '<prefix>-YYYY.MM.dd' (plugins/out_es/es.c:314-428) plus a
+    deterministic document _id (murmur-style hash ≙ es_gen_id)."""
+    return df.withColumns(
+        {
+            "_index": F.concat(
+                F.lit(prefix + "-"), F.date_format(F.col(ts_col), "yyyy.MM.dd")
+            ),
+            "_id": F.abs(F.xxhash64(*[F.col(c) for c in df.columns])).cast("string"),
+        }
+    )
+
+
+def loki_labels(
+    df: DataFrame, label_cols: list[str], remove_keys: list[str] | None = None
+) -> DataFrame:
+    """Loki label-set derivation (plugins/out_loki/loki.c:251-421):
+    labels map from the configured keys, line = remaining record as
+    JSON with remove_keys dropped."""
+    labels = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in label_cols]),
+        F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in label_cols]),
+    )
+    drop = set(label_cols) | set(remove_keys or [])
+    line_cols = [c for c in df.columns if c not in drop]
+    return df.select(
+        labels.alias("labels"),
+        F.to_json(F.struct(*[F.col(c) for c in line_cols])).alias("line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fan-out writer
+
+FORMATS = {"parquet", "json", "csv", "text"}
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "json":
+        w.json(path)
+    elif fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt == "text":
+        w.text(path)
+    else:
+        raise ValueError(f"unknown format {fmt!r} (one of {sorted(FORMATS)})")
+
+
+def fanout_write(
+    routed: DataFrame,
+    sinks: list[tuple[str, str]],
+    base_path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    with_aggregates: bool = True,
+) -> dict[str, dict]:
+    """Write each sink's routed slice under base_path/<sink>, computing
+    the shared frame ONCE (persist) — plus the counter/flowcounter
+    aggregate tables the reference's aggregate sinks would emit.
+    Returns per-sink row counts (the out_counter surface)."""
+    routed = routed.persist()
+    try:
+        results: dict[str, dict] = {}
+        for name, _glob in sinks:
+            slice_df = routed.filter(F.array_contains("routes", name))
+            write_sink(
+                slice_df.drop("routes"),
+                f"{base_path}/{name}",
+                fmt=fmt,
+                partition_by=partition_by,
+            )
+        if with_aggregates:
+            per_sink = explode_routes(routed)
+            write_sink(counter(per_sink, ["sink"]), f"{base_path}/agg_counter")
+            write_sink(
+                flowcounter(per_sink, ["sink", "tag"]), f"{base_path}/agg_flowcounter"
+            )
+        for r in counter(explode_routes(routed), ["sink"]).collect():
+            results[r["sink"]] = {"records": r["records"]}
+        return results
+    finally:
+        routed.unpersist()

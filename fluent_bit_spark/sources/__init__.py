@@ -1,0 +1,143 @@
+"""Source adapters — the reference's input plugins as DataFrame
+readers (SURVEY.md §2.1).
+
+In batch mode every protocol listener collapses to "rows in a table";
+what remains worth modeling:
+
+- tail (plugins/in_tail): text files -> (file, line_no, line) rows with
+  exact per-file line numbers, plus the multiline state-machine join
+  (tail_multiline.c) re-expressed as a windowed segment-and-concat.
+  Offset checkpointing (tail_sql.h) maps to checkpoint.py's manifest.
+- dummy (plugins/in_dummy): deterministic synthetic record generator.
+- storage_backlog (plugins/in_storage_backlog): resume-without-
+  reprocess — see checkpoint.py.
+- kafka / forward / tcp / http / syslog listeners: streaming sources
+  (`spark.readStream.format('kafka')` etc.); gated stubs here since
+  the sandbox has no kafka jars — the batch tables stand in.
+- lib (src/flb_lib.c flb_lib_push): `spark.createDataFrame` in tests.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole_files: bool = True
+) -> DataFrame:
+    """in_tail batch analog: (file, line_no, line) rows.
+
+    whole_files=True reads each file atomically (wholetext) and
+    posexplodes its lines — exact line numbers, required for multiline
+    joining (a split file would interleave). For huge individual files
+    set whole_files=False: line numbers are then per-split (monotonic
+    within a file as long as the file isn't split, i.e.
+    spark.sql.files.maxPartitionBytes >= file size)."""
+    if whole_files:
+        df = spark.read.text(path, wholetext=True).withColumn(
+            "file", F.input_file_name()
+        )
+        # strip a single trailing newline so "a\nb\n" is 2 lines, not 3
+        lines = F.split(F.regexp_replace(F.col("value"), r"\r?\n$", ""), r"\r?\n")
+        return df.select(
+            "file", F.posexplode(lines).alias("line_no", "line")
+        )
+    df = spark.read.text(path).withColumn("file", F.input_file_name())
+    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+    return df.select(
+        "file",
+        (F.row_number().over(w) - 1).alias("line_no"),
+        F.col("value").alias("line"),
+    )
+
+
+def multiline_join(
+    df: DataFrame,
+    firstline_pattern: str,
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """The in_tail multiline state machine (tail_multiline.c, states
+    tail_multiline.h:30-33) as a window computation: a line matching
+    Parser_Firstline starts a group; continuation lines append until
+    the next firstline. Leading continuation lines (no firstline yet)
+    form group -1, mirroring the reference's flush of orphan content.
+
+    Returns (file, group_no, first_line_no, text) with text =
+    newline-joined group."""
+    is_first = F.col(line_col).rlike(firstline_pattern).cast("int")
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(line_no_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = df.withColumn("_grp", F.sum(is_first).over(w) - F.lit(1))
+    return (
+        grouped.groupBy(file_col, "_grp")
+        .agg(
+            F.min(line_no_col).alias("first_line_no"),
+            F.concat_ws(
+                "\n", F.sort_array(F.collect_list(F.struct(line_no_col, line_col))).getField(line_col)
+            ).alias("text"),
+        )
+        .withColumnRenamed("_grp", "group_no")
+    )
+
+
+def in_dummy(
+    spark: SparkSession,
+    record: dict,
+    samples: int = 10,
+    start: str = "2024-01-01 00:00:00",
+    interval_sec: float = 1.0,
+    tag: str = "dummy.0",
+) -> DataFrame:
+    """in_dummy (plugins/in_dummy/in_dummy.c): emit `samples` copies of
+    a fixed JSON record on a synthetic timeline, tagged."""
+    df = spark.range(samples).select(
+        F.lit(tag).alias("tag"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.make_interval(secs=F.col("id") * F.lit(float(interval_sec)))
+        ).alias("ts"),
+        F.from_json(F.lit(json.dumps(record)), _infer_ddl(record)).alias("record"),
+    )
+    return df.select("tag", "ts", "record.*")
+
+
+def _infer_ddl(record: dict) -> str:
+    parts = []
+    for k, v in record.items():
+        if isinstance(v, bool):
+            t = "boolean"
+        elif isinstance(v, int):
+            t = "bigint"
+        elif isinstance(v, float):
+            t = "double"
+        else:
+            t = "string"
+        parts.append(f"{k} {t}")
+    return "struct<" + ",".join(parts) + ">"
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str
+):  # pragma: no cover - needs kafka jars
+    """in_kafka / out_kafka streaming source (gated: kafka connector
+    jars are not in this image)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as e:
+        raise NotImplementedError(
+            "kafka connector not available in this runtime; in batch mode "
+            "read the landed table instead"
+        ) from e

@@ -1,0 +1,125 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a streaming engine (event loop + periodic flush); the
+batch plans in plans/flagship.py are the primary deliverable per the
+north rule, and this module runs the same stages as a Structured
+Streaming job:
+
+- source: readStream (files/kafka/socket; tests drive with a parquet
+  directory + processAllAvailable).
+- parse/enrich/route: the exact same stage functions — they are pure
+  column transforms, so they compose with streaming frames unchanged.
+- windowed aggregates: event-time windows + watermark (the reference's
+  processing-time flush timers, flb_engine.c:92-107, made
+  deterministic).
+- fan-out: foreachBatch -> persist once, N filtered writes — identical
+  shape to sinks.fanout_write, with exactly-once via idempotent
+  per-epoch output paths.
+- stateful throttle: applyInPandasWithState token-bucket per key — the
+  true streaming analog of filter_throttle's sliding window
+  (plugins/filter_throttle/throttle.c:98-105).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_transcripts(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based streaming source over a transcript directory."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_pipeline(spark: SparkSession, source: DataFrame) -> DataFrame:
+    """parse -> enrich -> route on a streaming frame (same stage
+    functions as batch)."""
+    from fluent_bit_spark.plans.flagship import enrich_stage, parse_stage, route_stage
+
+    return route_stage(enrich_stage(parse_stage(source), spark))
+
+
+def windowed_flowcounter(
+    routed: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming flowcounter: watermarked event-time windows per
+    (sink, tag)."""
+    from fluent_bit_spark.operators.route import explode_routes
+
+    per_sink = explode_routes(routed.withWatermark("ts", watermark))
+    return (
+        per_sink.groupBy("sink", "tag", F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("counts"), F.sum(F.length("text")).alias("bytes"))
+        .select(
+            "sink",
+            "tag",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "counts",
+            "bytes",
+        )
+    )
+
+
+def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
+    """Exactly-once fan-out for writeStream.foreachBatch: each epoch
+    writes every sink slice under <base>/<sink>/epoch=<id> (idempotent
+    overwrite on replay)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for name, _ in sinks:
+                (
+                    batch_df.filter(F.array_contains("routes", name))
+                    .drop("routes")
+                    .write.mode("overwrite")
+                    .parquet(f"{base_path}/{name}/epoch={epoch_id}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    return fn
+
+
+def throttle_stateful(
+    df: DataFrame,
+    key_col: str,
+    rate_per_sec: float,
+    burst: int,
+    ts_col: str = "ts",
+):
+    """Streaming rate limit: per-key token bucket kept in the state
+    store (applyInPandasWithState). Emits only rows that acquire a
+    token; refill is computed from event-time deltas, so replays are
+    deterministic. State: (tokens, last_ts_epoch)."""
+    out_schema = df.schema
+    state_schema = "tokens double, last double"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            tokens, last = state.get
+        else:
+            tokens, last = float(burst), 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            keep_idx = []
+            for i, t in zip(pdf.index, pdf[ts_col]):
+                now = t.timestamp()
+                if last:
+                    tokens = min(float(burst), tokens + (now - last) * rate_per_sec)
+                last = now
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    keep_idx.append(i)
+            if keep_idx:
+                yield pdf.loc[keep_idx]
+        state.update((tokens, last))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

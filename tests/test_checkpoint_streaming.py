@@ -1,0 +1,169 @@
+"""Checkpoint/resume (kill-and-resume without reprocessing) and
+Structured Streaming pipeline tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.checkpoint import Manifest, ResumableBatchJob
+from fluent_bit_spark.metrics import PipelineMetrics, summarize_counts
+
+
+def test_manifest_roundtrip(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.mark("g1", "started")
+    m.mark("g1", "done", rows=10)
+    m.mark("g2", "started")
+    assert m.done_keys() == {"g1"}
+    assert len(m.entries()) == 3
+
+
+def test_kill_and_resume_without_reprocess(spark, tmp_path):
+    df = spark.range(100).withColumn("grp", (F.col("id") % 4).cast("string"))
+    out_dir = tmp_path / "out"
+    processed_log: list[str] = []
+
+    def process(key, slice_df):
+        n = slice_df.count()
+        slice_df.write.mode("overwrite").parquet(str(out_dir / f"grp={key}"))
+        processed_log.append(key)
+        return {"rows": n}
+
+    job = ResumableBatchJob(str(tmp_path / "ckpt"))
+    with pytest.raises(RuntimeError):
+        job.run(df, "grp", process, fail_after=2)  # killed after 2 groups
+    assert processed_log == ["0", "1"]
+
+    # resume: groups 0,1 must NOT be reprocessed
+    job2 = ResumableBatchJob(str(tmp_path / "ckpt"))
+    statuses = job2.run(df, "grp", process)
+    assert processed_log == ["0", "1", "2", "3"]
+    assert statuses == {"0": "skipped", "1": "skipped", "2": "done", "3": "done"}
+
+    total = spark.read.parquet(*glob.glob(str(out_dir / "grp=*"))).count()
+    assert total == 100
+    done_rows = [e for e in job2.manifest.entries() if e["status"] == "done"]
+    assert sorted(e["key"] for e in done_rows) == ["0", "1", "2", "3"]
+    assert all(e["rows"] == 25 for e in done_rows)
+
+
+def test_metrics_accumulators(spark):
+    m = PipelineMetrics(spark)
+    df = spark.createDataFrame([("abc",), ("defgh",), (None,)], ["text"])
+    instrumented = m.instrument_input(df)
+    assert instrumented.count() == 3
+    snap = m.snapshot()
+    assert snap["records_in"] == 3 and snap["bytes_in"] == 8
+    m.record_sink("sink_a", 42)
+    assert m.snapshot()["out_ok"]["sink_a"] == 42
+
+
+def test_summarize_counts(spark):
+    df = spark.createDataFrame([("a", "xy"), ("a", "z"), ("b", "w")], ["k", "text"])
+    got = {r.k: (r.records, r.bytes) for r in summarize_counts(df, ["k"]).collect()}
+    assert got == {"a": (2, 3), "b": (1, 1)}
+
+
+# --- streaming -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark, sf_dir, tmp_path_factory):
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    d = tmp_path_factory.mktemp("stream-src")
+    load_transcripts(spark, sf_dir).coalesce(2).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_streaming_pipeline_matches_batch(spark, sf_dir, transcript_dir):
+    from fluent_bit_spark.plans.flagship import run_pipeline
+    from fluent_bit_spark.streaming import (
+        streaming_pipeline,
+        streaming_transcripts,
+        windowed_flowcounter,
+    )
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    src = streaming_transcripts(spark, transcript_dir, TRANSCRIPT_SCHEMA)
+    agg = windowed_flowcounter(streaming_pipeline(spark, src), window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.sink, r.tag, r.window_start): (r.counts, r.bytes)
+            for r in spark.sql("SELECT * FROM fc_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    from fluent_bit_spark.operators.aggregate import flowcounter
+    from fluent_bit_spark.operators.route import explode_routes
+
+    batch = flowcounter(explode_routes(run_pipeline(spark, sf_dir)), ["sink", "tag"])
+    want = {
+        (r.sink, r.tag, r.window_start): (r.counts, r.bytes) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_fanout(spark, transcript_dir, tmp_path):
+    from fluent_bit_spark.plans.flagship import SINKS
+    from fluent_bit_spark.streaming import (
+        foreach_batch_fanout,
+        streaming_pipeline,
+        streaming_transcripts,
+    )
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    src = streaming_transcripts(spark, transcript_dir, TRANSCRIPT_SCHEMA)
+    routed = streaming_pipeline(spark, src)
+    out = tmp_path / "sinks"
+    q = routed.writeStream.foreachBatch(foreach_batch_fanout(str(out), SINKS)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = glob.glob(str(out / "sink_all" / "epoch=*"))
+    assert files
+    n = spark.read.parquet(*files).count()
+    assert n == 1000  # sink_all matches everything at sf0.001
+
+
+def test_throttle_stateful(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.streaming import throttle_stateful
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 0, i), f"m{i}") for i in range(10)
+    ]  # 1 msg/sec for 10s
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        batch = spark.createDataFrame(rows, ["key", "ts", "msg"])
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(batch.schema).parquet(d)
+        # rate 0.5/s, burst 2: m0 (2->1), m1 (refill 1.5->0.5),
+        # m2 (refill 1.0->0), then every 2s one token: m4, m6, m8
+        out = throttle_stateful(src, "key", rate_per_sec=0.5, burst=2)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("throttled")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(r.msg for r in spark.sql("SELECT * FROM throttled").collect())
+        finally:
+            q.stop()
+    assert got == ["m0", "m1", "m2", "m4", "m6", "m8"]

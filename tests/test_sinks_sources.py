@@ -1,0 +1,141 @@
+"""Sinks (formats + fan-out), sources (tail/multiline/dummy), and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import sinks as SK
+from fluent_bit_spark import sources as SRC
+from fluent_bit_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def recs(spark):
+    import datetime as dt
+
+    rows = [
+        ("a", 1, dt.datetime(2024, 1, 1, 0, 0, 0), "x,y"),
+        ("b", 2, dt.datetime(2024, 1, 1, 1, 0, 0), 'say "hi"'),
+        ("c", None, dt.datetime(2024, 1, 1, 2, 0, 0), None),
+    ]
+    return spark.createDataFrame(rows, ["k", "n", "ts", "text"])
+
+
+def test_json_lines(recs):
+    vals = [r.value for r in SK.to_json_lines(recs, ["k", "n"]).collect()]
+    assert '{"k":"a","n":1}' in vals
+
+
+def test_csv_lines_quoting(recs):
+    vals = [r.value for r in SK.to_csv_lines(recs, ["k", "text"]).collect()]
+    assert 'a,"x,y"' in vals
+    assert 'b,"say ""hi"""' in vals
+    assert "c," in vals  # null renders empty
+
+
+def test_ltsv_lines(recs):
+    vals = [r.value for r in SK.to_ltsv_lines(recs, ["k", "n"]).collect()]
+    assert "k:a\tn:1" in vals and "k:c\tn:" in vals
+
+
+def test_template_lines(recs):
+    vals = [r.value for r in SK.to_template_lines(recs, "{time} k={k} v={n} m={missing}").collect()]
+    assert "2024-01-01 00:00:00 k=a v=1 m=" in vals
+
+
+def test_gelf_and_es_and_loki(recs):
+    g = SK.gelf_transform(recs, host_col="k", short_message_col="text").collect()
+    assert g[0].version == "1.1" and g[0].host == "a"
+    e = SK.es_logstash_index(recs).collect()[0]
+    assert e._index == "logstash-2024.01.01" and e._id.isdigit()
+    l = SK.loki_labels(recs, ["k"], remove_keys=["ts"]).collect()[0]
+    assert l.labels == {"k": "a"} and '"n":1' in l.line
+
+
+def test_fanout_write(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        ("errors.user", ["sink_errors", "sink_all"], dt.datetime(2024, 1, 1), "e1"),
+        ("chat.user", ["sink_all"], dt.datetime(2024, 1, 1), "c1"),
+        ("tools.code", ["sink_tools", "sink_all"], dt.datetime(2024, 1, 1, 5), "t1"),
+    ]
+    df = spark.createDataFrame(rows, ["tag", "routes", "ts", "text"])
+    sinks = [("sink_errors", "errors.*"), ("sink_tools", "tools.*"), ("sink_all", "*")]
+    counts = SK.fanout_write(df, sinks, str(tmp_path / "out"), fmt="parquet")
+    assert counts == {
+        "sink_errors": {"records": 1},
+        "sink_tools": {"records": 1},
+        "sink_all": {"records": 3},
+    }
+    back = spark.read.parquet(str(tmp_path / "out" / "sink_all"))
+    assert back.count() == 3 and "routes" not in back.columns
+    agg = spark.read.parquet(str(tmp_path / "out" / "agg_flowcounter"))
+    total = (
+        agg.filter(F.col("sink") == "sink_all")
+        .agg(F.sum("counts").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert total == 3  # one row per (sink, tag, window), summing to all routed rows
+
+
+# --- sources ---------------------------------------------------------------
+
+def test_read_text_lines_and_multiline(spark, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "one.log").write_text(
+        "2024-01-01 start A\n  continuation 1\n  continuation 2\n2024-01-01 start B\n  tail\n"
+    )
+    (d / "two.log").write_text("orphan line\n2024-01-01 start C\n")
+    lines = SRC.read_text_lines(spark, str(d / "*.log"))
+    assert lines.count() == 7
+    joined = SRC.multiline_join(lines, r"^\d{4}-\d{2}-\d{2} ")
+    got = {
+        (os.path.basename(r.file), r.group_no): r.text
+        for r in joined.collect()
+    }
+    assert got[("one.log", 0)] == "2024-01-01 start A\n  continuation 1\n  continuation 2"
+    assert got[("one.log", 1)] == "2024-01-01 start B\n  tail"
+    assert got[("two.log", -1)] == "orphan line"  # leading continuation
+    assert got[("two.log", 0)] == "2024-01-01 start C"
+
+
+def test_in_dummy(spark):
+    df = SRC.in_dummy(spark, {"message": "dummy", "count": 2}, samples=5, interval_sec=2)
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0].message == "dummy" and rows[0]["count"] == 2
+    assert (rows[1].ts - rows[0].ts).total_seconds() == 2.0
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    media = MM.synth_media(spark, n=12)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r.features) == MM.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-5
+    # deterministic across runs
+    feats2 = MM.extract_features(MM.synth_media(spark, n=12)).collect()
+    assert {r.media_id: r.checksum for r in feats} == {
+        r.media_id: r.checksum for r in feats2
+    }
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"xx", "image", fake=False)
+
+
+def test_frame_sample(spark):
+    media = MM.synth_media(spark, n=9)
+    frames = MM.frame_sample(media, every_ms=500)
+    got = frames.filter(F.col("media_id") == 2).collect()  # video, duration 1014ms
+    assert [r.frame_offset_ms for r in got] == [0, 500]
