@@ -328,6 +328,49 @@ def _q_embed_near_dup(spark, sf_dir):
     )
 
 
+def _q_ra_template(spark, sf_dir):
+    from fluent_bit_spark.functions.record_accessor import ra_translate
+
+    df = _routed(spark, sf_dir)
+    rendered = ra_translate(df, "conv=$conv_id dest=$TAG[0] tool=$tool")
+    return df.select("conv_id", "turn_idx", rendered.alias("rendered"))
+
+
+def _q_range_enrich(spark, sf_dir):
+    from fluent_bit_spark.operators.enrich import range_lookup_enrich
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 100.0, "mid"), (100.0, 150.0, "high"),
+         (150.0, 1e12, "extreme")],
+        ["lo", "hi", "tier"],
+    )
+    out = range_lookup_enrich(events, ranges, "value", defaults={"tier": "unknown"})
+    return out.select("event_id", "tier")
+
+
+def _q_regex_table(spark, sf_dir):
+    from fluent_bit_spark.operators.enrich import regex_table_enrich
+
+    df = _transcripts(spark, sf_dir)
+    table = [
+        (r'" (5\d\d) ', {"status_class": "server_error"}),
+        (r'" (2\d\d) ', {"status_class": "ok"}),
+        (r"^level=error", {"status_class": "log_error"}),
+    ]
+    out = regex_table_enrich(df, table, "text", defaults={"status_class": "other"})
+    return out.select("conv_id", "turn_idx", "status_class")
+
+
+def _q_sessions_per_conv(spark, sf_dir):
+    from fluent_bit_spark.operators.aggregate import sessionize
+
+    sess = sessionize(_transcripts(spark, sf_dir), "conv_id", gap="2 hours")
+    return sess.groupBy("conv_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_turns").alias("n_turns")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -357,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embed_near_dup": _q_embed_near_dup,
+        "ra_template": _q_ra_template,
+        "range_enrich": _q_range_enrich,
+        "regex_table": _q_regex_table,
+        "sessions_per_conv": _q_sessions_per_conv,
     }
 
 

@@ -184,8 +184,172 @@ def run_scaling(parallelisms=(8, 32), repeats: int = 3) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# process-parallel scaling (the honest N -> 4N *executor* analog):
+# 1 local[8] JVM over the full input vs 4 concurrent local[8] JVMs over
+# disjoint shards. Separate JVMs = separate heaps/GC, like real
+# executors; single-JVM local[8] vs local[32] thread scaling is also
+# reported (run_scaling) but conflates executor scaling with shared-
+# heap contention no real cluster has.
+
+def _scale_worker() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", required=True)  # comma-separated parquet dirs
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--ready-file", required=True)
+    ap.add_argument("--go-file", required=True)
+    ap.add_argument("--out-file", required=True)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args(sys.argv[2:])
+
+    from fluent_bit_spark.session import get_spark
+    from fluent_bit_spark.plans import flagship
+    from fluent_bit_spark.operators.route import explode_routes
+    from fluent_bit_spark.operators.aggregate import flowcounter
+
+    spark = get_spark(
+        f"fbs-worker-{os.getpid()}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+    )
+    src = spark.read.parquet(*args.shards.split(",")).persist()
+    rows = src.count()
+
+    def e2e():
+        routed = flagship.route_stage(
+            flagship.enrich_stage(flagship.parse_stage(src), spark)
+        )
+        return flowcounter(explode_routes(routed), ["sink", "tag"], "1 hour")
+
+    _force(e2e())  # warm
+    with open(args.ready_file, "w") as f:
+        f.write("ready")
+    while not os.path.exists(args.go_file):
+        time.sleep(0.05)
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        _force(e2e())
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    with open(args.out_file, "w") as f:
+        json.dump({"rows": rows, "sec": med}, f)
+    spark.stop()
+
+
+def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
+    import shutil
+    import subprocess
+    import tempfile
+
+    from fluent_bit_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="fbs-scale-")
+    spark = get_spark("fbs-shard-prep", master=f"local[{cores}]", shuffle_partitions=16)
+    source = build_source(spark)
+    source = source.withColumn(
+        "_shard", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(nshards))
+    )
+    for i in range(nshards):
+        (
+            source.filter(F.col("_shard") == i)
+            .drop("_shard")
+            .write.mode("overwrite")
+            .parquet(f"{work}/shard={i}")
+        )
+    rows_total = source.count()
+    spark.stop()
+
+    shard_dirs = [f"{work}/shard={i}" for i in range(nshards)]
+
+    def run_workers(assignments: list[list[str]]) -> float:
+        """Launch one worker per assignment; barrier; return max median sec."""
+        go = os.path.join(work, f"go-{len(assignments)}-{time.time()}")
+        procs = []
+        outs = []
+        readies = []
+        for w, shards in enumerate(assignments):
+            ready = os.path.join(work, f"ready-{len(assignments)}-{w}")
+            out = os.path.join(work, f"out-{len(assignments)}-{w}.json")
+            readies.append(ready)
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--_scale-worker",
+                        "--shards",
+                        ",".join(shards),
+                        "--cores",
+                        str(cores),
+                        "--ready-file",
+                        ready,
+                        "--go-file",
+                        go,
+                        "--out-file",
+                        out,
+                    ],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+            )
+        while not all(os.path.exists(r) for r in readies):
+            time.sleep(0.2)
+            for p in procs:
+                if p.poll() not in (None, 0):
+                    raise RuntimeError("scale worker died during warmup")
+        with open(go, "w") as f:
+            f.write("go")
+        for p in procs:
+            p.wait()
+        secs = []
+        for out in outs:
+            with open(out) as f:
+                secs.append(json.load(f)["sec"])
+        return max(secs)
+
+    t1 = run_workers([shard_dirs])  # 1 worker, all shards
+    t4 = run_workers([[d] for d in shard_dirs])  # nshards workers, 1 shard each
+    thr1 = rows_total / t1
+    thr4 = rows_total / t4
+    eff = thr4 / (nshards * thr1)
+    out = {
+        "metric": f"scaling efficiency {cores} -> {nshards}x{cores} cores (process scale-out)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "workers_1": {"sec": round(t1, 3), "turns_per_sec": round(thr1, 1)},
+        f"workers_{nshards}": {"sec": round(t4, 3), "turns_per_sec": round(thr4, 1)},
+        "rows": rows_total,
+        "sf": _sf_label(SF_DIR),
+        "replicate": REPLICATE,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## process scale-out run (sf={_sf_label(SF_DIR)}, rows={rows_total}, "
+            f"replicate={REPLICATE})\n\n"
+            f"N executors ~ N separate local[{cores}] JVMs on disjoint shards "
+            f"(the in-sandbox analog of executor scale-out; separate heaps like "
+            f"real executors).\n\n"
+            f"| workers | wall sec (max) | turns/sec |\n|---|---|---|\n"
+            f"| 1 x local[{cores}] | {t1:.3f} | {thr1:.1f} |\n"
+            f"| {nshards} x local[{cores}] | {t4:.3f} | {thr4:.1f} |\n\n"
+            f"scaling efficiency thr({nshards}W)/({nshards}*thr(1W)) = **{eff:.3f}**\n"
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--_scale-worker" in sys.argv:
+        _scale_worker()
+    elif "--scaling-procs" in sys.argv:
+        run_scaling_procs()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         run_default()

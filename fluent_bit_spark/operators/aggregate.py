@@ -61,6 +61,28 @@ def flowcounter(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+) -> DataFrame:
+    """Session aggregation per key: `session_window(ts, gap)` — counts
+    and bounds per session. (Not in the reference's SQL surface —
+    SURVEY.md §2.5 notes session windows are absent there; free on
+    Spark and listed as an addition.)"""
+    return (
+        df.groupBy(key, F.session_window(F.col(ts), gap).alias("sw"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def timeseries_forecast(
     df: DataFrame,
     x: str,

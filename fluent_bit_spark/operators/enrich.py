@@ -48,3 +48,60 @@ def lookup_enrich(
 def record_append(df: DataFrame, fields: dict[str, object]) -> DataFrame:
     """Append literal key/values (record_modifier `Record`, filter_aws)."""
     return df.withColumns({k: F.lit(v) for k, v in fields.items()})
+
+
+def range_lookup_enrich(
+    df: DataFrame,
+    ranges: DataFrame,
+    key: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Interval lookup (the geoip2 shape, plugins/filter_geoip2: an IP
+    maps into a CIDR/range row): broadcast range join
+    `lo <= key < hi`, non-matches filled from defaults.
+
+    At scale the ranges table is small (broadcast, no shuffle); the
+    join is a broadcast nested-loop with a range predicate — fine for
+    dim tables of thousands of intervals. For million-interval tables,
+    pre-bucket both sides on floor(key/width) and equi-join first."""
+    value_cols = [c for c in ranges.columns if c not in (lo_col, hi_col)]
+    joined = df.join(
+        F.broadcast(ranges),
+        on=(df[key] >= ranges[lo_col]) & (df[key] < ranges[hi_col]),
+        how="left",
+    ).drop(lo_col, hi_col)
+    if defaults:
+        joined = joined.withColumns(
+            {c: F.coalesce(F.col(c), F.lit(d)) for c, d in defaults.items() if c in value_cols}
+        )
+    return joined
+
+
+def regex_table_enrich(
+    df: DataFrame,
+    table: list[tuple[str, dict[str, str]]],
+    key: str,
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Ordered regex-table lookup (the ua-parser shape,
+    plugins/filter_apm_uaparser: a regex list is matched against a
+    field, first match supplies the derived fields). The table is
+    config-sized, so it compiles to a lazy when-chain — pure JVM, no
+    join at all."""
+    out_cols: dict[str, object] = {}
+    names = sorted({n for _, fields in table for n in fields})
+    for name in names:
+        expr = None
+        for pattern, fields in table:
+            if name not in fields:
+                continue
+            cond = F.col(key).rlike(pattern)
+            expr = F.when(cond, F.lit(fields[name])) if expr is None else expr.when(
+                cond, F.lit(fields[name])
+            )
+        if defaults and name in defaults:
+            expr = expr.otherwise(F.lit(defaults[name]))
+        out_cols[name] = expr
+    return df.withColumns(out_cols)

@@ -259,6 +259,37 @@ def oracle_queries() -> dict[str, str]:
              FROM embeddings a, embeddings b
              WHERE a.vec_id < b.vec_id
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""",
+        "ra_template": c
+        + """SELECT conv_id, turn_idx,
+                    'conv=' || conv_id || ' dest=' || split_part(tag, '.', 1)
+                    || ' tool=' || coalesce(tool, '') AS rendered
+             FROM routed""",
+        "range_enrich": c
+        + """SELECT event_id,
+                    CASE WHEN value >= 0 AND value < 50 THEN 'low'
+                         WHEN value >= 50 AND value < 100 THEN 'mid'
+                         WHEN value >= 100 AND value < 150 THEN 'high'
+                         WHEN value >= 150 AND value < 1e12 THEN 'extreme'
+                         ELSE 'unknown' END AS tier
+             FROM events""",
+        "regex_table": c
+        + """SELECT conv_id, turn_idx,
+                    CASE WHEN regexp_matches(text, '" (5\\d\\d) ') THEN 'server_error'
+                         WHEN regexp_matches(text, '" (2\\d\\d) ') THEN 'ok'
+                         WHEN regexp_matches(text, '^level=error') THEN 'log_error'
+                         ELSE 'other' END AS status_class
+             FROM transcripts""",
+        "sessions_per_conv": c
+        + """SELECT conv_id, COUNT(DISTINCT sess) AS n_sessions, COUNT(*) AS n_turns
+             FROM (
+               SELECT conv_id,
+                      SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 2 HOUR
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sess
+               FROM (SELECT conv_id, turn_idx, ts,
+                            lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+                     FROM transcripts))
+             GROUP BY conv_id""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,

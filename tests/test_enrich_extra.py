@@ -1,0 +1,65 @@
+"""Range lookup (geoip shape), regex-table lookup (ua-parser shape),
+and session window tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.aggregate import sessionize
+from fluent_bit_spark.operators.enrich import (
+    lookup_enrich,
+    range_lookup_enrich,
+    regex_table_enrich,
+)
+
+
+def test_range_lookup(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 55.0), (3, 500.0)], ["id", "v"])
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 100.0, "mid")], ["lo", "hi", "tier"]
+    )
+    out = range_lookup_enrich(df, ranges, "v", defaults={"tier": "unknown"})
+    got = {r.id: r.tier for r in out.collect()}
+    assert got == {1: "low", 2: "mid", 3: "unknown"}
+
+
+def test_regex_table_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "Mozilla/5.0 Chrome/1"), (2, "Mozilla/5.0 Safari"), (3, "curl/8")],
+        ["id", "ua"],
+    )
+    table = [
+        ("Chrome", {"browser": "chrome", "engine": "blink"}),
+        ("Mozilla", {"browser": "firefox-ish"}),
+    ]
+    out = regex_table_enrich(df, table, "ua", defaults={"browser": "other", "engine": "unknown"})
+    got = {r.id: (r.browser, r.engine) for r in out.collect()}
+    assert got == {
+        1: ("chrome", "blink"),
+        2: ("firefox-ish", "unknown"),
+        3: ("other", "unknown"),
+    }
+
+
+def test_lookup_enrich_defaults(spark):
+    df = spark.createDataFrame([(1, "bash"), (2, None), (3, "nope")], ["id", "tool"])
+    dim = spark.createDataFrame([("bash", "shell")], ["tool_key", "category"])
+    out = lookup_enrich(df, dim, "tool", "tool_key", defaults={"category": "Unknown"})
+    got = {r.id: r.category for r in out.collect()}
+    assert got == {1: "shell", 2: "Unknown", 3: "Unknown"}
+
+
+def test_sessionize(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", base),
+        ("c1", base + dt.timedelta(minutes=10)),
+        ("c1", base + dt.timedelta(hours=3)),  # new session (gap 2h)
+        ("c2", base),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "ts"])
+    out = sessionize(df, "conv_id", gap="2 hours")
+    got = sorted((r.conv_id, r.n_turns) for r in out.collect())
+    assert got == [("c1", 1), ("c1", 2), ("c2", 1)]
