@@ -30,7 +30,27 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true", help="skip groups marked done in the manifest")
     ap.add_argument("--replicate", type=int, default=1, help="synthetic scale multiplier")
     ap.add_argument("--backend", choices=["native", "arrow"], default="native")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="run a Fluent-Bit-style [INPUT]/[FILTER]/[OUTPUT] config instead of the flagship pipeline",
+    )
     args = ap.parse_args(argv)
+
+    if args.config:
+        from fluent_bit_spark.config import ConfigPipeline
+        from fluent_bit_spark.session import get_spark
+
+        spark = get_spark(
+            "fbs-config",
+            master=args.master or f"local[{args.parallelism}]",
+            shuffle_partitions=args.parallelism,
+        )
+        with open(args.config) as f:
+            res = ConfigPipeline(f.read()).run(spark, output_base=args.output)
+        print(json.dumps({k: (v if not isinstance(v, list) else len(v)) for k, v in res.items()}, default=str))
+        spark.stop()
+        return 0
 
     from fluent_bit_spark.checkpoint import ResumableBatchJob
     from fluent_bit_spark.metrics import PipelineMetrics

@@ -1,0 +1,317 @@
+"""Config-driven pipeline — the reference's primary interface.
+
+Parses the classic Fluent Bit INI-style config ([SERVICE]/[INPUT]/
+[FILTER]/[OUTPUT] sections with `Key Value` lines, repeated keys
+allowed — src/fluent-bit.c:650 flb_service_conf) and compiles it into
+the DataFrame pipeline, preserving the reference's composition rules:
+
+- each INPUT produces a tagged frame (tag fixed per input instance);
+- FILTERs apply IN CONFIG ORDER to records whose tag matches the
+  filter's Match glob (src/flb_filter.c:56-128); non-matching records
+  pass through untouched;
+- each OUTPUT receives records whose tag matches its Match glob
+  (src/flb_router.c); zero-match records are dropped; an output can be
+  a data sink (file/stdout/null) or an aggregate sink
+  (counter/flowcounter).
+
+Supported plugin names (the Spark-expressible surface):
+  inputs : dummy, tail, parquet (extension), transcripts (extension)
+  filters: grep, record_modifier, modify, nest, lift, parser,
+           throttle, rewrite_tag, expect, lua (python callable)
+  outputs: file, stdout, null, counter, flowcounter
+
+Example:
+    [INPUT]
+        Name dummy
+        Dummy {"message": "hello", "code": 200}
+        Samples 10
+        Tag app.log
+    [FILTER]
+        Name grep
+        Match app.*
+        Regex message hel
+    [OUTPUT]
+        Name counter
+        Match *
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators import filters as FL
+from fluent_bit_spark.operators import route as R
+from fluent_bit_spark.operators.aggregate import counter, flowcounter
+from fluent_bit_spark.operators.parse import apply_regex_parser
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class Section:
+    kind: str  # SERVICE | INPUT | FILTER | OUTPUT
+    entries: list[tuple[str, str]] = field(default_factory=list)
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        for k, v in self.entries:
+            if k.lower() == key.lower():
+                return v
+        return default
+
+    def get_all(self, key: str) -> list[str]:
+        return [v for k, v in self.entries if k.lower() == key.lower()]
+
+
+def parse_config(text: str) -> list[Section]:
+    sections: list[Section] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            sections.append(Section(line[1:-1].strip().upper()))
+            continue
+        if not sections:
+            raise ConfigError(f"entry outside any section: {line!r}")
+        parts = line.split(None, 1)
+        key = parts[0]
+        val = parts[1] if len(parts) > 1 else ""
+        sections[-1].entries.append((key, val))
+    return sections
+
+
+class ConfigPipeline:
+    """Compile + run a parsed config against a SparkSession."""
+
+    def __init__(self, config: str | list[Section], lua_functions: dict | None = None):
+        self.sections = parse_config(config) if isinstance(config, str) else config
+        self.lua_functions = lua_functions or {}
+
+    # -- inputs -------------------------------------------------------------
+    def _input_frame(self, spark: SparkSession, s: Section) -> DataFrame:
+        name = (s.get("Name") or "").lower()
+        tag = s.get("Tag", f"{name}.0")
+        if name == "dummy":
+            from fluent_bit_spark.sources import in_dummy
+
+            record = json.loads(s.get("Dummy", '{"message": "dummy"}'))
+            return in_dummy(
+                spark,
+                record,
+                samples=int(s.get("Samples", "10")),
+                start=s.get("Start_Time", "2024-01-01 00:00:00"),
+                interval_sec=float(s.get("Interval_Sec", "1")),
+                tag=tag,
+            )
+        if name == "tail":
+            from fluent_bit_spark.sources import multiline_join, read_text_lines
+
+            lines = read_text_lines(spark, s.get("Path"))
+            first = s.get("Multiline_Firstline")
+            if first:
+                lines = multiline_join(lines, first).withColumnRenamed("text", "log")
+            else:
+                lines = lines.withColumnRenamed("line", "log")
+            return lines.withColumn("tag", F.lit(tag)).withColumn(
+                "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        if name == "parquet":
+            df = spark.read.parquet(s.get("Path"))
+            return df.withColumn("tag", F.lit(tag))
+        if name == "transcripts":
+            from fluent_bit_spark.transcripts import load_transcripts
+
+            df = load_transcripts(spark, s.get("Path"))
+            return df.withColumn("tag", F.lit(tag))
+        raise ConfigError(f"unsupported input plugin {name!r}")
+
+    # -- filters ------------------------------------------------------------
+    def _apply_filter(self, df: DataFrame, s: Section) -> DataFrame:
+        name = (s.get("Name") or "").lower()
+        match = s.get("Match", "*")
+        pred = F.col("tag").rlike(R.glob_to_regex(match))
+        if match == "*":
+            return self._filter_all(df, s, name)
+        matched = df.filter(pred)
+        rest = df.filter(~pred)
+        out = self._filter_all(matched, s, name)
+        return out.unionByName(rest, allowMissingColumns=True)
+
+    def _filter_all(self, df: DataFrame, s: Section, name: str) -> DataFrame:
+        if name == "grep":
+            rules = [("regex", *v.split(None, 1)) for v in s.get_all("Regex")]
+            rules += [("exclude", *v.split(None, 1)) for v in s.get_all("Exclude")]
+            # preserve config order across both keys
+            ordered = []
+            for k, v in s.entries:
+                if k.lower() in ("regex", "exclude"):
+                    f, p = v.split(None, 1)
+                    ordered.append((k.lower(), f, p))
+            return FL.grep(df, ordered or rules)
+        if name == "record_modifier":
+            return FL.record_modifier(
+                df,
+                remove_keys=s.get_all("Remove_key") or None,
+                whitelist_keys=s.get_all("Whitelist_key") or None,
+                records=dict(v.split(None, 1) for v in s.get_all("Record")) or None,
+            )
+        if name == "modify":
+            conds, rules = [], []
+            for k, v in s.entries:
+                kl = k.lower()
+                if kl == "condition":
+                    parts = v.split(None, 2)
+                    conds.append(FL.Condition(parts[0].lower(), *parts[1:]))
+                elif kl in ("rename", "hard_rename", "add", "set", "copy", "hard_copy"):
+                    a, b = v.split(None, 1)
+                    rules.append(FL.ModifyRule(kl, a, b))
+                elif kl in ("remove", "remove_wildcard", "remove_regex"):
+                    rules.append(FL.ModifyRule(kl, v))
+            return FL.modify(df, rules, conds)
+        if name == "nest":
+            op = (s.get("Operation") or "nest").lower()
+            if op == "nest":
+                return FL.nest(
+                    df,
+                    s.get("Wildcard", "*"),
+                    s.get("Nest_under", "nested"),
+                    remove_prefix=s.get("Remove_prefix"),
+                    add_prefix=s.get("Add_prefix"),
+                )
+            return FL.lift(
+                df,
+                s.get("Nested_under"),
+                add_prefix=s.get("Add_prefix"),
+                remove_prefix=s.get("Remove_prefix"),
+            )
+        if name == "lift":
+            return FL.lift(df, s.get("Nested_under"))
+        if name == "parser":
+            key = s.get("Key_Name", "log")
+            pattern = s.get("Regex")
+            return apply_regex_parser(df, pattern, source=key).drop(
+                *([] if s.get("Preserve_Key", "off").lower() == "on" else [key])
+            )
+        if name == "throttle":
+            return FL.throttle(
+                df,
+                rate=float(s.get("Rate", "1")),
+                window_seconds=int(s.get("Window", "5")),
+            )
+        if name == "rewrite_tag":
+            rules = []
+            for v in s.get_all("Rule"):
+                fld, pattern, new_tag, keep = v.split(None, 3)
+                fld = fld.lstrip("$")
+                rules.append(
+                    R.RewriteRule(
+                        condition=F.coalesce(
+                            F.col(fld).cast("string").rlike(pattern), F.lit(False)
+                        ),
+                        new_tag=F.lit(new_tag),
+                        keep=keep.lower() == "true",
+                    )
+                )
+            return R.rewrite_tag(df, rules)
+        if name == "expect":
+            rules = []
+            for k, v in s.entries:
+                if k.lower() in (
+                    "key_exists",
+                    "key_not_exists",
+                    "key_val_is_null",
+                    "key_val_is_not_null",
+                ):
+                    rules.append((k.lower(), v, None))
+                elif k.lower() == "key_val_eq":
+                    a, b = v.split(None, 1)
+                    rules.append(("key_val_eq", a, b))
+            return FL.expect(df, rules, action=s.get("Action", "warn"))
+        if name == "lua":
+            fn = self.lua_functions[s.get("Call")]
+            return FL.record_function(df, fn)
+        raise ConfigError(f"unsupported filter plugin {name!r}")
+
+    # -- run ----------------------------------------------------------------
+    def run(
+        self, spark: SparkSession, output_base: str | None = None
+    ) -> dict[str, object]:
+        inputs = [s for s in self.sections if s.kind == "INPUT"]
+        filters = [s for s in self.sections if s.kind == "FILTER"]
+        outputs = [s for s in self.sections if s.kind == "OUTPUT"]
+        if not inputs or not outputs:
+            raise ConfigError("config needs at least one INPUT and one OUTPUT")
+
+        frames = [self._input_frame(spark, s) for s in inputs]
+        df = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+        for s in filters:
+            df = self._apply_filter(df, s)
+
+        sinks = [
+            ((s.get("Name") or "x") + f"_{i}", s.get("Match", "*"))
+            for i, s in enumerate(outputs)
+        ]
+        routed = R.route_mask(df, sinks).persist()
+        results: dict[str, object] = {}
+        try:
+            for (sink_id, _glob), s in zip(sinks, outputs):
+                name = (s.get("Name") or "").lower()
+                slice_df = routed.filter(F.array_contains("routes", sink_id)).drop(
+                    "routes"
+                )
+                if name == "counter":
+                    results[sink_id] = slice_df.count()
+                elif name == "flowcounter":
+                    unit = s.get("Unit", "hour")
+                    results[sink_id] = flowcounter(
+                        slice_df.withColumn("sink", F.lit(sink_id)),
+                        ["sink", "tag"],
+                        window=f"1 {unit}",
+                        bytes_col=next(
+                            (c for c in ("text", "log", "message") if c in slice_df.columns),
+                            slice_df.columns[0],
+                        ),
+                    ).collect()
+                elif name == "stdout":
+                    results[sink_id] = slice_df.collect()
+                elif name == "null":
+                    slice_df.write.format("noop").mode("overwrite").save()
+                    results[sink_id] = None
+                elif name == "file":
+                    from fluent_bit_spark import sinks as SK
+
+                    fmt = (s.get("Format", "json_lines")).lower()
+                    path = f"{output_base}/{sink_id}"
+                    if fmt in ("json", "json_lines"):
+                        SK.write_sink(SK.to_json_lines(slice_df), path, fmt="text")
+                    elif fmt == "csv":
+                        SK.write_sink(
+                            SK.to_csv_lines(slice_df, slice_df.columns), path, fmt="text"
+                        )
+                    elif fmt == "ltsv":
+                        SK.write_sink(
+                            SK.to_ltsv_lines(slice_df, slice_df.columns), path, fmt="text"
+                        )
+                    elif fmt == "template":
+                        SK.write_sink(
+                            SK.to_template_lines(slice_df, s.get("Template", "{time}")),
+                            path,
+                            fmt="text",
+                        )
+                    else:
+                        SK.write_sink(slice_df, path, fmt=fmt)
+                    results[sink_id] = path
+                else:
+                    raise ConfigError(f"unsupported output plugin {name!r}")
+        finally:
+            routed.unpersist()
+        return results

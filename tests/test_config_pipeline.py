@@ -1,0 +1,185 @@
+"""Config-driven pipeline tests — the shape of the reference's runtime
+tests (in_dummy/in_lib -> filters -> out_* with expected counts,
+tests/runtime/filter_*.c)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fluent_bit_spark.config import ConfigError, ConfigPipeline, parse_config
+
+
+def test_parse_config_sections():
+    secs = parse_config(
+        """
+# comment
+[SERVICE]
+    Flush 5
+[INPUT]
+    Name dummy
+    Tag  t.1
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    )
+    assert [s.kind for s in secs] == ["SERVICE", "INPUT", "OUTPUT"]
+    assert secs[1].get("Tag") == "t.1"
+
+
+def test_dummy_grep_counter(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "error happened", "code": 500}
+    Samples 6
+    Tag app.a
+[INPUT]
+    Name dummy
+    Dummy {"message": "all fine", "code": 200}
+    Samples 4
+    Tag app.b
+[FILTER]
+    Name grep
+    Match app.*
+    Regex message error
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    assert res == {"counter_0": 6}
+
+
+def test_filter_match_scoping(spark):
+    # filter only touches app.a; app.b passes through untouched
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "x"}
+    Samples 3
+    Tag app.a
+[INPUT]
+    Name dummy
+    Dummy {"message": "x"}
+    Samples 2
+    Tag app.b
+[FILTER]
+    Name record_modifier
+    Match app.a
+    Record env prod
+[OUTPUT]
+    Name stdout
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    rows = res["stdout_0"]
+    envs = {r.tag: r.env for r in rows}
+    assert envs["app.a"] == "prod" and envs["app.b"] is None
+
+
+def test_modify_and_multiple_outputs(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "m", "code": 500}
+    Samples 5
+    Tag svc.err
+[INPUT]
+    Name dummy
+    Dummy {"message": "m", "code": 200}
+    Samples 7
+    Tag svc.ok
+[FILTER]
+    Name modify
+    Match *
+    Condition key_value_equals code 500
+    Set severity high
+[OUTPUT]
+    Name counter
+    Match svc.err
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    assert res == {"counter_0": 5, "counter_1": 12}
+
+
+def test_rewrite_tag_rule(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "boom"}
+    Samples 2
+    Tag a.x
+[FILTER]
+    Name rewrite_tag
+    Match a.*
+    Rule $message boom alerts.boom false
+[OUTPUT]
+    Name counter
+    Match alerts.*
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    assert res == {"counter_0": 2}
+
+
+def test_file_output_json_lines(spark, tmp_path):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "hello"}
+    Samples 3
+    Tag f.x
+[OUTPUT]
+    Name file
+    Match *
+    Format json_lines
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path))
+    out = spark.read.text(res["file_0"])
+    lines = [r.value for r in out.collect()]
+    assert len(lines) == 3 and all('"message":"hello"' in l for l in lines)
+
+
+def test_lua_callable(spark):
+    def double(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([pdf, pdf])
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Samples 3
+    Tag l.x
+[FILTER]
+    Name lua
+    Match *
+    Call double
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    res = ConfigPipeline(cfg, lua_functions={"double": double}).run(spark)
+    assert res == {"counter_0": 6}
+
+
+def test_unroutable_dropped_and_errors(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Samples 3
+    Tag a.x
+[OUTPUT]
+    Name counter
+    Match nomatch.*
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    assert res == {"counter_0": 0}
+    with pytest.raises(ConfigError):
+        ConfigPipeline("[INPUT]\n Name dummy\n").run(spark)
+    with pytest.raises(ConfigError):
+        ConfigPipeline(
+            "[INPUT]\n Name nope\n[OUTPUT]\n Name counter\n Match *\n"
+        ).run(spark)
