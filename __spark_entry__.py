@@ -19,16 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Driver sessions aren't necessarily UTC; timestamp-valued results
+    must match the (UTC-naive) DuckDB oracle."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.transcripts import load_transcripts
 
-    return load_transcripts(spark, sf_dir)
+    return load_transcripts(_prep(spark), sf_dir)
 
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.plans.flagship import run_pipeline
 
-    return run_pipeline(spark, sf_dir)
+    return run_pipeline(_prep(spark), sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,7 +150,7 @@ def _q_conv_stats(spark, sf_dir):
 def _q_forecast_hourly(spark, sf_dir):
     from fluent_bit_spark.operators.aggregate import timeseries_forecast
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     hourly = (
         events.groupBy(
             "event_type",
@@ -197,7 +208,7 @@ def _q_modify_normalize(spark, sf_dir):
 def _sp_engine(spark, sf_dir):
     from fluent_bit_spark.sp import SpEngine
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     return SpEngine(spark, {"events": events})
 
 
@@ -243,11 +254,11 @@ def _q_sp_forecast(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_dedup_exact(spark, sf_dir):
