@@ -140,6 +140,66 @@ def loki_labels(
     )
 
 
+def splunk_hec_transform(
+    df: DataFrame,
+    ts_col: str = "ts",
+    host_col: str | None = None,
+    sourcetype: str = "_json",
+    index: str | None = None,
+) -> DataFrame:
+    """Splunk HEC envelope (plugins/out_splunk): {time, host,
+    sourcetype, index, event} with event = the record as JSON."""
+    event_cols = [c for c in df.columns if c != ts_col]
+    fields = {
+        "time": F.col(ts_col).cast("double"),
+        "host": F.coalesce(
+            (F.col(host_col) if host_col else F.lit(None)).cast("string"),
+            F.lit("unknown"),
+        ),
+        "sourcetype": F.lit(sourcetype),
+        "event": F.to_json(F.struct(*[F.col(c) for c in event_cols])),
+    }
+    if index:
+        fields["index"] = F.lit(index)
+    return df.select(*[v.alias(k) for k, v in fields.items()])
+
+
+def datadog_transform(
+    df: DataFrame,
+    message_col: str = "text",
+    ts_col: str = "ts",
+    service: str = "fluent-bit-spark",
+    tag_cols: list[str] | None = None,
+) -> DataFrame:
+    """Datadog logs-intake shape (plugins/out_datadog): {message,
+    timestamp(ms), service, ddsource, ddtags}."""
+    tags = F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(c + ":"), F.coalesce(F.col(c).cast("string"), F.lit("")))
+            for c in (tag_cols or [])
+        ],
+    )
+    return df.select(
+        F.col(message_col).alias("message"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("timestamp"),
+        F.lit(service).alias("service"),
+        F.lit("spark").alias("ddsource"),
+        tags.alias("ddtags"),
+    )
+
+
+def write_avro(df: DataFrame, path: str) -> bool:
+    """Avro encode (src/flb_avro.c) — needs the spark-avro module on
+    the classpath; gated (absent in this image). Returns False when
+    unavailable instead of raising."""
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+        return True
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # fan-out writer
 

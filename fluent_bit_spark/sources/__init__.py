@@ -124,6 +124,34 @@ def _infer_ddl(record: dict) -> str:
     return "struct<" + ",".join(parts) + ">"
 
 
+def synthetic_metrics(
+    spark: SparkSession,
+    metric: str = "cpu",
+    samples: int = 60,
+    start: str = "2024-01-01 00:00:00",
+    interval_sec: int = 1,
+    seed: int = 42,
+    tag: str | None = None,
+) -> DataFrame:
+    """The periodic-collector inputs (in_cpu/in_mem/in_disk/in_netif/
+    in_thermal..., registered on a timer via src/flb_input.c:639):
+    deterministic synthetic metric records on a fixed cadence. Values
+    are a seeded hash-derived series in [0, 100)."""
+    tag = tag or f"{metric}.0"
+    df = spark.range(samples).select(
+        F.lit(tag).alias("tag"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.make_interval(secs=F.col("id") * F.lit(float(interval_sec)))
+        ).alias("ts"),
+        F.lit(metric).alias("metric"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(metric)), F.lit(10000)) / 100.0).alias(
+            "value"
+        ),
+    )
+    return df
+
+
 def read_kafka_stream(
     spark: SparkSession, bootstrap: str, topic: str
 ):  # pragma: no cover - needs kafka jars

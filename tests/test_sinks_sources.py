@@ -139,3 +139,21 @@ def test_frame_sample(spark):
     frames = MM.frame_sample(media, every_ms=500)
     got = frames.filter(F.col("media_id") == 2).collect()  # video, duration 1014ms
     assert [r.frame_offset_ms for r in got] == [0, 500]
+
+
+def test_synthetic_metrics(spark):
+    m = SRC.synthetic_metrics(spark, "cpu", samples=10)
+    rows = m.collect()
+    assert len(rows) == 10 and all(0 <= r.value < 100 for r in rows)
+    m2 = SRC.synthetic_metrics(spark, "cpu", samples=10)
+    assert [r.value for r in rows] == [r.value for r in m2.collect()]  # deterministic
+
+
+def test_splunk_datadog_avro(recs, tmp_path):
+    sp = SK.splunk_hec_transform(recs, host_col="k").collect()[0]
+    assert sp.sourcetype == "_json" and '"n":1' in sp.event and sp.host == "a"
+    dd = SK.datadog_transform(recs, message_col="text", tag_cols=["k"]).collect()[0]
+    assert dd.service == "fluent-bit-spark" and dd.ddtags == "k:a"
+    assert dd.timestamp == 1704067200000
+    ok = SK.write_avro(recs, str(tmp_path / "avro"))
+    assert ok in (True, False)  # gated: no avro module in this image
