@@ -97,17 +97,28 @@ def apply_regex_parser(
     time_format: str | None = None,
     time_keep: bool = True,
     time_col: str = "event_time",
+    gate: Column | None = None,
 ) -> DataFrame:
     """Full regex-parser semantics: extract named groups as columns,
-    apply per-key typecasts, then time-lookup on `time_key`."""
+    apply per-key typecasts, then time-lookup on `time_key`.
+
+    `gate`: optional boolean Column; rows failing it skip the regex
+    entirely (lazy `when`) and get NULL fields. In a multi-parser
+    pipeline, gating on the detected format means each row pays only
+    its own grammar's matcher — a large win when this parser applies
+    to a minority of rows."""
     groups = named_groups(pattern)
     if backend == "arrow":
         udf = regex_parse_arrow(pattern, groups)
-        df = df.withColumn("_p", udf(F.col(source)))
+        src = F.when(gate, F.col(source)) if gate is not None else F.col(source)
+        df = df.withColumn("_p", udf(src))
         cols = {g: F.col(f"_p.{g}") for g in groups}
         df = df.withColumns({g: c for g, c in cols.items()}).drop("_p")
     else:
-        df = df.withColumns(regex_extract_native(F.col(source), pattern, groups))
+        extracted = regex_extract_native(F.col(source), pattern, groups)
+        if gate is not None:
+            extracted = {g: F.when(gate, c) for g, c in extracted.items()}
+        df = df.withColumns(extracted)
     if types:
         df = typecast(df, types)
     if time_key:

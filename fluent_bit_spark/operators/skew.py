@@ -72,3 +72,16 @@ def repartition_conversations(df: DataFrame, n: int, conv: str = "conv_id") -> D
     """Hash-co-locate conversations ahead of per-conv windows/joins so
     downstream stages reuse one shuffle."""
     return df.repartition(n, conv)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, key: str, sort_by: str | None = None
+) -> None:
+    """Persist bucketed by `key` (hive-style bucketing into the session
+    warehouse): later equi-joins/aggregations on `key` between tables
+    bucketed the same way run shuffle-free — the 100 TB co-location
+    strategy for repeatedly-joined conversation tables."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

@@ -122,7 +122,10 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
         .when(t.rlike(r"^[A-Za-z0-9_]+:[^\t]*\t"), F.lit("ltsv"))
         .otherwise(F.lit("unknown")),
     )
-    # apache (grok; named-group regex parser with typecast + time lookup)
+    # apache (grok; named-group regex parser with typecast + time
+    # lookup), gated on the detected format: only ~1/5 of rows run the
+    # 8-group matcher (any full-regex match implies the detection
+    # prefix, so gating is semantics-preserving)
     df = apply_regex_parser(
         df,
         APACHE_RE,
@@ -132,6 +135,7 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
         time_format="dd/MMM/yyyy:HH:mm:ss",
         time_keep=True,
         time_col="event_time",
+        gate=F.col("fmt") == "apache",
     )
     # logfmt (unified fields via anchored extracts — JVM path)
     lf = lambda pat: F.nullif(F.regexp_extract(t, pat, 1), F.lit(""))

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties claimed in
+README/BENCH (broadcast enrich, single exchange, pushdown, pruning,
+bucketed co-location) asserted against `.explain` output so refactors
+can't silently regress them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_enrich_joins_are_broadcast(spark, sf_dir):
+    from fluent_bit_spark.plans.flagship import enrich_stage, parse_stage
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    df = enrich_stage(parse_stage(load_transcripts(spark, sf_dir)), spark)
+    plan = plan_of(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_flowcounter_single_exchange_with_partial_agg(spark, sf_dir):
+    from fluent_bit_spark.operators.aggregate import flowcounter
+    from fluent_bit_spark.operators.route import explode_routes
+    from fluent_bit_spark.plans.flagship import run_pipeline
+
+    agg = flowcounter(explode_routes(run_pipeline(spark, sf_dir)), ["sink", "tag"])
+    plan = plan_of(agg)
+    # broadcast exchanges are fine; shuffle exchanges must number exactly 1
+    shuffles = len(re.findall(r"\bExchange hashpartitioning", plan_of(agg, "simple")))
+    assert shuffles == 1, plan
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = events.filter(F.col("event_type") == "error").select("event_id", "value")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "event_type", "value"}  # nothing else read
+
+
+def test_window_prune_drops_unused_rank(spark, sf_dir):
+    """Aggregates that don't use turn ordering must not pay the
+    conv_id window shuffle (Catalyst prunes the rank)."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    df = parse_stage(load_transcripts(spark, sf_dir)).groupBy("fmt").count()
+    assert "Window" not in plan_of(df, "simple")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from fluent_bit_spark.operators.skew import write_bucketed
+
+    a = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50)).alias("conv_id"), F.col("id").alias("x")
+    )
+    b = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50)).alias("conv_id"), F.col("id").alias("y")
+    )
+    write_bucketed(a, "bk_a", 8, "conv_id")
+    write_bucketed(b, "bk_b", 8, "conv_id")
+    joined = (
+        spark.table("bk_a")
+        .join(spark.table("bk_b").hint("merge"), "conv_id")
+        .groupBy("conv_id")
+        .count()
+    )
+    plan = plan_of(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
