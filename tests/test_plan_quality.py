@@ -62,7 +62,13 @@ def test_window_prune_drops_unused_rank(spark, sf_dir):
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
+    import shutil
+
     from fluent_bit_spark.operators.skew import write_bucketed
+
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
 
     a = spark.range(1000).select(
         F.concat(F.lit("c"), (F.col("id") % 50)).alias("conv_id"), F.col("id").alias("x")
