@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) — the analog of the reference's
+libFuzzer harnesses (tests/internal/fuzzers/): parser round-trips and
+rule-engine equivalence against pure-Python oracles. Examples are
+batched into one DataFrame per case to keep Spark actions bounded."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fluent_bit_spark.operators.filters import grep
+from fluent_bit_spark.operators.parse import logfmt_parser, ltsv_parser
+from fluent_bit_spark.sp.parser import SpParseError, parse
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,6}", fullmatch=True)
+_bare = st.from_regex(r"[A-Za-z0-9_.:/-]{1,10}", fullmatch=True)
+_quoted = st.from_regex(r'[A-Za-z0-9 _.-]{0,12}', fullmatch=True)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(_key, st.one_of(_bare, _quoted.map(lambda s: f'"{s}"'))),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    )
+)
+def test_logfmt_parser_matches_python_oracle(spark, pairs):
+    line = " ".join(f"{k}={v}" for k, v in pairs)
+    df = spark.createDataFrame([(line,)], ["text"])
+    got = logfmt_parser(df).collect()[0]["logfmt"]
+    want = {k: v[1:-1] if v.startswith('"') else v for k, v in pairs}
+    assert (got or {}) == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(_key, st.from_regex(r"[A-Za-z0-9 _./-]{0,10}", fullmatch=True)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    )
+)
+def test_ltsv_parser_matches_python_oracle(spark, pairs):
+    line = "\t".join(f"{k}:{v}" for k, v in pairs)
+    df = spark.createDataFrame([(line,)], ["text"])
+    got = ltsv_parser(df).collect()[0]["ltsv"]
+    assert got == dict(pairs)
+
+
+_action = st.sampled_from(["regex", "exclude"])
+_pattern = st.sampled_from([r"^a", r"b$", r"\d", r"x", r"^$"])
+
+
+@SET
+@given(
+    st.lists(st.tuples(_action, _pattern), min_size=0, max_size=4),
+    st.lists(st.from_regex(r"[abx0-9]{0,5}", fullmatch=True), min_size=1, max_size=8),
+)
+def test_grep_matches_python_oracle(spark, rules, values):
+    def oracle_keep(v: str) -> bool:
+        for action, pat in rules:
+            m = re.search(pat, v) is not None
+            if action == "regex":
+                return m  # decisive either way
+            if m:  # exclude match -> drop
+                return False
+        return True
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["i", "v"])
+    got = sorted(r.i for r in grep(df, [(a, "v", p) for a, p in rules]).collect())
+    want = sorted(i for i, v in enumerate(values) if oracle_keep(v))
+    assert got == want
+
+
+_sp_key = st.sampled_from(["id", "word1", "bytes", "usage", "flag"])
+_sp_agg = st.sampled_from(["MIN", "MAX", "SUM", "AVG", "COUNT"])
+_sp_cmp = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+_sp_lit = st.sampled_from(["1", "10.5", "'str'", "true", "false"])
+
+
+@st.composite
+def sp_query(draw):
+    n = draw(st.integers(1, 3))
+    keys = ", ".join(draw(_sp_key) for _ in range(n))
+    agg = draw(st.booleans())
+    if agg:
+        fn = draw(_sp_agg)
+        k = draw(_sp_key)
+        sel = f"{fn}({k})" + (" AS a0" if draw(st.booleans()) else "")
+        group = ""
+    else:
+        sel = keys
+        group = ""
+    q = f"SELECT {sel} FROM STREAM:s"
+    if draw(st.booleans()):
+        q += f" WHERE {draw(_sp_key)} {draw(_sp_cmp)} {draw(_sp_lit)}"
+        if draw(st.booleans()):
+            q += f" AND {draw(_sp_key)} IS NOT NULL"
+    if agg and draw(st.booleans()):
+        q += " WINDOW TUMBLING (10 SECOND)"
+    if draw(st.booleans()):
+        q += f" LIMIT {draw(st.integers(1, 99))}"
+    return q + ";"
+
+
+@SET
+@given(sp_query())
+def test_sp_parser_accepts_generated_queries(q):
+    ast = parse(q)
+    assert ast.source == "s"
+
+
+@SET
+@given(st.text(max_size=40))
+def test_sp_parser_never_crashes_unexpectedly(garbage):
+    """Any input either parses or raises SpParseError — no other
+    exception type escapes (the fuzzer property)."""
+    try:
+        parse(garbage)
+    except SpParseError:
+        pass
