@@ -88,6 +88,19 @@ def bench_queries(spark, source):
     def stable_order():
         return stable_turn_order(source).filter(F.col("turn_rank") == 1)
 
+    def dedup_minhash():
+        from fluent_bit_spark.operators.dedup import minhash_dedup_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_dedup_pairs(docs, threshold=0.8, num_perm=64, bands=16)
+
+    def ann_topk():
+        from fluent_bit_spark.operators.similarity import cosine_topk
+
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = embs.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+        return cosine_topk(embs.filter(F.col("vec_id") >= 20), q, k=10)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -95,6 +108,8 @@ def bench_queries(spark, source):
         "route_counts": route_counts,
         "conv_stats_salted": conv_stats,
         "stable_order": stable_order,
+        "dedup_minhash": dedup_minhash,
+        "ann_topk": ann_topk,
     }
 
 

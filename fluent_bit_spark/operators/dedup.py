@@ -91,18 +91,35 @@ def _perm_consts(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
     """Array<long> MinHash signature, all JVM expressions: base hash =
-    xxhash64(shingle); permutation i = (a_i*h + b_i) mod p; signature_i
-    = min over shingles."""
+    murmur(shingle) mod p; permutation i = (a_i*h + b_i) mod p;
+    signature_i = min over shingles.
+
+    Computed as ONE fold over the base-hash array (aggregate +
+    zip_with): shingling and hashing run once per row, and each base
+    hash updates all `num_perm` minima in a single pass. (The naive
+    formulation — num_perm independent `array_min(transform(...))`
+    expressions — recomputes the shingle pipeline per permutation
+    because Catalyst does not CSE across higher-order lambdas: ~64x
+    slower.)"""
     sh = shingles_col(text, shingle_k)
     base = F.transform(sh, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_P)))
-    sig = []
-    for a, b in _perm_consts(num_perm):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
-            )
-        )
-    return F.array(*sig)
+    consts = _perm_consts(num_perm)
+    consts_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in consts
+        ]
+    )
+    init = F.array(*([F.lit(_P).cast("long")] * num_perm))
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            consts_arr,
+            lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_P)),
+        ),
+    )
 
 
 def minhash_candidates(
@@ -115,6 +132,11 @@ def minhash_candidates(
     """LSH candidate pairs (id_a < id_b): equal band slice of the
     signature => candidate. Returns distinct pairs."""
     rows = num_perm // bands
+    # signature computation is CPU-heavy per row; spread it across the
+    # cluster even when the source arrives in few partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_perm).alias("sig"),
@@ -155,6 +177,9 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
@@ -245,6 +270,9 @@ def simhash_near_dup_pairs(
     nbands = max(2, max_hamming + 1)
     width = 64 // nbands
     mask = (1 << width) - 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sigs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
     banded = sigs.select(
         "id",
