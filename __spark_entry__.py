@@ -414,6 +414,34 @@ def _q_merge_log(spark, sf_dir):
     )
 
 
+def _q_throttle_size(spark, sf_dir):
+    """Per-role byte budget per hour window (filter_throttle_size)."""
+    from fluent_bit_spark.operators.filters import throttle_size
+
+    df = throttle_size(
+        _transcripts(spark, sf_dir),
+        key="role",
+        byte_limit=300,
+        window_seconds=3600,
+        order_cols=["conv_id", "turn_idx"],
+    )
+    return df.select("conv_id", "turn_idx", "role")
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over exact-duplicate pairs resolved by
+    min-label propagation; oracle = closed form (min doc_id per text
+    group), which the iterative algorithm must converge to."""
+    from fluent_bit_spark.operators.dedup import resolve_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.text") == F.col("b.text"), F.col("a.doc_id") < F.col("b.doc_id")]
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return resolve_clusters(pairs).select("id", "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -449,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_per_conv": _q_sessions_per_conv,
         "topk_convs_per_tag": _q_topk_convs_per_tag,
         "merge_log": _q_merge_log,
+        "throttle_size": _q_throttle_size,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 

@@ -302,6 +302,19 @@ def oracle_queries() -> dict[str, str]:
                     nullif(regexp_extract(text, '"word1": "([^"]*)"', 1), '') AS log_word1,
                     CAST(nullif(regexp_extract(text, '"bytes": (\\d+)', 1), '') AS BIGINT) AS log_bytes
              FROM transcripts WHERE starts_with(text, '{')""",
+        "throttle_size": c
+        + """SELECT conv_id, turn_idx, role FROM (
+               SELECT conv_id, turn_idx, role,
+                      SUM(length(text)) OVER (
+                        PARTITION BY role, date_trunc('hour', ts)
+                        ORDER BY ts, conv_id, turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM transcripts)
+             WHERE running <= 300""",
+        "dedup_clusters": c
+        + """SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+             FROM documents
+             QUALIFY COUNT(*) OVER (PARTITION BY text) > 1""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,

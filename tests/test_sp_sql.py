@@ -194,3 +194,31 @@ def test_subkey_access(spark):
     eng = SpEngine(spark, {"sub": df})
     out = eng.execute("SELECT id, payload['s']['t'] AS v FROM STREAM:sub;")
     assert {r.id: r.v for r in out.collect()} == {0: "v1", 1: "v2"}
+
+
+def test_sp_engine_on_streaming_frame(spark, tmp_path_factory):
+    """The compiled plans are pure column transforms, so the same SP
+    SQL runs under Structured Streaming (the reference's native mode)."""
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("sp-stream"))
+    rows = [Row(id=i, grp="g" + str(i % 3), usage=i, ts=dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(30)]
+    batch = spark.createDataFrame(rows)
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    eng = SpEngine(spark, {"s": stream})
+    out = eng.execute("SELECT grp, COUNT(*) AS n, SUM(usage) AS total FROM STREAM:s GROUP BY grp;")
+    q = out.writeStream.outputMode("complete").format("memory").queryName("sp_stream").start()
+    try:
+        q.processAllAvailable()
+        got = {r.grp: (r.n, r.total) for r in spark.sql("SELECT * FROM sp_stream").collect()}
+    finally:
+        q.stop()
+    eng2 = SpEngine(spark, {"s": batch})
+    want = {
+        r.grp: (r.n, r.total)
+        for r in eng2.execute(
+            "SELECT grp, COUNT(*) AS n, SUM(usage) AS total FROM STREAM:s GROUP BY grp;"
+        ).collect()
+    }
+    assert got == want
