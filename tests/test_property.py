@@ -131,3 +131,77 @@ def test_sp_parser_never_crashes_unexpectedly(garbage):
         parse(garbage)
     except SpParseError:
         pass
+
+
+# --- modify operator vs python oracle --------------------------------------
+
+_mkey = st.sampled_from(["a", "b", "c"])
+_mval = st.sampled_from(["x", "y", ""])
+_mop = st.sampled_from(["rename", "hard_rename", "add", "set", "copy", "hard_copy", "remove"])
+_mcond = st.sampled_from(
+    [None, ("key_exists", "a"), ("key_does_not_exist", "b"), ("key_value_equals", "a", "x")]
+)
+
+
+def _py_modify(row: dict, rules, cond) -> dict:
+    row = dict(row)
+
+    def exists(k):
+        return row.get(k) is not None
+
+    ok = True
+    if cond is not None:
+        kind = cond[0]
+        if kind == "key_exists":
+            ok = exists(cond[1])
+        elif kind == "key_does_not_exist":
+            ok = not exists(cond[1])
+        elif kind == "key_value_equals":
+            ok = exists(cond[1]) and str(row[cond[1]]) == cond[2]
+    if not ok:
+        return row
+    for op, x, y in rules:
+        if op in ("rename", "hard_rename"):
+            if exists(x) and (op == "hard_rename" or not exists(y)):
+                row[y] = row[x]
+                row[x] = None
+        elif op == "add":
+            if not exists(x):
+                row[x] = y
+        elif op == "set":
+            row[x] = y
+        elif op in ("copy", "hard_copy"):
+            if exists(x) and (op == "hard_copy" or not exists(y)):
+                row[y] = row[x]
+        elif op == "remove":
+            row[x] = None
+    return row
+
+
+@SET
+@given(
+    st.lists(st.tuples(_mop, _mkey, _mkey), min_size=0, max_size=3),
+    _mcond,
+    st.lists(
+        st.fixed_dictionaries({k: st.one_of(st.none(), _mval) for k in ["a", "b", "c"]}),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_modify_matches_python_oracle(spark, rules, cond, rows):
+    from fluent_bit_spark.operators.filters import Condition, ModifyRule, modify
+
+    df = spark.createDataFrame(
+        [(i, r["a"], r["b"], r["c"]) for i, r in enumerate(rows)],
+        "i INT, a STRING, b STRING, c STRING",
+    )
+    mrules = [ModifyRule(op, x, y) for op, x, y in rules]
+    mconds = [Condition(*cond)] if cond is not None else []
+    got = {
+        r.i: {"a": r.a, "b": r.b, "c": r.c}
+        for r in modify(df, mrules, mconds).collect()
+    }
+    for i, row in enumerate(rows):
+        want = _py_modify(row, rules, cond)
+        want = {k: want.get(k) for k in ("a", "b", "c")}
+        assert got[i] == want, f"row {i}: rules={rules} cond={cond} in={row}"
