@@ -87,12 +87,125 @@ def parse_config(text: str) -> list[Section]:
     return sections
 
 
+@dataclass
+class ParserSpec:
+    """One [PARSER] section of a parsers.conf (the reference's
+    conf/parsers.conf shapes: Name/Format/Regex/Time_Key/Time_Format/
+    Time_Keep/Types — src/flb_parser.c config loading)."""
+
+    name: str
+    format: str  # regex | json | ltsv | logfmt
+    regex: str | None = None
+    time_key: str | None = None
+    time_format: str | None = None
+    time_keep: bool = True
+    types: dict[str, str] = field(default_factory=dict)
+
+
+def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
+    """Load [PARSER] sections into ParserSpec objects."""
+    out: dict[str, ParserSpec] = {}
+    for s in parse_config(text):
+        if s.kind != "PARSER":
+            continue
+        types: dict[str, str] = {}
+        for decl in s.get_all("Types"):
+            for item in decl.split():
+                k, _, t = item.partition(":")
+                types[k] = t
+        spec = ParserSpec(
+            name=s.get("Name"),
+            format=(s.get("Format") or "regex").lower(),
+            regex=s.get("Regex"),
+            time_key=s.get("Time_Key"),
+            time_format=s.get("Time_Format"),
+            time_keep=(s.get("Time_Keep", "on").lower() != "off"),
+            types=types,
+        )
+        out[spec.name] = spec
+    return out
+
+
+def apply_parser_spec(df: DataFrame, spec: ParserSpec, key: str = "log") -> DataFrame:
+    """Run one named parser against a field, reference semantics
+    (regex named groups / json / ltsv / logfmt + typecast + time
+    lookup). Spark `to_timestamp` patterns are used for Time_Format;
+    common strptime directives are translated."""
+    from fluent_bit_spark.operators.parse import (
+        json_parser,
+        logfmt_parser,
+        ltsv_parser,
+        time_lookup,
+        typecast,
+    )
+
+    if spec.format == "regex":
+        return apply_regex_parser(
+            df,
+            spec.regex,
+            source=key,
+            types=spec.types or None,
+            time_key=spec.time_key,
+            time_format=_strptime_to_spark(spec.time_format) if spec.time_format else None,
+            time_keep=spec.time_keep,
+        )
+    if spec.format == "json":
+        # schema-on-read from declared Types (string default)
+        fields = ", ".join(
+            f"{k} {_ddl_type(t)}" for k, t in (spec.types or {"message": "string"}).items()
+        )
+        df = json_parser(df, f"struct<{fields}>", source=key)
+    elif spec.format == "ltsv":
+        df = ltsv_parser(df, source=key)
+    elif spec.format == "logfmt":
+        df = logfmt_parser(df, source=key)
+    else:
+        raise ConfigError(f"unsupported parser format {spec.format!r}")
+    if spec.time_key and spec.time_key in df.columns:
+        df = time_lookup(
+            df,
+            spec.time_key,
+            _strptime_to_spark(spec.time_format) if spec.time_format else None,
+            keep=spec.time_keep,
+        )
+    if spec.types and spec.format != "json":
+        present = {k: t for k, t in spec.types.items() if k in df.columns}
+        if present:
+            df = typecast(df, present)
+    return df
+
+
+_STRPTIME_MAP = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%b", "MMM"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%z", "Z"),
+]
+
+
+def _strptime_to_spark(fmt: str) -> str:
+    for a, b in _STRPTIME_MAP:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def _ddl_type(t: str) -> str:
+    return {
+        "integer": "bigint", "int": "bigint", "float": "double",
+        "bool": "boolean", "boolean": "boolean", "hex": "string",
+    }.get(t, "string")
+
+
 class ConfigPipeline:
     """Compile + run a parsed config against a SparkSession."""
 
-    def __init__(self, config: str | list[Section], lua_functions: dict | None = None):
+    def __init__(
+        self,
+        config: str | list[Section],
+        lua_functions: dict | None = None,
+        parsers_conf: str | None = None,
+    ):
         self.sections = parse_config(config) if isinstance(config, str) else config
         self.lua_functions = lua_functions or {}
+        self.parsers = parse_parsers_conf(parsers_conf) if parsers_conf else {}
 
     # -- inputs -------------------------------------------------------------
     def _input_frame(self, spark: SparkSession, s: Section) -> DataFrame:
@@ -195,10 +308,16 @@ class ConfigPipeline:
             return FL.lift(df, s.get("Nested_under"))
         if name == "parser":
             key = s.get("Key_Name", "log")
-            pattern = s.get("Regex")
-            return apply_regex_parser(df, pattern, source=key).drop(
-                *([] if s.get("Preserve_Key", "off").lower() == "on" else [key])
-            )
+            named = s.get("Parser")
+            if named:
+                if named not in self.parsers:
+                    raise ConfigError(f"unknown parser {named!r} (no parsers.conf entry)")
+                df = apply_parser_spec(df, self.parsers[named], key=key)
+            else:
+                df = apply_regex_parser(df, s.get("Regex"), source=key)
+            if s.get("Preserve_Key", "off").lower() != "on":
+                df = df.drop(key)
+            return df
         if name == "throttle":
             return FL.throttle(
                 df,

@@ -183,3 +183,44 @@ def test_unroutable_dropped_and_errors(spark):
         ConfigPipeline(
             "[INPUT]\n Name nope\n[OUTPUT]\n Name counter\n Match *\n"
         ).run(spark)
+
+
+def test_parsers_conf_named_parser(spark):
+    from fluent_bit_spark.config import parse_parsers_conf
+
+    parsers = """
+[PARSER]
+    Name   apache_demo
+    Format regex
+    Regex  ^(?P<host>\\S+) "(?P<method>\\S+) (?P<path>\\S+)" (?P<code>\\d+)$
+    Types  code:integer
+[PARSER]
+    Name   kv
+    Format logfmt
+"""
+    specs = parse_parsers_conf(parsers)
+    assert set(specs) == {"apache_demo", "kv"} and specs["apache_demo"].types == {"code": "integer"}
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"log": "1.2.3.4 \\"GET /x\\" 500"}
+    Samples 4
+    Tag p.a
+[FILTER]
+    Name parser
+    Match *
+    Key_Name log
+    Parser apache_demo
+[FILTER]
+    Name grep
+    Match *
+    Regex code ^5
+[OUTPUT]
+    Name stdout
+    Match *
+"""
+    res = ConfigPipeline(cfg, parsers_conf=parsers).run(spark)
+    rows = res["stdout_0"]
+    assert len(rows) == 4
+    assert rows[0].host == "1.2.3.4" and rows[0].code == 500 and "log" not in rows[0].asDict()
