@@ -164,17 +164,27 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def synth_transcripts(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, hot_factor: int = 0
 ) -> DataFrame:
     """Benchmark-scale transcript synthesis: the deterministic derivation,
     optionally replicated `replicate`x (distinct event_ids and shifted ts,
-    same grammar mix and conv skew) to reach bench row counts.
-    """
+    same grammar mix) to reach bench row counts.
+
+    `hot_factor` > 0 adds Zipf-style conversation skew (FIXTURES.md §1):
+    every 20th conversation receives `hot_factor`x extra replicas, so a
+    few conversations hold a disproportionate share of turns —
+    exercising the salting/skew paths. Deterministic; bench-only (the
+    oracle-checked correctness path always uses replicate=1,
+    hot_factor=0 where the derivation is dialect-exact)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if replicate > 1:
+    if replicate > 1 or hot_factor > 0:
         n = events.agg(F.max("event_id")).collect()[0][0] + 1
+        reps = F.when(
+            (F.col("user_id") % 20 == 0) & (F.lit(hot_factor) > 0),
+            F.lit(replicate * max(hot_factor, 1)),
+        ).otherwise(F.lit(replicate))
         events = (
-            events.withColumn("rep", F.explode(F.array([F.lit(i) for i in range(replicate)])))
+            events.withColumn("rep", F.explode(F.sequence(F.lit(0), reps - 1)))
             .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(n))
             .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 7 + F.col("event_id") % 13))
             .drop("rep")

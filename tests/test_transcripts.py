@@ -57,3 +57,37 @@ def test_all_grammars_present(spark, sf_dir):
     assert df.filter(F.col("text").startswith('{"id"')).count() > 0
     assert df.filter(F.col("text").startswith("<165>1 ")).count() > 0
     assert df.filter(F.col("text").startswith("k1:")).count() > 0
+
+
+def test_synth_skew_and_salted_agg_invariance(spark, sf_dir):
+    """hot_factor concentrates turns in few conversations; salted
+    two-phase aggregation must agree exactly with the plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.skew import salted_agg
+    from fluent_bit_spark.transcripts import synth_transcripts
+
+    df = synth_transcripts(spark, sf_dir, replicate=2, hot_factor=10).cache()
+    counts = df.groupBy("conv_id").count().collect()
+    by_conv = {r.conv_id: r["count"] for r in counts}
+    hot = max(by_conv.values())
+    cold = min(by_conv.values())
+    assert hot >= 5 * cold  # skew is real
+
+    plain = {
+        r.conv_id: (r.turns, r.bytes)
+        for r in df.groupBy("conv_id")
+        .agg(F.count("*").alias("turns"), F.sum(F.length("text")).alias("bytes"))
+        .collect()
+    }
+    salted = {
+        r.conv_id: (r.turns, r.bytes)
+        for r in salted_agg(
+            df.withColumn("tl", F.length("text")),
+            "conv_id",
+            {"turns": ("count", "conv_id"), "bytes": ("sum", "tl")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+    df.unpersist()
