@@ -167,3 +167,32 @@ def test_throttle_stateful(spark):
         finally:
             q.stop()
     assert got == ["m0", "m1", "m2", "m4", "m6", "m8"]
+
+
+def test_retry_write_full_jitter():
+    from fluent_bit_spark.retry import RetryError, full_jitter_delays, retry_write
+
+    delays = full_jitter_delays(4, base=5, cap=2000, seed=42)
+    assert len(delays) == 4 and all(0 <= d <= 2000 for d in delays)
+    assert delays == full_jitter_delays(4, base=5, cap=2000, seed=42)  # deterministic
+    assert delays[1] <= 10 and delays[2] <= 20  # capped exponential envelope
+
+    calls = {"n": 0}
+    slept = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+
+    attempts = retry_write(flaky, retries=4, sleep=slept.append)
+    assert attempts == 3 and len(slept) == 2
+
+    def always_fails():
+        raise IOError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RetryError) as ei:
+        retry_write(always_fails, retries=2, sleep=lambda d: None)
+    assert ei.value.attempts == 3
