@@ -154,10 +154,17 @@ def modify(
     df: DataFrame, rules: list[ModifyRule], conditions: list[Condition] | None = None
 ) -> DataFrame:
     """Apply rules (in order) to rows satisfying ALL conditions; other
-    rows pass through untouched (per-record semantics, modify.c:1263)."""
-    cond = F.lit(True)
+    rows pass through untouched (per-record semantics, modify.c:1263).
+
+    Conditions are evaluated ONCE against the incoming record — before
+    any rule mutates it (the reference checks all conditions first,
+    then applies the rule list) — so they are frozen into a helper
+    column that later rules reference instead of re-deriving."""
+    cond_expr = F.lit(True)
     for c in conditions or []:
-        cond = cond & c.to_column(df)
+        cond_expr = cond_expr & c.to_column(df)
+    df = df.withColumn("__modify_cond", cond_expr)
+    cond = F.col("__modify_cond")
 
     for r in rules:
         cols = df.columns
@@ -204,6 +211,8 @@ def modify(
                 else re.compile(r.a)
             )
             for c in cols:
+                if c == "__modify_cond":
+                    continue
                 if pat.search(c):
                     df = df.withColumn(
                         c,
@@ -223,7 +232,7 @@ def modify(
             df = df.withColumn(dst, F.when(applies, F.col(src)).otherwise(prev))
         else:
             raise ValueError(f"unknown modify op {r.op!r}")
-    return df
+    return df.drop("__modify_cond")
 
 
 # ---------------------------------------------------------------------------
