@@ -442,6 +442,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return resolve_clusters(pairs).select("id", "cluster_id")
 
 
+def _q_multiline_join(spark, sf_dir):
+    """in_tail multiline state machine over transcript turns viewed as
+    file lines (file=conv_id, line_no=turn_idx): apache lines start a
+    group, everything else continues it."""
+    from fluent_bit_spark.sources import multiline_join
+
+    lines = _transcripts(spark, sf_dir).select(
+        F.col("conv_id").alias("file"),
+        F.col("turn_idx").alias("line_no"),
+        F.col("text").alias("line"),
+    )
+    return multiline_join(lines, r"^10\.0\.")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -479,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_log": _q_merge_log,
         "throttle_size": _q_throttle_size,
         "dedup_clusters": _q_dedup_clusters,
+        "multiline_join": _q_multiline_join,
     }
 
 

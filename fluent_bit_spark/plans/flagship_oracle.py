@@ -315,6 +315,17 @@ def oracle_queries() -> dict[str, str]:
         + """SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
              FROM documents
              QUALIFY COUNT(*) OVER (PARTITION BY text) > 1""",
+        "multiline_join": c
+        + """SELECT conv_id AS file, CAST(grp AS BIGINT) AS group_no,
+                    MIN(turn_idx) AS first_line_no,
+                    string_agg(text, chr(10) ORDER BY turn_idx) AS text
+             FROM (
+               SELECT conv_id, turn_idx, text,
+                      SUM(CASE WHEN regexp_matches(text, '^10\\.0\\.') THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) - 1 AS grp
+               FROM transcripts)
+             GROUP BY conv_id, grp""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,
