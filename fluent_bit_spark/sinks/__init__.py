@@ -251,13 +251,15 @@ def fanout_write(
                 fmt=fmt,
                 partition_by=partition_by,
             )
+        per_sink = explode_routes(routed)
+        counts = counter(per_sink, ["sink"])
         if with_aggregates:
-            per_sink = explode_routes(routed)
-            write_sink(counter(per_sink, ["sink"]), f"{base_path}/agg_counter")
+            write_sink(counts, f"{base_path}/agg_counter")
             write_sink(
                 flowcounter(per_sink, ["sink", "tag"]), f"{base_path}/agg_flowcounter"
             )
-        for r in counter(explode_routes(routed), ["sink"]).collect():
+            counts = routed.sparkSession.read.parquet(f"{base_path}/agg_counter")
+        for r in counts.collect():
             results[r["sink"]] = {"records": r["records"]}
         return results
     finally:
