@@ -27,7 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--parallelism", type=int, default=32)
     ap.add_argument("--master", default=None, help="default local[<parallelism>]")
-    ap.add_argument("--resume", action="store_true", help="skip groups marked done in the manifest")
+    ap.add_argument(
+        "--fresh",
+        action="store_true",
+        help="discard the existing manifest and reprocess every group "
+        "(resume-from-manifest is the default, like the reference's "
+        "storage backlog)",
+    )
     ap.add_argument("--replicate", type=int, default=1, help="synthetic scale multiplier")
     ap.add_argument("--backend", choices=["native", "arrow"], default="native")
     ap.add_argument(
@@ -70,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
 
     day = F.date_format("ts", "yyyy-MM-dd")
     routed = routed.withColumn("day", day)
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(f"{args.output}/ckpt", ignore_errors=True)
     job = ResumableBatchJob(f"{args.output}/ckpt")
 
     sink_totals: dict[str, int] = {}
