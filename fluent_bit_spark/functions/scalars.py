@@ -43,7 +43,11 @@ def uri_decode(c: Column) -> Column:
 
 
 def decode_mysql_quoted(c: Column) -> Column:
-    r"""Unescape MySQL-style quoting: \' \" \\ sequences."""
-    for esc, rep in ((r"\\'", "'"), (r'\\"', '"'), (r"\\\\", "\\")):
+    r"""Unescape MySQL-style quoting: \' \" \\ sequences. The escaped
+    backslash is swapped to a sentinel first so the single-pass
+    left-to-right reference semantics hold (e.g. \\' -> \' not ')."""
+    sentinel = "\ue000"
+    c = F.regexp_replace(c, r"\\\\", sentinel)
+    for esc, rep in ((r"\\'", "'"), (r'\\"', '"')):
         c = F.regexp_replace(c, esc, rep)
-    return c
+    return F.regexp_replace(c, sentinel, "\\\\")

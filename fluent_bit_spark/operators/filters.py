@@ -37,6 +37,7 @@ Parity notes per operator (SURVEY.md §2.3):
 from __future__ import annotations
 
 import fnmatch
+import functools
 import logging
 import re
 from collections.abc import Callable, Iterable, Iterator
@@ -111,10 +112,12 @@ class Condition:
             return ~exists(self.a)
         if k == "a_key_matches":
             matching = [c for c in cols if re.search(self.a, c)]
-            return (
-                F.greatest(*[F.col(c).isNotNull() for c in matching])
-                if matching
-                else F.lit(False)
+            # reduce, not F.greatest: greatest() requires >=2 operands and
+            # would crash when exactly one column matches the regex
+            return functools.reduce(
+                lambda x, y: x | y,
+                [F.col(c).isNotNull() for c in matching],
+                F.lit(False),
             )
         if k == "no_key_matches":
             return ~Condition("a_key_matches", self.a).to_column(df)
@@ -128,13 +131,13 @@ class Condition:
             return exists(self.a) & ~F.col(self.a).cast("string").rlike(self.b)
         if k == "matching_keys_have_matching_values":
             matching = [c for c in cols if re.search(self.a, c)]
-            if not matching:
-                return F.lit(True)
-            return F.least(
-                *[
+            return functools.reduce(
+                lambda x, y: x & y,
+                [
                     F.coalesce(F.col(c).cast("string").rlike(self.b), F.lit(True))
                     for c in matching
-                ]
+                ],
+                F.lit(True),
             )
         if k == "matching_keys_do_not_have_matching_values":
             return ~Condition(

@@ -53,6 +53,15 @@ def _java_pattern(pattern: str) -> str:
     return _NAMED_GROUP.sub("(", pattern)
 
 
+def _group_indices(pattern: str) -> dict[str, int]:
+    """True 1-based capture index per named group, robust to plain
+    unnamed '(' groups interleaved with named ones (the stripped JVM
+    pattern keeps every group at the same position)."""
+    # Python's re only accepts (?P<name>; normalize the (?<name> form.
+    normalized = re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    return dict(re.compile(normalized).groupindex)
+
+
 def regex_extract_native(
     text: Column, pattern: str, groups: Iterable[str] | None = None
 ) -> dict[str, Column]:
@@ -62,9 +71,12 @@ def regex_extract_native(
     skips unmatched/unnamed groups, src/flb_parser_regex.c:142-156)."""
     groups = list(groups) if groups is not None else named_groups(pattern)
     jpat = _java_pattern(pattern)
+    idx = _group_indices(pattern)
     out = {}
-    for i, g in enumerate(groups, start=1):
-        out[g] = F.nullif(F.regexp_extract(text, jpat, i), F.lit("")).alias(g)
+    for g in groups:
+        if g not in idx:
+            raise ValueError(f"group {g!r} not named in pattern")
+        out[g] = F.nullif(F.regexp_extract(text, jpat, idx[g]), F.lit("")).alias(g)
     return out
 
 
@@ -75,12 +87,15 @@ def regex_parse_arrow(pattern: str, groups: list[str] | None = None):
     no-match."""
     groups = groups if groups is not None else named_groups(pattern)
     schema = T.StructType([T.StructField(g, T.StringType()) for g in groups])
-    compiled = re.compile(pattern)
+    compiled = re.compile(
+        re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    )
 
     @pandas_udf(schema)
     def extract(s: pd.Series) -> pd.DataFrame:
-        df = s.str.extract(compiled)
-        df.columns = groups
+        # select named groups by name so plain unnamed '(' groups in the
+        # pattern can't shift columns
+        df = s.str.extract(compiled)[groups]
         # empty captures -> null, matching the native backend
         return df.replace({"": None}).where(df.notna(), None)
 
@@ -223,8 +238,15 @@ def decode_field_as_json(
 
 def decode_field_escaped(df: DataFrame, field: str, out: str | None = None) -> DataFrame:
     r"""Decoder `escaped`/`escaped_utf8`: unescape \n \t \" \\ sequences
-    (src/flb_unescape.c semantics for the common escapes)."""
-    c = F.col(field)
-    for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\\"", '"'), (r"\\\\", "\\")):
+    (src/flb_unescape.c semantics for the common escapes).
+
+    Single-pass left-to-right equivalence: swap the escaped backslash to
+    a sentinel FIRST so 'a\\nb' decodes to 'a\nb' (backslash + n), not
+    'a<newline>b' — sequential replacement without the sentinel would
+    let the trailing half of '\\' pair with the following 'n'."""
+    sentinel = "\ue000"  # private-use char, never present in log text
+    c = F.regexp_replace(F.col(field), r"\\\\", sentinel)
+    for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t"), (r"\\\"", '"')):
         c = F.regexp_replace(c, esc, rep)
+    c = F.regexp_replace(c, sentinel, "\\\\")
     return df.withColumn(out or field, c)

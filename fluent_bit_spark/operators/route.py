@@ -61,21 +61,25 @@ class RewriteRule:
 
 
 def rewrite_tag(df: DataFrame, rules: list[RewriteRule], passes: int = 1) -> DataFrame:
-    """Bounded rewrite_tag cascade. Each pass applies the first matching
-    rule per record: non-keep rules rewrite in place (cheap, no union);
-    keep rules emit a re-tagged copy via a union (the reference's
-    emitter copy fan-out)."""
+    """Bounded rewrite_tag cascade. Each pass applies the FIRST matching
+    rule per record — keep and non-keep rules share one ordered scan
+    (rewrite_tag.c:287-334 stops at the first hit), so a record matching
+    an earlier keep rule is never also rewritten by a later rule.
+    Non-keep rules rewrite in place (cheap, no union); keep rules emit a
+    re-tagged copy via a union (the reference's emitter copy fan-out)."""
     for _ in range(passes):
+        # effective condition per rule = its own condition AND no earlier
+        # rule (of either kind) matched; the set is mutually exclusive
+        prior = F.lit(False)
         replace_expr = F.col("tag")
-        # build replace chain in reverse so earlier rules win
-        for rule in reversed([r for r in rules if not r.keep]):
-            replace_expr = F.when(rule.condition, rule.new_tag).otherwise(replace_expr)
         copies = []
         for rule in rules:
+            eff = rule.condition & ~prior
             if rule.keep:
-                copies.append(
-                    df.filter(rule.condition).withColumn("tag", rule.new_tag)
-                )
+                copies.append(df.filter(eff).withColumn("tag", rule.new_tag))
+            else:
+                replace_expr = F.when(eff, rule.new_tag).otherwise(replace_expr)
+            prior = prior | rule.condition
         df = df.withColumn("tag", replace_expr)
         for c in copies:
             df = df.unionByName(c)

@@ -147,7 +147,7 @@ def oracle_queries() -> dict[str, str]:
         "sink_flowcounter": c
         + """SELECT sink, tag, date_trunc('hour', ts) AS window_start,
                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-                    COUNT(*) AS counts, SUM(length(text)) AS bytes
+                    COUNT(*) AS counts, CAST(SUM(length(text)) AS BIGINT) AS bytes
              FROM per_sink GROUP BY sink, tag, date_trunc('hour', ts)""",
         "counter_totals": c
         + "SELECT sink, COUNT(*) AS records FROM per_sink GROUP BY sink",
@@ -157,7 +157,7 @@ def oracle_queries() -> dict[str, str]:
                     arg_max(text, turn_idx) AS last_text
              FROM routed GROUP BY conv_id""",
         "conv_stats": c
-        + """SELECT conv_id, COUNT(*) AS turns, SUM(length(text)) AS bytes,
+        + """SELECT conv_id, COUNT(*) AS turns, CAST(SUM(length(text)) AS BIGINT) AS bytes,
                     COUNT(tool) AS tool_turns
              FROM transcripts GROUP BY conv_id""",
         "grep_filter": c
