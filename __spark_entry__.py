@@ -261,10 +261,25 @@ def _embs(spark, sf_dir):
     return _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _dup_docs(spark, sf_dir):
+    """documents + id-shifted copies of deterministic subsets, so the
+    dedup gates exercise real duplicate groups (the raw table has
+    all-distinct texts at small SFs): every 10th doc gets one copy,
+    every 20th a second => clusters of size 3."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dup1).unionByName(dup2)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from fluent_bit_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id").select("doc_id")
+    return exact_dedup(_dup_docs(spark, sf_dir), ["text"], "doc_id").select("doc_id")
 
 
 def _q_dedup_minhash(spark, sf_dir):
@@ -321,21 +336,14 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_embed_near_dup(spark, sf_dir):
-    from fluent_bit_spark.operators.similarity import as_double_array, cosine_col
+    """Signature-blocked near-dup pairs (similarity.py operator) — the
+    scale path: candidates come from a hyperplane-bucket equi-join, no
+    cartesian product anywhere in the plan. The oracle replicates the
+    same blocking, so the result sets agree exactly."""
+    from fluent_bit_spark.operators.similarity import embedding_near_dup_pairs
 
-    v = _embs(spark, sf_dir).select(
-        F.col("vec_id").alias("id"), as_double_array(F.col("embedding")).alias("vv")
-    )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, on=[F.col("a.id") < F.col("b.id")])
-        .withColumn("cosine", cosine_col(F.col("a.vv"), F.col("b.vv")))
-        .filter(F.col("cosine") >= 0.25)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+    return embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.25, nbits=4
     )
 
 
@@ -434,7 +442,7 @@ def _q_dedup_clusters(spark, sf_dir):
     group), which the iterative algorithm must converge to."""
     from fluent_bit_spark.operators.dedup import resolve_clusters
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _dup_docs(spark, sf_dir)
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
         b, on=[F.col("a.text") == F.col("b.text"), F.col("a.doc_id") < F.col("b.doc_id")]

@@ -5,18 +5,18 @@ Mirrors the reference's metric ids (include/fluent-bit/flb_metrics.h:
 OUT_OK_BYTES/errors/retries — re-expressed as Spark accumulators
 (cheap, collected driver-side after actions) plus a lineage table.
 
-Counting happens where the data already flows: `instrument` adds zero
-extra Spark jobs — it piggybacks a foreach-free accumulator update
-into an existing stage via mapPartitions on the internal RDD only when
-explicitly requested (`count_now=False` keeps everything lazy;
-`snapshot()` after your action reads the totals).
+Counting happens where the data already flows: `instrument_input`
+attaches a `DataFrame.observe()` aggregate (computed inside the JVM as
+the plan executes — zero extra jobs, zero Python in the row path, no
+Tungsten-defeating RDD round-trip); `snapshot()` after your action
+reads the totals from every observation that has completed.
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -24,31 +24,25 @@ class PipelineMetrics:
     def __init__(self, spark: SparkSession):
         sc = spark.sparkContext
         self.spark = spark
-        self.records_in = sc.accumulator(0)
-        self.bytes_in = sc.accumulator(0)
         self.out_ok: dict[str, object] = {}
+        self._observations: list[Observation] = []
         self._sc = sc
 
     def instrument_input(self, df: DataFrame, bytes_col: str = "text") -> DataFrame:
-        """Count records/bytes as partitions stream through (no extra
-        job; updates visible after the next action that consumes df)."""
-        rec, byt = self.records_in, self.bytes_in
-        idx = df.columns.index(bytes_col) if bytes_col in df.columns else None
-        schema = df.schema
-
-        def count_partition(it):
-            n = 0
-            b = 0
-            for row in it:
-                n += 1
-                if idx is not None and row[idx] is not None:
-                    b += len(row[idx])
-                yield row
-            rec.add(n)
-            byt.add(b)
-
-        rdd = df.rdd.mapPartitions(count_partition, preservesPartitioning=True)
-        return self.spark.createDataFrame(rdd, schema)
+        """Count records/bytes where the plan already runs: a named
+        `observe()` aggregate piggybacked on the existing stage (the
+        reference's N_RECORDS/N_BYTES counters, flb_metrics.h:30-33).
+        Totals become visible after the first action that consumes the
+        returned DataFrame."""
+        obs = Observation(f"input_{len(self._observations)}")
+        exprs = [F.count(F.lit(1)).alias("records")]
+        if bytes_col in df.columns:
+            exprs.append(
+                F.coalesce(F.sum(F.length(bytes_col)), F.lit(0)).alias("bytes")
+            )
+        out = df.observe(obs, *exprs)
+        self._observations.append(obs)
+        return out
 
     def sink_accumulator(self, sink: str):
         if sink not in self.out_ok:
@@ -58,10 +52,18 @@ class PipelineMetrics:
     def record_sink(self, sink: str, records: int) -> None:
         self.sink_accumulator(sink).add(int(records))
 
+    @staticmethod
+    def _observed(obs: Observation) -> dict:
+        # non-blocking: empty dict until the observed action completes
+        if obs._jo is None or obs._jo.getOrEmpty().isEmpty():
+            return {}
+        return obs.get
+
     def snapshot(self) -> dict:
+        seen = [self._observed(o) for o in self._observations]
         return {
-            "records_in": self.records_in.value,
-            "bytes_in": self.bytes_in.value,
+            "records_in": sum(int(s.get("records", 0)) for s in seen),
+            "bytes_in": sum(int(s.get("bytes", 0)) for s in seen),
             "out_ok": {k: v.value for k, v in self.out_ok.items()},
         }
 

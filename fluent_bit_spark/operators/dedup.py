@@ -8,12 +8,15 @@ Spark-first:
   not the content itself, so the shuffle moves 16-byte keys instead of
   documents.
 - minhash_lsh: word-shingle MinHash signatures (affine permutations of
-  xxhash64 values, all JVM expressions), banded LSH bucketing, bucket
-  self-join for candidates, exact Jaccard verification of candidates.
-  At scale: candidate generation is an equi-join on (band_idx,
-  band_hash) — shuffle proportional to candidate count, never O(n^2).
-- simhash: 64-bit SimHash via one Arrow-vectorized pandas UDF (numpy
-  bit-packing), near-dup = banded signature join + Hamming check.
+  md5-derived 31-bit hashes, all JVM expressions), banded LSH
+  bucketing, bucket self-join for candidates, exact Jaccard
+  verification of candidates. At scale: candidate generation is an
+  equi-join on (band_idx, band_key) — shuffle proportional to
+  candidate count, never O(n^2).
+- simhash: 62-bit SimHash entirely in JVM expressions (single fold
+  updating all bit votes per token), near-dup = banded signature join
+  + Hamming check. Both signature families hash via md5 slices so the
+  DuckDB oracle re-derives identical signatures in pure SQL.
 - ngram_jaccard: exact Jaccard over token sets within a blocking key
   (for oracle-checkable exact dedup of modest blocks).
 - embedding near-dup: random-hyperplane LSH buckets + in-bucket cosine
@@ -27,10 +30,8 @@ minimum via `resolve_clusters` (iterated min-label propagation).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 # ---------------------------------------------------------------------------
@@ -73,6 +74,19 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# cross-engine content hash
+
+# 32-bit hash both Spark (JVM md5 + conv) and DuckDB
+# (('0x'||substr(md5(x),1,8))::BIGINT) compute identically — this is
+# what makes the whole MinHash/SimHash family exactly oracle-checkable
+# (the oracle re-derives the same signatures in pure SQL).
+
+def md5_32(s: Column, offset: int = 1) -> Column:
+    """First (or offset-th) 4 bytes of md5(s) as a non-negative long."""
+    return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 # deterministic affine permutation constants (seeded, module-level).
@@ -91,8 +105,8 @@ def _perm_consts(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
     """Array<long> MinHash signature, all JVM expressions: base hash =
-    murmur(shingle) mod p; permutation i = (a_i*h + b_i) mod p;
-    signature_i = min over shingles.
+    md5_32(shingle) mod p (cross-engine reproducible); permutation i =
+    (a_i*h + b_i) mod p; signature_i = min over shingles.
 
     Computed as ONE fold over the base-hash array (aggregate +
     zip_with): shingling and hashing run once per row, and each base
@@ -102,7 +116,7 @@ def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> C
     because Catalyst does not CSE across higher-order lambdas: ~64x
     slower.)"""
     sh = shingles_col(text, shingle_k)
-    base = F.transform(sh, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_P)))
+    base = F.transform(sh, lambda s: md5_32(s) % F.lit(_P))
     consts = _perm_consts(num_perm)
     consts_arr = F.array(
         *[
@@ -130,13 +144,16 @@ def minhash_candidates(
     bands: int = 16,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): equal band slice of the
-    signature => candidate. Returns distinct pairs."""
+    signature => candidate. Returns distinct pairs.
+
+    Band key = the band's signature values joined as a string — exact
+    slice equality (no hash-collision candidates, so the DuckDB oracle
+    reproduces the candidate set bit-for-bit); the join key stays small
+    (`rows` longs as text)."""
     rows = num_perm // bands
     # signature computation is CPU-heavy per row; spread it across the
     # cluster even when the source arrives in few partitions
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_perm).alias("sig"),
@@ -148,9 +165,13 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
-                            "bh"
-                        ),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -177,9 +198,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
@@ -228,51 +247,83 @@ def resolve_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash_col(text_col: str = "text"):
-    """64-bit SimHash as a pandas UDF (one Arrow batch pass, numpy
-    bit-unpacking; no per-row Python hashing loops beyond the token
-    hash which numpy vectorizes via int64 ops)."""
+# 62-bit SimHash: each token contributes two independent 31-bit md5
+# slices (bytes 0-3 and 4-7 of md5(token)); bit j of the signature is
+# the majority vote of bit j across tokens. Everything is JVM
+# expressions — one fold over the token-hash array updates all 62 vote
+# counters per token (same single-pass pattern as minhash_signature),
+# so there is no Python in the row path at all, and the DuckDB oracle
+# re-derives identical signatures from md5() in pure SQL.
 
-    @pandas_udf("long")
-    def simhash(s: pd.Series) -> pd.Series:
-        out = np.zeros(len(s), dtype=np.int64)
-        for i, txt in enumerate(s):
-            if not txt:
-                continue
-            toks = txt.split()
-            if not toks:
-                continue
-            # FNV-1a per token, vectorized per doc
-            hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint64)
-            v = int((acc << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v  # two's-complement long
-        return pd.Series(out)
-
-    return simhash(F.col(text_col))
+SIMHASH_BITS = 62
+_M31 = (1 << 31) - 1  # & mask keeping the low 31 bits
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash_col(text_col: str = "text") -> Column:
+    """62-bit SimHash of whitespace tokens as a long (0 for empty)."""
+    toks = tokens_col(F.col(text_col))
+    hs = F.transform(
+        toks,
+        lambda t: F.struct(
+            md5_32(t).bitwiseAND(F.lit(_M31)).alias("h1"),
+            md5_32(t, 9).bitwiseAND(F.lit(_M31)).alias("h2"),
+        ),
+    )
+    # per-bit constants: which 31-bit half, and 2^j / 2^(j+1) within it
+    # (bit extraction via modulo keeps every op in exact long arithmetic)
+    bit_consts = F.array(
+        *[
+            F.struct(
+                F.lit(j // 31).alias("half"),
+                F.lit(1 << (j % 31)).alias("p1"),
+                F.lit(1 << (j % 31 + 1)).alias("p2"),
+            )
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    init = F.array(*([F.lit(0).cast("long")] * SIMHASH_BITS))
+    votes = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_consts,
+            lambda cnt, c: cnt
+            + F.when(
+                (
+                    F.when(c["half"] == 0, h["h1"]).otherwise(h["h2"]) % c["p2"]
+                )
+                >= c["p1"],
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    n = F.size(toks)
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda cnt, p: F.when(cnt * 2 >= n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return F.coalesce(F.when(n > 0, packed), F.lit(0).cast("long"))
 
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Banded simhash join + exact Hamming verification. Band count =
-    max_hamming+1 (pigeonhole: any pair within the Hamming budget
-    shares at least one untouched band), band width = 64 // bands."""
+    max_hamming+1 (pigeonhole: <=max_hamming differing bits cannot touch
+    every band, so some band matches — 100% recall; the 62-SIMHASH_BITS
+    mod bands leftover top bits are unbanded, which only strengthens
+    the guarantee since diffs there touch no band)."""
     nbands = max(2, max_hamming + 1)
-    width = 64 // nbands
+    width = SIMHASH_BITS // nbands
     mask = (1 << width) - 1
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sigs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
     banded = sigs.select(
         "id",
@@ -298,7 +349,9 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
     )

@@ -8,8 +8,182 @@ the point (it's the oracle).
 
 from __future__ import annotations
 
+from fluent_bit_spark.operators.dedup import _P, _perm_consts
+from fluent_bit_spark.operators.similarity import _planes
 from fluent_bit_spark.plans.flagship import ROLE_MAP, SINKS, TOOL_CATEGORIES
 from fluent_bit_spark.transcripts import transcripts_sql
+
+# ---------------------------------------------------------------------------
+# cross-engine signature SQL (mirrors operators/dedup.py md5_32 hashing:
+# both engines derive hashes from md5 hex slices, so MinHash / SimHash /
+# hyperplane-LSH outputs are EXACTLY reproducible in DuckDB — the
+# signature constants below are shared algorithm parameters, while the
+# SQL recomputes every signature independently from the base tables)
+
+# synthesized duplicates for the dedup gates: the raw documents table
+# has all-distinct texts at small SFs, so the exact-dedup / cluster
+# queries union id-shifted copies of deterministic subsets (one copy of
+# every 10th doc, a second copy of every 20th => clusters of size 3)
+DUP_DOCS_SQL = """
+, all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0)
+"""
+
+
+def _md5_32_sql(expr: str, offset: int = 1) -> str:
+    """DuckDB equivalent of operators.dedup.md5_32."""
+    return f"(('0x' || substr(md5({expr}),{offset},8))::BIGINT)"
+
+
+def _minhash_pairs_sql(
+    num_perm: int = 64, bands: int = 32, threshold: float = 0.8, k: int = 3
+) -> str:
+    """Full MinHash-LSH pipeline in SQL: shingles -> md5 base hashes ->
+    affine-permutation minima -> banded candidate join -> exact Jaccard
+    verification. Same permutation constants as minhash_signature."""
+    rows = num_perm // bands
+    consts = _perm_consts(num_perm)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(base, h -> (h*{a} + {b}) % {_P}))"
+        for a, b in consts
+    )
+    band_rows = ", ".join(
+        f"({b}, array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    return f"""
+, mh_tok AS (
+    SELECT doc_id AS id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents),
+mh_sh AS (
+    SELECT id, CASE WHEN len(toks) >= {k}
+        THEN list_distinct([array_to_string(toks[i+1:i+{k}], ' ')
+                            for i in range(0, len(toks)-{k}+1)])
+        ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shingles
+    FROM mh_tok),
+mh_sig AS (
+    SELECT id, shingles,
+           [{sig_exprs}] AS sig
+    FROM (SELECT id, shingles,
+                 list_transform(shingles, s -> {_md5_32_sql('s')} % {_P}) AS base
+          FROM mh_sh)),
+mh_band AS (
+    SELECT id, b.band, b.key FROM mh_sig,
+    LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) b),
+mh_cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM mh_band a JOIN mh_band b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM mh_cand
+JOIN mh_sig sa ON sa.id = id_a
+JOIN mh_sig sb ON sb.id = id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Closed-form SimHash oracle: the banded operator has 100% recall
+    (pigeonhole over max_hamming+1 bands), so its output is EXACTLY the
+    all-pairs set with Hamming(sig_a, sig_b) <= max_hamming. Signatures
+    re-derived from md5 slices (bit j of half h = (h >> j) & 1; majority
+    vote over tokens; bits packed little-endian over 62 positions)."""
+    return f"""
+, sim_tok AS (
+    SELECT doc_id AS id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents),
+sim_hs AS (
+    SELECT id, len(toks) AS n,
+           list_transform(toks, t -> [{_md5_32_sql('t')} & 2147483647,
+                                      {_md5_32_sql('t', 9)} & 2147483647]) AS hs
+    FROM sim_tok),
+sim_bits AS (
+    SELECT id, n,
+           list_transform(range(0, 62), j -> CASE WHEN n > 0 AND
+               2*list_sum(list_transform(hs, h -> (h[j // 31 + 1] >> (j % 31)) & 1)) >= n
+               THEN 1::BIGINT ELSE 0::BIGINT END) AS bits
+    FROM sim_hs),
+sim_sig AS (
+    SELECT id, CASE WHEN n > 0
+        THEN CAST(list_sum(list_transform(range(0, 62), j -> bits[j+1] << j)) AS BIGINT)
+        ELSE 0 END AS sh
+    FROM sim_bits)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim_sig a JOIN sim_sig b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
+def _planes_values_sql(dim: int, nbits: int) -> str:
+    planes = _planes(dim, nbits)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES {rows}) p(pi, pl)"
+
+
+def _hyperplane_sig_sql(dim: int, nbits: int) -> str:
+    """CTEs hp_planes + hp_sigs(vec_id, v, sig): hyperplane signature
+    with the dot product folded left-to-right exactly like the Spark
+    aggregate (bit-identical doubles, so identical sign bits)."""
+    return f"""
+, hp_planes AS (SELECT * FROM {_planes_values_sql(dim, nbits)}),
+hp_v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+hp_sigs AS (
+    SELECT vec_id, any_value(v) AS v,
+           CAST(SUM(CASE WHEN list_reduce(
+                    list_prepend(0.0::DOUBLE, [v[i] * pl[i] for i in range(1, {dim + 1})]),
+                    (a, b) -> a + b) >= 0
+               THEN 1::BIGINT << pi ELSE 0 END) AS BIGINT) AS sig
+    FROM hp_v CROSS JOIN hp_planes
+    GROUP BY vec_id)"""
+
+
+def _lsh_topk_sql(dim: int = 64, nbits: int = 4, k: int = 10) -> str:
+    """Hyperplane-LSH top-k oracle: candidates = query bucket plus every
+    1-bit-flipped bucket (multi-probe), exact cosine rank within."""
+    return (
+        _hyperplane_sig_sql(dim, nbits)
+        + f""",
+lsh_q AS (SELECT vec_id AS query_id, v AS qv, sig FROM hp_sigs WHERE vec_id < 5),
+lsh_probe AS (
+    SELECT query_id, qv, sig FROM lsh_q
+    UNION SELECT query_id, qv, xor(sig, 1::BIGINT << i) FROM lsh_q CROSS JOIN range({nbits}) r(i)),
+lsh_cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id,
+           list_cosine_similarity(c.v, p.qv) AS cos
+    FROM lsh_probe p JOIN hp_sigs c ON c.sig = p.sig
+    WHERE c.vec_id >= 5)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM lsh_cand)
+WHERE rank <= {k}"""
+    )
+
+
+def _embed_near_dup_sql(dim: int = 64, nbits: int = 4, threshold: float = 0.25) -> str:
+    """Signature-blocked embedding near-dup: pairs share the hyperplane
+    bucket, verified by exact cosine — replicates the Spark blocking, so
+    the result sets agree exactly (no recall mismatch)."""
+    return (
+        _hyperplane_sig_sql(dim, nbits)
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM hp_sigs a JOIN hp_sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}"""
+    )
 
 _APACHE = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d+)$'
 _SYSLOG = r"^<(\d+)>1 (\S+) (\S+) (\S+) (\d+) (\S+) - (.*)$"
@@ -197,7 +371,11 @@ def oracle_queries() -> dict[str, str]:
                FROM events GROUP BY event_type, date_trunc('hour', ts)
              ) GROUP BY event_type""",
         "dedup_exact": c
-        + "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        + DUP_DOCS_SQL
+        + "SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text",
+        "dedup_minhash": c + _minhash_pairs_sql(),
+        "dedup_simhash": c + _simhash_pairs_sql(),
+        "ann_lsh_topk": c + _lsh_topk_sql(),
         "jaccard_blocked": c
         + """, d AS (
                SELECT doc_id, source,
@@ -253,12 +431,7 @@ def oracle_queries() -> dict[str, str]:
                  FROM embeddings q, embeddings c
                  WHERE q.vec_id < 5 AND c.vec_id >= 5))
              WHERE rank <= 10""",
-        "embed_near_dup": c
-        + """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-             FROM embeddings a, embeddings b
-             WHERE a.vec_id < b.vec_id
-               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.25""",
+        "embed_near_dup": c + _embed_near_dup_sql(),
         "ra_template": c
         + """SELECT conv_id, turn_idx,
                     'conv=' || conv_id || ' dest=' || split_part(tag, '.', 1)
@@ -312,8 +485,9 @@ def oracle_queries() -> dict[str, str]:
                FROM transcripts)
              WHERE running <= 300""",
         "dedup_clusters": c
+        + DUP_DOCS_SQL
         + """SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
-             FROM documents
+             FROM all_docs
              QUALIFY COUNT(*) OVER (PARTITION BY text) > 1""",
         "multiline_join": c
         + """SELECT conv_id AS file, CAST(grp AS BIGINT) AS group_no,

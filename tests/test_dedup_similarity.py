@@ -106,31 +106,58 @@ def test_drop_near_dups_and_clusters(spark):
 
 # --- simhash ---------------------------------------------------------------
 
+def _py_simhash(txt: str) -> int:
+    """Python reference of dedup.simhash_col (62-bit, md5-slice token
+    hashes, majority vote)."""
+    import hashlib
+
+    toks = txt.split()
+    if not toks:
+        return 0
+    hs = []
+    for t in toks:
+        d = hashlib.md5(t.encode()).hexdigest()
+        hs.append((int(d[:8], 16) & 0x7FFFFFFF, int(d[8:16], 16) & 0x7FFFFFFF))
+    acc, n = 0, len(hs)
+    for j in range(62):
+        half, bit = divmod(j, 31)
+        if 2 * sum((h[half] >> bit) & 1 for h in hs) >= n:
+            acc |= 1 << j
+    return acc
+
+
 def test_simhash_near_dup(spark):
+    # operator output must equal the closed form: ALL pairs within the
+    # Hamming budget (pigeonhole banding => 100% recall), none beyond it
     a = "spark arrow vectorized batches shuffle partitions " * 8
-    rows = [(0, a), (1, a + "extra"), (2, "totally different content with nothing shared at all")]
+    rows = [
+        (0, a),
+        (1, a + "extra"),
+        (2, "totally different content with nothing shared at all"),
+    ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = D.simhash_near_dup_pairs(df, max_hamming=8)
-    got = {(r.id_a, r.id_b) for r in pairs.collect()}
-    assert (0, 1) in got and (0, 2) not in got
+    max_hamming = 8
+    pairs = D.simhash_near_dup_pairs(df, max_hamming=max_hamming)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    sigs = {i: _py_simhash(t) for i, t in rows}
+    want = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i, j in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming
+    }
+    assert got == want
+    # sanity: the identical-prefix pair is closer than the unrelated one
+    assert bin(sigs[0] ^ sigs[1]).count("1") < bin(sigs[0] ^ sigs[2]).count("1")
 
 
-def test_simhash_matches_pandas_oracle(spark, docs):
+def test_simhash_matches_python_oracle(spark, docs):
     sample = docs.limit(20)
-    got = {r.doc_id: r.sh for r in sample.select("doc_id", D.simhash_col("text").alias("sh")).collect()}
-
-    def oracle(txt):
-        toks = txt.split()
-        hs = [D._fnv1a64(t) for t in toks]
-        acc = 0
-        for bit in range(64):
-            ones = sum((h >> bit) & 1 for h in hs)
-            if ones * 2 >= len(hs):
-                acc |= 1 << bit
-        return acc - (1 << 64) if acc >= (1 << 63) else acc
-
+    got = {
+        r.doc_id: r.sh
+        for r in sample.select("doc_id", D.simhash_col("text").alias("sh")).collect()
+    }
     for r in sample.collect():
-        assert got[r.doc_id] == oracle(r.text)
+        assert got[r.doc_id] == _py_simhash(r.text)
 
 
 # --- jaccard blocked -------------------------------------------------------

@@ -18,9 +18,10 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
-# non-SQL-expressible ops: driver records a rows-only check (allowed
-# by the contract); everything else must carry an oracle.
-ROWS_ONLY = {"dedup_minhash", "dedup_simhash", "ann_lsh_topk"}
+# every query is oracle-checked since the md5-based cross-engine
+# signature rework (round 2); the set stays for future genuinely
+# non-SQL-expressible ops.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():

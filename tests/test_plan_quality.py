@@ -86,3 +86,25 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     )
     plan = plan_of(joined, "simple")
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_embed_near_dup_no_cartesian(spark, sf_dir):
+    """The near-dup driver query must stay an equi-join on the
+    hyperplane signature — never a cartesian product with a cosine
+    post-filter (O(n^2) rows at scale)."""
+    from fluent_bit_spark.operators.similarity import embedding_near_dup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(embedding_near_dup_pairs(embs, threshold=0.25, nbits=4), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_candidates_equi_join(spark, sf_dir):
+    """MinHash-LSH candidate generation must be a band-key equi-join."""
+    from fluent_bit_spark.operators.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_candidates(docs, num_perm=16, bands=8), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
