@@ -464,6 +464,125 @@ def _q_multiline_join(spark, sf_dir):
     return multiline_join(lines, r"^10\.0\.")
 
 
+_APACHE_PLAIN = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d+)$'
+
+
+def _q_record_modifier(spark, sf_dir):
+    """filter_record_modifier: Remove_key + Record literal appends."""
+    from fluent_bit_spark.operators.filters import record_modifier
+
+    return record_modifier(
+        _transcripts(spark, sf_dir),
+        remove_keys=["tool", "ts"],
+        records={"env": "prod", "team": "core"},
+    )
+
+
+def _q_nest_lift(spark, sf_dir):
+    """filter_nest roundtrip: wildcard-select 'to*' under a struct with
+    an added prefix, then lift back to the top level."""
+    from fluent_bit_spark.operators.filters import lift, nest
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "tool")
+    nested = nest(df, "to*", "meta", add_prefix="n_")
+    return lift(nested, "meta")
+
+
+def _q_filter_parser(spark, sf_dir):
+    """filter_parser chain (Reserve_Data=On, Preserve_Key=Off): re-parse
+    `text` with [apache-regex, json] parsers; first success wins."""
+    from fluent_bit_spark.operators.filters import filter_parser
+
+    def apache(c):
+        return F.when(
+            c.rlike(_APACHE_PLAIN),
+            F.struct(
+                F.lit("apache").alias("pfmt"),
+                F.regexp_extract(c, _APACHE_PLAIN, 4).alias("name"),
+                F.regexp_extract(c, _APACHE_PLAIN, 6).cast("long").alias("num"),
+            ),
+        )
+
+    def as_json(c):
+        j = F.from_json(c, "id BIGINT, word1 STRING")
+        return F.when(
+            c.startswith("{") & j["id"].isNotNull(),
+            F.struct(
+                F.lit("json").alias("pfmt"),
+                j["word1"].alias("name"),
+                j["id"].alias("num"),
+            ),
+        )
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    return filter_parser(df, "text", [apache, as_json], reserve_data=True)
+
+
+def _q_sink_file_formats(spark, sf_dir):
+    """out_file format battery: csv (with quoting), ltsv, template."""
+    from fluent_bit_spark.sinks import to_csv_lines, to_ltsv_lines, to_template_lines
+
+    base = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+    csv = to_csv_lines(base, ["conv_id", "turn_idx", "role", "text"]).withColumn(
+        "fmt", F.lit("csv")
+    )
+    ltsv = to_ltsv_lines(base, ["conv_id", "turn_idx", "role"]).withColumn(
+        "fmt", F.lit("ltsv")
+    )
+    tpl = to_template_lines(base, "{time} {conv_id} turn={turn_idx}").withColumn(
+        "fmt", F.lit("template")
+    )
+    return csv.unionByName(ltsv).unionByName(tpl).select("fmt", "value")
+
+
+def _q_sink_es_index(spark, sf_dir):
+    """out_es Logstash_Format index derivation (logstash-YYYY.MM.dd).
+    The xxhash64 document _id is excluded (not SQL-replicable)."""
+    from fluent_bit_spark.sinks import es_logstash_index
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    return es_logstash_index(df).select("conv_id", "turn_idx", "_index")
+
+
+def _q_sink_gelf(spark, sf_dir):
+    """GELF field mapping: version/host/short_message/timestamp/level."""
+    from fluent_bit_spark.sinks import gelf_transform
+
+    return gelf_transform(
+        _transcripts(spark, sf_dir),
+        host_col="conv_id",
+        short_message_col="text",
+        ts_col="ts",
+    )
+
+
+def _q_sink_datadog(spark, sf_dir):
+    """Datadog logs-intake shape with ddtags from role/tool."""
+    from fluent_bit_spark.sinks import datadog_transform
+
+    return datadog_transform(
+        _transcripts(spark, sf_dir),
+        message_col="text",
+        ts_col="ts",
+        tag_cols=["role", "tool"],
+    )
+
+
+def _q_rewrite_tag_keep(spark, sf_dir):
+    """rewrite_tag with keep=True: matching records stay under the
+    original tag AND are re-emitted under the new tag (emitter copy,
+    rewrite_tag.c:334)."""
+    from fluent_bit_spark.operators.route import RewriteRule, rewrite_tag
+
+    df = _routed(spark, sf_dir).select("conv_id", "turn_idx", "tag")
+    rules = [
+        RewriteRule(F.col("tag").startswith("errors."), F.lit("audit.errors"), keep=True)
+    ]
+    return rewrite_tag(df, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -502,6 +621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_size": _q_throttle_size,
         "dedup_clusters": _q_dedup_clusters,
         "multiline_join": _q_multiline_join,
+        "record_modifier": _q_record_modifier,
+        "nest_lift": _q_nest_lift,
+        "filter_parser_chain": _q_filter_parser,
+        "sink_file_formats": _q_sink_file_formats,
+        "sink_es_index": _q_sink_es_index,
+        "sink_gelf": _q_sink_gelf,
+        "sink_datadog": _q_sink_datadog,
+        "rewrite_tag_keep": _q_rewrite_tag_keep,
     }
 
 

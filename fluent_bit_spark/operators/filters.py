@@ -324,10 +324,22 @@ def throttle(
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global rate limit: keep the first `rate * window_seconds`
-    records per event-time window, ordered by (ts, tiebreak)."""
+    records per event-time window, ordered by (ts, tiebreak).
+
+    Scale shape: a naive global rank puts an entire window's traffic in
+    ONE task. Stage 1 pre-limits per input partition (any row in the
+    true global top-budget is also in its own partition's top-budget),
+    so the global rank only ever sees <= budget * num_partitions rows
+    per window — bounded task size at any input scale."""
     budget = int(rate * window_seconds)
     bucket = F.window(F.col(ts), f"{window_seconds} seconds")
     order = [F.col(ts)] + [F.col(c) for c in (order_cols or [])]
+    pre = Window.partitionBy(F.spark_partition_id(), bucket).orderBy(*order)
+    df = (
+        df.withColumn("_prn", F.row_number().over(pre))
+        .filter(F.col("_prn") <= budget)
+        .drop("_prn")
+    )
     w = Window.partitionBy(bucket).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -346,9 +358,29 @@ def throttle_size(
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key byte budget per window: keep records while the running
-    byte total stays within the limit."""
+    byte total stays within the limit.
+
+    Hot-key safe: a per-input-partition running-sum pre-filter bounds
+    what reaches the (key, window) task. It keeps every row whose
+    PRECEDING per-partition sum fits the limit — i.e. all locally
+    fitting rows plus the partition's first over-limit row (the
+    sentinel). True keepers always survive (their local prefix sum is
+    a subset of the global one), and the sentinel's bytes still poison
+    the global running sum, so the final filter reproduces the global
+    cutoff exactly (without it, dropping a single huge record locally
+    would un-poison the window for later small records)."""
     bucket = F.window(F.col(ts), f"{window_seconds} seconds")
     order = [F.col(ts)] + [F.col(c) for c in (order_cols or [])]
+    pre = (
+        Window.partitionBy(F.spark_partition_id(), F.col(key), bucket)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        df.withColumn("_pbytes", F.sum(F.length(size_col)).over(pre))
+        .filter(F.col("_pbytes") - F.length(size_col) <= byte_limit)
+        .drop("_pbytes")
+    )
     w = (
         Window.partitionBy(F.col(key), bucket)
         .orderBy(*order)

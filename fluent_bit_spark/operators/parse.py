@@ -236,6 +236,20 @@ def decode_field_as_json(
     return df.withColumn(out or field, F.from_json(F.col(field), schema))
 
 
+def decode_field_json(
+    df: DataFrame, field: str, schema: T.StructType | str, prefix: str = ""
+) -> DataFrame:
+    """Decode_Field json — MERGE mode (include/fluent-bit/
+    flb_parser_decoder.h:29-36): the decoded keys are appended alongside
+    the record and the RAW field is preserved untouched, unlike
+    Decode_Field_As which replaces the field's value."""
+    df = df.withColumn("_dec", F.from_json(F.col(field), schema))
+    names = [f.name for f in df.schema["_dec"].dataType.fields]
+    return df.withColumns(
+        {prefix + n: F.col(f"_dec.{n}") for n in names}
+    ).drop("_dec")
+
+
 def decode_field_escaped(df: DataFrame, field: str, out: str | None = None) -> DataFrame:
     r"""Decoder `escaped`/`escaped_utf8`: unescape \n \t \" \\ sequences
     (src/flb_unescape.c semantics for the common escapes).

@@ -500,6 +500,64 @@ def oracle_queries() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING) - 1 AS grp
                FROM transcripts)
              GROUP BY conv_id, grp""",
+        "record_modifier": c
+        + """SELECT conv_id, turn_idx, role, text,
+                    'prod' AS env, 'core' AS team
+             FROM transcripts""",
+        "nest_lift": c
+        + "SELECT conv_id, turn_idx, role, tool AS n_tool FROM transcripts",
+        "filter_parser_chain": c
+        + f"""SELECT conv_id, turn_idx, role,
+                    CASE WHEN regexp_matches(text, '{_APACHE}') THEN 'apache'
+                         WHEN starts_with(text, '{{') THEN 'json' END AS pfmt,
+                    CASE WHEN regexp_matches(text, '{_APACHE}')
+                           THEN regexp_extract(text, '{_APACHE}', 4)
+                         WHEN starts_with(text, '{{')
+                           THEN nullif(regexp_extract(text, '"word1": "([^"]*)"', 1), '')
+                    END AS name,
+                    CASE WHEN regexp_matches(text, '{_APACHE}')
+                           THEN CAST(regexp_extract(text, '{_APACHE}', 6) AS BIGINT)
+                         WHEN starts_with(text, '{{')
+                           THEN CAST(nullif(regexp_extract(text, '"id": (\\d+)', 1), '') AS BIGINT)
+                    END AS num
+             FROM transcripts""",
+        "sink_file_formats": c
+        + """SELECT 'csv' AS fmt,
+                    conv_id || ',' || CAST(turn_idx AS VARCHAR) || ',' || role || ','
+                    || CASE WHEN contains(text, ',') OR contains(text, '"')
+                                 OR contains(text, chr(10))
+                            THEN '"' || replace(text, '"', '""') || '"'
+                            ELSE text END AS value
+             FROM transcripts
+             UNION ALL
+             SELECT 'ltsv' AS fmt,
+                    'conv_id:' || conv_id || chr(9) || 'turn_idx:' || CAST(turn_idx AS VARCHAR)
+                    || chr(9) || 'role:' || role AS value
+             FROM transcripts
+             UNION ALL
+             SELECT 'template' AS fmt,
+                    strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || conv_id
+                    || ' turn=' || CAST(turn_idx AS VARCHAR) AS value
+             FROM transcripts""",
+        "sink_es_index": c
+        + """SELECT conv_id, turn_idx,
+                    'logstash-' || strftime(ts, '%Y.%m.%d') AS _index
+             FROM transcripts""",
+        "sink_gelf": c
+        + """SELECT '1.1' AS version, conv_id AS host, text AS short_message,
+                    CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS timestamp,
+                    1 AS level
+             FROM transcripts""",
+        "sink_datadog": c
+        + """SELECT text AS message, epoch_ms(ts) AS timestamp,
+                    'fluent-bit-spark' AS service, 'spark' AS ddsource,
+                    'role:' || coalesce(role, '') || ',tool:' || coalesce(tool, '') AS ddtags
+             FROM transcripts""",
+        "rewrite_tag_keep": c
+        + """SELECT conv_id, turn_idx, tag FROM routed
+             UNION ALL
+             SELECT conv_id, turn_idx, 'audit.errors' AS tag FROM routed
+             WHERE tag LIKE 'errors.%'""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,

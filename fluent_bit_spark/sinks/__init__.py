@@ -35,6 +35,14 @@ from fluent_bit_spark.operators.route import explode_routes
 # ---------------------------------------------------------------------------
 # format transforms
 
+
+def _epoch_seconds(c: Column) -> Column:
+    """Timestamp -> epoch seconds as double; routes TIMESTAMP_NTZ
+    through LTZ (session TZ is UTC) since ANSI forbids the direct
+    cast."""
+    return c.cast("timestamp_ltz").cast("double")
+
+
 def to_json_lines(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """One JSON object per record (out_stdout json_lines,
     include/fluent-bit/flb_pack.h:39-50)."""
@@ -100,7 +108,7 @@ def gelf_transform(
         F.lit("1.1").alias("version"),
         F.coalesce(F.col(host_col).cast("string"), F.lit("unknown")).alias("host"),
         F.col(short_message_col).alias("short_message"),
-        F.col(ts_col).cast("double").alias("timestamp"),
+        _epoch_seconds(F.col(ts_col)).alias("timestamp"),
         (F.col(level_col) if level_col else F.lit(1)).alias("level"),
     )
     return out
@@ -151,7 +159,7 @@ def splunk_hec_transform(
     sourcetype, index, event} with event = the record as JSON."""
     event_cols = [c for c in df.columns if c != ts_col]
     fields = {
-        "time": F.col(ts_col).cast("double"),
+        "time": _epoch_seconds(F.col(ts_col)),
         "host": F.coalesce(
             (F.col(host_col) if host_col else F.lit(None)).cast("string"),
             F.lit("unknown"),
@@ -182,7 +190,7 @@ def datadog_transform(
     )
     return df.select(
         F.col(message_col).alias("message"),
-        (F.col(ts_col).cast("double") * 1000).cast("long").alias("timestamp"),
+        (_epoch_seconds(F.col(ts_col)) * 1000).cast("long").alias("timestamp"),
         F.lit(service).alias("service"),
         F.lit("spark").alias("ddsource"),
         tags.alias("ddtags"),

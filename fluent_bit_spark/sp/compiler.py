@@ -22,8 +22,9 @@ Semantics mirrored from the reference interpreter
   (flb_sp_stream.c:36-90); optional tag property sets a literal tag
   column on the result.
 - SNAPSHOT/FLUSH (flb_sp_snapshot.c): CREATE SNAPSHOT buffers the last
-  `limit` records per evaluation (batch analog: latest-N by (ts, stable
-  order)); FLUSH SNAPSHOT replays the buffered rows.
+  `limit` records and/or the records within `seconds` of the newest
+  (time-based ring, flb_sp_snapshot.c:122); FLUSH SNAPSHOT replays the
+  buffered rows.
 """
 
 from __future__ import annotations
@@ -84,9 +85,23 @@ class SpEngine:
             return df
         if isinstance(ast, P.CreateSnapshot):
             limit = int(ast.props["limit"]) if "limit" in ast.props else None
+            seconds = int(ast.props["seconds"]) if "seconds" in ast.props else None
             src = self._source(ast.select)
             if ast.select.where is not None:
                 src = src.filter(self._cond(src, ast.select.where))
+            if seconds:
+                # time-based ring (flb_sp_snapshot.c:122): retain records
+                # within `seconds` of the newest buffered record (batch
+                # analog of the arrival-relative ring)
+                wmax = F.max(F.col(self.ts_col)).over(Window.partitionBy(F.lit(1)))
+                src = (
+                    src.withColumn("_maxts", wmax)
+                    .filter(
+                        F.col(self.ts_col)
+                        >= F.col("_maxts") - F.expr(f"INTERVAL {seconds} SECONDS")
+                    )
+                    .drop("_maxts")
+                )
             if limit:
                 w = F.row_number().over(Window.orderBy(F.col(self.ts_col).desc()))
                 src = src.withColumn("_rn", w).filter(F.col("_rn") <= limit).drop("_rn")

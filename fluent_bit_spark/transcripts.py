@@ -149,18 +149,40 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transcripts_sql("spark"))
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, table_format: str = "parquet"
+) -> DataFrame:
     """Production path: read a materialized transcript table.
 
-    Iceberg (`spark.read.format('iceberg')`) when the runtime has the
-    connector on the classpath; plain parquet otherwise. Partition
-    layout assumption at scale: days(ts) partitions, files clustered by
-    conv_id so per-conversation windows mostly read co-located data.
+    table_format='iceberg' reads through the Iceberg connector — an
+    EXPLICIT gate (NotImplementedError when the runtime jar is absent,
+    like the kafka source; this sandbox ships no Iceberg runtime), so a
+    missing connector can never silently degrade the resume semantics
+    that rely on Iceberg snapshot isolation / overwritePartitions.
+    table_format='parquet' (default) reads plain files, where the
+    checkpoint manifest (checkpoint.py) supplies idempotent resume via
+    per-partition overwrite instead. Partition layout assumption at
+    scale either way: days(ts) partitions, files clustered by conv_id
+    so per-conversation windows mostly read co-located data.
     """
-    try:
+    if table_format == "iceberg":  # pragma: no cover - needs iceberg jar
+        if not iceberg_available(spark):
+            raise NotImplementedError(
+                "iceberg runtime jar not on the classpath; pass "
+                "table_format='parquet' (manifest-based resume) or add "
+                "org.apache.iceberg:iceberg-spark-runtime to spark.jars"
+            )
         return spark.read.format("iceberg").load(path)
-    except Exception:
-        return spark.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def synth_transcripts(

@@ -148,3 +148,27 @@ def test_rewrite_tag_nonkeep_then_keep_first_match_wins(spark):
     ]
     got = sorted((r.id, r.tag) for r in rewrite_tag(df, rules).collect())
     assert got == [("r1", "rewritten")]
+
+
+# --- Decode_Field merge mode (parser-decoder parity) ------------------------
+
+def test_decode_field_json_merge_keeps_raw(spark):
+    from fluent_bit_spark.operators.parse import decode_field_as_json, decode_field_json
+
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',), ("nope",)], ["log"])
+    merged = decode_field_json(df, "log", "a BIGINT, b STRING")
+    rows = {r.log: (r.a, r.b) for r in merged.collect()}
+    assert set(merged.columns) == {"log", "a", "b"}  # raw field preserved
+    assert rows['{"a": 1, "b": "x"}'] == (1, "x")
+    assert rows["nope"] == (None, None)
+    # contrast: As-mode replaces the field value
+    replaced = decode_field_as_json(df, "log", "a BIGINT, b STRING")
+    assert dict(replaced.dtypes)["log"].startswith("struct")
+
+
+def test_decode_field_json_merge_prefix(spark):
+    from fluent_bit_spark.operators.parse import decode_field_json
+
+    df = spark.createDataFrame([('{"a": 7}',)], ["log"])
+    out = decode_field_json(df, "log", "a BIGINT", prefix="dec_")
+    assert out.collect()[0].dec_a == 7 and "log" in out.columns

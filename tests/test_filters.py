@@ -184,3 +184,80 @@ def test_record_function_drop_modify_split(records):
     out = FL.record_function(records, fn)
     users = sorted(str(r.user) for r in out.collect())
     assert "copy-mallory" in users and len(users) == 5
+
+
+# --- throttle scale-shape (partition pre-limit) ----------------------------
+
+def _brute_throttle_size(rows, limit):
+    """Reference: running byte total per (key, hour) in (ts, i) order;
+    keep while <= limit (heavy rows still poison the window)."""
+    from collections import defaultdict
+
+    running = defaultdict(int)
+    keep = []
+    for ts, i, k, text in sorted(rows, key=lambda r: (r[2], r[0], r[1])):
+        b = running[k] = running[k] + len(text)
+        if b <= limit:
+            keep.append((k, i))
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 7])
+def test_throttle_partition_invariance(spark, nparts):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=i % 40), i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["ts", "i"]).repartition(nparts)
+    out = FL.throttle(df, rate=0.5, window_seconds=10, order_cols=["i"])
+    got = sorted(r.i for r in out.collect())
+    # reference: first 5 per 10s window in (ts, i) order
+    want = []
+    from collections import defaultdict
+
+    cnt = defaultdict(int)
+    for ts, i in sorted(rows):
+        w = (ts - base).total_seconds() // 10
+        if cnt[w] < 5:
+            cnt[w] += 1
+            want.append(i)
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("nparts", [1, 2, 5])
+def test_throttle_size_huge_record_poisons_window(spark, nparts):
+    """A record larger than the whole budget must still block later
+    small records (the pre-filter keeps it as a sentinel); result is
+    identical at any input partitioning."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=0), 0, "a", "x" * 50),
+        (base + dt.timedelta(seconds=1), 1, "a", "y" * 200),  # over budget
+        (base + dt.timedelta(seconds=2), 2, "a", "z"),  # must stay dropped
+        (base + dt.timedelta(seconds=3), 3, "b", "w" * 80),
+        (base + dt.timedelta(seconds=4), 4, "b", "v" * 20),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "i", "k", "text"]).repartition(nparts)
+    out = FL.throttle_size(
+        df, key="k", byte_limit=100, window_seconds=3600, order_cols=["i"]
+    )
+    got = sorted((r.k, r.i) for r in out.collect())
+    assert got == _brute_throttle_size(rows, 100) == [("a", 0), ("b", 3), ("b", 4)]
+
+
+def test_throttle_plan_has_partition_prelimit(spark):
+    """The first window must be keyed by SPARK_PARTITION_ID — no global
+    single-task window over the raw stream."""
+    import datetime as dt
+
+    from tests.test_plan_quality import plan_of
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1)], ["ts", "i"]
+    )
+    out = FL.throttle(df, rate=1.0, window_seconds=10, order_cols=["i"])
+    plan = plan_of(out, "simple")
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert plan.count("Window") >= 2, plan

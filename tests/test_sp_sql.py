@@ -222,3 +222,30 @@ def test_sp_engine_on_streaming_frame(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_snapshot_time_ring(engine):
+    # newest record is at +11s; a 5-second ring retains only it
+    engine.execute(
+        "CREATE SNAPSHOT ring WITH (seconds='5') AS SELECT * FROM STREAM:samples;"
+    )
+    out = engine.execute("FLUSH SNAPSHOT ring;")
+    assert sorted(r.id for r in out.collect()) == [4]
+
+
+def test_snapshot_time_ring_wider(engine):
+    # a 60-second ring spans every sample (newest-relative retention)
+    engine.execute(
+        "CREATE SNAPSHOT ring60 WITH (seconds='60') AS SELECT * FROM STREAM:samples;"
+    )
+    out = engine.execute("FLUSH SNAPSHOT ring60;")
+    assert out.count() == 5
+
+
+def test_snapshot_time_and_count_ring(engine):
+    # seconds+limit compose: 60s ring then latest-2
+    engine.execute(
+        "CREATE SNAPSHOT ringc WITH (seconds='60', limit='2') AS SELECT * FROM STREAM:samples;"
+    )
+    out = engine.execute("FLUSH SNAPSHOT ringc;")
+    assert sorted(r.id for r in out.collect()) == [3, 4]

@@ -91,3 +91,18 @@ def test_synth_skew_and_salted_agg_invariance(spark, sf_dir):
     }
     assert plain == salted
     df.unpersist()
+
+
+def test_read_transcripts_iceberg_gate(spark, sf_dir, tmp_path):
+    """Missing Iceberg runtime must be an explicit error, never a
+    silent parquet fallback (resume semantics differ)."""
+    import pytest as _pytest
+
+    from fluent_bit_spark.transcripts import iceberg_available, read_transcripts
+
+    if iceberg_available(spark):
+        _pytest.skip("iceberg runtime present")
+    with _pytest.raises(NotImplementedError):
+        read_transcripts(spark, str(tmp_path), table_format="iceberg")
+    # explicit parquet path still works
+    assert read_transcripts(spark, f"{sf_dir}/events.parquet").count() > 0
