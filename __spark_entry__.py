@@ -583,6 +583,59 @@ def _q_rewrite_tag_keep(spark, sf_dir):
     return rewrite_tag(df, rules)
 
 
+def _q_sp_scalars(spark, sf_dir):
+    """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
+    RECORD_TIME with a deterministic injected clock."""
+    import datetime as dt
+
+    from fluent_bit_spark.sp import SpEngine
+
+    routed = _routed(spark, sf_dir).select("conv_id", "turn_idx", "tag", "ts")
+    eng = SpEngine(spark, {"routed": routed}, now=dt.datetime(2024, 6, 1, 12, 0, 0))
+    return eng.execute(
+        "SELECT conv_id, turn_idx, NOW() AS now_str, UNIX_TIMESTAMP() AS unix_ts, "
+        "RECORD_TAG() AS rtag, RECORD_TIME() AS rtime FROM STREAM:routed;"
+    )
+
+
+def _q_expect(spark, sf_dir):
+    """filter_expect with action=exit: assertions hold => pass-through."""
+    from fluent_bit_spark.operators.filters import expect
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    return expect(
+        df,
+        [("key_exists", "conv_id", None), ("key_val_is_not_null", "text", None)],
+        action="exit",
+    )
+
+
+def _q_alter_size(spark, sf_dir):
+    """filter_alter_size: drop the first N records in stable order."""
+    from fluent_bit_spark.operators.filters import alter_size
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    return alter_size(df, remove=10, order_cols=["conv_id", "turn_idx"])
+
+
+def _q_record_function(spark, sf_dir):
+    """filter_lua analog: arbitrary record function (drop + derive) as
+    an Arrow-batched mapInPandas — rows where role='function' dropped, an
+    uppercased role appended."""
+    from fluent_bit_spark.operators.filters import record_function
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role")
+
+    def fn(b):
+        b = b[b["role"] != "function"].copy()
+        b["role_u"] = b["role"].str.upper()
+        return b
+
+    return record_function(
+        df, fn, "conv_id string, turn_idx int, role string, role_u string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -629,6 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_gelf": _q_sink_gelf,
         "sink_datadog": _q_sink_datadog,
         "rewrite_tag_keep": _q_rewrite_tag_keep,
+        "sp_scalars": _q_sp_scalars,
+        "expect_assert": _q_expect,
+        "alter_size_drop": _q_alter_size,
+        "record_function_udf": _q_record_function,
     }
 
 

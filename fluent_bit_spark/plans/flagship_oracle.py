@@ -558,6 +558,21 @@ def oracle_queries() -> dict[str, str]:
              UNION ALL
              SELECT conv_id, turn_idx, 'audit.errors' AS tag FROM routed
              WHERE tag LIKE 'errors.%'""",
+        "sp_scalars": c
+        + """SELECT conv_id, turn_idx,
+                    '2024-06-01 12:00:00' AS now_str,
+                    CAST(epoch(TIMESTAMP '2024-06-01 12:00:00') AS BIGINT) AS unix_ts,
+                    tag AS rtag,
+                    CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS rtime
+             FROM routed""",
+        "expect_assert": c
+        + "SELECT conv_id, turn_idx, role, text FROM transcripts",
+        "alter_size_drop": c
+        + """SELECT conv_id, turn_idx FROM transcripts
+             QUALIFY row_number() OVER (ORDER BY conv_id, turn_idx) > 10""",
+        "record_function_udf": c
+        + """SELECT conv_id, turn_idx, role, upper(role) AS role_u
+             FROM transcripts WHERE role != 'function'""",
         "forecast_hourly": c
         + """SELECT event_type,
                     round(regr_slope(n, h), 4) AS slope,

@@ -151,7 +151,9 @@ class SpEngine:
         if key.func == "RECORD_TAG":
             return F.col(self.tag_col)
         if key.func == "RECORD_TIME":
-            return F.col(self.ts_col).cast("double")
+            # NTZ timestamps route through LTZ (UTC session); ANSI
+            # forbids the direct double cast
+            return F.col(self.ts_col).cast("timestamp_ltz").cast("double")
         raise SpSqlError(f"unknown function {key.func}")
 
     def _cond(self, df: DataFrame, node) -> Column:
