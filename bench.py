@@ -94,6 +94,12 @@ def bench_queries(spark, source):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return minhash_dedup_pairs(docs, threshold=0.8, num_perm=64, bands=16)
 
+    def dedup_simhash():
+        from fluent_bit_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return simhash_near_dup_pairs(docs, max_hamming=3)
+
     def ann_topk():
         from fluent_bit_spark.operators.similarity import cosine_topk
 
@@ -109,6 +115,7 @@ def bench_queries(spark, source):
         "conv_stats_salted": conv_stats,
         "stable_order": stable_order,
         "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
     }
 

@@ -198,9 +198,10 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # candidates repartition internally; the shingle-verification side
+    # gets its own spread (separate lineage, one exchange each)
     cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
-    docs = df.select(
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
     )
     return (
