@@ -154,10 +154,13 @@ def minhash_candidates(
     # signature computation is CPU-heavy per row; spread it across the
     # cluster even when the source arrives in few partitions
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # persist: the self-join consumes the signatures TWICE (both join
+    # sides) and Spark has no common-subplan sharing across them — at
+    # any scale you compute signatures once, not per side
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_perm).alias("sig"),
-    )
+    ).persist()
     banded = sig.select(
         "id",
         F.explode(
@@ -201,8 +204,14 @@ def minhash_dedup_pairs(
     # candidates repartition internally; the shingle-verification side
     # gets its own spread (separate lineage, one exchange each)
     cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    # persisted: joined twice below (id_a and id_b sides)
+    docs = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .persist()
     )
     return (
         cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -325,7 +334,10 @@ def simhash_near_dup_pairs(
     width = SIMHASH_BITS // nbands
     mask = (1 << width) - 1
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sigs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    # persisted: the banded self-join consumes signatures on both sides
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("sh")
+    ).persist()
     banded = sigs.select(
         "id",
         "sh",

@@ -234,9 +234,14 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _planes(dim, nbits)
-    v = vectors.select(
-        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("vv")
-    ).withColumn("sig", hyperplane_signature(F.col("vv"), planes))
+    # persisted: the bucket self-join consumes signatures on both sides
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("vv")
+        )
+        .withColumn("sig", hyperplane_signature(F.col("vv"), planes))
+        .persist()
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, on=[F.col("a.sig") == F.col("b.sig"), F.col("a.id") < F.col("b.id")])
