@@ -583,6 +583,28 @@ def _q_rewrite_tag_keep(spark, sf_dir):
     return rewrite_tag(df, rules)
 
 
+def _q_sink_splunk(spark, sf_dir):
+    """Splunk HEC envelope: {time, host, sourcetype, event=record JSON}
+    (Spark to_json and DuckDB to_json are byte-identical for flat
+    structs, so the JSON event line is exactly oracle-checkable)."""
+    from fluent_bit_spark.sinks import splunk_hec_transform
+
+    df = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text", "ts")
+    return splunk_hec_transform(df, ts_col="ts")
+
+
+def _q_sink_loki(spark, sf_dir):
+    """Loki label derivation + JSON line with remove_keys; labels map
+    serialized to JSON for the value-hash gate."""
+    from fluent_bit_spark.sinks import loki_labels
+
+    df = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    )
+    out = loki_labels(df, label_cols=["role"], remove_keys=["tool"])
+    return out.select(F.to_json("labels").alias("labels_json"), "line")
+
+
 def _q_sp_scalars(spark, sf_dir):
     """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
     RECORD_TIME with a deterministic injected clock."""
@@ -682,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_gelf": _q_sink_gelf,
         "sink_datadog": _q_sink_datadog,
         "rewrite_tag_keep": _q_rewrite_tag_keep,
+        "sink_splunk": _q_sink_splunk,
+        "sink_loki": _q_sink_loki,
         "sp_scalars": _q_sp_scalars,
         "expect_assert": _q_expect,
         "alter_size_drop": _q_alter_size,

@@ -383,11 +383,12 @@ def jaccard_pairs_blocked(
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs sharing a blocking key.
     O(block^2) — for bounded blocks / oracle checking."""
+    # persisted: tokenization feeds both sides of the block self-join
     docs = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_col(F.col(text_col))).alias("tok"),
-    )
+    ).persist()
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])

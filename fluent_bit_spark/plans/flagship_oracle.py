@@ -558,6 +558,17 @@ def oracle_queries() -> dict[str, str]:
              UNION ALL
              SELECT conv_id, turn_idx, 'audit.errors' AS tag FROM routed
              WHERE tag LIKE 'errors.%'""",
+        "sink_splunk": c
+        + """SELECT CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS time,
+                    'unknown' AS host, '_json' AS sourcetype,
+                    to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                                        text := text))::VARCHAR AS event
+             FROM transcripts""",
+        "sink_loki": c
+        + """SELECT to_json(MAP(['role'], [role]))::VARCHAR AS labels_json,
+                    to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                                        text := text))::VARCHAR AS line
+             FROM transcripts""",
         "sp_scalars": c
         + """SELECT conv_id, turn_idx,
                     '2024-06-01 12:00:00' AS now_str,
