@@ -61,6 +61,7 @@ class SpEngine:
         ts_col: str = "ts",
         tag_col: str = "tag",
         now: object | None = None,
+        watermark: str | None = None,
     ):
         self.spark = spark
         self.streams: dict[str, DataFrame] = dict(streams or {})
@@ -68,6 +69,11 @@ class SpEngine:
         self.ts_col = ts_col
         self.tag_col = tag_col
         self.now = now  # fixed timestamp for deterministic NOW()/UNIX_TIMESTAMP()
+        # late-data bound for STREAMING sources: windowed aggregates get
+        # withWatermark(ts, watermark) so state is evictable (the
+        # reference's window timer flushes play the same role,
+        # flb_sp_window.c). Ignored for batch frames.
+        self.watermark = watermark or "10 minutes"
 
     # -- public API ---------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -245,6 +251,14 @@ class SpEngine:
 
     def _select_aggr(self, df: DataFrame, sel: P.Select, aggs: list[P.Key]) -> DataFrame:
         group_cols = [self._key_col(df, g).alias(g.name) for g in sel.group_by]
+        if df.isStreaming and sel.window:
+            # watermarks require TIMESTAMP (LTZ); NTZ sources convert via
+            # the UTC session zone
+            if dict(df.dtypes).get(self.ts_col) == "timestamp_ntz":
+                df = df.withColumn(
+                    self.ts_col, F.col(self.ts_col).cast("timestamp_ltz")
+                )
+            df = df.withWatermark(self.ts_col, self.watermark)
         win = None
         if sel.window:
             size = f"{sel.window.size_sec} seconds"

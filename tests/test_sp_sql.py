@@ -249,3 +249,44 @@ def test_snapshot_time_and_count_ring(engine):
     )
     out = engine.execute("FLUSH SNAPSHOT ringc;")
     assert sorted(r.id for r in out.collect()) == [3, 4]
+
+
+def test_sp_tumbling_on_stream_matches_batch(spark, sf_dir, tmp_path):
+    """SP SQL over a STREAMING source: TUMBLING window + GROUP BY with
+    a watermark produces exactly the batch answer once drained."""
+    from fluent_bit_spark.sp import SpEngine
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    events.coalesce(2).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM STREAM:events "
+        "WINDOW TUMBLING (1 HOUR) GROUP BY event_type;"
+    )
+    seng = SpEngine(spark, {"events": stream}, watermark="2 hours")
+    out = seng.execute(sql)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sp_stream_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.window_start): r.n
+            for r in spark.sql("SELECT * FROM sp_stream_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    beng = SpEngine(spark, {"events": events})
+    want = {
+        (r.event_type, r.window_start): r.n for r in beng.execute(sql).collect()
+    }
+    assert got == want
