@@ -324,6 +324,46 @@ class ConfigPipeline:
                 rate=float(s.get("Rate", "1")),
                 window_seconds=int(s.get("Window", "5")),
             )
+        if name == "throttle_size":
+            return FL.throttle_size(
+                df,
+                key=s.get("Name_field", "tag"),
+                byte_limit=int(s.get("Rate", "1024")),
+                window_seconds=int(s.get("Window", "5")),
+                size_col=s.get("Log_field", "log"),
+            )
+        if name == "alter_size":
+            return FL.alter_size(df, remove=int(s.get("Remove", "0")))
+        if name in ("geoip2", "apm_geoip"):
+            # range lookup over a csv table: Ranges_file with lo,hi,field=value
+            import csv as _csv
+
+            from fluent_bit_spark.operators.enrich import range_lookup_enrich
+
+            rows = []
+            with open(s.get("Ranges_file")) as f:
+                for lo, hi, field, value in _csv.reader(f):
+                    rows.append((float(lo), float(hi), value))
+                    out_field = field
+            ranges = df.sparkSession.createDataFrame(rows, ["lo", "hi", out_field])
+            return range_lookup_enrich(
+                df, ranges, s.get("Lookup_key", "value"),
+                defaults={out_field: s.get("Default", "unknown")},
+            )
+        if name in ("apm_ldap", "lookup"):
+            # broadcast lookup: Lookup_file csv of key,value pairs
+            import csv as _csv
+
+            from fluent_bit_spark.operators.enrich import lookup_enrich
+
+            with open(s.get("Lookup_file")) as f:
+                rows = [tuple(r) for r in _csv.reader(f)]
+            out_field = s.get("Record_key", "looked_up")
+            dim = df.sparkSession.createDataFrame(rows, ["_k", out_field])
+            return lookup_enrich(
+                df, dim, key=s.get("Match_key", "tag"), dim_key="_k",
+                defaults={out_field: s.get("Default")} if s.get("Default") else None,
+            )
         if name == "rewrite_tag":
             rules = []
             for v in s.get_all("Rule"):
@@ -428,6 +468,50 @@ class ConfigPipeline:
                         )
                     else:
                         SK.write_sink(slice_df, path, fmt=fmt)
+                    results[sink_id] = path
+                elif name in ("es", "loki", "splunk", "datadog", "gelf"):
+                    # delivery plugins in batch mode: apply the exact
+                    # envelope transform, land JSON lines at the sink
+                    # path (the network hop is the only thing elided)
+                    from fluent_bit_spark import sinks as SK
+
+                    ts_col = next(
+                        (c for c in ("ts", "time", "event_time") if c in slice_df.columns),
+                        None,
+                    )
+                    msg_col = next(
+                        (c for c in ("text", "log", "message") if c in slice_df.columns),
+                        slice_df.columns[0],
+                    )
+                    if name == "es":
+                        env = SK.es_logstash_index(
+                            slice_df, prefix=s.get("Logstash_Prefix", "logstash"),
+                            ts_col=ts_col,
+                        )
+                    elif name == "loki":
+                        env = SK.loki_labels(
+                            slice_df,
+                            label_cols=[
+                                c for c in (s.get("Labels", "tag")).split(",")
+                                if c in slice_df.columns
+                            ],
+                            remove_keys=(s.get("Remove_keys") or "").split(",") or None,
+                        )
+                    elif name == "splunk":
+                        env = SK.splunk_hec_transform(slice_df, ts_col=ts_col)
+                    elif name == "datadog":
+                        env = SK.datadog_transform(
+                            slice_df, message_col=msg_col, ts_col=ts_col
+                        )
+                    else:
+                        env = SK.gelf_transform(
+                            slice_df,
+                            host_col=s.get("Gelf_Host_Key", "tag"),
+                            short_message_col=msg_col,
+                            ts_col=ts_col,
+                        )
+                    path = f"{output_base}/{sink_id}"
+                    SK.write_sink(SK.to_json_lines(env), path, fmt="text")
                     results[sink_id] = path
                 else:
                     raise ConfigError(f"unsupported output plugin {name!r}")

@@ -224,3 +224,102 @@ def test_parsers_conf_named_parser(spark):
     rows = res["stdout_0"]
     assert len(rows) == 4
     assert rows[0].host == "1.2.3.4" and rows[0].code == 500 and "log" not in rows[0].asDict()
+
+
+def test_config_lookup_filter_and_es_output(spark, tmp_path):
+    lk = tmp_path / "lk.csv"
+    lk.write_text("app.a,team-a\napp.b,team-b\n")
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"message": "hi"}}
+    Samples 3
+    Tag app.a
+[FILTER]
+    Name lookup
+    Match *
+    Lookup_file {lk}
+    Match_key tag
+    Record_key team
+    Default unknown
+[OUTPUT]
+    Name es
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    lines = [r.value for r in spark.read.text(res["es_0"]).collect()]
+    assert len(lines) == 3
+    assert all('"_index":"logstash-2024.01.01"' in ln for ln in lines)
+    assert all('"team":"team-a"' in ln for ln in lines)
+
+
+def test_config_throttle_size_and_datadog(spark, tmp_path):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "xxxxxxxxxx"}
+    Samples 5
+    Tag app.a
+[FILTER]
+    Name throttle_size
+    Match *
+    Name_field tag
+    Log_field message
+    Rate 25
+    Window 3600
+[OUTPUT]
+    Name datadog
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    lines = [r.value for r in spark.read.text(res["datadog_0"]).collect()]
+    # 10 bytes/record, 25-byte budget per hour window -> first 2 kept
+    assert len(lines) == 2
+    assert all('"service":"fluent-bit-spark"' in ln for ln in lines)
+
+
+def test_config_alter_size_and_gelf(spark, tmp_path):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "boom"}
+    Samples 5
+    Tag app.a
+[FILTER]
+    Name alter_size
+    Match *
+    Remove 2
+[OUTPUT]
+    Name gelf
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    lines = [r.value for r in spark.read.text(res["gelf_0"]).collect()]
+    assert len(lines) == 3
+    assert all('"version":"1.1"' in ln and '"short_message":"boom"' in ln for ln in lines)
+
+
+def test_config_geoip_range_and_loki(spark, tmp_path):
+    rf = tmp_path / "ranges.csv"
+    rf.write_text("0,100,tier,low\n100,1000,tier,high\n")
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"message": "m", "score": 42}}
+    Samples 2
+    Tag app.a
+[FILTER]
+    Name geoip2
+    Match *
+    Ranges_file {rf}
+    Lookup_key score
+    Default unknown
+[OUTPUT]
+    Name loki
+    Match *
+    Labels tag,tier
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    lines = [r.value for r in spark.read.text(res["loki_0"]).collect()]
+    assert len(lines) == 2
+    assert all('"tier":"low"' in ln for ln in lines)
