@@ -340,11 +340,22 @@ class ConfigPipeline:
 
             from fluent_bit_spark.operators.enrich import range_lookup_enrich
 
-            rows = []
-            with open(s.get("Ranges_file")) as f:
-                for lo, hi, field, value in _csv.reader(f):
+            rows, out_field = [], None
+            path = s.get("Ranges_file")
+            with open(path) as f:
+                for lineno, rec in enumerate(_csv.reader(f), start=1):
+                    if not rec or all(not c.strip() for c in rec):
+                        continue  # blank/whitespace line
+                    if len(rec) != 4:
+                        raise ConfigError(
+                            f"{path}:{lineno}: expected lo,hi,field,value "
+                            f"(got {len(rec)} columns)"
+                        )
+                    lo, hi, field, value = rec
                     rows.append((float(lo), float(hi), value))
                     out_field = field
+            if not rows:
+                raise ConfigError(f"Ranges_file {path!r} has no range rows")
             ranges = df.sparkSession.createDataFrame(rows, ["lo", "hi", out_field])
             return range_lookup_enrich(
                 df, ranges, s.get("Lookup_key", "value"),
@@ -479,6 +490,11 @@ class ConfigPipeline:
                         (c for c in ("ts", "time", "event_time") if c in slice_df.columns),
                         None,
                     )
+                    if ts_col is None and name != "loki":
+                        raise ConfigError(
+                            f"output {name!r} needs a timestamp column "
+                            "(ts/time/event_time) in the routed records"
+                        )
                     msg_col = next(
                         (c for c in ("text", "log", "message") if c in slice_df.columns),
                         slice_df.columns[0],

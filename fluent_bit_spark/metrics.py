@@ -54,8 +54,17 @@ class PipelineMetrics:
 
     @staticmethod
     def _observed(obs: Observation) -> dict:
-        # non-blocking: empty dict until the observed action completes
-        if obs._jo is None or obs._jo.getOrEmpty().isEmpty():
+        # non-blocking: empty dict until the observed action completes.
+        # `_jo`/`getOrEmpty` are classic-session internals; under Spark
+        # Connect (no _jo) or across version drift we report
+        # not-yet-observed rather than crash snapshot().
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return {}
+        try:
+            if jo.getOrEmpty().isEmpty():
+                return {}
+        except Exception:
             return {}
         return obs.get
 

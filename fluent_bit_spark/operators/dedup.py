@@ -86,6 +86,42 @@ def md5_32(s: Column, offset: int = 1) -> Column:
     return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long")
 
 
+# frames persisted inside operators (self-joins consume them twice);
+# call release_persisted() after materializing results to free storage
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def release_persisted() -> None:
+    """Unpersist every signature/shingle frame cached by the dedup
+    operators in this session (they are unreachable to callers
+    otherwise; long-lived sessions running many dedup queries should
+    call this between jobs)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across the cluster when the input
+    arrives in few partitions (single parquet file, createDataFrame),
+    WITHOUT collapsing an already well-partitioned large input: the
+    file count is a no-job partitioning hint — a source with at least
+    defaultParallelism files keeps its native partitioning."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        hint = len(df.inputFiles())
+    except Exception:
+        hint = 0
+    return df.repartition(par) if hint < par else df
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -152,15 +188,17 @@ def minhash_candidates(
     (`rows` longs as text)."""
     rows = num_perm // bands
     # signature computation is CPU-heavy per row; spread it across the
-    # cluster even when the source arrives in few partitions
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # cluster even when the source arrives in few partitions.
+    df = _spread(df)
     # persist: the self-join consumes the signatures TWICE (both join
     # sides) and Spark has no common-subplan sharing across them — at
     # any scale you compute signatures once, not per side
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm).alias("sig"),
-    ).persist()
+    sig = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_perm).alias("sig"),
+        )
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -205,13 +243,11 @@ def minhash_dedup_pairs(
     # gets its own spread (separate lineage, one exchange each)
     cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
     # persisted: joined twice below (id_a and id_b sides)
-    docs = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
+    docs = _persist(
+        _spread(df).select(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col), shingle_k).alias("sh"),
         )
-        .persist()
     )
     return (
         cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -333,11 +369,11 @@ def simhash_near_dup_pairs(
     nbands = max(2, max_hamming + 1)
     width = SIMHASH_BITS // nbands
     mask = (1 << width) - 1
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     # persisted: the banded self-join consumes signatures on both sides
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col).alias("sh")
-    ).persist()
+    sigs = _persist(
+        df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    )
     banded = sigs.select(
         "id",
         "sh",
@@ -384,11 +420,13 @@ def jaccard_pairs_blocked(
     """Exact token-set Jaccard for all pairs sharing a blocking key.
     O(block^2) — for bounded blocks / oracle checking."""
     # persisted: tokenization feeds both sides of the block self-join
-    docs = df.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id"),
-        F.array_distinct(tokens_col(F.col(text_col))).alias("tok"),
-    ).persist()
+    docs = _persist(
+        df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens_col(F.col(text_col))).alias("tok"),
+        )
+    )
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])

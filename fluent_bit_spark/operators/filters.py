@@ -376,9 +376,16 @@ def throttle_size(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # coalesce both sides: a NULL size_col contributes nothing to the
+    # running sums, and the row itself must NOT be pre-dropped (the
+    # global stage keeps it whenever the preceding bytes fit)
     df = (
         df.withColumn("_pbytes", F.sum(F.length(size_col)).over(pre))
-        .filter(F.col("_pbytes") - F.length(size_col) <= byte_limit)
+        .filter(
+            F.coalesce(F.col("_pbytes"), F.lit(0))
+            - F.coalesce(F.length(size_col), F.lit(0))
+            <= byte_limit
+        )
         .drop("_pbytes")
     )
     w = (

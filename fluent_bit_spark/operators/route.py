@@ -74,12 +74,15 @@ def rewrite_tag(df: DataFrame, rules: list[RewriteRule], passes: int = 1) -> Dat
         replace_expr = F.col("tag")
         copies = []
         for rule in rules:
-            eff = rule.condition & ~prior
+            # NULL-valued conditions are non-matches (a NULL folded into
+            # `prior` would otherwise poison ~prior for all later rules)
+            cond = F.coalesce(rule.condition, F.lit(False))
+            eff = cond & ~prior
             if rule.keep:
                 copies.append(df.filter(eff).withColumn("tag", rule.new_tag))
             else:
                 replace_expr = F.when(eff, rule.new_tag).otherwise(replace_expr)
-            prior = prior | rule.condition
+            prior = prior | cond
         df = df.withColumn("tag", replace_expr)
         for c in copies:
             df = df.unionByName(c)

@@ -233,14 +233,16 @@ def embedding_near_dup_pairs(
     exact cosine verification (cosine >= threshold, id_a < id_b)."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
+    from fluent_bit_spark.operators.dedup import _persist
+
     planes = _planes(dim, nbits)
-    # persisted: the bucket self-join consumes signatures on both sides
-    v = (
+    # persisted (shared registry with dedup; release via
+    # dedup.release_persisted): the bucket self-join consumes
+    # signatures on both sides
+    v = _persist(
         vectors.select(
             F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("vv")
-        )
-        .withColumn("sig", hyperplane_signature(F.col("vv"), planes))
-        .persist()
+        ).withColumn("sig", hyperplane_signature(F.col("vv"), planes))
     )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -150,7 +150,18 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark runtime is on the classpath."""
+    """True when the Iceberg Spark runtime is on the classpath.
+
+    Resolves through Spark's DataSource registry first so jars added
+    via --packages/spark.jars (MutableURLClassLoader, invisible to the
+    system classloader) are found."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "iceberg", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        pass
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
         return True

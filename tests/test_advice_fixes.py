@@ -172,3 +172,110 @@ def test_decode_field_json_merge_prefix(spark):
     df = spark.createDataFrame([('{"a": 7}',)], ["log"])
     out = decode_field_json(df, "log", "a BIGINT", prefix="dec_")
     assert out.collect()[0].dec_a == 7 and "log" in out.columns
+
+
+# --- round-2 code-review regressions ----------------------------------------
+
+def test_rewrite_tag_null_condition_does_not_poison_later_rules(spark):
+    df = spark.createDataFrame(
+        [("r1", "t1", None)], "id string, tag string, user string"
+    )
+    rules = [
+        RewriteRule(F.col("user").rlike("^z"), F.lit("zed")),  # NULL condition
+        RewriteRule(F.lit(True), F.lit("fallback")),
+    ]
+    got = [(r.id, r.tag) for r in rewrite_tag(df, rules).collect()]
+    assert got == [("r1", "fallback")]
+
+
+def test_throttle_size_null_size_col_not_predropped(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base, 0, "a", "xyz"),
+        (base + dt.timedelta(seconds=1), 1, "a", None),
+        (base + dt.timedelta(seconds=2), 2, "a", "pq"),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "i", "k", "text"])
+    out = FL.throttle_size(
+        df, key="k", byte_limit=100, window_seconds=3600, order_cols=["i"]
+    )
+    assert sorted(r.i for r in out.collect()) == [0, 1, 2]
+
+
+def test_dedup_spread_preserves_many_file_partitioning(spark, tmp_path):
+    """_spread must not collapse a many-file input below its native
+    partitioning (scale safety) while still spreading few-file inputs."""
+    from fluent_bit_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(100).selectExpr("id AS doc_id", "'t x y' AS text")
+    many = tmp_path / "many"
+    docs.repartition(par + 4).write.parquet(str(many))
+    wide = spark.read.parquet(str(many))
+    assert len(_spread(wide).inputFiles()) >= par  # untouched (no repartition op)
+    few = tmp_path / "few"
+    docs.coalesce(1).write.parquet(str(few))
+    narrow = spark.read.parquet(str(few))
+    assert _spread(narrow) is not narrow  # got a repartition
+
+
+def test_release_persisted_unpersists(spark):
+    from fluent_bit_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d") for i in range(10)], ["doc_id", "text"]
+    )
+    D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert D._PERSISTED
+    D.release_persisted()
+    assert not D._PERSISTED
+
+
+def test_config_sink_without_ts_is_config_error(spark):
+    from fluent_bit_spark.config import ConfigError, ConfigPipeline
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "m"}
+    Samples 1
+    Tag a
+[FILTER]
+    Name record_modifier
+    Match *
+    Remove_key ts
+[OUTPUT]
+    Name splunk
+    Match *
+"""
+    with pytest.raises(ConfigError, match="timestamp column"):
+        ConfigPipeline(cfg).run(spark, output_base="/tmp/fbs-nots")
+
+
+def test_config_geoip_bad_ranges_file(spark, tmp_path):
+    from fluent_bit_spark.config import ConfigError, ConfigPipeline
+
+    rf = tmp_path / "bad.csv"
+    rf.write_text("0,100,tier\n")  # 3 columns
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"message": "m", "score": 42}}
+    Samples 1
+    Tag a
+[FILTER]
+    Name geoip2
+    Match *
+    Ranges_file {rf}
+    Lookup_key score
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    with pytest.raises(ConfigError, match="expected lo,hi,field,value"):
+        ConfigPipeline(cfg).run(spark)
+    rf.write_text("")  # empty file
+    with pytest.raises(ConfigError, match="no range rows"):
+        ConfigPipeline(cfg).run(spark)
