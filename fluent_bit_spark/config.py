@@ -249,7 +249,7 @@ class ConfigPipeline:
     def _apply_filter(self, df: DataFrame, s: Section) -> DataFrame:
         name = (s.get("Name") or "").lower()
         match = s.get("Match", "*")
-        pred = F.col("tag").rlike(R.glob_to_regex(match))
+        pred = R.glob_predicate(F.col("tag"), match)
         if match == "*":
             return self._filter_all(df, s, name)
         matched = df.filter(pred)

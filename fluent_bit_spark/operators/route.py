@@ -37,6 +37,22 @@ def glob_to_regex(glob: str) -> str:
     return "^" + ".*".join(parts) + "$"
 
 
+def glob_predicate(tag: Column, glob: str) -> Column:
+    """Match-glob predicate over a tag column. The common shapes
+    ('*', exact, 'prefix.*', '*.suffix') compile to constant/equality/
+    startswith/endswith — far cheaper per row than a regex — with the
+    general multi-star glob falling back to the anchored rlike."""
+    if glob == "*":
+        return F.lit(True)
+    if "*" not in glob:
+        return tag == glob
+    if glob.endswith("*") and "*" not in glob[:-1]:
+        return tag.startswith(glob[:-1])
+    if glob.startswith("*") and "*" not in glob[1:]:
+        return tag.endswith(glob[1:])
+    return tag.rlike(glob_to_regex(glob))
+
+
 def first_match_tag(
     df: DataFrame,
     rules: list[tuple[Column, Column]],
@@ -97,7 +113,7 @@ def route_mask(
     chunks with an empty route mask)."""
     matches = F.array(
         *[
-            F.when(F.col("tag").rlike(glob_to_regex(glob)), F.lit(name))
+            F.when(glob_predicate(F.col("tag"), glob), F.lit(name))
             for name, glob in sinks
         ]
     )

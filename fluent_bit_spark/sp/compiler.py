@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fluent_bit_spark.operators.route import glob_to_regex
+from fluent_bit_spark.operators.route import glob_predicate
 from fluent_bit_spark.sp import parser as P
 
 
@@ -131,7 +131,7 @@ class SpEngine:
         import functools
 
         frames = [
-            df.filter(F.col(self.tag_col).rlike(glob_to_regex(sel.source)))
+            df.filter(glob_predicate(F.col(self.tag_col), sel.source))
             for df in self.streams.values()
             if self.tag_col in df.columns
         ]
