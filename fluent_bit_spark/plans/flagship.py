@@ -113,12 +113,18 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
     columns, and unified columns (`evt_name`, `amount_cents`, `level`)
     feed routing. Adds columns only — `text` is untouched."""
     t = F.col("text")
+    # detection chain: prefix-literal grammars use startswith instead
+    # of a matcher, and the syslog regex is guarded by a one-char
+    # prefix check (codegen && short-circuits); predicates are
+    # logically unchanged. The apache/ltsv regexes stay bare — their
+    # only cheap pre-check would be a full-string contains() scan,
+    # which costs more than the anchored matcher's early failure.
     df = df.withColumn(
         "fmt",
         F.when(t.rlike(r"^\S+ - \S+ \["), F.lit("apache"))
-        .when(t.rlike(r"^level="), F.lit("logfmt"))
-        .when(t.rlike(r"^\{"), F.lit("json"))
-        .when(t.rlike(r"^<\d+>1 "), F.lit("syslog"))
+        .when(t.startswith("level="), F.lit("logfmt"))
+        .when(t.startswith("{"), F.lit("json"))
+        .when(t.startswith("<") & t.rlike(r"^<\d+>1 "), F.lit("syslog"))
         .when(t.rlike(r"^[A-Za-z0-9_]+:[^\t]*\t"), F.lit("ltsv"))
         .otherwise(F.lit("unknown")),
     )
