@@ -605,6 +605,25 @@ def _q_sink_loki(spark, sf_dir):
     return out.select(F.to_json("labels").alias("labels_json"), "line")
 
 
+def _q_doc_sample(spark, sf_dir):
+    """Deterministic content-hash sampling: partition/order-independent
+    ~25% sample keyed on text (identical row set on any re-run)."""
+    from fluent_bit_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "text", 0.25).select("doc_id")
+
+
+def _q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split by id-hash range — disjoint,
+    exhaustive, stable across re-runs and repartitioning."""
+    from fluent_bit_spark.operators.sampling import hash_split
+
+    out = hash_split(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
 def _q_sp_scalars(spark, sf_dir):
     """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
     RECORD_TIME with a deterministic injected clock."""
@@ -706,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_tag_keep": _q_rewrite_tag_keep,
         "sink_splunk": _q_sink_splunk,
         "sink_loki": _q_sink_loki,
+        "doc_sample": _q_doc_sample,
+        "doc_split": _q_doc_split,
         "sp_scalars": _q_sp_scalars,
         "expect_assert": _q_expect,
         "alter_size_drop": _q_alter_size,

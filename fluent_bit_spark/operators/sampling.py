@@ -1,0 +1,72 @@
+"""Deterministic content-addressed sampling and dataset splits.
+
+A 100 TB curation pipeline needs reproducible sampling that does not
+depend on partitioning, row order, executor count, or Spark's RNG:
+the decision for a row must be a pure function of the row's key. Both
+operators hash with the cross-engine md5 slice (operators/dedup.md5_32)
+so the DuckDB oracle reproduces the exact same row sets, and a re-run
+over re-partitioned data selects identical rows (resume/idempotence).
+
+- hash_sample: keep a deterministic ~rate fraction keyed on any column
+  (content hash for dedup-stable sampling, id for uniform).
+- hash_split: assign train/val/test (or arbitrary named buckets) by
+  hash range — disjoint, exhaustive, stable under re-runs.
+
+Scale shape: both are pure map-side projections/filters (no shuffle,
+no state); they compose with scans so Catalyst pushes surviving-column
+pruning into the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.dedup import md5_32
+
+# hash domain: md5_32 is uniform on [0, 2^32)
+_DOMAIN = 1 << 32
+
+
+def hash_bucket(key: Column, buckets: int = _DOMAIN, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from the key's content."""
+    return md5_32(F.concat(key.cast("string"), F.lit(salt))) % F.lit(buckets)
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose content hash falls below `rate` of the domain —
+    a deterministic, partition-independent ~rate sample."""
+    threshold = int(rate * _DOMAIN)
+    return df.filter(hash_bucket(F.col(key), salt=salt) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Label every row with a named split by hash range. `splits` maps
+    name -> fraction; fractions must sum to 1 (the last split absorbs
+    rounding). Disjoint and exhaustive by construction."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    h = hash_bucket(F.col(key), salt=salt)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        bound = int(acc * _DOMAIN)
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = expr.otherwise(last) if expr is not None else last
+    return df.withColumn(out, expr)

@@ -37,6 +37,27 @@ def _md5_32_sql(expr: str, offset: int = 1) -> str:
     return f"(('0x' || substr(md5({expr}),{offset},8))::BIGINT)"
 
 
+def _sample_split_sql() -> dict[str, str]:
+    """Oracles for the deterministic hash sampling/split operators —
+    thresholds computed with the SAME Python float arithmetic the
+    operator uses, so boundary rows agree exactly."""
+    domain = 1 << 32
+    sample_thr = int(0.25 * domain)
+    b_train = int(0.8 * domain)
+    b_val = int((0.8 + 0.1) * domain)
+    return {
+        "doc_sample": f"""SELECT doc_id FROM documents
+             WHERE ({_md5_32_sql('text')} % {domain}) < {sample_thr}""",
+        "doc_split": f"""SELECT doc_id,
+                    CASE WHEN h < {b_train} THEN 'train'
+                         WHEN h < {b_val} THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                          {_md5_32_sql('CAST(doc_id AS VARCHAR)')} % {domain} AS h
+                   FROM documents)""",
+    }
+
+
 def _minhash_pairs_sql(
     num_perm: int = 64, bands: int = 32, threshold: float = 0.8, k: int = 3
 ) -> str:
@@ -305,6 +326,7 @@ PARSE_COLS = (
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
+        **{k: c + v for k, v in _sample_split_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

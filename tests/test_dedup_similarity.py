@@ -263,3 +263,43 @@ def test_fingerprint_md5_normalization(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     fps = {r.doc_id: r.fp for r in df.select("doc_id", TA.fingerprint_md5(F.col("text")).alias("fp")).collect()}
     assert fps[0] == fps[1] != fps[2]
+
+
+# --- deterministic sampling / splits ----------------------------------------
+
+def test_hash_sample_partition_invariant(spark, docs):
+    from fluent_bit_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(docs, "text", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "text", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # roughly the requested rate (binomial tolerance)
+    assert abs(len(a) / docs.count() - 0.3) < 0.1
+
+
+def test_hash_split_disjoint_exhaustive(spark, docs):
+    from fluent_bit_spark.operators.sampling import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("val", 0)
+    # stable across re-runs / repartitioning
+    again = hash_split(
+        docs.repartition(5), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_fractions_validated(spark, docs):
+    from fluent_bit_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
