@@ -127,16 +127,24 @@ def run_default() -> None:
     source = build_source(spark).persist()
     rows = source.count()  # materialize once; also warms the JVM
 
+    from fluent_bit_spark.operators.dedup import release_persisted
+
     queries = bench_queries(spark, source)
     # warmup pass: codegen, broadcast build, python-worker pool spin-up
     for fn in queries.values():
         _force(fn())
+    # drop warmup's operator-internal caches so timed dedup runs pay
+    # their real signature cost (cache reuse would flatter them)
+    release_persisted()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
+        if name.startswith("dedup"):
+            # free the operator-internal signature caches between stages
+            release_persisted()
 
     e2e = timings["pipeline_e2e"]
     print(

@@ -342,6 +342,8 @@ class ConfigPipeline:
 
             rows, out_field = [], None
             path = s.get("Ranges_file")
+            if not path:
+                raise ConfigError("geoip2 filter needs a Ranges_file")
             with open(path) as f:
                 for lineno, rec in enumerate(_csv.reader(f), start=1):
                     if not rec or all(not c.strip() for c in rec):
@@ -352,7 +354,12 @@ class ConfigPipeline:
                             f"(got {len(rec)} columns)"
                         )
                     lo, hi, field, value = rec
-                    rows.append((float(lo), float(hi), value))
+                    try:
+                        rows.append((float(lo), float(hi), value))
+                    except ValueError as e:
+                        raise ConfigError(
+                            f"{path}:{lineno}: non-numeric range bound: {e}"
+                        ) from None
                     out_field = field
             if not rows:
                 raise ConfigError(f"Ranges_file {path!r} has no range rows")
@@ -367,8 +374,22 @@ class ConfigPipeline:
 
             from fluent_bit_spark.operators.enrich import lookup_enrich
 
-            with open(s.get("Lookup_file")) as f:
-                rows = [tuple(r) for r in _csv.reader(f)]
+            path = s.get("Lookup_file")
+            if not path:
+                raise ConfigError("lookup filter needs a Lookup_file")
+            rows = []
+            with open(path) as f:
+                for lineno, rec in enumerate(_csv.reader(f), start=1):
+                    if not rec or all(not c.strip() for c in rec):
+                        continue
+                    if len(rec) != 2:
+                        raise ConfigError(
+                            f"{path}:{lineno}: expected key,value "
+                            f"(got {len(rec)} columns)"
+                        )
+                    rows.append(tuple(rec))
+            if not rows:
+                raise ConfigError(f"Lookup_file {path!r} has no rows")
             out_field = s.get("Record_key", "looked_up")
             dim = df.sparkSession.createDataFrame(rows, ["_k", out_field])
             return lookup_enrich(
@@ -497,21 +518,31 @@ class ConfigPipeline:
                         )
                     msg_col = next(
                         (c for c in ("text", "log", "message") if c in slice_df.columns),
-                        slice_df.columns[0],
+                        None,
                     )
+                    if msg_col is None and name in ("datadog", "gelf"):
+                        raise ConfigError(
+                            f"output {name!r} needs a message column "
+                            "(text/log/message) in the routed records"
+                        )
                     if name == "es":
                         env = SK.es_logstash_index(
                             slice_df, prefix=s.get("Logstash_Prefix", "logstash"),
                             ts_col=ts_col,
                         )
                     elif name == "loki":
+                        remove = [
+                            k.strip()
+                            for k in (s.get("Remove_keys") or "").split(",")
+                            if k.strip()
+                        ]
                         env = SK.loki_labels(
                             slice_df,
                             label_cols=[
-                                c for c in (s.get("Labels", "tag")).split(",")
-                                if c in slice_df.columns
+                                c.strip() for c in (s.get("Labels", "tag")).split(",")
+                                if c.strip() in slice_df.columns
                             ],
-                            remove_keys=(s.get("Remove_keys") or "").split(",") or None,
+                            remove_keys=remove or None,
                         )
                     elif name == "splunk":
                         env = SK.splunk_hec_transform(slice_df, ts_col=ts_col)

@@ -108,12 +108,16 @@ def release_persisted() -> None:
             pass
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
     """Spread CPU-heavy per-row work across the cluster when the input
     arrives in few partitions (single parquet file, createDataFrame),
     WITHOUT collapsing an already well-partitioned large input: the
     file count is a no-job partitioning hint — a source with at least
-    defaultParallelism files keeps its native partitioning."""
+    defaultParallelism files keeps its native partitioning. The hint
+    sees leaf scan files only, so callers that repartitioned explicitly
+    should pass spread=False to keep their layout."""
+    if not spread:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         hint = len(df.inputFiles())
@@ -178,6 +182,7 @@ def minhash_candidates(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
+    spread: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): equal band slice of the
     signature => candidate. Returns distinct pairs.
@@ -189,7 +194,7 @@ def minhash_candidates(
     rows = num_perm // bands
     # signature computation is CPU-heavy per row; spread it across the
     # cluster even when the source arrives in few partitions.
-    df = _spread(df)
+    df = _spread(df, spread)
     # persist: the self-join consumes the signatures TWICE (both join
     # sides) and Spark has no common-subplan sharing across them — at
     # any scale you compute signatures once, not per side
@@ -237,14 +242,15 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
     # candidates repartition internally; the shingle-verification side
     # gets its own spread (separate lineage, one exchange each)
-    cands = minhash_candidates(df, text_col, id_col, num_perm, bands)
+    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, spread)
     # persisted: joined twice below (id_a and id_b sides)
     docs = _persist(
-        _spread(df).select(
+        _spread(df, spread).select(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col), shingle_k).alias("sh"),
         )
@@ -359,7 +365,11 @@ def simhash_col(text_col: str = "text") -> Column:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Banded simhash join + exact Hamming verification. Band count =
     max_hamming+1 (pigeonhole: <=max_hamming differing bits cannot touch
@@ -369,7 +379,7 @@ def simhash_near_dup_pairs(
     nbands = max(2, max_hamming + 1)
     width = SIMHASH_BITS // nbands
     mask = (1 << width) - 1
-    df = _spread(df)
+    df = _spread(df, spread)
     # persisted: the banded self-join consumes signatures on both sides
     sigs = _persist(
         df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))

@@ -393,7 +393,10 @@ def throttle_size(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.length(size_col)).over(w)
+    # coalesce: a (key, window) whose prefix is all NULL-sized rows has
+    # running = NULL (SUM of zero non-null inputs); those rows consume
+    # no budget and must pass
+    running = F.coalesce(F.sum(F.length(size_col)).over(w), F.lit(0))
     return df.withColumn("_bytes", running).filter(F.col("_bytes") <= byte_limit).drop("_bytes")
 
 

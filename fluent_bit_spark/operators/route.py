@@ -43,7 +43,9 @@ def glob_predicate(tag: Column, glob: str) -> Column:
     startswith/endswith — far cheaper per row than a regex — with the
     general multi-star glob falling back to the anchored rlike."""
     if glob == "*":
-        return F.lit(True)
+        # NOT lit(True): a NULL tag must match nothing, exactly like the
+        # rlike/startswith forms (which return NULL on NULL input)
+        return tag.isNotNull()
     if "*" not in glob:
         return tag == glob
     if glob.endswith("*") and "*" not in glob[:-1]:

@@ -38,6 +38,8 @@ def hash_sample(
 ) -> DataFrame:
     """Keep rows whose content hash falls below `rate` of the domain —
     a deterministic, partition-independent ~rate sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1] (got {rate})")
     threshold = int(rate * _DOMAIN)
     return df.filter(hash_bucket(F.col(key), salt=salt) < F.lit(threshold))
 

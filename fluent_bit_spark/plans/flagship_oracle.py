@@ -500,10 +500,10 @@ def oracle_queries() -> dict[str, str]:
         "throttle_size": c
         + """SELECT conv_id, turn_idx, role FROM (
                SELECT conv_id, turn_idx, role,
-                      SUM(length(text)) OVER (
+                      COALESCE(SUM(length(text)) OVER (
                         PARTITION BY role, date_trunc('hour', ts)
                         ORDER BY ts, conv_id, turn_idx
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS running
                FROM transcripts)
              WHERE running <= 300""",
         "dedup_clusters": c
