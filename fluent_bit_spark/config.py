@@ -249,9 +249,11 @@ class ConfigPipeline:
     def _apply_filter(self, df: DataFrame, s: Section) -> DataFrame:
         name = (s.get("Name") or "").lower()
         match = s.get("Match", "*")
-        pred = R.glob_predicate(F.col("tag"), match)
+        pred = F.coalesce(R.glob_predicate(F.col("tag"), match), F.lit(False))
         if match == "*":
             return self._filter_all(df, s, name)
+        # coalesced pred: NULL-tag records are non-matches that must PASS
+        # THROUGH untouched (filter(~NULL) would silently drop them)
         matched = df.filter(pred)
         rest = df.filter(~pred)
         out = self._filter_all(matched, s, name)
@@ -401,10 +403,18 @@ class ConfigPipeline:
             for v in s.get_all("Rule"):
                 fld, pattern, new_tag, keep = v.split(None, 3)
                 fld = fld.lstrip("$")
+                # $TAG resolves to the routing tag; a missing record key
+                # is a non-match, never an analysis error
+                if fld == "TAG":
+                    src = F.col("tag")
+                elif fld in df.columns:
+                    src = F.col(fld)
+                else:
+                    src = F.lit(None)
                 rules.append(
                     R.RewriteRule(
                         condition=F.coalesce(
-                            F.col(fld).cast("string").rlike(pattern), F.lit(False)
+                            src.cast("string").rlike(pattern), F.lit(False)
                         ),
                         new_tag=F.lit(new_tag),
                         keep=keep.lower() == "true",

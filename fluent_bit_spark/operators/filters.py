@@ -58,7 +58,9 @@ def grep(df: DataFrame, rules: list[tuple[str, str, str]]) -> DataFrame:
     {'regex','exclude'}. First decisive rule wins (see module doc)."""
     keep: Column = F.lit(True)  # fall-through
     for action, field, pattern in reversed(rules):
-        m = F.coalesce(F.col(field).cast("string").rlike(pattern), F.lit(False))
+        # missing field = non-match (module doc), never an analysis error
+        src = F.col(field) if field in df.columns else F.lit(None)
+        m = F.coalesce(src.cast("string").rlike(pattern), F.lit(False))
         if action == "regex":
             keep = m  # decisive either way; earlier rules may still override
         elif action == "exclude":
@@ -208,15 +210,18 @@ def modify(
                     ),
                 )
         elif r.op in ("remove_wildcard", "remove_regex"):
-            pat = (
-                re.compile(fnmatch.translate(r.a))
-                if r.op == "remove_wildcard"
-                else re.compile(r.a)
-            )
+            # wildcard = whole-name glob (fnmatchcase); translate()+search
+            # would also hit suffix-aligned substrings ('user*' matching
+            # 'session_user'). regex keeps substring-search semantics.
+            if r.op == "remove_wildcard":
+                matches = lambda c: fnmatch.fnmatchcase(c, r.a)  # noqa: E731
+            else:
+                rx = re.compile(r.a)
+                matches = lambda c: rx.search(c)  # noqa: E731
             for c in cols:
                 if c == "__modify_cond":
                     continue
-                if pat.search(c):
+                if matches(c):
                     df = df.withColumn(
                         c,
                         F.when(cond, F.lit(None).cast(df.schema[c].dataType)).otherwise(
@@ -429,7 +434,9 @@ def expect(
             ok = c.cast("string") == F.lit(value)
         else:
             raise ValueError(f"unknown expect check {check!r}")
-        checks[f"{check}:{key}"] = ok
+        # NULL verdicts (NULL value / absent column in key_val_eq) are
+        # violations, not silent passes
+        checks[f"{check}:{key}"] = F.coalesce(ok, F.lit(False))
     agg = df.agg(
         *[F.sum(F.when(~ok, 1).otherwise(0)).alias(name) for name, ok in checks.items()]
     )
@@ -473,8 +480,13 @@ def record_function(
     drop, modify, or split records — expressed as an Arrow-batched
     `mapInPandas` (never per-row Python). `fn` receives and returns a
     pandas DataFrame; the returned frame may have any number of rows.
-    Output schema defaults to the input schema."""
-    out_schema = schema or df.schema
+    Output schema defaults to the input schema with every field made
+    nullable — the function may legally introduce NULLs, and a
+    non-nullable inherited field would crash codegen (NPE in
+    UnsafeWriter) instead of erroring usefully."""
+    out_schema = schema or T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -203,9 +203,36 @@ def json_parser(
     return df.drop("_j")
 
 
+def _map_last_wins(keys: Column, vals: Column) -> Column:
+    """map_from_arrays that tolerates duplicate keys by keeping the
+    LAST occurrence (Spark's default dedup policy is EXCEPTION, which
+    would kill the job on one bad log line)."""
+    n = F.size(keys)
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    keep = F.filter(
+        idx,
+        lambda i: ~F.array_contains(
+            F.slice(keys, i + F.lit(2), n), F.element_at(keys, i + F.lit(1))
+        ),
+    )
+    built = F.map_from_arrays(
+        F.transform(keep, lambda i: F.element_at(keys, i + F.lit(1))),
+        F.transform(keep, lambda i: F.element_at(vals, i + F.lit(1))),
+    )
+    # sequence(0, -1) would be descending; guard the empty case
+    return F.when(n > 0, built).otherwise(
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    )
+
+
 def ltsv_parser(df: DataFrame, source: str = "text", out: str = "ltsv") -> DataFrame:
-    """LTSV `k:v<TAB>...` -> MapType column (src/flb_parser_ltsv.c)."""
-    return df.withColumn(out, F.str_to_map(F.col(source), F.lit("\t"), F.lit(":")))
+    """LTSV `k:v<TAB>...` -> MapType column (src/flb_parser_ltsv.c).
+    Duplicate keys keep the last value (str_to_map would throw
+    DUPLICATE_MAP_KEY); values may contain ':'."""
+    pairs = F.filter(F.split(F.col(source), "\t"), lambda p: p.contains(":"))
+    keys = F.transform(pairs, lambda p: F.substring_index(p, ":", 1))
+    vals = F.transform(pairs, lambda p: F.regexp_replace(p, r"^[^:]*:", ""))
+    return df.withColumn(out, _map_last_wins(keys, vals))
 
 
 # logfmt: key=value pairs, value either bare token or double-quoted.
@@ -225,7 +252,8 @@ def logfmt_parser(df: DataFrame, source: str = "text", out: str = "logfmt") -> D
             v.substr(F.lit(2), F.length(v) - F.lit(2)),
         ).otherwise(v),
     )
-    return df.withColumn(out, F.map_from_arrays(keys, unquoted))
+    # last occurrence wins on duplicate keys (no DUPLICATE_MAP_KEY crash)
+    return df.withColumn(out, _map_last_wins(keys, unquoted))
 
 
 def decode_field_as_json(

@@ -119,8 +119,11 @@ def lsh_topk(
     probe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature; candidates
-    share the query's bucket or any 1-bit-flipped bucket (multi-probe);
-    exact cosine within candidates."""
+    share the query's bucket or any bucket within `probe_bits` bit
+    flips (multi-probe widens recall at C(nbits, <=probe_bits) probes
+    per query); exact cosine within candidates."""
+    import itertools
+
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _planes(dim, nbits)
@@ -131,10 +134,16 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
     ).withColumn("sig0", hyperplane_signature(F.col("_qv"), planes))
-    # multi-probe: original signature + each 1-bit flip
-    probes = [F.col("sig0")]
-    if probe_bits >= 1:
-        probes += [F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(nbits)]
+    # multi-probe: original signature + every bucket within probe_bits
+    # bit flips (all masks of popcount 1..probe_bits)
+    masks = [
+        sum(1 << i for i in combo)
+        for r in range(1, max(0, probe_bits) + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+    probes = [F.col("sig0")] + [
+        F.col("sig0").bitwiseXOR(F.lit(m)) for m in masks
+    ]
     q = q.withColumn("sig", F.explode(F.array(*probes)))
     scored = v.join(F.broadcast(q), "sig").withColumn(
         "cosine", cosine_col(F.col("_vv"), F.col("_qv"))

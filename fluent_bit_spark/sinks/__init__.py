@@ -84,7 +84,14 @@ def to_template_lines(df: DataFrame, template: str, time_col: str = "ts") -> Dat
             parts.append(F.lit(template[pos : m.start()]))
         var = m.group(1)
         if var == "time":
-            parts.append(F.date_format(F.col(time_col), "yyyy-MM-dd HH:mm:ss"))
+            # coalesced like every key: a NULL timestamp renders empty
+            # instead of nulling the whole concatenated line
+            parts.append(
+                F.coalesce(
+                    F.date_format(F.col(time_col), "yyyy-MM-dd HH:mm:ss"),
+                    F.lit(""),
+                )
+            )
         elif var in df.columns:
             parts.append(F.coalesce(F.col(var).cast("string"), F.lit("")))
         else:
@@ -92,6 +99,8 @@ def to_template_lines(df: DataFrame, template: str, time_col: str = "ts") -> Dat
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
+    if not parts:  # empty template: concat() with zero args is an error
+        parts = [F.lit("")]
     return df.select(F.concat(*parts).alias("value"))
 
 
@@ -199,13 +208,23 @@ def datadog_transform(
 
 def write_avro(df: DataFrame, path: str) -> bool:
     """Avro encode (src/flb_avro.c) — needs the spark-avro module on
-    the classpath; gated (absent in this image). Returns False when
-    unavailable instead of raising."""
+    the classpath; gated (absent in this image). Returns False ONLY
+    when the avro format itself is unavailable; genuine write failures
+    (bad path, schema error, executor loss) re-raise instead of being
+    swallowed into the same False."""
     try:
         df.write.mode("overwrite").format("avro").save(path)
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        msg = str(e)
+        if (
+            "Failed to find data source" in msg
+            or "FAILED_FIND_DATA_SOURCE" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            return False
+        raise
 
 
 # ---------------------------------------------------------------------------
@@ -267,8 +286,12 @@ def fanout_write(
                 flowcounter(per_sink, ["sink", "tag"]), f"{base_path}/agg_flowcounter"
             )
             counts = routed.sparkSession.read.parquet(f"{base_path}/agg_counter")
-        for r in counts.collect():
-            results[r["sink"]] = {"records": r["records"]}
+        got = {r["sink"]: int(r["records"]) for r in counts.collect()}
+        # every CONFIGURED sink reports, zero-match included (a silent
+        # absence is indistinguishable from a broken Match glob); route
+        # names outside the configuration are not reported
+        for name, _glob in sinks:
+            results[name] = {"records": got.get(name, 0)}
         return results
     finally:
         routed.unpersist()

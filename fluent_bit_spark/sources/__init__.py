@@ -41,7 +41,9 @@ def read_text_lines(
             "file", F.input_file_name()
         )
         # strip a single trailing newline so "a\nb\n" is 2 lines, not 3
-        lines = F.split(F.regexp_replace(F.col("value"), r"\r?\n$", ""), r"\r?\n")
+        # (\z, not $: Java's $ also matches BEFORE a final terminator,
+        # so it would eat two trailing newlines and lose a blank line)
+        lines = F.split(F.regexp_replace(F.col("value"), "\\r?\\n\\z", ""), r"\r?\n")
         return df.select(
             "file", F.posexplode(lines).alias("line_no", "line")
         )

@@ -279,3 +279,137 @@ def test_config_geoip_bad_ranges_file(spark, tmp_path):
     rf.write_text("")  # empty file
     with pytest.raises(ConfigError, match="no range rows"):
         ConfigPipeline(cfg).run(spark)
+
+
+# --- third review round (whole-package audit) --------------------------------
+
+def test_logfmt_ltsv_duplicate_keys_last_wins(spark):
+    from fluent_bit_spark.operators.parse import logfmt_parser, ltsv_parser
+
+    df = spark.createDataFrame([("a=1 a=2 b=3",)], ["text"])
+    m = logfmt_parser(df).collect()[0].logfmt
+    assert m == {"a": "2", "b": "3"}
+    df2 = spark.createDataFrame([("k:1\tk:2\tz:v:with:colons",)], ["text"])
+    m2 = ltsv_parser(df2).collect()[0].ltsv
+    assert m2 == {"k": "2", "z": "v:with:colons"}
+
+
+def test_grep_missing_field_is_nonmatch(spark):
+    df = spark.createDataFrame([("x",)], ["a"])
+    # regex on missing field -> non-match -> drop; exclude -> keep
+    assert FL.grep(df, [("regex", "nope", ".")]).count() == 0
+    assert FL.grep(df, [("exclude", "nope", ".")]).count() == 1
+
+
+def test_remove_wildcard_whole_name_only(spark):
+    df = spark.createDataFrame([("u", "s")], ["user_id", "session_user"])
+    out = FL.modify(df, [FL.ModifyRule("remove_wildcard", "user*")])
+    row = out.collect()[0]
+    assert row.user_id is None and row.session_user == "s"
+
+
+def test_expect_null_value_is_violation(spark):
+    df = spark.createDataFrame([("a", None)], "id string, level string")
+    with pytest.raises(FL.ExpectError):
+        FL.expect(df, [("key_val_eq", "level", "info")], action="exit")
+    with pytest.raises(FL.ExpectError):
+        FL.expect(df, [("key_val_eq", "absent", "x")], action="exit")
+
+
+def test_read_text_lines_preserves_final_blank_line(spark, tmp_path):
+    from fluent_bit_spark.sources import read_text_lines
+
+    p = tmp_path / "f.log"
+    p.write_text("a\nb\n\n")  # ends with a blank line
+    lines = [r.line for r in read_text_lines(spark, str(p)).orderBy("line_no").collect()]
+    assert lines == ["a", "b", ""]
+
+
+def test_template_null_time_renders_empty(spark):
+    from fluent_bit_spark.sinks import to_template_lines
+
+    df = spark.createDataFrame([("c1", None)], "conv_id string, ts timestamp")
+    got = to_template_lines(df, "{time} {conv_id}").collect()[0].value
+    assert got == " c1"
+    # empty template is a valid (empty) line
+    assert to_template_lines(df, "").collect()[0].value == ""
+
+
+def test_fanout_write_reports_zero_match_sinks(spark, tmp_path):
+    from fluent_bit_spark.operators.route import route_mask
+    from fluent_bit_spark.sinks import fanout_write
+
+    sinks = [("s_none", "nothing.*"), ("s_all", "*")]
+    df = spark.createDataFrame([("app.a", 1)], ["tag", "x"])
+    routed = route_mask(df, sinks, drop_unrouted=False)
+    res = fanout_write(routed, sinks, str(tmp_path / "out"), with_aggregates=False)
+    assert res["s_none"] == {"records": 0} and res["s_all"] == {"records": 1}
+
+
+def test_lsh_probe_bits_widen_candidates(spark, sf_dir):
+    from fluent_bit_spark.operators.similarity import lsh_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    c = embs.filter(F.col("vec_id") >= 3)
+    n1 = lsh_topk(c, q, k=50, nbits=6, probe_bits=1).count()
+    n2 = lsh_topk(c, q, k=50, nbits=6, probe_bits=2).count()
+    assert n2 >= n1  # wider probing can only add candidates
+
+
+def test_config_filter_null_tag_passes_through(spark):
+    from fluent_bit_spark.config import ConfigPipeline
+
+    # rewrite_tag with $TAG + a later Match-scoped filter: records whose
+    # tag the lua fn nulls must pass the scoped filter untouched
+    import pandas as pd
+
+    def nuller(b: pd.DataFrame) -> pd.DataFrame:
+        # partition-independent: null exactly the first sample's tag
+        b.loc[b["ts"] == pd.Timestamp("2024-01-01 00:00:00"), "tag"] = None
+        return b
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "m"}
+    Samples 3
+    Tag app.a
+[FILTER]
+    Name lua
+    Match *
+    Call nuller
+[FILTER]
+    Name record_modifier
+    Match app.*
+    Record env prod
+[OUTPUT]
+    Name stdout
+    Match *
+"""
+    res = ConfigPipeline(cfg, lua_functions={"nuller": nuller}).run(spark)
+    rows = res["stdout_0"]
+    # 2 records matched app.* (env=prod); the null-tag record survived
+    # the filter stage untouched but matches no OUTPUT glob at routing
+    assert len(rows) == 2 and all(r.env == "prod" for r in rows)
+
+
+def test_config_rewrite_tag_dollar_tag_rule(spark):
+    from fluent_bit_spark.config import ConfigPipeline
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "m"}
+    Samples 2
+    Tag app.a
+[FILTER]
+    Name rewrite_tag
+    Match *
+    Rule $TAG ^app\\. moved.here false
+[OUTPUT]
+    Name stdout
+    Match moved.*
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    assert len(res["stdout_0"]) == 2
