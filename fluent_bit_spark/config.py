@@ -261,15 +261,14 @@ class ConfigPipeline:
 
     def _filter_all(self, df: DataFrame, s: Section, name: str) -> DataFrame:
         if name == "grep":
-            rules = [("regex", *v.split(None, 1)) for v in s.get_all("Regex")]
-            rules += [("exclude", *v.split(None, 1)) for v in s.get_all("Exclude")]
-            # preserve config order across both keys
+            # rules in config order across both Regex and Exclude keys
+            # (grep.c evaluates its list in declaration order)
             ordered = []
             for k, v in s.entries:
                 if k.lower() in ("regex", "exclude"):
                     f, p = v.split(None, 1)
                     ordered.append((k.lower(), f, p))
-            return FL.grep(df, ordered or rules)
+            return FL.grep(df, ordered)
         if name == "record_modifier":
             return FL.record_modifier(
                 df,

@@ -91,7 +91,8 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
                 F.lit(lang).alias("lang"),
             )
         )
-    # max by (hits, then reversed lang order) => earliest lang wins ties
+    # reverse of ascending (hits, lang) sort => on tied hits the
+    # alphabetically LAST language code wins (the oracle mirrors this)
     best = F.reverse(F.array_sort(F.array(*scores)))[0]
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 

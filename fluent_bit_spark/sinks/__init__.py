@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.aggregate import counter, flowcounter
-from fluent_bit_spark.operators.route import explode_routes
+from fluent_bit_spark.operators.route import explode_routes, fanout
 
 
 # ---------------------------------------------------------------------------
@@ -270,8 +270,7 @@ def fanout_write(
     routed = routed.persist()
     try:
         results: dict[str, dict] = {}
-        for name, _glob in sinks:
-            slice_df = routed.filter(F.array_contains("routes", name))
+        for name, slice_df in fanout(routed, sinks).items():
             write_sink(
                 slice_df.drop("routes"),
                 f"{base_path}/{name}",
