@@ -32,10 +32,10 @@ _quoted = st.from_regex(r'[A-Za-z0-9 _.-]{0,12}', fullmatch=True)
         st.tuples(_key, st.one_of(_bare, _quoted.map(lambda s: f'"{s}"'))),
         min_size=0,
         max_size=6,
-        unique_by=lambda kv: kv[0],
     )
 )
 def test_logfmt_parser_matches_python_oracle(spark, pairs):
+    # duplicate keys allowed: last occurrence wins (dict() keeps last)
     line = " ".join(f"{k}={v}" for k, v in pairs)
     df = spark.createDataFrame([(line,)], ["text"])
     got = logfmt_parser(df).collect()[0]["logfmt"]
@@ -205,3 +205,37 @@ def test_modify_matches_python_oracle(spark, rules, cond, rows):
         want = _py_modify(row, rules, cond)
         want = {k: want.get(k) for k in ("a", "b", "c")}
         assert got[i] == want, f"row {i}: rules={rules} cond={cond} in={row}"
+
+
+# --- glob predicate ≡ anchored-regex form -----------------------------------
+
+_tagchar = st.from_regex(r"[A-Za-z0-9_.*-]{0,12}", fullmatch=True)
+
+
+@SET
+@given(
+    glob=st.from_regex(r"[A-Za-z0-9_.*-]{0,8}", fullmatch=True),
+    tags=st.lists(st.one_of(st.none(), _tagchar), min_size=1, max_size=8),
+)
+def test_glob_predicate_equals_regex_form(spark, glob, tags):
+    """The fast-path predicates (isNotNull/equality/startswith/endswith)
+    must be row-for-row equivalent to the anchored rlike for every glob
+    shape, including NULL tags (which match nothing)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.route import glob_predicate, glob_to_regex
+
+    df = spark.createDataFrame([(t,) for t in tags], "tag string")
+    fast = {
+        r.tag
+        for r in df.filter(
+            F.coalesce(glob_predicate(F.col("tag"), glob), F.lit(False))
+        ).collect()
+    }
+    slow = {
+        r.tag
+        for r in df.filter(
+            F.coalesce(F.col("tag").rlike(glob_to_regex(glob)), F.lit(False))
+        ).collect()
+    }
+    assert fast == slow
