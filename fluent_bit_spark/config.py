@@ -224,7 +224,7 @@ class ConfigPipeline:
                 tag=tag,
             )
         if name == "tail":
-            from fluent_bit_spark.sources import multiline_join, read_text_lines
+            from fluent_bit_spark.sources import multiline_join, read_text_lines, tail_tag
 
             lines = read_text_lines(spark, s.get("Path"))
             first = s.get("Multiline_Firstline")
@@ -232,7 +232,9 @@ class ConfigPipeline:
                 lines = multiline_join(lines, first).withColumnRenamed("text", "log")
             else:
                 lines = lines.withColumnRenamed("line", "log")
-            return lines.withColumn("tag", F.lit(tag)).withColumn(
+            # '*' / <capture> tags expand per file (tail_file.c:426-545)
+            tag_col = tail_tag(tag, F.col("file"), s.get("Tag_Regex"))
+            return lines.withColumn("tag", tag_col).withColumn(
                 "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
             )
         if name == "parquet":

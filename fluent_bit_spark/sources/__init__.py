@@ -20,8 +20,9 @@ what remains worth modeling:
 from __future__ import annotations
 
 import json
+import re
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -54,6 +55,43 @@ def read_text_lines(
         (F.row_number().over(w) - 1).alias("line_no"),
         F.col("value").alias("line"),
     )
+
+
+def tail_tag(tag: str, file_col: Column, tag_regex: str | None = None) -> Column:
+    """in_tail dynamic tag (plugins/in_tail/tail_file.c:426-545):
+
+    - '*' in the tag expands to the file path with '/', '\\', ':'
+      sanitized to '.' (leading separators dropped);
+    - with tag_regex, '<name>' placeholders substitute the named
+      captures the regex extracts from the path; a missing capture
+      renders '_' (the reference's hash-miss fallback)."""
+    if tag_regex:
+        from fluent_bit_spark.operators.parse import _group_indices, _java_pattern
+
+        idx = _group_indices(tag_regex)
+        jpat = _java_pattern(tag_regex)
+        parts: list[Column] = []
+        pos = 0
+        for m in re.finditer(r"<([A-Za-z_][A-Za-z0-9_]*)>", tag):
+            if m.start() > pos:
+                parts.append(F.lit(tag[pos : m.start()]))
+            g = m.group(1)
+            if g in idx:
+                cap = F.regexp_extract(file_col, jpat, idx[g])
+                parts.append(F.when(cap == "", F.lit("_")).otherwise(cap))
+            else:
+                parts.append(F.lit("_"))
+            pos = m.end()
+        if pos < len(tag):
+            parts.append(F.lit(tag[pos:]))
+        return F.concat(*parts) if parts else F.lit(tag)
+    if "*" not in tag:
+        return F.lit(tag)
+    pre, _, suf = tag.partition("*")
+    sanitized = F.regexp_replace(
+        F.regexp_replace(file_col, r"^[/\\:]+", ""), r"[/\\:]", "."
+    )
+    return F.concat(F.lit(pre), sanitized, F.lit(suf))
 
 
 def multiline_join(

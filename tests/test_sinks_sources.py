@@ -157,3 +157,56 @@ def test_splunk_datadog_avro(recs, tmp_path):
     assert dd.timestamp == 1704067200000
     ok = SK.write_avro(recs, str(tmp_path / "avro"))
     assert ok in (True, False)  # gated: no avro module in this image
+
+
+# --- in_tail dynamic tag ------------------------------------------------------
+
+def test_tail_tag_star_expansion(spark, tmp_path):
+    from fluent_bit_spark.sources import read_text_lines, tail_tag
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app.log").write_text("one\n")
+    lines = read_text_lines(spark, str(d / "*.log"))
+    tagged = lines.withColumn("tag", tail_tag("kube.*", F.col("file")))
+    tag = tagged.collect()[0].tag
+    # '*' -> sanitized path ('/'->'.', leading separators dropped)
+    assert tag.startswith("kube.") and tag.endswith(".app.log") and "/" not in tag
+
+
+def test_tail_tag_regex_captures(spark):
+    from fluent_bit_spark.sources import tail_tag
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("/var/log/pods/ns1_pod7/c.log",)], ["file"]
+    )
+    tag = tail_tag(
+        "kube.<ns>.<pod>.<missing>",
+        F.col("file"),
+        tag_regex=r"pods/(?<ns>[a-z0-9]+)_(?<pod>[a-z0-9]+)/",
+    )
+    got = df.select(tag.alias("tag")).collect()[0].tag
+    assert got == "kube.ns1.pod7._"  # missing capture renders '_'
+
+
+def test_config_tail_star_tag_routing(spark, tmp_path):
+    from fluent_bit_spark.config import ConfigPipeline
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("x\ny\n")
+    (d / "b.log").write_text("z\n")
+    cfg = f"""
+[INPUT]
+    Name tail
+    Path {d}/*.log
+    Tag file.*
+[OUTPUT]
+    Name stdout
+    Match *a.log
+"""
+    res = ConfigPipeline(cfg).run(spark)
+    rows = res["stdout_0"]
+    assert len(rows) == 2 and all(r.tag.endswith(".a.log") for r in rows)

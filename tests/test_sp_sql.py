@@ -290,3 +290,61 @@ def test_sp_tumbling_on_stream_matches_batch(spark, sf_dir, tmp_path):
         (r.event_type, r.window_start): r.n for r in beng.execute(sql).collect()
     }
     assert got == want
+
+
+def test_sp_hopping_on_stream_matches_batch(spark, sf_dir, tmp_path):
+    from fluent_bit_spark.sp import SpEngine
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = str(tmp_path / "ev2")
+    events.coalesce(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    sql = (
+        "SELECT COUNT(*) AS n FROM STREAM:events "
+        "WINDOW HOPPING (2 HOUR, ADVANCE BY 1 HOUR);"
+    )
+    out = SpEngine(spark, {"events": stream}, watermark="4 hours").execute(sql)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sp_stream_hopping")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n
+            for r in spark.sql("SELECT * FROM sp_stream_hopping").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.window_start: r.n
+        for r in SpEngine(spark, {"events": events}).execute(sql).collect()
+    }
+    assert got == want
+
+
+def test_sp_create_stream_on_streaming_source(spark, sf_dir, tmp_path):
+    """CREATE STREAM chaining works on a streaming frame: the derived
+    stream stays streaming and carries the tag property."""
+    from fluent_bit_spark.sp import SpEngine
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = str(tmp_path / "ev3")
+    events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    eng = SpEngine(spark, {"events": stream})
+    derived = eng.execute(
+        "CREATE STREAM big WITH (tag='sp.big') AS "
+        "SELECT event_id, value FROM STREAM:events WHERE value >= 100;"
+    )
+    assert derived.isStreaming and "big" in eng.streams
+    q = derived.writeStream.format("memory").queryName("sp_big").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sp_big").collect()
+    finally:
+        q.stop()
+    want = events.filter("value >= 100").count()
+    assert len(rows) == want and all(r.tag == "sp.big" for r in rows)
