@@ -400,6 +400,13 @@ class ConfigPipeline:
                 defaults={out_field: s.get("Default")} if s.get("Default") else None,
             )
         if name == "rewrite_tag":
+            import re as _re
+
+            from fluent_bit_spark.functions.record_accessor import (
+                ra_translate,
+                regex_captures,
+            )
+
             rules = []
             for v in s.get_all("Rule"):
                 fld, pattern, new_tag, keep = v.split(None, 3)
@@ -412,12 +419,20 @@ class ConfigPipeline:
                     src = F.col(fld)
                 else:
                     src = F.lit(None)
+                src = src.cast("string")
+                # new tag is a record-accessor template: $key refs plus
+                # $0..$9 captures from THIS rule's regex
+                # (rewrite_tag.c:287-334)
+                try:
+                    n_groups = _re.compile(pattern).groups
+                except _re.error:  # Java-only syntax: no capture refs
+                    n_groups = 0
+                caps = regex_captures(src, pattern, n_groups)
+                tag_col = ra_translate(df, new_tag, captures=caps)
                 rules.append(
                     R.RewriteRule(
-                        condition=F.coalesce(
-                            src.cast("string").rlike(pattern), F.lit(False)
-                        ),
-                        new_tag=F.lit(new_tag),
+                        condition=F.coalesce(src.rlike(pattern), F.lit(False)),
+                        new_tag=tag_col,
                         keep=keep.lower() == "true",
                     )
                 )

@@ -323,3 +323,32 @@ def test_config_geoip_range_and_loki(spark, tmp_path):
     lines = [r.value for r in spark.read.text(res["loki_0"]).collect()]
     assert len(lines) == 2
     assert all('"tier":"low"' in ln for ln in lines)
+
+
+def test_config_rewrite_tag_captures(spark):
+    """rewrite_tag new-tag templates substitute $0..$9 captures from the
+    rule's regex (rewrite_tag.c capture refs)."""
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "m"}
+    Samples 2
+    Tag app.orders
+[INPUT]
+    Name dummy
+    Dummy {"message": "m"}
+    Samples 1
+    Tag app.users
+[FILTER]
+    Name rewrite_tag
+    Match *
+    Rule $TAG ^app\\.(\\w+)$ moved.$1 false
+[OUTPUT]
+    Name stdout
+    Match moved.*
+"""
+    from fluent_bit_spark.config import ConfigPipeline
+
+    rows = ConfigPipeline(cfg).run(spark)["stdout_0"]
+    tags = sorted(r.tag for r in rows)
+    assert tags == ["moved.orders", "moved.orders", "moved.users"]
