@@ -358,7 +358,7 @@ def _q_ra_template(spark, sf_dir):
 def _q_range_enrich(spark, sf_dir):
     from fluent_bit_spark.operators.enrich import range_lookup_enrich
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     ranges = spark.createDataFrame(
         [(0.0, 50.0, "low"), (50.0, 100.0, "mid"), (100.0, 150.0, "high"),
          (150.0, 1e12, "extreme")],
@@ -737,4 +737,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_spark.plans.flagship_oracle import oracle_queries
 
-    return {k: v for k, v in oracle_queries().items() if k in queries()}
+    qs = queries()
+    return {k: v for k, v in oracle_queries().items() if k in qs}

@@ -35,7 +35,9 @@ def _force(df) -> None:
 def _sf_label(path: str) -> float:
     import re
 
-    m = re.search(r"sf([0-9.]+)", path)
+    # anchored number (a greedy [0-9.]+ would capture 'sf0.1.v2' as
+    # '0.1.' and crash float() after the whole benchmark has run)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", path)
     return float(m.group(1)) if m else 0.0
 
 
@@ -171,16 +173,13 @@ def cpu_ceiling(lo: int = 8, hi: int = 32, n_iter: int = 20_000_000) -> float:
     measures is bounded above by this."""
     import multiprocessing as mp
 
-    def spin(n, q):
+    def spin(n):
         x = 0
-        t0 = time.perf_counter()
         for _ in range(n):
             x = (x * 1103515245 + 12345) % (1 << 31)
-        q.put(time.perf_counter() - t0)
 
     def rate(nproc):
-        q = mp.Queue()
-        ps = [mp.Process(target=spin, args=(n_iter, q)) for _ in range(nproc)]
+        ps = [mp.Process(target=spin, args=(n_iter,)) for _ in range(nproc)]
         t0 = time.perf_counter()
         [p.start() for p in ps]
         [p.join() for p in ps]
@@ -218,9 +217,12 @@ def run_scaling(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
         for lo, hi in pairs
     }
     ceiling = round(cpu_ceiling(), 3)
+    # headline value = the widest pair (largest hi), NOT max(): the best
+    # pair would hide the weaker one from the one-line metric
+    widest = max(pairs, key=lambda p: p[1])
     out = {
         "metric": "scaling efficiency N -> 4N cores",
-        "value": max(effs.values()),
+        "value": effs[f"{widest[0]}->{widest[1]}"],
         "unit": "ratio",
         "per_pair": effs,
         "per_parallelism": results,
@@ -313,10 +315,10 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
 
     work = tempfile.mkdtemp(prefix="fbs-scale-")
     spark = get_spark("fbs-shard-prep", master=f"local[{cores}]", shuffle_partitions=16)
-    source = build_source(spark)
-    source = source.withColumn(
+    # persist: the expensive synthesis plan feeds nshards writes + count
+    source = build_source(spark).withColumn(
         "_shard", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(nshards))
-    )
+    ).persist()
     for i in range(nshards):
         (
             source.filter(F.col("_shard") == i)
@@ -325,6 +327,7 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
             .parquet(f"{work}/shard={i}")
         )
     rows_total = source.count()
+    source.unpersist()
     spark.stop()
 
     shard_dirs = [f"{work}/shard={i}" for i in range(nshards)]
@@ -361,23 +364,35 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
                     stderr=subprocess.DEVNULL,
                 )
             )
-        while not all(os.path.exists(r) for r in readies):
-            time.sleep(0.2)
+        try:
+            while not all(os.path.exists(r) for r in readies):
+                time.sleep(0.2)
+                for p in procs:
+                    if p.poll() not in (None, 0):
+                        raise RuntimeError("scale worker died during warmup")
+            with open(go, "w") as f:
+                f.write("go")
+            rcs = [p.wait() for p in procs]
+            bad = [w for w, rc in enumerate(rcs) if rc != 0]
+            if bad:
+                raise RuntimeError(f"scale workers {bad} exited nonzero: {rcs}")
+            secs = []
+            for out in outs:
+                with open(out) as f:
+                    secs.append(json.load(f)["sec"])
+            return max(secs)
+        finally:
+            # never leave multi-GB JVMs spinning on the go-file barrier
             for p in procs:
-                if p.poll() not in (None, 0):
-                    raise RuntimeError("scale worker died during warmup")
-        with open(go, "w") as f:
-            f.write("go")
-        for p in procs:
-            p.wait()
-        secs = []
-        for out in outs:
-            with open(out) as f:
-                secs.append(json.load(f)["sec"])
-        return max(secs)
+                if p.poll() is None:
+                    p.kill()
 
-    t1 = run_workers([shard_dirs])  # 1 worker, all shards
-    t4 = run_workers([[d] for d in shard_dirs])  # nshards workers, 1 shard each
+    try:
+        t1 = run_workers([shard_dirs])  # 1 worker, all shards
+        t4 = run_workers([[d] for d in shard_dirs])  # nshards workers, 1 shard each
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
     thr1 = rows_total / t1
     thr4 = rows_total / t4
     eff = thr4 / (nshards * thr1)

@@ -34,7 +34,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 if v is None or (isinstance(v, float) and math.isnan(v))
                 else v
             )
-    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    # sort by non-float columns FIRST: a rounded float at a boundary can
+    # differ by 1 ulp across engines, and using it as the primary sort
+    # key would misalign otherwise-identical rows past the tolerance
+    # check (ids/strings are exact, so they anchor the row order)
+    exact = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    floats = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    df = df.sort_values(by=exact + floats, na_position="first").reset_index(drop=True)
     return df
 
 
