@@ -70,9 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     master = args.master or f"local[{args.parallelism}]"
     spark = get_spark("fbs-cli", master=master, shuffle_partitions=args.parallelism)
     t0 = time.time()
-    source = synth_transcripts(spark, args.sf_dir, replicate=args.replicate)
-    routed = run_pipeline(spark, args.sf_dir, backend=args.backend, source=source)
     metrics = PipelineMetrics(spark)
+    source = metrics.instrument_input(
+        synth_transcripts(spark, args.sf_dir, replicate=args.replicate)
+    )
+    routed = run_pipeline(spark, args.sf_dir, backend=args.backend, source=source)
 
     day = F.date_format("ts", "yyyy-MM-dd")
     routed = routed.withColumn("day", day)
