@@ -605,6 +605,26 @@ def _q_sink_loki(spark, sf_dir):
     return out.select(F.to_json("labels").alias("labels_json"), "line")
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked: documents become opaque
+    binary payloads (deterministic), run through the REAL Arrow-batched
+    mapInPandas feature extractor (fake decoder — no media libs in this
+    runtime); the metadata it derives (byte counts, md5 checksums,
+    kind) is exactly reproducible in SQL."""
+    from fluent_bit_spark.operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = extract_features(media, fake_decode=True)
+    return out.select("media_id", "kind", "n_bytes", "checksum")
+
+
 def _q_doc_sample(spark, sf_dir):
     """Deterministic content-hash sampling: partition/order-independent
     ~25% sample keyed on text (identical row set on any re-run)."""
@@ -725,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_tag_keep": _q_rewrite_tag_keep,
         "sink_splunk": _q_sink_splunk,
         "sink_loki": _q_sink_loki,
+        "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,
         "sp_scalars": _q_sp_scalars,

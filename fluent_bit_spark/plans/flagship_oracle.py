@@ -591,6 +591,13 @@ def oracle_queries() -> dict[str, str]:
                     to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
                                         text := text))::VARCHAR AS line
              FROM transcripts""",
+        "media_features": c
+        + """SELECT doc_id AS media_id,
+                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+                    CAST(length(text) AS INTEGER) AS n_bytes,
+                    md5(text) AS checksum
+             FROM documents""",
         "sp_scalars": c
         + """SELECT conv_id, turn_idx,
                     '2024-06-01 12:00:00' AS now_str,
