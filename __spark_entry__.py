@@ -644,6 +644,107 @@ def _q_doc_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic PII spans appended to every 3rd doc
+    (the raw word-soup table contains none) — mirrored verbatim in the
+    oracle's `pii` CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567 ssn 123-45-6789 from 10.0.42.7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction over synthesized PII spans: typed placeholder
+    substitution + per-category counts, all JVM regexp expressions."""
+    from fluent_bit_spark.operators.curation import pii_redact
+
+    return pii_redact(_pii_docs(spark, sf_dir)).select(
+        "doc_id", "redacted", "n_email", "n_ssn", "n_phone", "n_ipv4"
+    )
+
+
+def _lined_docs(spark, sf_dir):
+    """documents re-lined (every 5-word run becomes a line) plus a
+    boilerplate footer on all docs and a bullet/ellipsis suffix on
+    every 7th — gives the line-level curation ops real line structure
+    (the raw table is single-line). Mirrored in the oracle CTEs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((\S+ ){4}\S+) ", "$1\n")
+    )
+    return lined.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n- bullet item\n- another bullet\nto be continued..."),
+            ).otherwise(F.lit("")),
+            F.lit("\ncopyright footer 2024"),
+        ),
+    )
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rules (word/line metrics + pass flag) over
+    re-lined documents; shuffle-free map stage."""
+    from fluent_bit_spark.operators.curation import gopher_quality
+
+    return gopher_quality(_lined_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_g",
+        "symbol_ratio",
+        "frac_alpha_words",
+        "frac_dup_lines",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "gopher_pass",
+    )
+
+
+def _q_contamination(spark, sf_dir):
+    """13-gram benchmark-contamination check: every 50th doc plays the
+    eval suite; its shingles are broadcast against the corpus."""
+    from fluent_bit_spark.operators.curation import contamination_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, benchmark, n=13)
+
+
+def _q_quota_sample(spark, sf_dir):
+    """Per-domain quota: at most 5 docs per source, picked by content
+    hash (partition/order independent, skew-bounded pre-limit)."""
+    from fluent_bit_spark.operators.curation import quota_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return quota_sample(docs, "source", "doc_id", 5).select("doc_id", "source")
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate strip: drop lines occurring in >2
+    distinct docs (injected newsletter/footer lines), rebuild text in
+    original line order."""
+    from fluent_bit_spark.operators.curation import common_line_filter
+
+    return common_line_filter(_lined_docs(spark, sf_dir), max_doc_freq=2).select(
+        "doc_id", "clean_text"
+    )
+
+
 def _q_sp_scalars(spark, sf_dir):
     """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
     RECORD_TIME with a deterministic injected clock."""
@@ -752,6 +853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_assert": _q_expect,
         "alter_size_drop": _q_alter_size,
         "record_function_udf": _q_record_function,
+        "pii_redact": _q_pii_redact,
+        "gopher_quality": _q_gopher_quality,
+        "contamination": _q_contamination,
+        "quota_sample": _q_quota_sample,
+        "line_dedup": _q_line_dedup,
     }
 
 

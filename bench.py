@@ -275,6 +275,11 @@ def _scale_worker() -> None:
     from fluent_bit_spark.operators.route import explode_routes
     from fluent_bit_spark.operators.aggregate import flowcounter
 
+    # note: -XX:ActiveProcessorCount={cores} pinning was tried here and
+    # REVERTED — it slowed BOTH the 1-worker and 4-worker phases ~25%
+    # (GC thread pools sized to 4 cores can't keep up with this
+    # allocation-heavy regex workload; the measured matrix in
+    # BENCH/BASELINE.md records the experiment)
     spark = get_spark(
         f"fbs-worker-{os.getpid()}",
         master=f"local[{args.cores}]",

@@ -1,0 +1,279 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond parse/route: PII redaction, Gopher-style quality rules,
+benchmark-contamination detection, per-domain quota sampling, and
+corpus-level common-line removal.
+
+All hot paths are JVM Column expressions (regexp/array builtins — no
+Python UDFs), so every operator here is oracle-expressible in ANSI SQL
+and survives whole-stage codegen. Scale shapes:
+
+- pii_redact / gopher_quality: pure map stages, shuffle-free.
+- contamination_flags: benchmark n-gram set is small by construction
+  (eval suites are KBs-MBs, corpus is TBs) -> broadcast inner join
+  against exploded corpus shingles, then one partial-agg shuffle on
+  doc_id.
+- quota_sample: one shuffle on the group column; ranking key is a
+  content hash so results are partition/order independent. Skewed
+  groups are bounded by the same per-partition pre-limit trick used by
+  filters.throttle (a partition only needs its first `n` rows per
+  group as candidates).
+- common_line_filter: line doc-frequency = one shuffle of (line_hash,
+  doc_id) pairs with map-side partial distinct; the resulting common
+  set is tiny (a line must repeat across >k docs) -> broadcast
+  anti-semantics join back.
+
+Reference anchor: the reference has no corpus ops (it is a log
+shipper); these follow the published Gopher (Rae et al. 2021) /
+C4 / CCNet curation recipes re-expressed as Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fluent_bit_spark.operators.dedup import md5_32
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# Patterns kept to the Java-regex / RE2 common subset so the DuckDB
+# oracle can run the identical pattern strings. Order matters (SSN
+# before phone would also work; email first avoids '@10.0.0.1' hosts
+# being half-eaten by the IP rule) and is part of the contract.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens and count the
+    replacements per category (n_<name> columns). Pure map stage."""
+    c: Column = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"n_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumns({out: c, **counts})
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, table A1 flavor)
+
+
+def _lines(text: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-flavor quality signals + a pass flag:
+
+    - word count in [10, 100000]
+    - mean word length in [2, 12]
+    - symbol-to-word ratio ('#' or ellipsis) <= 0.1
+    - fraction of words with an alphabetic character >= 0.7
+    - fraction of duplicate (non-empty) lines <= 0.3
+    - fraction of lines starting with a bullet <= 0.9
+    - fraction of lines ending in an ellipsis <= 0.3
+
+    All thresholds are the published Gopher constants except the word
+    floor (10 vs 50 — the synthetic docs are short). Shuffle-free.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+
+    lines = _lines(t)
+    n_lines = F.size(lines)
+    frac_dup_lines = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    frac_bullet = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    frac_ellipsis = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len_g": F.round(mean_wlen, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "frac_alpha_words": F.round(frac_alpha, 6),
+            "frac_dup_lines": F.round(frac_dup_lines, 6),
+            "frac_bullet_lines": F.round(frac_bullet, 6),
+            "frac_ellipsis_lines": F.round(frac_ellipsis, 6),
+        }
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len_g") >= 2.0)
+        & (F.col("mean_word_len_g") <= 12.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.7)
+        & (F.col("frac_dup_lines") <= 0.3)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap against an eval suite)
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of `text` (space-joined); empty when the
+    text has fewer than n words."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    sz = F.size(toks)
+    # the index sequence must stay ascending and 1-based even for short
+    # texts: F.sequence(1, 0) would generate a DESCENDING run and feed
+    # slice() a zero start (ANSI error) — clamp, then discard via when()
+    idx = F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-corpus-doc count of distinct word n-grams that also appear
+    anywhere in `benchmark` (the standard 13-gram decontamination
+    check). Returns (id, n_overlap, contaminated) for docs with any
+    overlap.
+
+    Scale shape: the benchmark shingle set is broadcast (eval suites
+    are tiny next to the corpus); corpus shingles are exploded map-side
+    and never materialized as a full table.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_shingles = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    hits = doc_shingles.join(F.broadcast(bench), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota sampling
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most `n` rows per group, selected by content-hash order
+    (ties broken by the key) — a deterministic, partition-independent
+    per-domain quota. Re-runs over re-partitioned data keep identical
+    rows (same property as sampling.hash_sample).
+
+    One shuffle on `group_col`. Hot groups are pre-limited per input
+    partition first (a partition can only contribute its own first `n`
+    per group), so a skewed domain never lands >n*partitions rows on
+    one reducer — the same bound filters.throttle uses.
+    """
+    from pyspark.sql import Window
+
+    h = md5_32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    pre = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    candidates = (
+        df.withColumn("_qh", h)
+        .withColumn("_pre", F.row_number().over(pre))
+        .filter(F.col("_pre") <= n)
+        .drop("_pre")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_qh").asc(), F.col(key_col).asc()
+    )
+    return (
+        candidates.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk", "_qh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level common-line removal (CCNet/C4-style boilerplate strip)
+
+
+def common_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Remove every (trimmed, non-empty) line that occurs in more than
+    `max_doc_freq` distinct documents — the classic boilerplate /
+    navigation-chrome strip — and rebuild the text with original line
+    order. Docs whose every line is common keep an empty string.
+
+    Scale shape: doc-frequency is one shuffle of (line, doc) pairs with
+    map-side partial distinct; the surviving common-line set is small
+    by definition (must repeat across >max_doc_freq docs) and is
+    broadcast for the anti join.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out)
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").fillna({out: ""})

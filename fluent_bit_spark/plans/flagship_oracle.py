@@ -58,6 +58,134 @@ def _sample_split_sql() -> dict[str, str]:
     }
 
 
+# curation-family oracles (operators/curation.py). PII patterns are the
+# Java-regex/RE2 common subset, so the literal pattern strings are
+# shared; text synthesis (PII spans, re-lining, boilerplate) mirrors
+# __spark_entry__._pii_docs/_lined_docs verbatim.
+
+_LINED_SQL = """
+, lined AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+           || regexp_replace(text, '((\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || '- bullet item' || chr(10) || '- another bullet'
+                        || chr(10) || 'to be continued...'
+                   ELSE '' END
+           || chr(10) || 'copyright footer 2024' AS text
+    FROM documents)
+, glines AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words,
+           list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)),
+                       l -> l <> '') AS lines
+    FROM lined)
+"""
+
+
+def _curation_sql() -> dict[str, str]:
+    from fluent_bit_spark.operators.curation import PII_RULES
+
+    # progressive redaction: each category's count is taken on the text
+    # AFTER the previous categories were replaced (the operator's
+    # sequential contract)
+    pii_ctes, prev = [], "text"
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        cur = f"t{i + 1}"
+        pii_ctes.append(
+            f", p{i + 1} AS (SELECT *,"
+            f" len(regexp_extract_all({prev}, '{pat}')) AS n_{name},"
+            f" regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
+            f" FROM {'pii' if i == 0 else f'p{i}'})"
+        )
+        prev = cur
+    pii_sql = (
+        """
+, pii AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or 555-123-4567 ssn 123-45-6789 from 10.0.42.7'
+                ELSE text END AS text
+    FROM documents)"""
+        + "".join(pii_ctes)
+        + f"""
+SELECT doc_id, {prev} AS redacted, n_email, n_ssn, n_phone, n_ipv4
+FROM p{len(PII_RULES)}"""
+    )
+
+    gopher_sql = (
+        _LINED_SQL
+        + """
+, gm AS (
+    SELECT doc_id, len(words) AS n_words,
+           CASE WHEN len(words) > 0 THEN CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+           CASE WHEN len(words) > 0 THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(words) ELSE 0.0 END AS sym,
+           CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) ELSE 0.0 END AS fal,
+           CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS fdl,
+           CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS fbl,
+           CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) ELSE 0.0 END AS fel
+    FROM glines)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len_g, round(sym, 6) AS symbol_ratio,
+       round(fal, 6) AS frac_alpha_words, round(fdl, 6) AS frac_dup_lines,
+       round(fbl, 6) AS frac_bullet_lines, round(fel, 6) AS frac_ellipsis_lines,
+       (n_words >= 10 AND n_words <= 100000
+        AND round(mwl, 6) >= 2.0 AND round(mwl, 6) <= 12.0
+        AND round(sym, 6) <= 0.1 AND round(fal, 6) >= 0.7
+        AND round(fdl, 6) <= 0.3 AND round(fbl, 6) <= 0.9
+        AND round(fel, 6) <= 0.3) AS gopher_pass
+FROM gm"""
+    )
+
+    contamination_sql = """
+, ctk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, csh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+12], ' ') FOR i IN range(1, len(tk) - 11)]) AS shs
+    FROM ctk WHERE len(tk) >= 13)
+, cbench AS (SELECT DISTINCT unnest(shs) AS shingle FROM csh WHERE doc_id % 50 = 0)
+, cex AS (SELECT doc_id, unnest(shs) AS shingle FROM csh)
+, chits AS (SELECT cex.doc_id, cex.shingle FROM cex JOIN cbench USING (shingle))
+SELECT doc_id, COUNT(DISTINCT shingle) AS n_overlap,
+       COUNT(DISTINCT shingle) >= 1 AS contaminated
+FROM chits GROUP BY doc_id"""
+
+    quota_sql = f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_md5_32_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rk
+    FROM documents) WHERE rk <= 5"""
+
+    line_dedup_sql = (
+        _LINED_SQL
+        + """
+, lex AS (SELECT doc_id, unnest(lines) AS line,
+                 unnest(range(1, len(lines) + 1)) AS pos
+          FROM glines)
+, lcommon AS (SELECT line FROM lex GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2)
+, lkept AS (SELECT doc_id, pos, line FROM lex
+            WHERE line NOT IN (SELECT line FROM lcommon))
+, lreb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM lkept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN lreb r USING (doc_id)"""
+    )
+
+    return {
+        "pii_redact": pii_sql,
+        "gopher_quality": gopher_sql,
+        "contamination": contamination_sql,
+        "quota_sample": quota_sql,
+        "line_dedup": line_dedup_sql,
+    }
+
+
 def _minhash_pairs_sql(
     num_perm: int = 64, bands: int = 32, threshold: float = 0.8, k: int = 3
 ) -> str:
@@ -327,6 +455,7 @@ def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
         **{k: c + v for k, v in _sample_split_sql().items()},
+        **{k: c + v for k, v in _curation_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

@@ -1,0 +1,125 @@
+"""Unit tests for operators/curation.py (PII redaction, Gopher rules,
+contamination, quota sampling, common-line strip). The oracle parity
+for the driver queries is covered by test_entry_queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.curation import (
+    common_line_filter,
+    contamination_flags,
+    gopher_quality,
+    pii_redact,
+    quota_sample,
+    word_shingles,
+)
+
+
+def test_pii_redact_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.co ip 10.0.0.1 ssn 123-45-6789 tel 555-123-4567"),
+            (2, "clean text with no pii at all"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_redact(df).collect()}
+    assert (
+        rows[1]["redacted"]
+        == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE>"
+    )
+    assert (rows[1]["n_email"], rows[1]["n_ssn"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (
+        1,
+        1,
+        1,
+        1,
+    )
+    assert rows[2]["redacted"] == rows[2]["text"]
+    assert rows[2]["n_email"] == 0
+
+
+def test_pii_redact_ssn_not_double_counted_as_phone(spark):
+    df = spark.createDataFrame([(1, "ssn 123-45-6789 only")], ["id", "text"])
+    r = pii_redact(df).first()
+    assert r["n_ssn"] == 1 and r["n_phone"] == 0
+    assert "<SSN>" in r["redacted"] and "<PHONE>" not in r["redacted"]
+
+
+def test_gopher_quality_flags(spark):
+    good = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dups = "\n".join(["same line here"] * 8 + ["unique line now"])
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dups)], ["id", "text"]
+    )
+    rows = {r["id"]: r for r in gopher_quality(df).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["frac_bullet_lines"] == 1.0  # > 0.9 -> fail
+    assert rows[2]["gopher_pass"] is False
+    assert abs(rows[3]["frac_dup_lines"] - 7 / 9) < 1e-6  # col is round(.,6)
+    assert rows[3]["gopher_pass"] is False
+
+
+def test_word_shingles_short_text_is_empty(spark):
+    df = spark.createDataFrame([("a b c",), ("",)], ["text"])
+    out = df.select(word_shingles(F.col("text"), 5).alias("sh")).collect()
+    assert [r["sh"] for r in out] == [[], []]
+
+
+def test_contamination_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon suffix words"),
+            (2, "totally unrelated words that never overlap anything here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in contamination_flags(corpus, bench, n=5).collect()}
+    assert 1 in out and out[1]["contaminated"] is True
+    assert out[1]["n_overlap"] == 1
+    assert 2 not in out
+
+
+def test_quota_sample_cap_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], ["doc_id", "source"]
+    )
+    out1 = quota_sample(df, "source", "doc_id", 4)
+    counts = {r["source"]: r["n"] for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 4 for v in counts.values())
+    # partition-independent: same rows at any parallelism
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in quota_sample(df.repartition(7), "source", "doc_id", 4).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_common_line_filter_strips_boilerplate(spark):
+    footer = "copyright footer"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one\n{footer}"),
+            (2, f"unique two\n{footer}"),
+            (3, f"unique three\n{footer}"),
+            (4, footer),  # all-common doc -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in common_line_filter(df, max_doc_freq=2).collect()}
+    assert out[1] == "unique one"
+    assert out[4] == ""
+    assert len(out) == 4
+
+
+def test_common_line_filter_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\na first\nm mid"), (2, "other doc"), (3, "third doc")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in common_line_filter(df, max_doc_freq=2).collect()}
+    assert out[1] == "z last\na first\nm mid"
