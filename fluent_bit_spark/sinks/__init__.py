@@ -124,17 +124,40 @@ def gelf_transform(
 
 
 def es_logstash_index(
-    df: DataFrame, prefix: str = "logstash", ts_col: str = "ts"
+    df: DataFrame,
+    prefix: str = "logstash",
+    ts_col: str = "ts",
+    id_mode: str = "xxhash64",
 ) -> DataFrame:
     """Elasticsearch Logstash_Format index derivation:
     '<prefix>-YYYY.MM.dd' (plugins/out_es/es.c:314-428) plus a
-    deterministic document _id (murmur-style hash ≙ es_gen_id)."""
+    deterministic document _id (≙ Generate_ID, es.c:488-494).
+
+    id_mode:
+      - "xxhash64" (default): pure-JVM deterministic id; oracle-checkable
+        (DuckDB has no murmur3) — documented deviation from the
+        reference's digest choice.
+      - "murmur3": reference-exact MurmurHash3_x64_128(seed=42) UUID over
+        the record's JSON serialization, Arrow-vectorized
+        (functions/hashing.py). Byte-exact hash + formatting; the hashed
+        serialization is JSON rather than the reference's msgpack.
+    """
+    if id_mode == "murmur3":
+        from fluent_bit_spark.functions.hashing import es_generate_id
+
+        doc_id = es_generate_id(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        )
+    elif id_mode == "xxhash64":
+        doc_id = F.abs(F.xxhash64(*[F.col(c) for c in df.columns])).cast("string")
+    else:
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
     return df.withColumns(
         {
             "_index": F.concat(
                 F.lit(prefix + "-"), F.date_format(F.col(ts_col), "yyyy.MM.dd")
             ),
-            "_id": F.abs(F.xxhash64(*[F.col(c) for c in df.columns])).cast("string"),
+            "_id": doc_id,
         }
     )
 
