@@ -745,6 +745,42 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_intra_doc_dedup(spark, sf_dir):
+    """Within-document repetition removal (first-occurrence keep) over
+    re-lined docs; every 4th doc gets its own first line re-appended
+    twice so the operator has real intra-doc duplicates to drop."""
+    from fluent_bit_spark.operators.curation import intra_doc_dedup
+
+    lined = _lined_docs(spark, sf_dir)
+    first = F.split(F.col("text"), "\n").getItem(0)
+    rep = lined.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit("\n"), first, F.lit("\n"), first),
+        ).otherwise(F.col("text")),
+    )
+    return intra_doc_dedup(rep).select("doc_id", "clean_text", "n_dropped")
+
+
+def _q_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams, deterministic tie-break —
+    explode -> partial-agg -> TakeOrderedAndProject (no global sort)."""
+    from fluent_bit_spark.operators.text_analysis import corpus_ngram_topk
+
+    return corpus_ngram_topk(_docs(spark, sf_dir).select("text"), n=2, k=20)
+
+
+def _q_len_percentiles(spark, sf_dir):
+    """Exact interpolated text-length percentiles per role (one
+    shuffle; group count is tiny so exact percentile state is fine)."""
+    from fluent_bit_spark.operators.text_analysis import length_percentiles
+
+    return length_percentiles(
+        _transcripts(spark, sf_dir).select("role", "text"), "role", "text"
+    )
+
+
 def _q_sp_scalars(spark, sf_dir):
     """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
     RECORD_TIME with a deterministic injected clock."""
@@ -858,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "quota_sample": _q_quota_sample,
         "line_dedup": _q_line_dedup,
+        "intra_doc_dedup": _q_intra_doc_dedup,
+        "ngram_topk": _q_ngram_topk,
+        "len_percentiles": _q_len_percentiles,
     }
 
 

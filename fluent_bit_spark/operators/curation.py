@@ -239,6 +239,39 @@ def quota_sample(
 # corpus-level common-line removal (CCNet/C4-style boilerplate strip)
 
 
+def intra_doc_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Within-document repetition removal: drop repeated (trimmed,
+    non-empty) lines keeping each line's FIRST occurrence, rebuild the
+    text in original order, and report how many lines were dropped.
+
+    This is the intra-doc counterpart of common_line_filter (which is
+    corpus-level): web-scraped documents repeat their own nav chrome /
+    footers; LLM transcripts repeat tool banners. Entirely array
+    expressions over one row — a shuffle-free map stage that survives
+    whole-stage codegen, which is the only shape that is acceptable for
+    a per-document cleanup at 100 TB.
+
+    First-occurrence keep is expressed as `filter(lines, (l, i) ->
+    array_position(lines, l) == i+1)` rather than array_distinct so the
+    ordering contract is explicit (and mirrored verbatim by the DuckDB
+    oracle's `list_filter(.., (l, i) -> list_position(..) = i)`).
+    """
+    lines = _lines(F.col(text_col))
+    kept = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == i + F.lit(1)
+    )
+    return df.withColumns(
+        {
+            out: F.array_join(kept, "\n"),
+            "n_dropped": F.size(lines) - F.size(kept),
+        }
+    )
+
+
 def common_line_filter(
     df: DataFrame,
     id_col: str = "doc_id",

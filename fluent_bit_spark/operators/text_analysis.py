@@ -123,6 +123,66 @@ def rolling_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 1) 
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the whitespace tokenization (same
+    tokenizer as tokens())."""
+    tk = tokens(text)
+    return F.filter(
+        F.transform(
+            tk,
+            lambda _, i: F.when(
+                i + n <= F.size(tk), F.array_join(F.slice(tk, i + 1, n), " ")
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+
+
+def corpus_ngram_topk(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams with a deterministic
+    tie-break (count desc, ngram asc).
+
+    Scale shape: explode -> partial-agg count (map-side combine) -> one
+    shuffle on the n-gram -> TakeOrderedAndProject(k) — the final
+    ordering never materializes a global sort, each task keeps only its
+    local top-k heap. This is the plan Spark picks for
+    orderBy().limit(k) and is the right one at 100 TB.
+    """
+    grams = df.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str = "role",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated length percentiles per group (one shuffle,
+    partial-agg friendly). Exact percentile is fine here because the
+    group count is tiny (roles/languages); for high-cardinality groups
+    swap in approx_percentile — same plan shape, bounded state."""
+    out = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(
+                F.percentile(F.length(F.col(text_col)), F.lit(p)), 6
+            ).alias(f"p{int(p * 100)}")
+            for p in percentiles
+        ],
+    )
+    return out
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document stats frame."""
     t = F.col(text_col)

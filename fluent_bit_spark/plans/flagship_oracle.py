@@ -177,12 +177,63 @@ SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN lreb r USING (doc_id)"""
     )
 
+    # intra-doc dedup: every 4th doc's first line re-appended twice
+    # (mirrors __spark_entry__._q_intra_doc_dedup), then
+    # first-occurrence keep via the index lambda — the exact contract
+    # the Spark operator states.
+    intra_doc_sql = (
+        _LINED_SQL
+        + """
+, rep AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || chr(10) || string_split(text, chr(10))[1]
+                          || chr(10) || string_split(text, chr(10))[1]
+                ELSE text END AS text
+    FROM lined)
+, rl AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                       l -> l <> '') AS lines
+    FROM rep)
+, rk AS (
+    SELECT doc_id, lines,
+           list_filter(lines, (l, i) -> list_position(lines, l) = i) AS kept
+    FROM rl)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       len(lines) - len(kept) AS n_dropped
+FROM rk"""
+    )
+
+    ngram_topk_sql = """
+, ntk AS (
+    SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, ng AS (
+    SELECT unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS ngram
+    FROM ntk WHERE len(tk) >= 2)
+SELECT ngram, COUNT(*) AS freq
+FROM ng GROUP BY ngram
+ORDER BY freq DESC, ngram LIMIT 20"""
+
+    len_pct_sql = """
+SELECT role, COUNT(*) AS n_docs,
+       round(quantile_cont(length(text), 0.25), 6) AS p25,
+       round(quantile_cont(length(text), 0.50), 6) AS p50,
+       round(quantile_cont(length(text), 0.90), 6) AS p90,
+       round(quantile_cont(length(text), 0.99), 6) AS p99
+FROM transcripts GROUP BY role"""
+
     return {
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "contamination": contamination_sql,
         "quota_sample": quota_sql,
         "line_dedup": line_dedup_sql,
+        "intra_doc_dedup": intra_doc_sql,
+        "ngram_topk": ngram_topk_sql,
+        "len_percentiles": len_pct_sql,
     }
 
 

@@ -123,3 +123,57 @@ def test_common_line_filter_preserves_order(spark):
     )
     out = {r["doc_id"]: r["clean_text"] for r in common_line_filter(df, max_doc_freq=2).collect()}
     assert out[1] == "z last\na first\nm mid"
+
+
+def test_intra_doc_dedup_keeps_first_occurrence(spark):
+    from fluent_bit_spark.operators.curation import intra_doc_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "no dups here\nat all"),
+            (3, "same\nsame\nsame"),
+            (4, ""),  # empty doc
+            (5, "  padded \npadded\nother"),  # trim before comparing
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in intra_doc_dedup(df).collect()}
+    assert out[1]["clean_text"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_dropped"] == 2
+    assert out[2]["clean_text"] == "no dups here\nat all"
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "same"
+    assert out[3]["n_dropped"] == 2
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["clean_text"] == "padded\nother"
+    assert out[5]["n_dropped"] == 1
+
+
+def test_corpus_ngram_topk_counts_and_tiebreak(spark):
+    from fluent_bit_spark.operators.text_analysis import corpus_ngram_topk
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b c",), ("z",)], ["text"]
+    )
+    rows = corpus_ngram_topk(df, n=2, k=3).collect()
+    # "a b" x3; "b a" and "b c" tie at 1 -> lexicographic
+    assert [(r["ngram"], r["freq"]) for r in rows] == [
+        ("a b", 3),
+        ("b a", 1),
+        ("b c", 1),
+    ]
+
+
+def test_length_percentiles_exact(spark):
+    import numpy as np
+    from fluent_bit_spark.operators.text_analysis import length_percentiles
+
+    texts = [("r", "x" * n) for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+    df = spark.createDataFrame(texts, ["role", "text"])
+    row = length_percentiles(df, "role", "text").collect()[0]
+    lens = np.arange(1, 11)
+    for p, col in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert row[col] == round(float(np.percentile(lens, p * 100)), 6)
+    assert row["n_docs"] == 10
