@@ -88,7 +88,18 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     floor (10 vs 50 — the synthetic docs are short). Shuffle-free.
     """
     t = F.col(text_col)
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    # words/lines arrays bound to columns: every metric below references
+    # them, and inlined trees would re-tokenize once per metric (and the
+    # filter-lambda metrics once per word) — bound attributes are free.
+    df = df.withColumns(
+        {
+            "_gq_words": F.filter(
+                F.split(F.trim(t), r"\s+"), lambda w: w != ""
+            ),
+            "_gq_lines": _lines(t),
+        }
+    )
+    words = F.col("_gq_words")
     n_words = F.size(words)
     mean_wlen = F.when(
         n_words > 0,
@@ -99,7 +110,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     frac_alpha = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
 
-    lines = _lines(t)
+    lines = F.col("_gq_lines")
     n_lines = F.size(lines)
     frac_dup_lines = F.when(
         n_lines > 0,
@@ -124,7 +135,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "frac_bullet_lines": F.round(frac_bullet, 6),
             "frac_ellipsis_lines": F.round(frac_ellipsis, 6),
         }
-    )
+    ).drop("_gq_words", "_gq_lines")
     return out.withColumn(
         "gopher_pass",
         (F.col("n_words") >= 10)
@@ -145,17 +156,14 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(text: Column, n: int) -> Column:
     """Distinct word n-grams of `text` (space-joined); empty when the
-    text has fewer than n words."""
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
-    sz = F.size(toks)
-    # the index sequence must stay ascending and 1-based even for short
-    # texts: F.sequence(1, 0) would generate a DESCENDING run and feed
-    # slice() a zero start (ANSI error) — clamp, then discard via when()
-    idx = F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    text has fewer than n words. Convenience for single-use/test
+    contexts ONLY — the token array is referenced inside the gram
+    lambda, so an inline text expression re-tokenizes per gram; hot
+    paths bind tokens to a column and use text_analysis.word_grams
+    (see contamination_flags)."""
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+
+    return F.array_distinct(word_grams(tokens(text), n))
 
 
 def contamination_flags(
@@ -175,14 +183,20 @@ def contamination_flags(
     are tiny next to the corpus); corpus shingles are exploded map-side
     and never materialized as a full table.
     """
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+
+    # tokens bound to a column before gram construction (in-lambda
+    # re-tokenization is O(tokens^2) per row otherwise)
     bench = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-        )
+        benchmark.select(tokens(F.col(text_col)).alias("tk"))
+        .select(F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"))
         .distinct()
     )
     doc_shingles = corpus.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"),
     )
     hits = doc_shingles.join(F.broadcast(bench), "shingle")
     return (
@@ -259,17 +273,24 @@ def intra_doc_dedup(
     array_position(lines, l) == i+1)` rather than array_distinct so the
     ordering contract is explicit (and mirrored verbatim by the DuckDB
     oracle's `list_filter(.., (l, i) -> list_position(..) = i)`).
+
+    The lines array is bound to a column before the filter: Catalyst
+    does not CSE expressions referenced inside higher-order-function
+    lambdas, and an inline _lines(text) in the array_position lambda
+    re-splits the document once per line — O(lines^2) per row
+    (measured 10x at 1500 lines).
     """
-    lines = _lines(F.col(text_col))
+    bound = df.withColumn("_idd_lines", _lines(F.col(text_col)))
+    lines = F.col("_idd_lines")
     kept = F.filter(
         lines, lambda l, i: F.array_position(lines, l) == i + F.lit(1)
     )
-    return df.withColumns(
+    return bound.withColumns(
         {
             out: F.array_join(kept, "\n"),
             "n_dropped": F.size(lines) - F.size(kept),
         }
-    )
+    ).drop("_idd_lines")
 
 
 def common_line_filter(

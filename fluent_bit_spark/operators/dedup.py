@@ -56,15 +56,29 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (distinct)."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct) from a BOUND token-array column.
+
+    `toks` must be a column reference, not an inline tokenization
+    expression: Catalyst does not CSE expression trees referenced
+    inside higher-order-function lambdas, so an inline tokens tree in
+    the slice lambda below would re-run the whole split/trim/filter
+    once per shingle — O(tokens^2) per row (measured 19x slower at 400
+    tokens/doc). Project tokens_col() into a column first (see
+    shingle_frame)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of an inline text expression — convenience for
+    single-use/test contexts ONLY. Hot paths must bind tokens to a
+    column first (shingle_frame) to avoid per-shingle re-tokenization."""
+    return shingles_from_tokens(tokens_col(text), k)
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
@@ -143,19 +157,34 @@ def _perm_consts(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
-    """Array<long> MinHash signature, all JVM expressions: base hash =
-    md5_32(shingle) mod p (cross-engine reproducible); permutation i =
-    (a_i*h + b_i) mod p; signature_i = min over shingles.
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, sh) frame with tokens BOUND to a column before shingling —
+    the scale-correct way to shingle (see shingles_from_tokens)."""
+    tk = _spread(df, spread).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+    )
+    return tk.select("id", shingles_from_tokens(F.col("tk"), k).alias("sh"))
+
+
+def minhash_sig_from_shingles(sh: Column, num_perm: int = 64) -> Column:
+    """Array<long> MinHash signature from a bound shingle-array column,
+    all JVM expressions: base hash = md5_32(shingle) mod p
+    (cross-engine reproducible); permutation i = (a_i*h + b_i) mod p;
+    signature_i = min over shingles.
 
     Computed as ONE fold over the base-hash array (aggregate +
-    zip_with): shingling and hashing run once per row, and each base
-    hash updates all `num_perm` minima in a single pass. (The naive
+    zip_with): hashing runs once per shingle, and each base hash
+    updates all `num_perm` minima in a single pass. (The naive
     formulation — num_perm independent `array_min(transform(...))`
     expressions — recomputes the shingle pipeline per permutation
     because Catalyst does not CSE across higher-order lambdas: ~64x
     slower.)"""
-    sh = shingles_col(text, shingle_k)
     base = F.transform(sh, lambda s: md5_32(s) % F.lit(_P))
     consts = _perm_consts(num_perm)
     consts_arr = F.array(
@@ -176,6 +205,14 @@ def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> C
     )
 
 
+def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature of an inline text expression — convenience for
+    single-use/test contexts ONLY (inherits shingles_col's per-shingle
+    re-tokenization). Hot paths go shingle_frame ->
+    minhash_sig_from_shingles."""
+    return minhash_sig_from_shingles(shingles_col(text, shingle_k), num_perm)
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -183,6 +220,7 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     spread: bool = True,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): equal band slice of the
     signature => candidate. Returns distinct pairs.
@@ -192,16 +230,15 @@ def minhash_candidates(
     reproduces the candidate set bit-for-bit); the join key stays small
     (`rows` longs as text)."""
     rows = num_perm // bands
-    # signature computation is CPU-heavy per row; spread it across the
-    # cluster even when the source arrives in few partitions.
-    df = _spread(df, spread)
+    # tokens and shingles are bound to columns (shingle_frame) before
+    # the signature fold — in-lambda re-evaluation otherwise makes the
+    # signature stage O(tokens^2) per row (measured 4.5x at 400 tok).
     # persist: the self-join consumes the signatures TWICE (both join
     # sides) and Spark has no common-subplan sharing across them — at
     # any scale you compute signatures once, not per side
     sig = _persist(
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(F.col(text_col), num_perm).alias("sig"),
+        shingle_frame(df, text_col, id_col, shingle_k, spread).select(
+            "id", minhash_sig_from_shingles(F.col("sh"), num_perm).alias("sig")
         )
     )
     banded = sig.select(
@@ -247,14 +284,9 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
     # candidates repartition internally; the shingle-verification side
     # gets its own spread (separate lineage, one exchange each)
-    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, spread)
+    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, spread, shingle_k)
     # persisted: joined twice below (id_a and id_b sides)
-    docs = _persist(
-        _spread(df, spread).select(
-            F.col(id_col).alias("id"),
-            shingles_col(F.col(text_col), shingle_k).alias("sh"),
-        )
-    )
+    docs = _persist(shingle_frame(df, text_col, id_col, shingle_k, spread))
     return (
         cands.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -311,9 +343,12 @@ SIMHASH_BITS = 62
 _M31 = (1 << 31) - 1  # & mask keeping the low 31 bits
 
 
-def simhash_col(text_col: str = "text") -> Column:
-    """62-bit SimHash of whitespace tokens as a long (0 for empty)."""
-    toks = tokens_col(F.col(text_col))
+def simhash_from_tokens(toks: Column) -> Column:
+    """62-bit SimHash from a BOUND token-array column as a long (0 for
+    empty). `toks` must be a column reference: it is referenced inside
+    the bit-packing lambda (the majority vote needs size(toks)), and an
+    inline tokenization tree there would re-tokenize once per signature
+    bit (62x per row)."""
     hs = F.transform(
         toks,
         lambda t: F.struct(
@@ -364,6 +399,13 @@ def simhash_col(text_col: str = "text") -> Column:
     return F.coalesce(F.when(n > 0, packed), F.lit(0).cast("long"))
 
 
+def simhash_col(text_col: str = "text") -> Column:
+    """62-bit SimHash of an inline text column — convenience for
+    single-use/test contexts ONLY (re-tokenizes per bit via the packing
+    lambda). Hot paths bind tokens first (see simhash_near_dup_pairs)."""
+    return simhash_from_tokens(tokens_col(F.col(text_col)))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -380,9 +422,12 @@ def simhash_near_dup_pairs(
     width = SIMHASH_BITS // nbands
     mask = (1 << width) - 1
     df = _spread(df, spread)
-    # persisted: the banded self-join consumes signatures on both sides
+    # persisted: the banded self-join consumes signatures on both sides.
+    # tokens bound to a column first — see simhash_from_tokens.
     sigs = _persist(
-        df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+        df.select(
+            F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("tk")
+        ).select("id", simhash_from_tokens(F.col("tk")).alias("sh"))
     )
     banded = sigs.select(
         "id",

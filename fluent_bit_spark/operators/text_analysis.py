@@ -123,19 +123,23 @@ def rolling_fingerprint(text: Column, base: int = 31, mod: int = (1 << 31) - 1) 
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams of the whitespace tokenization (same
-    tokenizer as tokens())."""
-    tk = tokens(text)
-    return F.filter(
-        F.transform(
-            tk,
-            lambda _, i: F.when(
-                i + n <= F.size(tk), F.array_join(F.slice(tk, i + 1, n), " ")
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
+def word_grams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams (multiset, original order) of a token
+    array; empty when there are fewer than n tokens.
+
+    `toks` MUST be a bound column reference (project tokens() into a
+    column first), not an inline tokenization expression: Catalyst does
+    not CSE expression trees referenced inside higher-order-function
+    lambdas, so an inline `tokens(text)` here would re-run the whole
+    split/trim/filter once per gram — O(tokens^2) per row. The single
+    shared gram builder for corpus_ngram_topk and curation's
+    word_shingles."""
+    sz = F.size(toks)
+    # ascending 1-based starts; clamp so short texts never feed
+    # sequence() a descending range (ANSI error), then discard via when
+    idx = F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def corpus_ngram_topk(
@@ -150,8 +154,8 @@ def corpus_ngram_topk(
     local top-k heap. This is the plan Spark picks for
     orderBy().limit(k) and is the right one at 100 TB.
     """
-    grams = df.select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+    grams = df.select(tokens(F.col(text_col)).alias("tk")).select(
+        F.explode(word_grams(F.col("tk"), n)).alias("ngram")
     )
     return (
         grams.groupBy("ngram")

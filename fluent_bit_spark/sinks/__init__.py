@@ -143,11 +143,21 @@ def es_logstash_index(
         serialization is JSON rather than the reference's msgpack.
     """
     if id_mode == "murmur3":
+        from pyspark.sql.types import TimestampType
+
         from fluent_bit_spark.functions.hashing import es_generate_id
 
-        doc_id = es_generate_id(
-            F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-        )
+        # timestamps serialized as unix micros, not to_json's rendered
+        # form: the rendering depends on spark.sql.session.timeZone, and
+        # a TZ-dependent _id breaks idempotent re-ingestion across
+        # differently-configured sessions
+        fields = [
+            F.unix_micros(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        doc_id = es_generate_id(F.to_json(F.struct(*fields)))
     elif id_mode == "xxhash64":
         doc_id = F.abs(F.xxhash64(*[F.col(c) for c in df.columns])).cast("string")
     else:

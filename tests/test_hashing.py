@@ -83,25 +83,52 @@ def test_es_sink_murmur3_ids(spark):
     from fluent_bit_spark.sinks import es_logstash_index
     import pyspark.sql.functions as F
 
+    import datetime as dt
+
+    # fixed-instant construction (epoch micros): the instant must not
+    # depend on the session TZ or the TZ-invariance check below would
+    # compare different instants
+    epoch_us = int(
+        dt.datetime(
+            2026, 8, 17, 12, 0, 0, tzinfo=dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
     df = spark.createDataFrame(
         [("c-1", 3, "user", "hi"), ("c-2", 1, "assistant", "yo")],
         "conv_id string, turn_idx int, role string, text string",
-    ).withColumn("ts", F.to_timestamp(F.lit("2026-08-17 12:00:00")))
+    ).withColumn("ts", F.timestamp_micros(F.lit(epoch_us)))
     out = es_logstash_index(df, prefix="fluent", id_mode="murmur3")
     rows = {r["conv_id"]: r for r in out.collect()}
     assert rows["c-1"]["_index"] == "fluent-2026.08.17"
-    # _id == murmur3-UUID of the row's to_json serialization.
+    # _id == murmur3-UUID of the TZ-normalized serialization (ts as
+    # unix micros, other columns via to_json).
+    fields = [
+        F.unix_micros("ts").alias("ts") if c == "ts" else F.col(c)
+        for c in df.columns
+    ]
     ser = {
         r["conv_id"]: r["js"]
         for r in df.select(
-            "conv_id", F.to_json(F.struct(*df.columns)).alias("js")
+            "conv_id", F.to_json(F.struct(*fields)).alias("js")
         ).collect()
     }
     for cid, row in rows.items():
         assert row["_id"] == es_uuid_batch([ser[cid]])[0]
-    # Deterministic across runs.
-    again = {r["conv_id"]: r["_id"] for r in out.collect()}
-    assert again == {k: v["_id"] for k, v in rows.items()}
+    # Deterministic across runs AND across session timezones (the
+    # serialization must not depend on spark.sql.session.timeZone).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = {
+            r["conv_id"]: r["_id"]
+            for r in es_logstash_index(
+                df, prefix="fluent", id_mode="murmur3"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert shifted == {k: v["_id"] for k, v in rows.items()}
 
 
 def test_es_sink_bad_mode(spark):
@@ -110,3 +137,14 @@ def test_es_sink_bad_mode(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         es_logstash_index(df, id_mode="sha1")
+
+
+def test_skewed_batch_bucketing():
+    """A single large record must not change (or inflate) the digests
+    of the small rows batched with it — and digests must equal the
+    rows' singleton digests regardless of bucketing layout."""
+    vals = [b"tiny", b"x" * 17, b"mid " * 100, b"BIG" * 200_000, b"", b"y" * 33]
+    b1, b2 = murmur3_x64_128_batch(vals)
+    for i, v in enumerate(vals):
+        s1, s2 = murmur3_x64_128_batch([v])
+        assert (b1[i], b2[i]) == (s1[0], s2[0])
