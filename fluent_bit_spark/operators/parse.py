@@ -206,7 +206,15 @@ def json_parser(
 def _map_last_wins(keys: Column, vals: Column) -> Column:
     """map_from_arrays that tolerates duplicate keys by keeping the
     LAST occurrence (Spark's default dedup policy is EXCEPTION, which
-    would kill the job on one bad log line)."""
+    would kill the job on one bad log line).
+
+    `keys`/`vals` MUST be bound column references: both are referenced
+    inside the keep-filter/transform lambdas below, and Catalyst does
+    not CSE expression trees into higher-order-function lambdas — an
+    inline extraction tree here would re-run the full parse once per
+    pair per lambda (O(pairs^2) per log line). Callers project the
+    extracted arrays into temp columns first (see ltsv_parser /
+    logfmt_parser)."""
     n = F.size(keys)
     idx = F.sequence(F.lit(0), n - F.lit(1))
     keep = F.filter(
@@ -230,9 +238,19 @@ def ltsv_parser(df: DataFrame, source: str = "text", out: str = "ltsv") -> DataF
     Duplicate keys keep the last value (str_to_map would throw
     DUPLICATE_MAP_KEY); values may contain ':'."""
     pairs = F.filter(F.split(F.col(source), "\t"), lambda p: p.contains(":"))
-    keys = F.transform(pairs, lambda p: F.substring_index(p, ":", 1))
-    vals = F.transform(pairs, lambda p: F.regexp_replace(p, r"^[^:]*:", ""))
-    return df.withColumn(out, _map_last_wins(keys, vals))
+    df = df.withColumn("_lt_pairs", pairs).withColumns(
+        {
+            "_lt_keys": F.transform(
+                F.col("_lt_pairs"), lambda p: F.substring_index(p, ":", 1)
+            ),
+            "_lt_vals": F.transform(
+                F.col("_lt_pairs"), lambda p: F.regexp_replace(p, r"^[^:]*:", "")
+            ),
+        }
+    )
+    return df.withColumn(
+        out, _map_last_wins(F.col("_lt_keys"), F.col("_lt_vals"))
+    ).drop("_lt_pairs", "_lt_keys", "_lt_vals")
 
 
 # logfmt: key=value pairs, value either bare token or double-quoted.
@@ -243,17 +261,24 @@ def logfmt_parser(df: DataFrame, source: str = "text", out: str = "logfmt") -> D
     """logfmt -> MapType column entirely with builtins: extract key and
     value arrays with `regexp_extract_all`, unquote quoted values, zip
     into a map (src/flb_parser_logfmt.c semantics)."""
-    keys = F.regexp_extract_all(F.col(source), F.lit(_LOGFMT_PAIR), F.lit(1))
-    vals = F.regexp_extract_all(F.col(source), F.lit(_LOGFMT_PAIR), F.lit(2))
-    unquoted = F.transform(
-        vals,
-        lambda v: F.when(
-            v.startswith('"') & v.endswith('"'),
-            v.substr(F.lit(2), F.length(v) - F.lit(2)),
-        ).otherwise(v),
+    df = df.withColumns(
+        {
+            "_lf_keys": F.regexp_extract_all(
+                F.col(source), F.lit(_LOGFMT_PAIR), F.lit(1)
+            ),
+            "_lf_vals": F.transform(
+                F.regexp_extract_all(F.col(source), F.lit(_LOGFMT_PAIR), F.lit(2)),
+                lambda v: F.when(
+                    v.startswith('"') & v.endswith('"'),
+                    v.substr(F.lit(2), F.length(v) - F.lit(2)),
+                ).otherwise(v),
+            ),
+        }
     )
     # last occurrence wins on duplicate keys (no DUPLICATE_MAP_KEY crash)
-    return df.withColumn(out, _map_last_wins(keys, unquoted))
+    return df.withColumn(
+        out, _map_last_wins(F.col("_lf_keys"), F.col("_lf_vals"))
+    ).drop("_lf_keys", "_lf_vals")
 
 
 def decode_field_as_json(
