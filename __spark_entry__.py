@@ -781,6 +781,14 @@ def _q_len_percentiles(spark, sf_dir):
     )
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM score per document (CCNet-style
+    perplexity proxy): one word-count shuffle, broadcast vocab back."""
+    from fluent_bit_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_sp_scalars(spark, sf_dir):
     """SP scalar functions NOW / UNIX_TIMESTAMP / RECORD_TAG /
     RECORD_TIME with a deterministic injected clock."""
@@ -897,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": _q_intra_doc_dedup,
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 

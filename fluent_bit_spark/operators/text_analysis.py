@@ -187,6 +187,47 @@ def length_percentiles(
     return out
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    classic CCNet-style perplexity proxy without an external LM: train
+    word frequencies on the corpus itself, score each doc by the mean
+    ln P(token). Low scores flag gibberish / non-language documents.
+
+    Vocabulary = words with corpus count >= min_count (a deterministic
+    cutoff — a top-K vocab would need a tie-break that differs across
+    engines); out-of-vocabulary tokens get a 0.5 pseudo-count.
+
+    Scale shape: one explode + one shuffle to count words; the vocab
+    (>=min_count survivors, i.e. the Zipf head) is broadcast back, the
+    corpus-total single row is a broadcast cross join — no second big
+    shuffle, no driver collect, scoring is map-side + one partial-agg
+    per doc."""
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    words = tk.select("id", F.explode("tk").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    total = words.agg(F.count("*").alias("_total"))
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp", F.log(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("_total"))
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.round(F.avg("logp"), 6).alias("logprob"),
+        F.count("*").alias("n_tok"),
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document stats frame."""
     t = F.col(text_col)

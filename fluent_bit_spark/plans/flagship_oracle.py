@@ -234,6 +234,17 @@ FROM transcripts GROUP BY role"""
         "intra_doc_dedup": intra_doc_sql,
         "ngram_topk": ngram_topk_sql,
         "len_percentiles": len_pct_sql,
+        "unigram_logprob": """
+, utk AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+    FROM documents)
+, utot AS (SELECT COUNT(*) AS total FROM utk)
+, uvf AS (SELECT w, COUNT(*) AS cnt FROM utk GROUP BY w HAVING COUNT(*) >= 2)
+SELECT doc_id, round(AVG(ln(COALESCE(cnt, 0.5) / total)), 6) AS logprob,
+       COUNT(*) AS n_tok
+FROM utk LEFT JOIN uvf USING (w) CROSS JOIN utot
+GROUP BY doc_id""",
     }
 
 

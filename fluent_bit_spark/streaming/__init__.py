@@ -65,6 +65,39 @@ def windowed_flowcounter(
     )
 
 
+def session_stats(
+    routed: DataFrame,
+    key_col: str = "conv_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: native session_window (gap-merged
+    event-time sessions) per conversation with a watermark bounding
+    state. Works on batch frames too (same expression), which is how
+    the oracle/tests cross-check it against a closed-form gap
+    computation.
+
+    This is the streaming analog of the batch session op: Spark's
+    session_window keeps one open session per key in the state store
+    and merges/extends it as events arrive, evicting sessions older
+    than the watermark — bounded state at any scale, no custom
+    stateful UDF needed."""
+    src = routed.withWatermark(ts_col, watermark) if routed.isStreaming else routed
+    return (
+        src.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sw")
+        )
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
     """Exactly-once fan-out for writeStream.foreachBatch: each epoch
     writes every sink slice under <base>/<sink>/epoch=<id> (idempotent

@@ -196,3 +196,56 @@ def test_retry_write_full_jitter():
     with _pytest.raises(RetryError) as ei:
         retry_write(always_fails, retries=2, sleep=lambda d: None)
     assert ei.value.attempts == 3
+
+
+def test_session_stats_streaming_matches_batch(spark, sf_dir, transcript_dir):
+    """Native session_window sessionization: the streaming result must
+    equal the same expression evaluated in batch over the same input,
+    and sessions must respect the gap (merge within, split beyond)."""
+    from fluent_bit_spark.streaming import session_stats, streaming_transcripts
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA, load_transcripts
+
+    src = streaming_transcripts(spark, transcript_dir, TRANSCRIPT_SCHEMA)
+    q = (
+        session_stats(src, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.conv_id, r.session_start, r.session_end): r.n_turns
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = session_stats(load_transcripts(spark, sf_dir), gap="30 minutes")
+    want = {
+        (r.conv_id, r.session_start, r.session_end): r.n_turns
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stats_gap_semantics(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.streaming import session_stats
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        ("c1", base),
+        ("c1", base + dt.timedelta(minutes=10)),  # same session
+        ("c1", base + dt.timedelta(minutes=50)),  # > 30m gap -> new session
+        ("c2", base),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    out = session_stats(df, gap="30 minutes").collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.conv_id, []).append(r.n_turns)
+    assert sorted(per_key["c1"]) == [1, 2]
+    assert per_key["c2"] == [1]

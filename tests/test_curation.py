@@ -177,3 +177,31 @@ def test_length_percentiles_exact(spark):
     for p, col in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
         assert row[col] == round(float(np.percentile(lens, p * 100)), 6)
     assert row["n_docs"] == 10
+
+
+def test_unigram_logprob_semantics(spark):
+    import math
+    from fluent_bit_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat zebra"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, min_count=2).collect()}
+    # corpus: cat=3, dog=1, zebra=1, total=5; vocab (>=2) = {cat}
+    lp_cat = math.log(3 / 5)
+    lp_oov = math.log(0.5 / 5)
+    assert rows[1]["logprob"] == round((2 * lp_cat + lp_oov) / 3, 6)
+    assert rows[1]["n_tok"] == 3
+    assert rows[2]["logprob"] == round((lp_cat + lp_oov) / 2, 6)
+    # empty doc has no tokens -> no row (explode semantics)
+    assert 3 not in rows
+
+
+def test_unigram_logprob_vocab_join_is_broadcast(spark):
+    from fluent_bit_spark.operators.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
+    explained = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained or "BroadcastNestedLoopJoin" in explained
+    assert "SortMergeJoin" not in explained
