@@ -119,6 +119,84 @@ def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
     return fn
 
 
+def multiline_stateful(
+    df: DataFrame,
+    key_col: str = "path",
+    line_col: str = "line",
+    idx_col: str = "line_no",
+    start_pattern: str = r"^\[",
+    flush_ms: int = 0,
+):
+    """Streaming multiline join: stitch continuation lines into records
+    ACROSS micro-batches — the true streaming analog of the reference's
+    multiline state machine (in_tail holds a partially-read multiline
+    record between reads; plugins/in_tail/tail_file.c + flb_ml flush
+    timers). The batch operator (sources.multiline_join) can only join
+    within one frame; here the open record lives in the state store
+    keyed by file/tag.
+
+    A line matching `start_pattern` begins a new record and completes
+    (emits) the previous one; other lines append to the open record.
+    The final open record is held in state — with flush_ms > 0 a
+    processing-time timeout flushes it (≙ the reference's Flush_MS);
+    with 0 it is emitted only when a later batch starts the next record.
+
+    Emits (key, start_line, n_lines, record). Lines are processed in
+    idx_col order within each batch; cross-batch order is arrival
+    order, same as tailing a growing file.
+    """
+    import re
+
+    rx = re.compile(start_pattern)
+    out_schema = (
+        f"{key_col} string, start_line long, n_lines int, record string"
+    )
+    state_schema = "lines array<string>, start_no long"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        done: list[tuple] = []
+        if state.hasTimedOut:
+            lines, start_no = state.get
+            if lines:
+                done.append((key[0], int(start_no), len(lines), "\n".join(lines)))
+            state.remove()
+        else:
+            if state.exists:
+                lines, start_no = state.get
+                lines = list(lines)
+            else:
+                lines, start_no = [], -1
+            for pdf in pdfs:
+                pdf = pdf.sort_values(idx_col)
+                for no, ln in zip(pdf[idx_col], pdf[line_col]):
+                    ln = "" if ln is None else str(ln)
+                    if rx.search(ln) and lines:
+                        done.append(
+                            (key[0], int(start_no), len(lines), "\n".join(lines))
+                        )
+                        lines, start_no = [ln], int(no)
+                    else:
+                        if not lines:
+                            start_no = int(no)
+                        lines.append(ln)
+            state.update((lines, start_no))
+            if flush_ms > 0:
+                state.setTimeoutDuration(flush_ms)
+        if done:
+            yield pd.DataFrame(
+                done, columns=[key_col, "start_line", "n_lines", "record"]
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def throttle_stateful(
     df: DataFrame,
     key_col: str,

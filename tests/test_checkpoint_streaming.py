@@ -249,3 +249,60 @@ def test_session_stats_gap_semantics(spark):
         per_key.setdefault(r.conv_id, []).append(r.n_turns)
     assert sorted(per_key["c1"]) == [1, 2]
     assert per_key["c2"] == [1]
+
+
+def test_multiline_stateful_joins_across_batches(spark, tmp_path):
+    """An unterminated multiline record must survive the micro-batch
+    boundary in the state store and join with continuation lines that
+    arrive in a later batch."""
+    import json
+
+    from fluent_bit_spark.streaming import multiline_stateful
+
+    src_dir = tmp_path / "lines"
+    src_dir.mkdir()
+    schema = "path string, line_no long, line string"
+
+    def write_batch(name, rows):
+        p = src_dir / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(["path", "line_no", "line"], r))) + "\n")
+
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    out = multiline_stateful(stream, start_pattern=r"^\[")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ml_stream")
+        .start()
+    )
+    try:
+        write_batch(
+            "b1.json",
+            [
+                ("f1", 0, "[rec1] a"),
+                ("f1", 1, " cont1"),
+                ("f1", 2, "[rec2] b"),
+                ("f1", 3, " cont2"),
+            ],
+        )
+        q.processAllAvailable()
+        got1 = {
+            r.record
+            for r in spark.sql("SELECT * FROM ml_stream").collect()
+        }
+        assert got1 == {"[rec1] a\n cont1"}  # rec2 still open in state
+
+        write_batch(
+            "b2.json",
+            [("f1", 4, " cont2b"), ("f1", 5, "[rec3] c")],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ml_stream").collect()
+        got2 = {r.record: (r.start_line, r.n_lines) for r in rows}
+    finally:
+        q.stop()
+    # rec2 joined across the batch boundary, rec3 remains open
+    assert got2["[rec2] b\n cont2\n cont2b"] == (2, 3)
+    assert "[rec3] c" not in got2
