@@ -781,6 +781,41 @@ def _q_len_percentiles(spark, sf_dir):
     )
 
 
+def _q_sft_pairs(spark, sf_dir):
+    """SFT extraction: adjacent user->assistant turn pairs under
+    normalized roles (one conv_id window shuffle)."""
+    from fluent_bit_spark.operators.transcript_qa import sft_pairs
+
+    return sft_pairs(_transcripts(spark, sf_dir))
+
+
+def _q_role_qa(spark, sf_dir):
+    """Per-conversation role-structure QA: alternation violations,
+    first/last role, tool-turn counts, validity flag."""
+    from fluent_bit_spark.operators.transcript_qa import role_sequence_qa
+
+    return role_sequence_qa(_transcripts(spark, sf_dir))
+
+
+def _dup_convs(spark, sf_dir):
+    """Transcripts with every conv ending in '0' duplicated under a
+    '-copy' id (same opening turns) — gives conversation-level dedup a
+    non-vacuous duplicate set; mirrored in the oracle CTE."""
+    t = _transcripts(spark, sf_dir)
+    copies = t.filter(F.col("conv_id").endswith("0")).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+    )
+    return t.unionByName(copies)
+
+
+def _q_conv_dedup(spark, sf_dir):
+    """Conversation dedup by opening fingerprint (first 3 turns):
+    keep-first per fingerprint group."""
+    from fluent_bit_spark.operators.transcript_qa import conv_dedup_by_opening
+
+    return conv_dedup_by_opening(_dup_convs(spark, sf_dir), k=3)
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """Corpus-trained unigram LM score per document (CCNet-style
     perplexity proxy): one word-count shuffle, broadcast vocab back."""
@@ -906,6 +941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
         "unigram_logprob": _q_unigram_logprob,
+        "sft_pairs": _q_sft_pairs,
+        "role_qa": _q_role_qa,
+        "conv_dedup": _q_conv_dedup,
     }
 
 

@@ -1,0 +1,135 @@
+"""Transcript-structure operators for training-data preparation —
+the payload-specific layer over the log pipeline: multi-turn
+conversation tables need structural QA and pair extraction before they
+become SFT/RLHF training data.
+
+- sft_pairs: adjacent (user prompt -> assistant response) turn pairs
+  under normalized roles — the standard SFT extraction.
+- role_sequence_qa: per-conversation structural validation (role
+  alternation, first/last role, tool-turn counts) — transcripts with
+  broken turn structure are dropped before training.
+- conv_fingerprints: conversation-level fingerprint of the first k
+  turns — dedups near-identical conversations that share an opening
+  (system prompt + first exchanges) even when later turns diverge.
+
+Scale shapes: all three are one shuffle on conv_id (window or
+groupBy); conversations are bounded (hundreds of turns), so per-key
+state is small, and hot-conversation skew is handled upstream by the
+salted aggregation helpers (operators/skew.py).
+
+Role normalization mirrors the pipeline's broadcast lookup enrich
+(plans/flagship.ROLE_MAP — the reference's record_modifier/lookup
+analog); here it is a map literal because these operators are
+standalone and the map is a dozen entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.plans.flagship import ROLE_MAP
+
+
+def norm_role_col(role: Column) -> Column:
+    """Normalized role ('other' on miss) as a map-literal lookup."""
+    m = F.create_map(*[F.lit(x) for pair in ROLE_MAP for x in pair])
+    return F.coalesce(m[role], F.lit("other"))
+
+
+def sft_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent user->assistant turn pairs under normalized roles:
+    (conv_id, prompt_idx, prompt, response_idx, response)."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    staged = df.withColumns(
+        {
+            "_nrole": norm_role_col(F.col(role_col)),
+            "_next_role": norm_role_col(F.lead(role_col).over(w)),
+            "_next_idx": F.lead(idx_col).over(w),
+            "_next_text": F.lead(text_col).over(w),
+        }
+    )
+    return staged.filter(
+        (F.col("_nrole") == "user") & (F.col("_next_role") == "assistant")
+    ).select(
+        conv_col,
+        F.col(idx_col).alias("prompt_idx"),
+        F.col(text_col).alias("prompt"),
+        F.col("_next_idx").alias("response_idx"),
+        F.col("_next_text").alias("response"),
+    )
+
+
+def role_sequence_qa(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation structural QA under normalized roles:
+    n_turns, n_same_role_adjacent (consecutive turns with the same
+    normalized role), first_role, last_role, n_tool_turns, and a
+    structure_ok flag (no same-role runs, opens with system or user)."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    staged = df.withColumn("_nrole", norm_role_col(F.col(role_col))).withColumn(
+        "_prev", F.lag("_nrole").over(w)
+    )
+    out = staged.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(
+            F.when(F.col("_nrole") == F.col("_prev"), 1).otherwise(0)
+        ).alias("n_same_role_adjacent"),
+        F.min_by("_nrole", F.col(idx_col)).alias("first_role"),
+        F.max_by("_nrole", F.col(idx_col)).alias("last_role"),
+        F.sum(F.when(F.col("_nrole") == "tool", 1).otherwise(0)).alias(
+            "n_tool_turns"
+        ),
+    )
+    return out.withColumn(
+        "structure_ok",
+        (F.col("n_same_role_adjacent") == 0)
+        & F.col("first_role").isin("system", "user"),
+    )
+
+
+def conv_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation opening fingerprint: md5 over the first k turns'
+    texts in turn order (turn_idx is 0-based consecutive, so 'first k'
+    = turn_idx < k — no window needed, the filter prunes before the
+    shuffle). Returns (conv_id, fp)."""
+    first_k = df.filter(F.col(idx_col) < k)
+    return first_k.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(idx_col, text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                "\x1f",
+            )
+        ).alias("fp")
+    )
+
+
+def conv_dedup_by_opening(df: DataFrame, k: int = 3) -> DataFrame:
+    """Keep-first conversation dedup on the opening fingerprint:
+    (fp, keep_conv, n_convs) per fingerprint group."""
+    fps = conv_fingerprints(df, k)
+    return fps.groupBy("fp").agg(
+        F.min("conv_id").alias("keep_conv"),
+        F.count("*").alias("n_convs"),
+    )

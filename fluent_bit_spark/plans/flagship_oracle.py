@@ -225,7 +225,61 @@ SELECT role, COUNT(*) AS n_docs,
        round(quantile_cont(length(text), 0.99), 6) AS p99
 FROM transcripts GROUP BY role"""
 
+    # transcript-structure ops (operators/transcript_qa.py): role
+    # normalization mirrors plans/flagship.ROLE_MAP via a generated CASE
+    from fluent_bit_spark.plans.flagship import ROLE_MAP
+
+    def _role_case(col: str) -> str:
+        whens = "".join(
+            f" WHEN {col} = '{raw}' THEN '{norm}'" for raw, norm in ROLE_MAP
+        )
+        return f"CASE{whens} ELSE 'other' END"
+
+    rc = _role_case("role")
+    sft_pairs_sql = f"""
+, sp1 AS (
+    SELECT conv_id, turn_idx, text, {rc} AS nrole,
+           lead({rc}) OVER w AS next_role,
+           lead(turn_idx) OVER w AS next_idx,
+           lead(text) OVER w AS next_text
+    FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx AS prompt_idx, text AS prompt,
+       next_idx AS response_idx, next_text AS response
+FROM sp1 WHERE nrole = 'user' AND next_role = 'assistant'"""
+
+    role_qa_sql = f"""
+, rq1 AS (
+    SELECT conv_id, turn_idx, {rc} AS nrole,
+           lag({rc}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM transcripts)
+, rq2 AS (
+    SELECT conv_id, COUNT(*) AS n_turns,
+           SUM(CASE WHEN nrole = prev THEN 1 ELSE 0 END) AS n_same_role_adjacent,
+           arg_min(nrole, turn_idx) AS first_role,
+           arg_max(nrole, turn_idx) AS last_role,
+           SUM(CASE WHEN nrole = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns
+    FROM rq1 GROUP BY conv_id)
+SELECT conv_id, n_turns, n_same_role_adjacent, first_role, last_role,
+       n_tool_turns,
+       (n_same_role_adjacent = 0 AND first_role IN ('system', 'user')) AS structure_ok
+FROM rq2"""
+
+    conv_dedup_sql = """
+, dctr AS (
+    SELECT conv_id, turn_idx, text FROM transcripts
+    UNION ALL
+    SELECT conv_id || '-copy' AS conv_id, turn_idx, text
+    FROM transcripts WHERE conv_id LIKE '%0')
+, dcfp AS (
+    SELECT conv_id, md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fp
+    FROM dctr WHERE turn_idx < 3 GROUP BY conv_id)
+SELECT fp, min(conv_id) AS keep_conv, COUNT(*) AS n_convs
+FROM dcfp GROUP BY fp"""
+
     return {
+        "sft_pairs": sft_pairs_sql,
+        "role_qa": role_qa_sql,
+        "conv_dedup": conv_dedup_sql,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "contamination": contamination_sql,
