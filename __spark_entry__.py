@@ -781,6 +781,16 @@ def _q_len_percentiles(spark, sf_dir):
     )
 
 
+def _q_pack_offsets(spark, sf_dir):
+    """Concatenate-and-chunk packing offsets at capacity 256 tokens per
+    source shard (window cumsum — no sequential pass)."""
+    from fluent_bit_spark.operators.packing import pack_offsets
+
+    return pack_offsets(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"), capacity=256
+    )
+
+
 def _q_sft_pairs(spark, sf_dir):
     """SFT extraction: adjacent user->assistant turn pairs under
     normalized roles (one conv_id window shuffle)."""
@@ -944,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "role_qa": _q_role_qa,
         "conv_dedup": _q_conv_dedup,
+        "pack_offsets": _q_pack_offsets,
     }
 
 

@@ -1,0 +1,72 @@
+"""Training-example packing: map each document to its token offsets in
+the concatenated corpus stream and to the fixed-length training
+examples ("bins") it lands in.
+
+GPT-style pretraining packs data by concatenating documents (within a
+shard/group, in a deterministic order) and chunking the token stream at
+a fixed context length. That layout is exactly expressible as a window
+cumulative sum — no sequential driver loop, one shuffle on the group
+key:
+
+  start_offset = sum(tokens of earlier docs in the group)
+  bin          = start_offset // capacity       (first example touched)
+  n_splits     = boundary crossings inside the doc (how many times the
+                 doc straddles an example boundary)
+
+Greedy no-straddle packing (close a bin when the next doc would
+overflow) is NOT used: its bin assignment is a true sequential
+recursion that cannot be expressed as a distributed window without a
+per-group serial pass, and pretraining pipelines concatenate-and-chunk
+anyway (straddling docs are normal; attention masking handles the
+boundary).
+
+Scale shape: one window per group ordered by the id — groups (shards /
+sources) bound the window size, and the ordering key makes the packing
+independent of partitioning and input order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.text_analysis import token_count
+
+
+def pack_offsets(
+    df: DataFrame,
+    capacity: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, group, n_tokens, start_offset, bin, n_splits) per document
+    under concatenate-and-chunk packing at `capacity` tokens."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    # integer `div`, not float-divide-then-cast: double rounding could
+    # misplace a boundary doc once offsets pass 2^53 tokens
+    return staged.withColumns(
+        {
+            "bin": F.expr(f"start_offset div {capacity}"),
+            # empty docs occupy no tokens: no splits, bin of their offset
+            "n_splits": F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(start_offset + n_tokens - 1) div {capacity}")
+                - F.expr(f"start_offset div {capacity}"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        }
+    )

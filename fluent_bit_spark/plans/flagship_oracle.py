@@ -276,7 +276,27 @@ FROM rq2"""
 SELECT fp, min(conv_id) AS keep_conv, COUNT(*) AS n_convs
 FROM dcfp GROUP BY fp"""
 
+    pack_sql = """
+, pk1 AS (
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+    FROM documents)
+, pk2 AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM pk1)
+SELECT doc_id, source, n_tokens, start_offset,
+       CAST(start_offset // 256 AS BIGINT) AS bin,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // 256 - start_offset // 256
+            ELSE 0 END AS BIGINT) AS n_splits
+FROM pk2"""
+
     return {
+        "pack_offsets": pack_sql,
         "sft_pairs": sft_pairs_sql,
         "role_qa": role_qa_sql,
         "conv_dedup": conv_dedup_sql,

@@ -75,3 +75,40 @@ def test_conv_dedup_by_opening_keeps_min(spark):
     )
     out = {r.keep_conv: r.n_convs for r in conv_dedup_by_opening(df, k=2).collect()}
     assert out == {"c1": 2, "c2": 1}
+
+
+def test_pack_offsets_semantics(spark):
+    from fluent_bit_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [
+            # group g1: 3 docs of 6, 3, 4 tokens; capacity 8
+            (1, "g1", "a b c d e f"),
+            (2, "g1", "g h i"),
+            (3, "g1", "j k l m"),
+            (4, "g2", ""),          # empty doc
+            (5, "g2", "x y"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r.doc_id: r for r in pack_offsets(df, capacity=8).collect()}
+    # doc1: [0,6) -> bin 0, no split; doc2: [6,9) -> bin 0, crosses into 1
+    assert (rows[1].start_offset, rows[1].bin, rows[1].n_splits) == (0, 0, 0)
+    assert (rows[2].start_offset, rows[2].bin, rows[2].n_splits) == (6, 0, 1)
+    # doc3: [9,13) -> bin 1, no split
+    assert (rows[3].start_offset, rows[3].bin, rows[3].n_splits) == (9, 1, 0)
+    # empty doc occupies nothing; g2 ordering: doc4 (0 tokens) then doc5
+    assert (rows[4].n_tokens, rows[4].n_splits) == (0, 0)
+    assert (rows[5].start_offset, rows[5].bin) == (0, 0)
+
+
+def test_pack_offsets_partition_invariance(spark):
+    from fluent_bit_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", "w " * (i % 7 + 1)) for i in range(60)],
+        ["doc_id", "source", "text"],
+    )
+    a = sorted(map(tuple, pack_offsets(df, 16).collect()))
+    b = sorted(map(tuple, pack_offsets(df.repartition(7), 16).collect()))
+    assert a == b
