@@ -108,3 +108,39 @@ def test_minhash_candidates_equi_join(spark, sf_dir):
     plan = plan_of(minhash_candidates(docs, num_perm=16, bands=8), "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_topk_uses_takeordered(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-task
+    heaps), never a full global Sort of the n-gram counts."""
+    from fluent_bit_spark.operators.text_analysis import corpus_ngram_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(corpus_ngram_topk(docs, n=2, k=20), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort\b(?!.*TakeOrdered)", plan.split("TakeOrderedAndProject")[0])
+
+
+def test_pack_offsets_single_shuffle(spark, sf_dir):
+    """Packing is one hash shuffle on the group key feeding the window
+    — no extra exchanges, no global sort."""
+    from fluent_bit_spark.operators.packing import pack_offsets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(pack_offsets(docs, 256), "simple")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sft_pairs_single_shuffle(spark):
+    # over a materialized input (the derivation pipeline has its own
+    # window shuffle) the operator must add exactly one exchange
+    from fluent_bit_spark.operators.transcript_qa import sft_pairs
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "q"), ("c1", 1, "assistant", "a")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = plan_of(sft_pairs(df), "simple")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
