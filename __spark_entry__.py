@@ -791,6 +791,16 @@ def _q_pack_offsets(spark, sf_dir):
     )
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (size 64, stride 32) —
+    shuffle-free map + explode over bound token arrays."""
+    from fluent_bit_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=64, stride=32
+    )
+
+
 def _q_sft_pairs(spark, sf_dir):
     """SFT extraction: adjacent user->assistant turn pairs under
     normalized roles (one conv_id window shuffle)."""
@@ -955,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_qa": _q_role_qa,
         "conv_dedup": _q_conv_dedup,
         "pack_offsets": _q_pack_offsets,
+        "chunk_docs": _q_chunk_docs,
     }
 
 

@@ -102,6 +102,23 @@ def bench_queries(spark, source):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return simhash_near_dup_pairs(docs, max_hamming=3)
 
+    def sft_pairs():
+        from fluent_bit_spark.operators.transcript_qa import sft_pairs as op
+
+        return op(source)
+
+    def unigram_lm():
+        from fluent_bit_spark.operators.text_analysis import unigram_logprob
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return unigram_logprob(docs)
+
+    def chunk_docs():
+        from fluent_bit_spark.operators.packing import chunk_documents
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return chunk_documents(docs, size=64, stride=32)
+
     def ann_topk():
         from fluent_bit_spark.operators.similarity import cosine_topk
 
@@ -119,6 +136,9 @@ def bench_queries(spark, source):
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
+        "sft_pairs": sft_pairs,
+        "unigram_lm": unigram_lm,
+        "chunk_docs": chunk_docs,
     }
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fluent_bit_spark.operators.text_analysis import token_count
+from fluent_bit_spark.operators.text_analysis import token_count, tokens
 
 
 def pack_offsets(
@@ -69,4 +69,59 @@ def pack_offsets(
             .otherwise(F.lit(0))
             .cast("long"),
         }
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of `size` tokens starting
+    every `stride` tokens (stride < size = overlapping chunks, the
+    RAG/embedding-context layout; stride == size = disjoint splits).
+
+    Emits (id, chunk_idx, chunk_start, n_chunk_tokens, chunk) with the
+    chunk text space-rejoined from the whitespace tokenization. The
+    final window is the (possibly short) tail; every token lands in at
+    least one chunk; documents shorter than `size` produce exactly one
+    chunk; empty documents produce none.
+
+    Scale shape: shuffle-free map + explode — chunk construction is
+    array slicing over a BOUND token column (slice inside the per-start
+    lambda reads a row attribute; an inline tokenization tree there
+    would re-tokenize per chunk).
+    """
+    if stride is None:
+        stride = size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    bound = df.withColumn("_ck_tk", tokens(F.col(text_col)))
+    tk = F.col("_ck_tk")
+    n = F.size(tk)
+    # chunk starts: 0, stride, 2*stride, ... while start < n; the last
+    # start is the largest multiple of stride below n
+    n_chunks = F.floor((n - 1) / stride).cast("int") + 1
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.slice(tk, s + 1, size).alias("toks"),
+        ),
+    )
+    out = bound.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.chunk_start").cast("long").alias("chunk_start"),
+        F.size("_c.toks").alias("n_chunk_tokens"),
+        F.array_join("_c.toks", " ").alias("chunk"),
     )

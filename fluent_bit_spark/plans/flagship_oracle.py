@@ -295,8 +295,24 @@ SELECT doc_id, source, n_tokens, start_offset,
             ELSE 0 END AS BIGINT) AS n_splits
 FROM pk2"""
 
+    chunk_sql = """
+, ck1 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, ck2 AS (SELECT doc_id, tk, len(tk) AS n FROM ck1 WHERE len(tk) > 0)
+, ck3 AS (
+    SELECT doc_id, tk, n,
+           unnest(range(0, CAST(floor((n - 1) / 32) AS BIGINT) + 1)) AS ci
+    FROM ck2)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx, ci * 32 AS chunk_start,
+       len(tk[ci * 32 + 1 : ci * 32 + 64]) AS n_chunk_tokens,
+       array_to_string(tk[ci * 32 + 1 : ci * 32 + 64], ' ') AS chunk
+FROM ck3"""
+
     return {
         "pack_offsets": pack_sql,
+        "chunk_docs": chunk_sql,
         "sft_pairs": sft_pairs_sql,
         "role_qa": role_qa_sql,
         "conv_dedup": conv_dedup_sql,

@@ -112,3 +112,50 @@ def test_pack_offsets_partition_invariance(spark):
     a = sorted(map(tuple, pack_offsets(df, 16).collect()))
     b = sorted(map(tuple, pack_offsets(df.repartition(7), 16).collect()))
     assert a == b
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from fluent_bit_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.n_chunk_tokens, r.chunk)
+        for r in chunk_documents(df, size=8, stride=4)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert rows == [
+        (1, 0, 0, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (1, 1, 4, 6, "t4 t5 t6 t7 t8 t9"),
+        (1, 2, 8, 2, "t8 t9"),
+        (2, 0, 0, 2, "a b"),  # short doc: single chunk
+        # empty doc: no chunks
+    ]
+
+
+def test_chunk_documents_disjoint_covers_all_tokens(spark):
+    from fluent_bit_spark.operators.packing import chunk_documents
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 40)],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, size=7)  # stride defaults to size: disjoint
+    tot = (
+        out.groupBy("doc_id")
+        .agg(F.sum("n_chunk_tokens").alias("s"))
+        .collect()
+    )
+    assert all(r.s == r.doc_id for r in tot)  # doc i has i tokens
+
+
+def test_chunk_documents_validation(spark):
+    import pytest
+    from fluent_bit_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.range(1).withColumnRenamed("id", "doc_id"), 0)
