@@ -791,6 +791,22 @@ def _q_pack_offsets(spark, sf_dir):
     )
 
 
+def _q_dup_ngram_fraction(spark, sf_dir):
+    """Duplicate-13-gram span fraction per doc (RefinedWeb/Dolma-style
+    quality signal) over the duplicate-bearing fixture."""
+    from fluent_bit_spark.operators.curation import dup_ngram_fraction
+
+    return dup_ngram_fraction(_dup_docs(spark, sf_dir), n=13)
+
+
+def _q_tool_transitions(spark, sf_dir):
+    """Corpus-wide (from_tool -> to_tool) transition counts over
+    consecutive tool-bearing turns."""
+    from fluent_bit_spark.operators.transcript_qa import tool_transitions
+
+    return tool_transitions(_transcripts(spark, sf_dir))
+
+
 def _q_chunk_docs(spark, sf_dir):
     """Overlapping token-window chunking (size 64, stride 32) —
     shuffle-free map + explode over bound token arrays."""
@@ -966,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": _q_conv_dedup,
         "pack_offsets": _q_pack_offsets,
         "chunk_docs": _q_chunk_docs,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "tool_transitions": _q_tool_transitions,
     }
 
 

@@ -206,6 +206,52 @@ def contamination_flags(
     )
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document fraction of n-gram positions whose n-gram also
+    occurs elsewhere in the corpus (in another document, or more than
+    once in this one) — the duplicate-span quality signal the
+    RefinedWeb/Dolma recipes threshold on instead of running full
+    substring dedup.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction) for docs with at
+    least one n-gram (shorter docs have no n-gram positions).
+
+    Scale shape: one explode + one count shuffle on the n-gram, then a
+    broadcast-unfriendly-but-sparse join back: only grams with corpus
+    count > 1 are joined (the duplicate set is far smaller than the
+    gram universe), and per-doc coverage is a partial-agg groupBy.
+    """
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+
+    grams = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
+    ).select("id", F.explode(word_grams(F.col("tk"), n)).alias("g"))
+    counts = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("g")
+        .withColumn("_dup", F.lit(1))
+    )
+    marked = grams.join(counts, "g", "left")
+    return (
+        marked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-domain quota sampling
 

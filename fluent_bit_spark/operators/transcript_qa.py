@@ -133,3 +133,33 @@ def conv_dedup_by_opening(df: DataFrame, k: int = 3) -> DataFrame:
         F.min("conv_id").alias("keep_conv"),
         F.count("*").alias("n_convs"),
     )
+
+
+def tool_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-usage transition counts: for consecutive tool-bearing turns
+    within a conversation, count (from_tool -> to_tool) pairs across the
+    corpus — the agent-behavior analytics a transcript pipeline feeds
+    into tool-routing dashboards. NULL-tool turns are transparent (the
+    transition skips over them), matching how the flagship pipeline
+    treats tool as optional per turn.
+
+    One window shuffle on conv_id + one partial-agg shuffle on the
+    (small) tool-pair key.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    tools = df.filter(F.col(tool_col).isNotNull()).withColumn(
+        "_next_tool", F.lead(tool_col).over(w)
+    )
+    return (
+        tools.filter(F.col("_next_tool").isNotNull())
+        .groupBy(
+            F.col(tool_col).alias("from_tool"),
+            F.col("_next_tool").alias("to_tool"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

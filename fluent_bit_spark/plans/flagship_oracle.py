@@ -310,9 +310,39 @@ SELECT doc_id, CAST(ci AS INT) AS chunk_idx, ci * 32 AS chunk_start,
        array_to_string(tk[ci * 32 + 1 : ci * 32 + 64], ' ') AS chunk
 FROM ck3"""
 
+    dup_ngram_sql = (
+        DUP_DOCS_SQL
+        + """
+, dng AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM all_docs)
+, dgr AS (
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+12], ' ') FOR i IN range(1, len(tk) - 11)]) AS g
+    FROM dng WHERE len(tk) >= 13)
+, dcnt AS (SELECT g FROM dgr GROUP BY g HAVING COUNT(*) > 1)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN dcnt.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       round(CAST(SUM(CASE WHEN dcnt.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_fraction
+FROM dgr LEFT JOIN dcnt ON dgr.g = dcnt.g
+GROUP BY doc_id"""
+    )
+
+    tool_transitions_sql = """
+, tt1 AS (
+    SELECT conv_id, turn_idx, tool,
+           lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+    FROM transcripts WHERE tool IS NOT NULL)
+SELECT tool AS from_tool, next_tool AS to_tool, COUNT(*) AS n
+FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
+
     return {
         "pack_offsets": pack_sql,
         "chunk_docs": chunk_sql,
+        "dup_ngram_fraction": dup_ngram_sql,
+        "tool_transitions": tool_transitions_sql,
         "sft_pairs": sft_pairs_sql,
         "role_qa": role_qa_sql,
         "conv_dedup": conv_dedup_sql,

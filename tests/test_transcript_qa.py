@@ -159,3 +159,45 @@ def test_chunk_documents_validation(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(spark.range(1).withColumnRenamed("id", "doc_id"), 0)
+
+
+def test_tool_transitions_null_transparent(spark):
+    from fluent_bit_spark.operators.transcript_qa import tool_transitions
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "search"),
+            ("c1", 1, None),       # transparent: search -> editor
+            ("c1", 2, "editor"),
+            ("c1", 3, "editor"),
+            ("c2", 0, "search"),   # conv boundary: no cross-conv pair
+            ("c2", 1, "sql"),
+        ],
+        "conv_id string, turn_idx int, tool string",
+    )
+    out = {(r.from_tool, r.to_tool): r.n for r in tool_transitions(df).collect()}
+    assert out == {
+        ("search", "editor"): 1,
+        ("editor", "editor"): 1,
+        ("search", "sql"): 1,
+    }
+
+
+def test_dup_ngram_fraction_semantics(spark):
+    from fluent_bit_spark.operators.curation import dup_ngram_fraction
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, shared),                      # fully duplicated (with doc 2)
+            (2, shared),
+            (3, "six seven eight nine ten"),  # unique
+            (4, "a b"),                       # too short for 5-grams: no row
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dup_ngram_fraction(df, n=5).collect()}
+    assert rows[1].dup_fraction == 1.0 and rows[1].n_grams == 1
+    assert rows[2].dup_fraction == 1.0
+    assert rows[3].dup_fraction == 0.0 and rows[3].n_dup_grams == 0
+    assert 4 not in rows
