@@ -52,8 +52,11 @@ def main(argv: list[str] | None = None) -> int:
             master=args.master or f"local[{args.parallelism}]",
             shuffle_partitions=args.parallelism,
         )
-        with open(args.config) as f:
-            res = ConfigPipeline(f.read()).run(spark, output_base=args.output)
+        from fluent_bit_spark.config import load_config_file
+
+        res = ConfigPipeline(load_config_file(args.config)).run(
+            spark, output_base=args.output
+        )
         print(json.dumps({k: (v if not isinstance(v, list) else len(v)) for k, v in res.items()}, default=str))
         spark.stop()
         return 0

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,6 +86,81 @@ def parse_config(text: str) -> list[Section]:
         key = parts[0]
         val = parts[1] if len(parts) > 1 else ""
         sections[-1].entries.append((key, val))
+    return sections
+
+
+_META_SET = re.compile(r"^@SET\s+([^=\s]+)\s*=\s*(.*)$", re.IGNORECASE)
+_VAR = re.compile(r"\$\{([^}]+)\}")
+
+
+def load_config_file(
+    path: str, env: dict[str, str] | None = None, _depth: int = 0
+) -> list[Section]:
+    """Load a config file with the reference's meta commands:
+
+    - `@INCLUDE <path>` inlines another file at that point; a `*` makes
+      it a glob; relative paths resolve against the including file's
+      directory (mk_core/mk_rconf.c:266-283).
+    - `@SET key=value` registers a config variable (src/flb_meta.c:38).
+    - `${VAR}` in entry values is translated after parsing: @SET
+      variables first, then the process environment, else the empty
+      string (src/flb_env.c:161 single left-to-right pass, no
+      recursion).
+    """
+    import glob as _glob
+
+    if _depth > 8:
+        raise ConfigError(f"@INCLUDE nesting too deep at {path!r}")
+    env = dict(env or {})
+    sections: list[Section] = []
+
+    def read_one(p: str, depth: int) -> None:
+        if depth > 8:
+            raise ConfigError(f"@INCLUDE nesting too deep at {p!r}")
+        base = os.path.dirname(os.path.abspath(p))
+        with open(p) as f:
+            for raw in f.read().splitlines():
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if line[:9].upper() == "@INCLUDE ":
+                    target = line[9:].strip()
+                    if not os.path.isabs(target):
+                        target = os.path.join(base, target)
+                    if "*" in target:
+                        matches = sorted(_glob.glob(target))
+                        if not matches:
+                            raise ConfigError(f"@INCLUDE glob matched nothing: {target!r}")
+                        for m in matches:
+                            read_one(m, depth + 1)
+                    else:
+                        read_one(target, depth + 1)
+                    continue
+                m = _META_SET.match(line)
+                if m:
+                    env[m.group(1)] = m.group(2)
+                    continue
+                if line.startswith("@"):
+                    raise ConfigError(f"unknown meta command: {line!r}")
+                if line.startswith("[") and line.endswith("]"):
+                    sections.append(Section(line[1:-1].strip().upper()))
+                    continue
+                if not sections:
+                    raise ConfigError(f"entry outside any section: {line!r}")
+                parts = line.split(None, 1)
+                sections[-1].entries.append(
+                    (parts[0], parts[1] if len(parts) > 1 else "")
+                )
+
+    read_one(path, _depth)
+
+    def translate(v: str) -> str:
+        return _VAR.sub(
+            lambda m: env.get(m.group(1), os.environ.get(m.group(1), "")), v
+        )
+
+    for s in sections:
+        s.entries = [(k, translate(v)) for k, v in s.entries]
     return sections
 
 

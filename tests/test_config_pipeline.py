@@ -352,3 +352,56 @@ def test_config_rewrite_tag_captures(spark):
     rows = ConfigPipeline(cfg).run(spark)["stdout_0"]
     tags = sorted(r.tag for r in rows)
     assert tags == ["moved.orders", "moved.orders", "moved.users"]
+
+
+def test_load_config_file_include_set_and_vars(tmp_path, monkeypatch):
+    from fluent_bit_spark.config import ConfigError, load_config_file
+    import pytest
+
+    (tmp_path / "filters.conf").write_text(
+        "[FILTER]\n    Name grep\n    Match ${TAG_PREFIX}.*\n    Regex text ^x\n"
+    )
+    (tmp_path / "extra.d").mkdir()
+    (tmp_path / "extra.d" / "a.conf").write_text("[OUTPUT]\n    Name null\n    Match a.*\n")
+    (tmp_path / "extra.d" / "b.conf").write_text("[OUTPUT]\n    Name null\n    Match b.*\n")
+    main = tmp_path / "main.conf"
+    main.write_text(
+        "@SET TAG_PREFIX=app\n"
+        "[INPUT]\n    Name dummy\n    Tag ${TAG_PREFIX}.log\n    Samples 2\n"
+        "@INCLUDE filters.conf\n"
+        "@INCLUDE extra.d/*.conf\n"
+        "[OUTPUT]\n    Name stdout\n    Match ${MISSING_VAR}${TAG_PREFIX}.*\n"
+    )
+    sections = load_config_file(str(main))
+    kinds = [s.kind for s in sections]
+    assert kinds == ["INPUT", "FILTER", "OUTPUT", "OUTPUT", "OUTPUT"]
+    assert sections[0].get("Tag") == "app.log"           # @SET variable
+    assert sections[1].get("Match") == "app.*"           # translated in include
+    # glob includes in sorted order
+    assert [s.get("Match") for s in sections[2:4]] == ["a.*", "b.*"]
+    # missing vars become empty string (flb_env semantics), process env wins
+    assert sections[4].get("Match") == "app.*"
+
+    monkeypatch.setenv("TAG_PREFIX", "ignored-because-set-wins")
+    assert load_config_file(str(main))[0].get("Tag") == "app.log"
+
+    # cycle guard
+    loop = tmp_path / "loop.conf"
+    loop.write_text("@INCLUDE loop.conf\n")
+    with pytest.raises(ConfigError):
+        load_config_file(str(loop))
+
+    # missing glob is an error
+    bad = tmp_path / "bad.conf"
+    bad.write_text("@INCLUDE nothing/*.conf\n")
+    with pytest.raises(ConfigError):
+        load_config_file(str(bad))
+
+
+def test_env_fallback_to_process_environment(tmp_path, monkeypatch):
+    from fluent_bit_spark.config import load_config_file
+
+    monkeypatch.setenv("FBS_TEST_SINK", "es")
+    c = tmp_path / "env.conf"
+    c.write_text("[OUTPUT]\n    Name ${FBS_TEST_SINK}\n    Match *\n")
+    assert load_config_file(str(c))[0].get("Name") == "es"
