@@ -71,21 +71,25 @@ class Section:
         return [v for k, v in self.entries if k.lower() == key.lower()]
 
 
+def _parse_config_line(line: str, sections: list[Section]) -> None:
+    """The one section-header/entry grammar, shared by parse_config and
+    load_config_file (a grammar change must apply to both)."""
+    if line.startswith("[") and line.endswith("]"):
+        sections.append(Section(line[1:-1].strip().upper()))
+        return
+    if not sections:
+        raise ConfigError(f"entry outside any section: {line!r}")
+    parts = line.split(None, 1)
+    sections[-1].entries.append((parts[0], parts[1] if len(parts) > 1 else ""))
+
+
 def parse_config(text: str) -> list[Section]:
     sections: list[Section] = []
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        if line.startswith("[") and line.endswith("]"):
-            sections.append(Section(line[1:-1].strip().upper()))
-            continue
-        if not sections:
-            raise ConfigError(f"entry outside any section: {line!r}")
-        parts = line.split(None, 1)
-        key = parts[0]
-        val = parts[1] if len(parts) > 1 else ""
-        sections[-1].entries.append((key, val))
+        _parse_config_line(line, sections)
     return sections
 
 
@@ -118,39 +122,35 @@ def load_config_file(
         if depth > 8:
             raise ConfigError(f"@INCLUDE nesting too deep at {p!r}")
         base = os.path.dirname(os.path.abspath(p))
-        with open(p) as f:
-            for raw in f.read().splitlines():
-                line = raw.strip()
-                if not line or line.startswith("#"):
-                    continue
-                if line[:9].upper() == "@INCLUDE ":
-                    target = line[9:].strip()
-                    if not os.path.isabs(target):
-                        target = os.path.join(base, target)
-                    if "*" in target:
-                        matches = sorted(_glob.glob(target))
-                        if not matches:
-                            raise ConfigError(f"@INCLUDE glob matched nothing: {target!r}")
-                        for m in matches:
-                            read_one(m, depth + 1)
-                    else:
-                        read_one(target, depth + 1)
-                    continue
-                m = _META_SET.match(line)
-                if m:
-                    env[m.group(1)] = m.group(2)
-                    continue
-                if line.startswith("@"):
-                    raise ConfigError(f"unknown meta command: {line!r}")
-                if line.startswith("[") and line.endswith("]"):
-                    sections.append(Section(line[1:-1].strip().upper()))
-                    continue
-                if not sections:
-                    raise ConfigError(f"entry outside any section: {line!r}")
-                parts = line.split(None, 1)
-                sections[-1].entries.append(
-                    (parts[0], parts[1] if len(parts) > 1 else "")
-                )
+        try:
+            with open(p) as f:
+                text = f.read()
+        except OSError as e:
+            raise ConfigError(f"cannot read config file {p!r}: {e}") from e
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line[:9].upper() == "@INCLUDE ":
+                target = line[9:].strip()
+                if not os.path.isabs(target):
+                    target = os.path.join(base, target)
+                if "*" in target:
+                    matches = sorted(_glob.glob(target))
+                    if not matches:
+                        raise ConfigError(f"@INCLUDE glob matched nothing: {target!r}")
+                    for m in matches:
+                        read_one(m, depth + 1)
+                else:
+                    read_one(target, depth + 1)
+                continue
+            m = _META_SET.match(line)
+            if m:
+                env[m.group(1)] = m.group(2)
+                continue
+            if line.startswith("@"):
+                raise ConfigError(f"unknown meta command: {line!r}")
+            _parse_config_line(line, sections)
 
     read_one(path, _depth)
 

@@ -226,11 +226,17 @@ def dup_ngram_fraction(
     count > 1 are joined (the duplicate set is far smaller than the
     gram universe), and per-doc coverage is a partial-agg groupBy.
     """
+    from fluent_bit_spark.operators.dedup import _persist
     from fluent_bit_spark.operators.text_analysis import tokens, word_grams
 
-    grams = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
-    ).select("id", F.explode(word_grams(F.col("tk"), n)).alias("g"))
+    # persisted: the exploded gram frame feeds BOTH the count shuffle
+    # and the join-back side; without the cache the corpus is
+    # tokenized + gram-exploded twice (see dedup._persist convention)
+    grams = _persist(
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
+        ).select("id", F.explode(word_grams(F.col("tk"), n)).alias("g"))
+    )
     counts = (
         grams.groupBy("g")
         .agg(F.count("*").alias("cnt"))

@@ -42,6 +42,10 @@ def pack_offsets(
 ) -> DataFrame:
     """(id, group, n_tokens, start_offset, bin, n_splits) per document
     under concatenate-and-chunk packing at `capacity` tokens."""
+    if not isinstance(capacity, int) or capacity <= 0:
+        # capacity is spliced into SQL `div` expressions below — a bad
+        # value must fail here, not mid-job with DIVIDE_BY_ZERO/parse
+        raise ValueError(f"capacity must be a positive int, got {capacity!r}")
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
@@ -98,6 +102,10 @@ def chunk_documents(
         stride = size
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # the contract below ("every token lands in at least one
+        # chunk") would silently break with sampling gaps
+        raise ValueError(f"stride ({stride}) must be <= size ({size})")
     bound = df.withColumn("_ck_tk", tokens(F.col(text_col)))
     tk = F.col("_ck_tk")
     n = F.size(tk)

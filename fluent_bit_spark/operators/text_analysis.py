@@ -202,19 +202,21 @@ def unigram_logprob(
     cutoff — a top-K vocab would need a tie-break that differs across
     engines); out-of-vocabulary tokens get a 0.5 pseudo-count.
 
-    Scale shape: one explode + one shuffle to count words; the vocab
-    (>=min_count survivors, i.e. the Zipf head) is broadcast back, the
-    corpus-total single row is a broadcast cross join — no second big
-    shuffle, no driver collect, scoring is map-side + one partial-agg
-    per doc."""
+    Scale shape: the exploded word frame is persisted (two consumers —
+    the count shuffle and the scoring join — and Spark shares no common
+    subplan between them, so without the cache the corpus would be
+    tokenized and exploded twice); the corpus total derives from the
+    pre-filter word counts (no third pass); the vocab (>=min_count
+    survivors, i.e. the Zipf head) is broadcast back and the total is a
+    broadcast cross join — scoring is map-side + one partial-agg per
+    doc. Call dedup.release_persisted() between jobs in long sessions."""
+    from fluent_bit_spark.operators.dedup import _persist
+
     tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-    words = tk.select("id", F.explode("tk").alias("w"))
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-    )
-    total = words.agg(F.count("*").alias("_total"))
+    words = _persist(tk.select("id", F.explode("tk").alias("w")))
+    wcounts = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    vocab = wcounts.filter(F.col("cnt") >= min_count)
+    total = wcounts.agg(F.sum("cnt").alias("_total"))
     scored = (
         words.join(F.broadcast(vocab), "w", "left")
         .crossJoin(F.broadcast(total))

@@ -123,6 +123,52 @@ def gelf_transform(
     return out
 
 
+def _contains_timestamp(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_timestamp(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_timestamp(dt.keyType) or _contains_timestamp(dt.valueType)
+    return False
+
+
+def _tz_normalize(col: Column, dt) -> Column:
+    """Rewrite every TimestampType at any nesting depth to unix micros
+    so downstream serialization is session-TZ-independent. Subtrees
+    without timestamps pass through untouched."""
+    from pyspark.sql import types as T
+
+    if not _contains_timestamp(dt):
+        return col
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dt, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _tz_normalize(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)  # null struct stays null
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _tz_normalize(x, dt.elementType))
+    if isinstance(dt, T.MapType):
+        out = col
+        if _contains_timestamp(dt.keyType):
+            out = F.transform_keys(out, lambda k, _: _tz_normalize(k, dt.keyType))
+        if _contains_timestamp(dt.valueType):
+            out = F.transform_values(
+                out, lambda _, v: _tz_normalize(v, dt.valueType)
+            )
+        return out
+    return col
+
+
 def es_logstash_index(
     df: DataFrame,
     prefix: str = "logstash",
@@ -143,18 +189,14 @@ def es_logstash_index(
         serialization is JSON rather than the reference's msgpack.
     """
     if id_mode == "murmur3":
-        from pyspark.sql.types import TimestampType
-
         from fluent_bit_spark.functions.hashing import es_generate_id
 
-        # timestamps serialized as unix micros, not to_json's rendered
-        # form: the rendering depends on spark.sql.session.timeZone, and
-        # a TZ-dependent _id breaks idempotent re-ingestion across
-        # differently-configured sessions
+        # timestamps (at any nesting depth) serialized as unix micros,
+        # not to_json's rendered form: the rendering depends on
+        # spark.sql.session.timeZone, and a TZ-dependent _id breaks
+        # idempotent re-ingestion across differently-configured sessions
         fields = [
-            F.unix_micros(F.col(f.name)).alias(f.name)
-            if isinstance(f.dataType, TimestampType)
-            else F.col(f.name)
+            _tz_normalize(F.col(f.name), f.dataType).alias(f.name)
             for f in df.schema.fields
         ]
         doc_id = es_generate_id(F.to_json(F.struct(*fields)))

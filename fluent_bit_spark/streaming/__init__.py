@@ -166,9 +166,14 @@ def multiline_stateful(
                 lines = list(lines)
             else:
                 lines, start_no = [], -1
-            for pdf in pdfs:
-                pdf = pdf.sort_values(idx_col)
-                for no, ln in zip(pdf[idx_col], pdf[line_col]):
+            # one concat+sort across ALL Arrow chunks of this batch: a
+            # key exceeding maxRecordsPerBatch arrives as multiple pdfs
+            # in shuffle order, and per-chunk sorting would stitch
+            # lines from a later chunk before earlier ones
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = pd.concat(chunks).sort_values(idx_col)
+                for no, ln in zip(batch[idx_col], batch[line_col]):
                     ln = "" if ln is None else str(ln)
                     if rx.search(ln) and lines:
                         done.append(

@@ -148,3 +148,49 @@ def test_skewed_batch_bucketing():
     for i, v in enumerate(vals):
         s1, s2 = murmur3_x64_128_batch([v])
         assert (b1[i], b2[i]) == (s1[0], s2[0])
+
+
+def test_es_murmur3_nested_timestamp_tz_invariant(spark):
+    """Timestamps nested in structs/arrays must also serialize
+    TZ-independently in the murmur3 id path."""
+    import datetime as dt
+    import pyspark.sql.functions as F
+    from fluent_bit_spark.sinks import es_logstash_index
+
+    us = int(
+        dt.datetime(2026, 8, 17, 12, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    df = (
+        spark.createDataFrame([("c-1",)], "conv_id string")
+        .withColumn("ts", F.timestamp_micros(F.lit(us)))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.timestamp_micros(F.lit(us)).alias("created"),
+                F.lit("k").alias("kind"),
+            ),
+        )
+        .withColumn("seen", F.array(F.timestamp_micros(F.lit(us))))
+    )
+    ids = lambda: {r.conv_id: r._id for r in es_logstash_index(df, id_mode="murmur3").collect()}  # noqa: E731
+    base = ids()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted = ids()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert shifted == base
+
+
+def test_pack_chunk_validation(spark):
+    import pytest
+    from fluent_bit_spark.operators.packing import chunk_documents, pack_offsets
+
+    df = spark.createDataFrame([(1, "g", "a b")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError):
+        pack_offsets(df, 0)
+    with pytest.raises(ValueError):
+        pack_offsets(df, 2.5)  # type: ignore[arg-type]
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=10)
