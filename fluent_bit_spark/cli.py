@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.config:
-        from fluent_bit_spark.config import ConfigPipeline
+        from fluent_bit_spark.config import pipeline_from_file
         from fluent_bit_spark.session import get_spark
 
         spark = get_spark(
@@ -52,11 +52,7 @@ def main(argv: list[str] | None = None) -> int:
             master=args.master or f"local[{args.parallelism}]",
             shuffle_partitions=args.parallelism,
         )
-        from fluent_bit_spark.config import load_config_file
-
-        res = ConfigPipeline(load_config_file(args.config)).run(
-            spark, output_base=args.output
-        )
+        res = pipeline_from_file(args.config).run(spark, output_base=args.output)
         print(json.dumps({k: (v if not isinstance(v, list) else len(v)) for k, v in res.items()}, default=str))
         spark.stop()
         return 0

@@ -668,3 +668,27 @@ class ConfigPipeline:
         finally:
             routed.unpersist()
         return results
+
+
+def pipeline_from_file(
+    path: str, lua_functions: dict | None = None
+) -> ConfigPipeline:
+    """Load a main config file into a runnable pipeline, honoring
+    `[SERVICE] Parsers_File <path>` references the way the reference
+    does (relative paths resolve against the main config's directory;
+    multiple Parsers_File entries merge, later files winning on a
+    parser-name clash)."""
+    sections = load_config_file(path)
+    pipe = ConfigPipeline(sections, lua_functions=lua_functions)
+    base = os.path.dirname(os.path.abspath(path))
+    for s in sections:
+        if s.kind != "SERVICE":
+            continue
+        for pf in s.get_all("Parsers_File"):
+            p = pf if os.path.isabs(pf) else os.path.join(base, pf)
+            try:
+                with open(p) as f:
+                    pipe.parsers.update(parse_parsers_conf(f.read()))
+            except OSError as e:
+                raise ConfigError(f"cannot read Parsers_File {p!r}: {e}") from e
+    return pipe

@@ -306,3 +306,50 @@ def test_multiline_stateful_joins_across_batches(spark, tmp_path):
     # rec2 joined across the batch boundary, rec3 remains open
     assert got2["[rec2] b\n cont2\n cont2b"] == (2, 3)
     assert "[rec3] c" not in got2
+
+
+def test_multiline_stateful_multi_chunk_batch(spark, tmp_path):
+    """With tiny Arrow batches a single micro-batch reaches fn as
+    several chunks in arbitrary order — the operator must sort the
+    whole batch, not each chunk."""
+    import json
+
+    from fluent_bit_spark.streaming import multiline_stateful
+
+    src_dir = tmp_path / "ml2"
+    src_dir.mkdir()
+    rows = [("f1", i, f"[rec{i}] x" if i % 3 == 0 else f" cont{i}") for i in range(12)]
+    # write lines in REVERSED order so arrival order != line order
+    with open(src_dir / "b1.json", "w") as f:
+        for r in reversed(rows):
+            f.write(json.dumps(dict(zip(["path", "line_no", "line"], r))) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema("path string, line_no long, line string").json(
+            str(src_dir)
+        )
+        q = (
+            multiline_stateful(stream, start_pattern=r"^\[")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ml_chunks")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.start_line: r.record
+                for r in spark.sql("SELECT * FROM ml_chunks").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # records 0,3,6 complete (9 stays open in state)
+    assert got == {
+        0: "[rec0] x\n cont1\n cont2",
+        3: "[rec3] x\n cont4\n cont5",
+        6: "[rec6] x\n cont7\n cont8",
+    }

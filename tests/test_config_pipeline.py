@@ -405,3 +405,34 @@ def test_env_fallback_to_process_environment(tmp_path, monkeypatch):
     c = tmp_path / "env.conf"
     c.write_text("[OUTPUT]\n    Name ${FBS_TEST_SINK}\n    Match *\n")
     assert load_config_file(str(c))[0].get("Name") == "es"
+
+
+def test_pipeline_from_file_service_parsers_file(tmp_path, spark):
+    from fluent_bit_spark.config import pipeline_from_file
+
+    (tmp_path / "parsers.conf").write_text(
+        "[PARSER]\n    Name kvlog\n    Format logfmt\n"
+    )
+    main = tmp_path / "fb.conf"
+    main.write_text(
+        "[SERVICE]\n    Flush 1\n    Parsers_File parsers.conf\n"
+        "[INPUT]\n    Name dummy\n    Tag t.log\n"
+        '    Dummy {"log": "a=1 b=two"}\n    Samples 3\n'
+        "[FILTER]\n    Name parser\n    Match t.*\n    Key_Name log\n    Parser kvlog\n"
+        "[OUTPUT]\n    Name counter\n    Match *\n"
+    )
+    pipe = pipeline_from_file(str(main))
+    assert "kvlog" in pipe.parsers and pipe.parsers["kvlog"].format == "logfmt"
+    res = pipe.run(spark)
+    # counter output counted all 3 records
+    assert any(v == 3 or (isinstance(v, list) and len(v)) for v in res.values())
+
+
+def test_pipeline_from_file_missing_parsers_file(tmp_path):
+    import pytest
+    from fluent_bit_spark.config import ConfigError, pipeline_from_file
+
+    main = tmp_path / "fb.conf"
+    main.write_text("[SERVICE]\n    Parsers_File nope.conf\n")
+    with pytest.raises(ConfigError):
+        pipeline_from_file(str(main))
