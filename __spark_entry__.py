@@ -368,6 +368,29 @@ def _q_range_enrich(spark, sf_dir):
     return out.select("event_id", "tier")
 
 
+def _q_asof_enrich(spark, sf_dir):
+    """Backward as-of join (the 'latest deployment/config before this
+    record' enrich Spark lacks a builtin for): purchase events pick up
+    the most recent prior-or-equal signup marker per user. Oracle is
+    DuckDB's native ASOF LEFT JOIN — an entirely independent
+    implementation of the same semantics."""
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    events = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    markers = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, markers, key="user_id", value_cols=["signup_value", "signup_ts"]
+    ).select("event_id", "user_id", "ts", "signup_value", "signup_ts")
+
+
 def _q_regex_table(spark, sf_dir):
     from fluent_bit_spark.operators.enrich import regex_table_enrich
 
@@ -944,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _q_embed_near_dup,
         "ra_template": _q_ra_template,
         "range_enrich": _q_range_enrich,
+        "asof_enrich": _q_asof_enrich,
         "regex_table": _q_regex_table,
         "sessions_per_conv": _q_sessions_per_conv,
         "topk_convs_per_tag": _q_topk_convs_per_tag,

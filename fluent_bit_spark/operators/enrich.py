@@ -19,7 +19,7 @@ shuffle-free and stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,70 @@ def range_lookup_enrich(
             {c: F.coalesce(F.col(c), F.lit(d)) for c, d in defaults.items() if c in value_cols}
         )
     return joined
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the value columns of the
+    right row with the greatest `right_ts` <= `left_ts` for the same
+    `key` (inclusive bound — a right row at exactly `left_ts` applies).
+    Left rows with no prior right row keep NULL values. The time-series
+    enrich Spark has no builtin for (the "latest config/deployment
+    before this record" lookup; DuckDB spells it ASOF LEFT JOIN).
+
+    Scale shape: instead of a range join (which Spark would execute as
+    a broadcast-nested-loop / cartesian with a post-filter — O(n·m) per
+    key), both sides are unioned and a single `last(value_struct,
+    ignorenulls=True)` running window carries the most recent right-row
+    values forward: ONE shuffle on `key`, O(n+m) total work, no
+    candidate explosion. Right-side values travel in one struct so all
+    value columns always come from the SAME right row.
+
+    Determinism: right rows must be unique per (key, right_ts) — with
+    duplicate marker timestamps "the latest prior row" is ill-defined;
+    pre-aggregate the right side first. Rows whose packed value struct
+    would be entirely NULL still win the as-of race (the struct itself
+    is non-null), matching ASOF semantics.
+
+    Skew: one hot key lands in one task. The window is a running
+    prefix, so if a key is hot, pre-bucket `left_ts` into coarse epochs
+    and seed each epoch with the last right row of the previous epoch —
+    not needed for config/deployment-sized right tables.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    ts, src, packed = "_asof_ts", "_asof_src", "_asof_val"
+    left_cols = left.columns
+    # markers sort BEFORE left rows at equal ts => inclusive bound
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(src),
+        F.struct(*[F.col(c) for c in value_cols]).alias(packed),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(src),
+        F.lit(None).cast(r.schema[packed].dataType).alias(packed),
+        *[F.col(c) for c in left_cols if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, src)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(packed, F.last(packed, ignorenulls=True).over(w))
+    out = carried.filter(F.col(src) == 1).select(
+        *left_cols, *[F.col(f"{packed}.{c}").alias(c) for c in value_cols]
+    )
+    return out
 
 
 def regex_table_enrich(

@@ -778,6 +778,17 @@ def oracle_queries() -> dict[str, str]:
                          WHEN value >= 150 AND value < 1e12 THEN 'extreme'
                          ELSE 'unknown' END AS tier
              FROM events""",
+        "asof_enrich": c
+        + """, asof_markers AS (
+               SELECT user_id, ts AS sts, max(value) AS signup_value
+               FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+             asof_pur AS (
+               SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+             SELECT p.event_id, p.user_id, p.ts,
+                    m.signup_value, m.sts AS signup_ts
+             FROM asof_pur p ASOF LEFT JOIN asof_markers m
+               ON p.user_id = m.user_id AND p.ts >= m.sts""",
         "regex_table": c
         + """SELECT conv_id, turn_idx,
                     CASE WHEN regexp_matches(text, '" (5\\d\\d) ') THEN 'server_error'

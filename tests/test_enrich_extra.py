@@ -63,3 +63,81 @@ def test_sessionize(spark):
     out = sessionize(df, "conv_id", gap="2 hours")
     got = sorted((r.conv_id, r.n_turns) for r in out.collect())
     assert got == [("c1", 1), ("c1", 2), ("c2", 1)]
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _t("2024-01-01 00:30:00"), "early"),   # before any marker
+            (1, _t("2024-01-01 01:00:00"), "at"),      # exactly at marker -> inclusive
+            (1, _t("2024-01-01 02:30:00"), "mid"),     # between markers -> v1
+            (1, _t("2024-01-01 04:00:00"), "late"),    # after both -> v2
+            (2, _t("2024-01-01 05:00:00"), "nokey"),   # key with no markers
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t("2024-01-01 01:00:00"), "v1", 10),
+            (1, _t("2024-01-01 03:00:00"), "v2", 20),
+        ],
+        ["k", "ts", "ver", "num"],
+    )
+    out = asof_join(left, right, key="k")
+    got = {r.tag: (r.ver, r.num) for r in out.collect()}
+    assert got == {
+        "early": (None, None),
+        "at": ("v1", 10),
+        "mid": ("v1", 10),
+        "late": ("v2", 20),
+        "nokey": (None, None),
+    }
+    # left columns survive untouched
+    assert set(out.columns) == {"k", "ts", "tag", "ver", "num"}
+
+
+def test_asof_join_values_from_same_right_row(spark):
+    """Both value columns must come from the SAME marker row (packed
+    struct), never mixed across markers."""
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01 02:00:00"))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01 00:00:00"), "a", 1), (1, _t("2024-01-01 01:00:00"), "b", 2)],
+        ["k", "ts", "s", "n"],
+    )
+    row = asof_join(left, right, key="k").collect()[0]
+    assert (row.s, row.n) == ("b", 2)
+
+
+def test_asof_join_partition_invariant(spark):
+    """Same answer at 1 and 7 input partitions (the window shuffle
+    fully determines order)."""
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [(i % 3, _t("2024-01-01 00:00:00") + dt.timedelta(minutes=i), i) for i in range(40)],
+        ["k", "ts", "idx"],
+    )
+    right = spark.createDataFrame(
+        [(k, _t("2024-01-01 00:00:00") + dt.timedelta(minutes=10 * j), f"m{k}-{j}")
+         for k in range(3) for j in range(4)],
+        ["k", "ts", "mark"],
+    )
+    base = sorted(
+        (r.idx, r.mark) for r in asof_join(left, right, key="k").collect()
+    )
+    for n in (1, 7):
+        got = sorted(
+            (r.idx, r.mark)
+            for r in asof_join(left.repartition(n), right.repartition(n), key="k").collect()
+        )
+        assert got == base
