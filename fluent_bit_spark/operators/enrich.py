@@ -112,11 +112,26 @@ def asof_join(
     prefix, so if a key is hot, pre-bucket `left_ts` into coarse epochs
     and seed each epoch with the last right row of the previous epoch —
     not needed for config/deployment-sized right tables.
+
+    NULL semantics match SQL ASOF: a NULL join key or NULL `right_ts`
+    never matches (those right rows are dropped; NULL-key left rows
+    pass through with NULL values).
     """
-    value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if not value_cols:
+        raise ValueError("asof_join: value_cols must be non-empty")
+    clash = set(value_cols) & {c for c in left.columns if c != key}
+    if clash:
+        raise ValueError(
+            f"asof_join: right value columns {sorted(clash)} collide with "
+            "left columns — rename one side first"
+        )
     ts, src, packed = "_asof_ts", "_asof_src", "_asof_val"
     left_cols = left.columns
-    # markers sort BEFORE left rows at equal ts => inclusive bound
+    # markers sort BEFORE left rows at equal ts => inclusive bound;
+    # NULL key / NULL ts markers can never be "the latest prior row"
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(key),
         F.col(right_ts).alias(ts),

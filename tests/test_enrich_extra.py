@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.aggregate import sessionize
@@ -116,6 +118,36 @@ def test_asof_join_values_from_same_right_row(spark):
     )
     row = asof_join(left, right, key="k").collect()[0]
     assert (row.s, row.n) == ("b", 2)
+
+
+def test_asof_join_null_key_and_null_ts_never_match(spark):
+    """SQL ASOF semantics: NULL keys / NULL marker timestamps never
+    match (DuckDB `p.k = m.k AND p.ts >= m.ts` is false on NULLs)."""
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [(None, _t("2024-01-01 02:00:00"), "nullkey"), (1, _t("2024-01-01 02:00:00"), "k1")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, _t("2024-01-01 01:00:00"), "mnull"),
+         (1, None, "mnots"),
+         (1, _t("2024-01-01 01:00:00"), "m1")],
+        "k int, ts timestamp, mark string",
+    )
+    got = {r.tag: r.mark for r in asof_join(left, right, key="k").collect()}
+    assert got == {"nullkey": None, "k1": "m1"}
+
+
+def test_asof_join_rejects_colliding_and_empty_value_cols(spark):
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame([(1, _t("2024-01-01"), "x")], ["k", "ts", "note"])
+    right = spark.createDataFrame([(1, _t("2024-01-01"), "y")], ["k", "ts", "note"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k")
+    with pytest.raises(ValueError, match="non-empty"):
+        asof_join(left, right.withColumnRenamed("note", "memo"), key="k", value_cols=[])
 
 
 def test_asof_join_partition_invariant(spark):

@@ -72,6 +72,7 @@ def _submit(tmp, zpath, runner, *extra):
 
 
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata fixture")
 def test_spark_submit_py_files_end_to_end(tmp_path):
     tmp = str(tmp_path)
     zpath = _build_zip(tmp)
