@@ -768,6 +768,18 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_winnow_fp(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=5 char-grams, window w=4): the
+    distinct selected (doc, min-hash) set; oracle recomputes the same
+    md5-slice hashes and window minima with DuckDB list
+    comprehensions."""
+    from fluent_bit_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", k=5, w=4
+    )
+
+
 def _q_intra_doc_dedup(spark, sf_dir):
     """Within-document repetition removal (first-occurrence keep) over
     re-lined docs; every 4th doc gets its own first line re-appended
@@ -998,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "line_dedup": _q_line_dedup,
         "intra_doc_dedup": _q_intra_doc_dedup,
+        "winnow_fp": _q_winnow_fp,
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
         "unigram_logprob": _q_unigram_logprob,

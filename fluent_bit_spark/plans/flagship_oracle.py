@@ -352,6 +352,31 @@ FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
         "quota_sample": quota_sql,
         "line_dedup": line_dedup_sql,
         "intra_doc_dedup": intra_doc_sql,
+        # MOSS winnowing (k=5, w=4): identical md5-slice k-gram hashes;
+        # window minima via unnest + ROWS-frame min (a list-comprehension
+        # form is equivalent but ~2500x slower in DuckDB — interpreted
+        # nested lambdas + per-window list copies)
+        "winnow_fp": """, wf_clean AS (
+               SELECT doc_id,
+                      regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+               FROM documents),
+             wf_h AS (
+               SELECT doc_id,
+                      ('0x'||substr(md5(substr(c, CAST(i AS INT), 5)),1,8))::BIGINT AS h,
+                      i, m
+               FROM (SELECT doc_id, c, length(c)-4 AS m,
+                            unnest(generate_series(1, length(c)-4)) AS i
+                     FROM wf_clean WHERE length(c) >= 5)),
+             wf_win AS (
+               SELECT doc_id, i, m,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+               FROM wf_h),
+             wf_sel AS (
+               SELECT DISTINCT doc_id, fp FROM wf_win WHERE m >= 4 AND i <= m - 3
+               UNION
+               SELECT doc_id, min(h) AS fp FROM wf_h WHERE m < 4 GROUP BY doc_id)
+             SELECT doc_id, fp FROM wf_sel""",
         "ngram_topk": ngram_topk_sql,
         "len_percentiles": len_pct_sql,
         "unigram_logprob": """

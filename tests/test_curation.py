@@ -205,3 +205,42 @@ def test_unigram_logprob_vocab_join_is_broadcast(spark):
     explained = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in explained or "BroadcastNestedLoopJoin" in explained
     assert "SortMergeJoin" not in explained
+
+
+# ---------- winnowing fingerprints (MOSS) ----------
+
+
+def test_winnow_match_guarantee_and_short_doc_rule(spark):
+    """Any shared substring of length >= w+k-1 (= 8 at k=5,w=4) must
+    share a fingerprint; docs with < w hashes use their global min;
+    docs shorter than k contribute nothing."""
+    from fluent_bit_spark.operators.text_analysis import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "prefix SHAREDBLOCKXYZ middle"),
+            (2, "other SHAREDBLOCKXYZ tail!!"),
+            (3, "abcdef"),      # 2 hashes < w -> single global min
+            (4, "xy"),          # shorter than k -> nothing
+            (5, ""),            # empty -> nothing
+        ],
+        "doc_id int, text string",
+    )
+    rows = winnow_fingerprints(df, id_col="doc_id").collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 15-char block must share a fingerprint"
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_winnow_plan_evaluates_hash_pipeline_once(spark):
+    """Regression: the md5 k-gram pipeline must appear exactly once in
+    the optimized plan — CollapseProject used to re-inline it 11x into
+    the window-min lambdas (O(n^2) blowup, 438 s at sf0.01)."""
+    from fluent_bit_spark.operators.text_analysis import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "hello world document")], "doc_id int, text string")
+    plan = winnow_fingerprints(df, id_col="doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan

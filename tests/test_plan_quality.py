@@ -144,3 +144,22 @@ def test_sft_pairs_single_shuffle(spark):
     plan = plan_of(sft_pairs(df), "simple")
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    # the windowed union form must plan as ONE hash exchange on the key
+    # (plus the window sort) — never a range/cartesian join
+    from fluent_bit_spark.operators.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "m")], "k int, ts int, mark string"
+    )
+    plan = plan_of(asof_join(left, right, key="k", left_ts="ts", right_ts="ts"), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
