@@ -368,6 +368,26 @@ def _q_range_enrich(spark, sf_dir):
     return out.select("event_id", "tier")
 
 
+GROK_APACHE = (
+    r"^%{IPV4:client} - %{USER:auth} \[%{HTTPDATE:atime}\] "
+    r'"%{WORD:verb} %{URIPATH:path} HTTP/%{NUMBER:httpver}" '
+    r"%{INT:code:int} %{INT:size:int}$"
+)
+
+
+def _q_grok_parse(spark, sf_dir):
+    """Grok macro layer over the vectorized regex parser: the classic
+    apache access-log grok expression, expanded to one RE2-safe flat
+    pattern that the DuckDB oracle replays positionally."""
+    from fluent_bit_spark.operators.grok import apply_grok
+
+    out = apply_grok(_transcripts(spark, sf_dir), GROK_APACHE)
+    return out.select(
+        "conv_id", "turn_idx", "client", "auth", "atime",
+        "verb", "path", "httpver", "code", "size",
+    )
+
+
 def _q_asof_enrich(spark, sf_dir):
     """Backward as-of join (the 'latest deployment/config before this
     record' enrich Spark lacks a builtin for): purchase events pick up
@@ -980,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ra_template": _q_ra_template,
         "range_enrich": _q_range_enrich,
         "asof_enrich": _q_asof_enrich,
+        "grok_parse": _q_grok_parse,
         "regex_table": _q_regex_table,
         "sessions_per_conv": _q_sessions_per_conv,
         "topk_convs_per_tag": _q_topk_convs_per_tag,

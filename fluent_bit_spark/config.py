@@ -171,7 +171,7 @@ class ParserSpec:
     Time_Keep/Types — src/flb_parser.c config loading)."""
 
     name: str
-    format: str  # regex | json | ltsv | logfmt
+    format: str  # regex | grok | json | ltsv | logfmt
     regex: str | None = None
     time_key: str | None = None
     time_format: str | None = None
@@ -193,7 +193,7 @@ def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
         spec = ParserSpec(
             name=s.get("Name"),
             format=(s.get("Format") or "regex").lower(),
-            regex=s.get("Regex"),
+            regex=s.get("Regex") or s.get("Grok_Pattern"),
             time_key=s.get("Time_Key"),
             time_format=s.get("Time_Format"),
             time_keep=(s.get("Time_Keep", "on").lower() != "off"),
@@ -216,6 +216,21 @@ def apply_parser_spec(df: DataFrame, spec: ParserSpec, key: str = "log") -> Data
         typecast,
     )
 
+    if spec.format == "grok":
+        # Format grok + Grok_Pattern (or Regex) with %{NAME:field:type}
+        # macros; :int/:float casts merge under any explicit Types
+        from fluent_bit_spark.operators.grok import grok_compile
+
+        regex, _fields, casts = grok_compile(spec.regex)
+        return apply_regex_parser(
+            df,
+            regex,
+            source=key,
+            types={**casts, **(spec.types or {})} or None,
+            time_key=spec.time_key,
+            time_format=_strptime_to_spark(spec.time_format) if spec.time_format else None,
+            time_keep=spec.time_keep,
+        )
     if spec.format == "regex":
         return apply_regex_parser(
             df,

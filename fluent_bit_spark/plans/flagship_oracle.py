@@ -658,6 +658,27 @@ PARSE_COLS = (
 )
 
 
+def _grok_parse_sql() -> str:
+    """Replay the entry's apache grok expression positionally: the
+    expansion is deterministic and base patterns are capture-free, so
+    capture i == field i; `:int` fields get the BIGINT cast the Spark
+    typecast stage applies."""
+    from fluent_bit_spark.operators.grok import grok_compile
+    from fluent_bit_spark.operators.parse import _java_pattern
+
+    import __spark_entry__ as entry
+
+    regex, fields, casts = grok_compile(entry.GROK_APACHE)
+    pos = _java_pattern(regex).replace("'", "''")
+    cols = []
+    for i, f in enumerate(fields):
+        e = f"nullif(regexp_extract(text, '{pos}', {i + 1}), '')"
+        if casts.get(f) in ("integer", "int"):
+            e = f"CAST({e} AS BIGINT)"
+        cols.append(f"{e} AS {f}")
+    return f"SELECT conv_id, turn_idx, {', '.join(cols)} FROM transcripts"
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
@@ -803,6 +824,7 @@ def oracle_queries() -> dict[str, str]:
                          WHEN value >= 150 AND value < 1e12 THEN 'extreme'
                          ELSE 'unknown' END AS tier
              FROM events""",
+        "grok_parse": c + _grok_parse_sql(),
         "asof_enrich": c
         + """, asof_markers AS (
                SELECT user_id, ts AS sts, max(value) AS signup_value
