@@ -788,6 +788,14 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (smoothed idf, round-6
+    scores ranked deterministically)."""
+    from fluent_bit_spark.operators.text_analysis import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def _q_winnow_fp(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5 char-grams, window w=4): the
     distinct selected (doc, min-hash) set; oracle recomputes the same
@@ -1032,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "intra_doc_dedup": _q_intra_doc_dedup,
         "winnow_fp": _q_winnow_fp,
+        "tfidf_topk": _q_tfidf_topk,
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
         "unigram_logprob": _q_unigram_logprob,

@@ -313,6 +313,52 @@ def unigram_logprob(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-`k` keywords per document by smoothed tf-idf
+    (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn-style smooth idf),
+    ties broken by term ascending. Output: (id, term, tf, score, rank).
+
+    Scale shape: explode -> two hash aggregations (doc-term tf, then
+    term doc-frequency) -> shuffle join on term -> per-doc top-k
+    window. The corpus size N rides in via a 1-row broadcast cross
+    join (no driver-side action, plan stays lazy). Scores are rounded
+    to 6 decimals BEFORE ranking so the ordering is reproducible
+    across engines (ln differs by <=1 ulp between libms; ranking on
+    the rounded value makes the tie-break deterministic)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "score", "rank")
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document stats frame."""
     t = F.col(text_col)

@@ -352,6 +352,29 @@ FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
         "quota_sample": quota_sql,
         "line_dedup": line_dedup_sql,
         "intra_doc_dedup": intra_doc_sql,
+        "tfidf_topk": """, ti_tok AS (
+               SELECT doc_id,
+                      unnest(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x <> '')) AS term
+               FROM documents),
+             ti_tf AS (
+               SELECT doc_id, term, count(*) AS tf
+               FROM ti_tok GROUP BY doc_id, term),
+             ti_df AS (
+               SELECT term, count(*) AS df FROM ti_tf GROUP BY term),
+             ti_n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             ti_s AS (
+               SELECT t.doc_id, t.term, t.tf,
+                      round(t.tf * (ln((n.n_docs + 1.0)/(d.df + 1.0)) + 1.0), 6) AS score
+               FROM ti_tf t JOIN ti_df d USING (term) CROSS JOIN ti_n n),
+             ti_r AS (
+               SELECT doc_id, term, tf, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC) AS rank
+               FROM ti_s)
+             SELECT doc_id, term, tf, CAST(rank AS INT) AS rank, score
+             FROM ti_r WHERE rank <= 3""",
         # MOSS winnowing (k=5, w=4): identical md5-slice k-gram hashes;
         # window minima via unnest + ROWS-frame min (a list-comprehension
         # form is equivalent but ~2500x slower in DuckDB — interpreted

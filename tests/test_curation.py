@@ -244,3 +244,20 @@ def test_winnow_plan_evaluates_hash_pipeline_once(spark):
     df = spark.createDataFrame([(1, "hello world document")], "doc_id int, text string")
     plan = winnow_fingerprints(df, id_col="doc_id")._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") == 1, plan
+
+
+def test_tfidf_topk_scores_and_ties(spark):
+    from fluent_bit_spark.operators.text_analysis import tfidf_topk
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id int, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    top = {(r.doc_id, r.rank): (r.term, r.tf, r.score) for r in out}
+    # 'apple' appears twice in doc 1 and only there: tf=2, df=1, N=3
+    want = round(2 * (math.log(4.0 / 2.0) + 1.0), 6)
+    assert top[(1, 1)] == ("apple", 2, want)
+    # doc 3: cherry and date both tf=1; date has lower df -> ranks first
+    assert top[(3, 1)][0] == "date" and top[(3, 2)][0] == "cherry"
