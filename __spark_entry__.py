@@ -788,6 +788,16 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_rate_anomalies(spark, sf_dir):
+    """Hourly-rate spike detection per event_type (rolling 6-bucket
+    z-score from exact integer window sums — bit-deterministic across
+    engines)."""
+    from fluent_bit_spark.operators.aggregate import rate_anomalies
+
+    events = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return rate_anomalies(events)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Top-3 tf-idf keywords per document (smoothed idf, round-6
     scores ranked deterministically)."""
@@ -1041,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": _q_intra_doc_dedup,
         "winnow_fp": _q_winnow_fp,
         "tfidf_topk": _q_tfidf_topk,
+        "rate_anomalies": _q_rate_anomalies,
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
         "unigram_logprob": _q_unigram_logprob,

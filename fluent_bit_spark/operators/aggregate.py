@@ -102,3 +102,53 @@ def timeseries_forecast(
             "forecast", F.col("intercept") + F.col("slope") * F.lit(float(future_x))
         )
     return agg
+
+
+def rate_anomalies(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    window_hours: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score spike detection over hourly rates: for each
+    (key, hour) bucket, compare the count against the mean/std of the
+    trailing `window_hours` OBSERVED buckets (ROWS frame — gaps don't
+    widen the window). `z`/`spike` are NULL until a full trailing
+    window exists or when the window variance is 0.
+
+    Determinism note: mean/variance are derived from exact integer
+    window sums (sum n, sum n^2) with only IEEE-correctly-rounded
+    ops (+,-,*,/,sqrt) after that, so Spark and any SQL oracle agree
+    bit-for-bit — unlike stddev_samp/stddev_pop, whose accumulation
+    order differs per engine.
+
+    Scale shape: one shuffle to the (key, hour) aggregate (map-side
+    partial), then a per-key ordered window over tiny hourly rows.
+    """
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(
+        F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("hour")
+        .rowsBetween(-window_hours, -1)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("n").over(w)
+    k = F.lit(float(window_hours))
+    mean = s1 / k
+    var = (s2 - s1 * s1 / k) / k
+    z = (F.col("n") - mean) / F.sqrt(var)
+    full = (cnt == window_hours) & (var > 0)
+    return hourly.select(
+        key,
+        "hour",
+        "n",
+        F.when(full, F.round(mean, 6)).alias("mean_n"),
+        F.when(full, F.round(z, 6)).alias("z"),
+        F.when(full, z > F.lit(z_threshold)).alias("spike"),
+    )

@@ -352,6 +352,28 @@ FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
         "quota_sample": quota_sql,
         "line_dedup": line_dedup_sql,
         "intra_doc_dedup": intra_doc_sql,
+        "rate_anomalies": """, ra_h AS (
+               SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n
+               FROM events GROUP BY event_type, date_trunc('hour', ts)),
+             ra_w AS (
+               SELECT event_type, hour, n,
+                 SUM(n)   OVER w AS s1,
+                 SUM(n*n) OVER w AS s2,
+                 COUNT(n) OVER w AS cnt
+               FROM ra_h
+               WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             SELECT event_type, hour, n,
+               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                    THEN round(s1/6.0, 6) END AS mean_n,
+               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                    THEN round((n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0), 6)
+                    END AS z,
+               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                    THEN (n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0) > 3.0
+                    END AS spike
+             FROM ra_w""",
         "tfidf_topk": """, ti_tok AS (
                SELECT doc_id,
                       unnest(list_filter(

@@ -261,3 +261,26 @@ def test_tfidf_topk_scores_and_ties(spark):
     assert top[(1, 1)] == ("apple", 2, want)
     # doc 3: cherry and date both tf=1; date has lower df -> ranks first
     assert top[(3, 1)][0] == "date" and top[(3, 2)][0] == "cherry"
+
+
+def test_rate_anomalies_flags_spike_after_full_window(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.operators.aggregate import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 6 calm hours of 10 events, then an hour with 100
+    for h in range(6):
+        rows += [("click", base + dt.timedelta(hours=h, seconds=s)) for s in range(10)]
+    rows += [("click", base + dt.timedelta(hours=6, seconds=s)) for s in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.hour.hour: r for r in rate_anomalies(df).collect()}
+    assert out[5].z is None and out[5].spike is None  # window not full yet
+    assert out[6].spike is None  # variance 0 in calm window -> undefined z
+    # with variance in the trailing window, the spike flags
+    rows[0] = ("click", base + dt.timedelta(hours=0, seconds=0))
+    rows.append(("click", base + dt.timedelta(hours=1, seconds=30)))  # 11 in hour 1
+    df2 = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out2 = {r.hour.hour: r for r in rate_anomalies(df2).collect()}
+    assert out2[6].spike is True and out2[6].z > 3
