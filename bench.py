@@ -119,6 +119,21 @@ def bench_queries(spark, source):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return chunk_documents(docs, size=64, stride=32)
 
+    def grok_parse():
+        from fluent_bit_spark.operators.grok import apply_grok
+
+        import __spark_entry__ as entry
+
+        return apply_grok(source, entry.GROK_APACHE).select(
+            "conv_id", "client", "verb", "path", "code", "size"
+        )
+
+    def winnow_fp():
+        from fluent_bit_spark.operators.text_analysis import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return winnow_fingerprints(docs, id_col="doc_id")
+
     def ann_topk():
         from fluent_bit_spark.operators.similarity import cosine_topk
 
@@ -135,6 +150,8 @@ def bench_queries(spark, source):
         "stable_order": stable_order,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "grok_parse": grok_parse,
+        "winnow_fp": winnow_fp,
         "ann_topk": ann_topk,
         "sft_pairs": sft_pairs,
         "unigram_lm": unigram_lm,
