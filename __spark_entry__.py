@@ -788,6 +788,19 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_tool_pagerank(spark, sf_dir):
+    """Weighted PageRank (3 fixed iterations, d=0.85) over the
+    tool-transition graph; per-iteration round-9 keeps both engines'
+    float paths in lockstep."""
+    from fluent_bit_spark.operators.graph import pagerank
+    from fluent_bit_spark.operators.transcript_qa import tool_transitions
+
+    edges = tool_transitions(_transcripts(spark, sf_dir))
+    return pagerank(edges, src="from_tool", dst="to_tool", weight="n").select(
+        F.col("node").alias("tool"), "pr"
+    )
+
+
 def _q_rate_anomalies(spark, sf_dir):
     """Hourly-rate spike detection per event_type (rolling 6-bucket
     z-score from exact integer window sums — bit-deterministic across
@@ -1052,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "tfidf_topk": _q_tfidf_topk,
         "rate_anomalies": _q_rate_anomalies,
+        "tool_pagerank": _q_tool_pagerank,
         "ngram_topk": _q_ngram_topk,
         "len_percentiles": _q_len_percentiles,
         "unigram_logprob": _q_unigram_logprob,

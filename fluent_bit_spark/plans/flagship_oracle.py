@@ -338,7 +338,41 @@ GROUP BY doc_id"""
 SELECT tool AS from_tool, next_tool AS to_tool, COUNT(*) AS n
 FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
 
+    # weighted PageRank, 3 unrolled iterations matching operators/graph.py:
+    # base term spelled (1.0 - 0.85) so the double equals Python's
+    # 1.0 - damping (0.15 parses to a DIFFERENT double); per-iteration
+    # round-9 absorbs addition-order drift.
+    pr_iter = """
+pr{K} AS (
+    SELECT nd.node,
+           round((1.0 - 0.85)/nn.n + 0.85*coalesce(SUM(p.pr * sh.share), 0), 9) AS pr
+    FROM pr_nodes nd CROSS JOIN pr_n nn
+    LEFT JOIN pr_sh sh ON sh.d = nd.node
+    LEFT JOIN pr{J} p ON p.node = sh.s
+    GROUP BY nd.node, nn.n)"""
+    pagerank_sql = (
+        """
+, tt1 AS (
+    SELECT conv_id, turn_idx, tool,
+           lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+    FROM transcripts WHERE tool IS NOT NULL),
+pr_e AS (
+    SELECT tool AS s, next_tool AS d, CAST(count(*) AS DOUBLE) AS w
+    FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool),
+pr_nodes AS (SELECT s AS node FROM pr_e UNION SELECT d FROM pr_e),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_out AS (SELECT s, SUM(w) AS outw FROM pr_e GROUP BY s),
+pr_sh AS (SELECT e.s, e.d, e.w/o.outw AS share FROM pr_e e JOIN pr_out o USING (s)),
+pr0 AS (SELECT node, 1.0/nn.n AS pr FROM pr_nodes CROSS JOIN pr_n nn),"""
+        + ",".join(
+            pr_iter.format(K=k, J=k - 1) for k in (1, 2, 3)
+        )
+        + """
+SELECT node AS tool, pr FROM pr3"""
+    )
+
     return {
+        "tool_pagerank": pagerank_sql,
         "pack_offsets": pack_sql,
         "chunk_docs": chunk_sql,
         "dup_ngram_fraction": dup_ngram_sql,
