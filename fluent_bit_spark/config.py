@@ -219,18 +219,26 @@ def apply_parser_spec(df: DataFrame, spec: ParserSpec, key: str = "log") -> Data
     if spec.format == "grok":
         # Format grok + Grok_Pattern (or Regex) with %{NAME:field:type}
         # macros; :int/:float casts merge under any explicit Types
-        from fluent_bit_spark.operators.grok import grok_compile
+        from fluent_bit_spark.operators.grok import GrokError, apply_grok
 
-        regex, _fields, casts = grok_compile(spec.regex)
-        return apply_regex_parser(
-            df,
-            regex,
-            source=key,
-            types={**casts, **(spec.types or {})} or None,
-            time_key=spec.time_key,
-            time_format=_strptime_to_spark(spec.time_format) if spec.time_format else None,
-            time_keep=spec.time_keep,
-        )
+        if not spec.regex:
+            raise ConfigError(
+                f"parser {spec.name!r}: Format grok requires Grok_Pattern (or Regex)"
+            )
+        try:
+            return apply_grok(
+                df,
+                spec.regex,
+                source=key,
+                types=spec.types or None,
+                time_key=spec.time_key,
+                time_format=_strptime_to_spark(spec.time_format)
+                if spec.time_format
+                else None,
+                time_keep=spec.time_keep,
+            )
+        except GrokError as exc:
+            raise ConfigError(f"parser {spec.name!r}: {exc}") from exc
     if spec.format == "regex":
         return apply_regex_parser(
             df,

@@ -128,9 +128,14 @@ def rate_anomalies(
     """
     from pyspark.sql import Window
 
-    hourly = df.groupBy(
-        F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("hour")
-    ).agg(F.count("*").alias("n"))
+    # NULL timestamps have no hour bucket — drop them up front (engines
+    # disagree on NULL placement in window ORDER BY: Spark NULLS FIRST,
+    # DuckDB NULLS LAST, so keeping them would also break the oracle)
+    hourly = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
     w = (
         Window.partitionBy(key)
         .orderBy("hour")

@@ -40,22 +40,33 @@ def pagerank(
     instead of compounding.
 
     Scale shape: each iteration is one shuffle join on `src` plus one
-    aggregation on `dst` over the (small) node-count-sized rank frame;
-    the edge frame is re-used as-is. For large `iters`, checkpoint the
-    rank frame every few rounds to cut lineage (not needed at 3).
+    aggregation on `dst` over the (small) node-count-sized rank frame.
+    The node and normalized-edge frames are persisted (registered with
+    the shared release registry) because they appear in every unrolled
+    iteration and Spark does no common-subplan sharing — without the
+    persist, the upstream lineage (e.g. the tool-transition window
+    shuffle) would re-run once per iteration plus once for the node
+    count. For large `iters`, checkpoint the rank frame every few
+    rounds to cut lineage (not needed at 3).
     """
-    nodes = (
+    from fluent_bit_spark.operators.dedup import _persist
+
+    nodes = _persist(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_outw"))
-    e = edges.join(outw, src).select(
-        F.col(src).alias("_src"),
-        F.col(dst).alias("_dst"),
-        (F.col(weight) / F.col("_outw")).alias("_share"),
+    e = _persist(
+        edges.join(outw, src).select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            (F.col(weight) / F.col("_outw")).alias("_share"),
+        )
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))  # empty graph -> empty result
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iters):

@@ -103,8 +103,9 @@ GROK_PATTERNS: dict[str, str] = {
 
 _MACRO = re.compile(
     r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z_][A-Za-z0-9_]*))?"
-    r"(?::(?P<type>int|float))?\}"
+    r"(?::(?P<type>[A-Za-z0-9_]+))?\}"
 )
+_MACRO_ANY = re.compile(r"%\{[^}]*\}")
 
 _TYPE_MAP = {"int": "integer", "float": "float"}
 
@@ -137,6 +138,11 @@ def grok_compile(
             name, field, ty = m.group("name"), m.group("field"), m.group("type")
             if name not in custom:
                 raise GrokError(f"unknown grok pattern %{{{name}}}")
+            if ty and ty not in _TYPE_MAP:
+                raise GrokError(
+                    f"unsupported grok conversion {ty!r} in %{{{name}:{field}:{ty}}}"
+                    " (only :int / :float)"
+                )
             body = expand(custom[name], depth + 1, capture=False)
             if field and capture:
                 if field in fields:
@@ -149,8 +155,15 @@ def grok_compile(
 
         return _MACRO.sub(sub, pat)
 
+    if not isinstance(pattern, str):
+        raise GrokError("grok pattern must be a string (got None?)")
     # nested references never capture: only top-level %{X:field} does
-    return expand(pattern, 0, capture=True), fields, casts
+    expanded = expand(pattern, 0, capture=True)
+    leftover = _MACRO_ANY.search(expanded)
+    if leftover:
+        # e.g. %{lowercase} or other malformed macro syntax _MACRO skipped
+        raise GrokError(f"malformed grok macro {leftover.group(0)!r}")
+    return expanded, fields, casts
 
 
 def apply_grok(

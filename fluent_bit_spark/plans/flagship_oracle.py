@@ -339,13 +339,17 @@ SELECT tool AS from_tool, next_tool AS to_tool, COUNT(*) AS n
 FROM tt1 WHERE next_tool IS NOT NULL GROUP BY tool, next_tool"""
 
     # weighted PageRank, 3 unrolled iterations matching operators/graph.py:
-    # base term spelled (1.0 - 0.85) so the double equals Python's
-    # 1.0 - damping (0.15 parses to a DIFFERENT double); per-iteration
-    # round-9 absorbs addition-order drift.
+    # constants are cast to DOUBLE before arithmetic — DuckDB numeric
+    # literals are DECIMAL, so bare (1.0 - 0.85) evaluates in decimal
+    # (exactly 0.15) and yields a different double than Python's
+    # 1.0 - damping (0.15000000000000002). With the casts the base-term
+    # doubles agree exactly; per-iteration round-9 absorbs the
+    # remaining addition-order drift in the SUM.
     pr_iter = """
 pr{K} AS (
     SELECT nd.node,
-           round((1.0 - 0.85)/nn.n + 0.85*coalesce(SUM(p.pr * sh.share), 0), 9) AS pr
+           round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n
+                 + CAST(0.85 AS DOUBLE)*coalesce(SUM(p.pr * sh.share), 0), 9) AS pr
     FROM pr_nodes nd CROSS JOIN pr_n nn
     LEFT JOIN pr_sh sh ON sh.d = nd.node
     LEFT JOIN pr{J} p ON p.node = sh.s
@@ -363,7 +367,7 @@ pr_nodes AS (SELECT s AS node FROM pr_e UNION SELECT d FROM pr_e),
 pr_n AS (SELECT count(*) AS n FROM pr_nodes),
 pr_out AS (SELECT s, SUM(w) AS outw FROM pr_e GROUP BY s),
 pr_sh AS (SELECT e.s, e.d, e.w/o.outw AS share FROM pr_e e JOIN pr_out o USING (s)),
-pr0 AS (SELECT node, 1.0/nn.n AS pr FROM pr_nodes CROSS JOIN pr_n nn),"""
+pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS pr FROM pr_nodes CROSS JOIN pr_n nn),"""
         + ",".join(
             pr_iter.format(K=k, J=k - 1) for k in (1, 2, 3)
         )
@@ -389,7 +393,8 @@ SELECT node AS tool, pr FROM pr3"""
         "rate_anomalies": """, ra_h AS (
                SELECT event_type, date_trunc('hour', ts) AS hour,
                       count(*) AS n
-               FROM events GROUP BY event_type, date_trunc('hour', ts)),
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY event_type, date_trunc('hour', ts)),
              ra_w AS (
                SELECT event_type, hour, n,
                  SUM(n)   OVER w AS s1,

@@ -279,7 +279,6 @@ def test_rate_anomalies_flags_spike_after_full_window(spark):
     assert out[5].z is None and out[5].spike is None  # window not full yet
     assert out[6].spike is None  # variance 0 in calm window -> undefined z
     # with variance in the trailing window, the spike flags
-    rows[0] = ("click", base + dt.timedelta(hours=0, seconds=0))
     rows.append(("click", base + dt.timedelta(hours=1, seconds=30)))  # 11 in hour 1
     df2 = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out2 = {r.hour.hour: r for r in rate_anomalies(df2).collect()}

@@ -36,3 +36,8 @@ def test_pagerank_partition_invariant(spark):
         (r.node, r.pr) for r in pagerank(edges.repartition(7)).collect()
     )
     assert base == redo  # per-iteration rounding kills order sensitivity
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    edges = spark.createDataFrame([], "src string, dst string, w long")
+    assert pagerank(edges).count() == 0

@@ -113,3 +113,30 @@ def test_parser_conf_format_grok(spark):
     out = apply_parser_spec(df, specs["access"]).collect()
     got = {(r.client, r.verb, r.code) for r in out}
     assert got == {(None, None, None), ("10.0.0.9", "GET", 404)}
+
+
+def test_unsupported_conversion_and_malformed_macro_raise():
+    with pytest.raises(GrokError, match="unsupported grok conversion"):
+        grok_compile("%{INT:code:integer}")
+    with pytest.raises(GrokError, match="malformed"):
+        grok_compile("%{lower:bad}")
+    with pytest.raises(GrokError, match="string"):
+        grok_compile(None)
+
+
+def test_config_grok_missing_pattern_is_config_error(spark):
+    from fluent_bit_spark.config import (
+        ConfigError,
+        apply_parser_spec,
+        parse_parsers_conf,
+    )
+
+    specs = parse_parsers_conf("[PARSER]\n    Name broken\n    Format grok\n")
+    df = spark.createDataFrame([("x",)], ["log"])
+    with pytest.raises(ConfigError, match="Grok_Pattern"):
+        apply_parser_spec(df, specs["broken"])
+    specs2 = parse_parsers_conf(
+        "[PARSER]\n    Name badpat\n    Format grok\n    Grok_Pattern %{NOPE:x}\n"
+    )
+    with pytest.raises(ConfigError, match="unknown"):
+        apply_parser_spec(df, specs2["badpat"])
