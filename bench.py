@@ -469,7 +469,10 @@ if __name__ == "__main__":
     if "--_scale-worker" in sys.argv:
         _scale_worker()
     elif "--scaling-procs" in sys.argv:
-        run_scaling_procs()
+        run_scaling_procs(
+            nshards=int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "4")),
+            cores=int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "8")),
+        )
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
