@@ -225,6 +225,32 @@ def cpu_ceiling(lo: int = 8, hi: int = 32, n_iter: int = 20_000_000) -> float:
     return rate(hi) / ((hi / lo) * rate(lo))
 
 
+def mem_ceiling(lo: int = 4, hi: int = 16, mb: int = 200, n: int = 12) -> float:
+    """The machine's lo->hi process-scaling ceiling for MEMORY-BANDWIDTH
+    bound work (each process streams a cache-busting array). The parse
+    stage is bandwidth-heavy, so this — not cpu_ceiling — bounds the
+    wide-width scale-out analogs: all N local JVMs share one memory bus,
+    whereas real 4x executor scale-out adds 4 buses."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def spin(k):
+        a = np.arange(mb * 125_000, dtype=np.int64)
+        s = 0
+        for _ in range(k):
+            s += int(a.sum())
+
+    def rate(nproc):
+        ps = [mp.Process(target=spin, args=(n,)) for _ in range(nproc)]
+        t0 = time.perf_counter()
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return nproc * n / (time.perf_counter() - t0)
+
+    return rate(hi) / ((hi / lo) * rate(lo))
+
+
 def run_scaling(pairs=((2, 8), (8, 32)), repeats: int = 3) -> None:
     from fluent_bit_spark.session import get_spark
 
