@@ -885,6 +885,34 @@ def _q_dup_ngram_fraction(spark, sf_dir):
     return dup_ngram_fraction(_dup_docs(spark, sf_dir), n=13)
 
 
+def _q_bloom_contam(spark, sf_dir):
+    """Bloom-prefiltered 13-gram decontamination: benchmark shingles
+    collapse to a 16 Kibit filter; membership is literal-array bit math
+    (no join); the exact overlap rides along so false positives are
+    visible and oracle-checked."""
+    from fluent_bit_spark.operators.sketch import bloom_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return bloom_contamination(docs, benchmark)
+
+
+def _q_cms_tokens(spark, sf_dir):
+    """Count-min sketch (4x512 md5-seeded grid) vs exact token top-20:
+    (token, exact_n, cms_est) with the one-sided error contract."""
+    from fluent_bit_spark.operators.sketch import cms_topk_compare
+
+    return cms_topk_compare(_docs(spark, sf_dir).select("text"))
+
+
+def _q_hll_convs(spark, sf_dir):
+    """HyperLogLog register table (p=10) for distinct conversations —
+    deterministic 62-bit md5 hash, exact integer bucket/rho math."""
+    from fluent_bit_spark.operators.sketch import hll_registers
+
+    return hll_registers(_transcripts(spark, sf_dir), "conv_id", p=10)
+
+
 def _q_tool_transitions(spark, sf_dir):
     """Corpus-wide (from_tool -> to_tool) transition counts over
     consecutive tool-bearing turns."""
@@ -1076,6 +1104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
         "tool_transitions": _q_tool_transitions,
+        "bloom_contam": _q_bloom_contam,
+        "cms_tokens": _q_cms_tokens,
+        "hll_convs": _q_hll_convs,
     }
 
 

@@ -1,0 +1,310 @@
+"""Probabilistic sketch operators: Bloom-filter membership, count-min
+frequency estimation, HyperLogLog register construction.
+
+These are the fixed-size summaries a 100 TB log pipeline leans on when
+the exact structure (the full shingle set, the full token histogram,
+the full distinct set) no longer fits in a broadcast or a single
+executor:
+
+- Bloom: `contamination_flags` (curation.py) broadcasts the exact
+  benchmark shingle set — fine for eval suites, unboundedly large for
+  e.g. "every URL we already crawled". The bloom build collapses any
+  set to m bits with zero false negatives; membership is pure JVM
+  bit arithmetic against a literal word array (no join, no shuffle).
+- Count-min: per-token exact counting shuffles |vocab| keys; the CMS
+  is a fixed depth x width counter grid that answers point frequency
+  queries with one-sided (over-estimate) error.
+- HyperLogLog: COUNT(DISTINCT x) shuffles every distinct value; the
+  HLL register table is <= 2^p rows regardless of cardinality and
+  merges with a trivial MAX — the shape used for per-window distinct
+  counts over unbounded streams.
+
+All hashing goes through md5 hex slices (`dedup.md5_32`), the repo's
+cross-engine convention: DuckDB re-derives identical positions via
+('0x'||substr(md5(x),1,8))::BIGINT, so every sketch here is EXACTLY
+oracle-checkable — registers, counters, and bloom verdicts (including
+false positives) are deterministic and engine-independent.
+
+Reference parity note: Fluent Bit itself has no sketch stage; these
+belong to the "beyond the reference: training-data pipeline" brief
+(SURVEY.md §2.9) alongside the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.dedup import md5_32
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+_WORD_BITS = 32  # 32-bit words keep every mask < 2^31: no sign games
+
+
+def bloom_positions(col: Column, m: int, k: int) -> Column:
+    """Array of the k bit positions `col` sets in an m-bit bloom.
+
+    Seeded by suffixing '#<i>' before hashing — the DuckDB mirror is
+    ('0x'||substr(md5(val||'#i'),1,8))::BIGINT % m (md5_32 is always
+    non-negative, so % == pmod).
+    """
+    return F.array(
+        *[md5_32(F.concat(col, F.lit(f"#{i}"))) % F.lit(m) for i in range(k)]
+    )
+
+
+def bloom_build(df: DataFrame, value_col: str, m: int, k: int) -> list[int]:
+    """Build the m-bit filter from `df[value_col]`; returns m/32 packed
+    32-bit words.
+
+    The collect here is the sketch itself, not the data: the output is
+    O(m) bits by construction (like a broadcast-join build side), while
+    `df` may be arbitrarily large — positions are computed map-side and
+    only the <= k*|df| distinct set bits cross to the driver.
+    """
+    rows = (
+        df.select(F.explode(bloom_positions(F.col(value_col), m, k)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m + _WORD_BITS - 1) // _WORD_BITS)
+    for r in rows:
+        words[r.pos // _WORD_BITS] |= 1 << (r.pos % _WORD_BITS)
+    return words
+
+
+def bloom_member(col: Column, words: list[int], m: int, k: int) -> Column:
+    """True when all k positions of `col` are set in `words`.
+
+    Pure JVM expression against two literal arrays (the packed filter
+    and a 32-entry power-of-two table); no join and no shuffle — this
+    is what replaces the broadcast set-join at scale.
+    """
+    lit_words = F.lit(words)
+    lit_pow2 = F.lit([1 << b for b in range(_WORD_BITS)])
+    hit = F.lit(True)
+    for i in range(k):
+        pos = md5_32(F.concat(col, F.lit(f"#{i}"))) % F.lit(m)
+        word = F.element_at(lit_words, F.shiftright(pos, 5).cast("int") + F.lit(1))
+        mask = F.element_at(lit_pow2, (pos % F.lit(_WORD_BITS)).cast("int") + F.lit(1))
+        hit = hit & (word.bitwiseAND(mask) != F.lit(0))
+    return hit
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m: int = 1 << 14,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a bloom prefilter, with the
+    exact join kept alongside so the false-positive behavior is visible
+    (and oracle-checked) rather than hidden.
+
+    Returns (id, n_bloom, n_exact, bloom_contaminated, contaminated)
+    for docs where the bloom flags at least one shingle. Guarantee:
+    n_bloom >= n_exact always (no false negatives), so filtering on the
+    bloom verdict before the exact join is a sound prefilter — at scale
+    the exact join then only sees the (tiny) bloom-positive slice.
+    """
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+
+    # tokens bound to a column before gram construction (in-lambda
+    # re-tokenization is O(tokens^2) per row otherwise)
+    bench_sh = (
+        benchmark.select(tokens(F.col(text_col)).alias("tk"))
+        .select(F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"))
+        .distinct()
+    )
+    words = bloom_build(bench_sh, "shingle", m, k)
+
+    doc_sh = corpus.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"),
+    ).withColumn("bloom_hit", bloom_member(F.col("shingle"), words, m, k))
+    flagged = doc_sh.filter(F.col("bloom_hit"))
+    exact = flagged.join(F.broadcast(bench_sh), "shingle", "left_semi").groupBy(
+        id_col
+    ).agg(F.count_distinct("shingle").alias("n_exact"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_bloom"))
+        .join(exact, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_bloom"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.lit(True).alias("bloom_contaminated"),
+            (F.coalesce("n_exact", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    counts: DataFrame,
+    key_col: str = "token",
+    n_col: str = "n",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min counter grid (seed, pos, cnt) from an exact per-key
+    count frame.
+
+    Building from pre-aggregated counts is identical to folding the raw
+    stream (counter[s][pos] = sum of n over keys hashing to pos) but
+    shuffles |vocab| rows once instead of the full stream; the final
+    grid is depth*width rows regardless of vocabulary size.
+    """
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    (md5_32(F.concat(F.col(key_col), F.lit(f"#{s}"))) % F.lit(width)).alias(
+                        "pos"
+                    ),
+                )
+                for s in range(depth)
+            ]
+        )
+    ).alias("pr")
+    return (
+        counts.select(F.col(n_col).alias("_n"), probes)
+        .select("pr.seed", "pr.pos", "_n")
+        .groupBy("seed", "pos")
+        .agg(F.sum("_n").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimate per key: min over the depth counters at
+    the key's positions. The counter grid is depth*width rows — always
+    broadcast side; keys stream through map-side."""
+    probed = keys.select(
+        F.col("*"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        (
+                            md5_32(F.concat(F.col(key_col), F.lit(f"#{s}"))) % F.lit(width)
+                        ).alias("pos"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("pr"),
+    ).select(F.col("*"), F.col("pr.seed").alias("seed"), F.col("pr.pos").alias("pos")).drop("pr")
+    joined = probed.join(F.broadcast(counters), ["seed", "pos"])
+    group_cols = [c for c in keys.columns]
+    return joined.groupBy(*group_cols).agg(F.min("cnt").alias("cms_est"))
+
+
+def cms_topk_compare(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Exact token top-k with the count-min estimate alongside:
+    (token, exact_n, cms_est), ordered (exact_n desc, token).
+
+    Demonstrates the one-sided error contract (cms_est >= exact_n,
+    equality when no collision) on a deterministic grid both engines
+    reproduce bit-for-bit.
+    """
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    counters = cms_counters(counts, "token", "n", depth, width)
+    top = counts.orderBy(F.col("n").desc(), "token").limit(k).select(
+        "token", F.col("n").alias("exact_n")
+    )
+    return (
+        cms_estimate(counters, top, "token", depth, width)
+        .select("token", "exact_n", "cms_est")
+        .orderBy(F.col("exact_n").desc(), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+_M31 = (1 << 31) - 1
+_HLL_HASH_BITS = 62  # two 31-bit md5 slices; keeps every value positive
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
+    """HLL register table (bucket, max_rho) for COUNT(DISTINCT value).
+
+    62-bit hash = (md5_32(x) & M31) << 31 | (md5_32(x, offset 9) & M31);
+    bucket = top p bits, rho = 1 + leading zeros of the remaining
+    62 - p bits (via length(bin(rest)) — exact integer arithmetic, no
+    log2 rounding hazard). Output <= 2^p rows; mergeable by MAX.
+    Empty buckets are absent (count them as zeros when estimating).
+    """
+    rest_bits = _HLL_HASH_BITS - p
+    v = F.col(value_col).cast("string")
+    h = (
+        md5_32(v).bitwiseAND(F.lit(_M31)) * F.lit(1 << 31)
+        + md5_32(v, 9).bitwiseAND(F.lit(_M31))
+    )
+    # integer shift/mask only: h spans 62 bits, beyond double's 2^53
+    # exact range, so float division here would misbucket values
+    bucket = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1))
+        .cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 10) -> float:
+    """Driver-side estimator over collected (bucket, max_rho) rows —
+    standard HLL with the small-range linear-counting correction.
+    Kept out of the gated query output (FP summation order is
+    engine-dependent); tests assert it against the exact distinct."""
+    import math
+
+    m = 1 << p
+    regs = [0] * m
+    for bucket, max_rho in registers:
+        regs[bucket] = max_rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -629,6 +629,81 @@ _APACHE = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d
 _SYSLOG = r"^<(\d+)>1 (\S+) (\S+) (\S+) (\d+) (\S+) - (.*)$"
 
 
+def _sketch_sql() -> dict[str, str]:
+    """operators/sketch.py mirrors: every sketch hashes via md5 hex
+    slices, so DuckDB reproduces the bloom verdicts (incl. false
+    positives), count-min counters, and HLL registers exactly. The
+    bloom membership is re-expressed as "all k positions in the set-bit
+    CTE" — semantically identical to the packed-word bit test."""
+    m, k, n = 16384, 4, 13
+    bloom_sql = f"""
+, btk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, bsh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+{n - 1}], ' ') FOR i IN range(1, len(tk) - {n - 2})]) AS shs
+    FROM btk WHERE len(tk) >= {n})
+, bbench AS (SELECT DISTINCT unnest(shs) AS shingle FROM bsh WHERE doc_id % 50 = 0)
+, bbits AS (
+    SELECT DISTINCT ('0x'||substr(md5(shingle||'#'||i),1,8))::BIGINT % {m} AS pos
+    FROM bbench CROSS JOIN range({k}) r(i))
+, bex AS (SELECT doc_id, unnest(shs) AS shingle FROM bsh)
+, bpos AS (
+    SELECT doc_id, shingle,
+           ('0x'||substr(md5(shingle||'#'||i),1,8))::BIGINT % {m} AS pos
+    FROM bex CROSS JOIN range({k}) r(i))
+, bflag AS (
+    SELECT doc_id, shingle FROM bpos JOIN bbits USING (pos)
+    GROUP BY doc_id, shingle HAVING COUNT(*) = {k})
+, bbloom AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_bloom FROM bflag GROUP BY doc_id)
+, bexact AS (
+    SELECT f.doc_id, COUNT(DISTINCT f.shingle) AS n_exact
+    FROM bflag f JOIN bbench USING (shingle) GROUP BY f.doc_id)
+SELECT b.doc_id, b.n_bloom, COALESCE(e.n_exact, 0) AS n_exact,
+       TRUE AS bloom_contaminated, COALESCE(e.n_exact, 0) > 0 AS contaminated
+FROM bbloom b LEFT JOIN bexact e USING (doc_id)"""
+
+    depth, width, topk = 4, 512, 20
+    cms_sql = f"""
+, cmtk AS (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS token
+    FROM documents)
+, cmc AS (SELECT token, COUNT(*) AS cn FROM cmtk GROUP BY token)
+, cmg AS (
+    SELECT i AS seed, ('0x'||substr(md5(token||'#'||i),1,8))::BIGINT % {width} AS pos,
+           CAST(SUM(cn) AS BIGINT) AS cnt
+    FROM cmc CROSS JOIN range({depth}) r(i) GROUP BY 1, 2)
+, cmtop AS (SELECT token, cn AS exact_n FROM cmc ORDER BY cn DESC, token LIMIT {topk})
+SELECT t.token, t.exact_n, MIN(g.cnt) AS cms_est
+FROM cmtop t CROSS JOIN range({depth}) r(i)
+JOIN cmg g ON g.seed = i
+          AND g.pos = ('0x'||substr(md5(t.token||'#'||i),1,8))::BIGINT % {width}
+GROUP BY t.token, t.exact_n
+ORDER BY t.exact_n DESC, t.token"""
+
+    p = 10
+    rest_bits = 62 - p
+    hll_sql = f"""
+, hh AS (
+    SELECT ((('0x'||substr(md5(conv_id),1,8))::BIGINT & 2147483647) << 31)
+           + (('0x'||substr(md5(conv_id),9,8))::BIGINT & 2147483647) AS h
+    FROM transcripts)
+, hr AS (SELECT h >> {rest_bits} AS bucket,
+                h & ((1::BIGINT << {rest_bits}) - 1) AS rest FROM hh)
+SELECT bucket,
+       MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                ELSE {rest_bits} - length(bin(rest)) + 1 END) AS max_rho
+FROM hr GROUP BY bucket"""
+
+    return {
+        "bloom_contam": bloom_sql,
+        "cms_tokens": cms_sql,
+        "hll_convs": hll_sql,
+    }
+
+
 def _values(rows, alias, cols) -> str:
     def lit(v):
         return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
@@ -768,6 +843,7 @@ def oracle_queries() -> dict[str, str]:
     return {
         **{k: c + v for k, v in _sample_split_sql().items()},
         **{k: c + v for k, v in _curation_sql().items()},
+        **{k: c + v for k, v in _sketch_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c
