@@ -183,22 +183,11 @@ def contamination_flags(
     are tiny next to the corpus); corpus shingles are exploded map-side
     and never materialized as a full table.
     """
-    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+    from fluent_bit_spark.operators.text_analysis import doc_shingles
 
-    # tokens bound to a column before gram construction (in-lambda
-    # re-tokenization is O(tokens^2) per row otherwise)
-    bench = (
-        benchmark.select(tokens(F.col(text_col)).alias("tk"))
-        .select(F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"))
-        .distinct()
-    )
-    doc_shingles = corpus.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("tk")
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"),
-    )
-    hits = doc_shingles.join(F.broadcast(bench), "shingle")
+    bench = doc_shingles(benchmark, text_col, n)
+    corpus_sh = doc_shingles(corpus, text_col, n, id_col=id_col)
+    hits = corpus_sh.join(F.broadcast(bench), "shingle")
     return (
         hits.groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_overlap"))

@@ -35,25 +35,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fluent_bit_spark.operators.dedup import md5_32
+from fluent_bit_spark.operators.dedup import _persist, md5_32
 
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
 
-_WORD_BITS = 32  # 32-bit words keep every mask < 2^31: no sign games
+# 32-bit words; word values and the bit-31 mask reach 2^31..2^32-1,
+# which is sign-safe ONLY because F.lit(list[int]) builds array<bigint>
+# literals — do not port the packed words to array<int>/JVM int[]
+_WORD_BITS = 32
+
+
+def _probe_pos(col: Column, seed: int, modulus: int) -> Column:
+    """Seeded hash position: md5_32(col || '#seed') % modulus.
+
+    THE oracle-parity contract for every sketch here — the DuckDB
+    mirror is ('0x'||substr(md5(val||'#seed'),1,8))::BIGINT % modulus
+    (md5_32 is always non-negative, so % == pmod). Single definition;
+    keep in sync with flagship_oracle._sketch_sql only.
+    """
+    return md5_32(F.concat(col, F.lit(f"#{seed}"))) % F.lit(modulus)
 
 
 def bloom_positions(col: Column, m: int, k: int) -> Column:
-    """Array of the k bit positions `col` sets in an m-bit bloom.
-
-    Seeded by suffixing '#<i>' before hashing — the DuckDB mirror is
-    ('0x'||substr(md5(val||'#i'),1,8))::BIGINT % m (md5_32 is always
-    non-negative, so % == pmod).
-    """
-    return F.array(
-        *[md5_32(F.concat(col, F.lit(f"#{i}"))) % F.lit(m) for i in range(k)]
-    )
+    """Array of the k bit positions `col` sets in an m-bit bloom."""
+    return F.array(*[_probe_pos(col, i, m) for i in range(k)])
 
 
 def bloom_build(df: DataFrame, value_col: str, m: int, k: int) -> list[int]:
@@ -87,7 +94,7 @@ def bloom_member(col: Column, words: list[int], m: int, k: int) -> Column:
     lit_pow2 = F.lit([1 << b for b in range(_WORD_BITS)])
     hit = F.lit(True)
     for i in range(k):
-        pos = md5_32(F.concat(col, F.lit(f"#{i}"))) % F.lit(m)
+        pos = _probe_pos(col, i, m)
         word = F.element_at(lit_words, F.shiftright(pos, 5).cast("int") + F.lit(1))
         mask = F.element_at(lit_pow2, (pos % F.lit(_WORD_BITS)).cast("int") + F.lit(1))
         hit = hit & (word.bitwiseAND(mask) != F.lit(0))
@@ -113,24 +120,19 @@ def bloom_contamination(
     bloom verdict before the exact join is a sound prefilter — at scale
     the exact join then only sees the (tiny) bloom-positive slice.
     """
-    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+    from fluent_bit_spark.operators.text_analysis import doc_shingles
 
-    # tokens bound to a column before gram construction (in-lambda
-    # re-tokenization is O(tokens^2) per row otherwise)
-    bench_sh = (
-        benchmark.select(tokens(F.col(text_col)).alias("tk"))
-        .select(F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"))
-        .distinct()
-    )
+    # both frames feed two consumers each (build+join, agg+semi-join);
+    # no common-subplan sharing in Spark, so persist per the dedup.py
+    # convention (caller releases via dedup.release_persisted())
+    bench_sh = _persist(doc_shingles(benchmark, text_col, n))
     words = bloom_build(bench_sh, "shingle", m, k)
 
-    doc_sh = corpus.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("tk")
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"),
-    ).withColumn("bloom_hit", bloom_member(F.col("shingle"), words, m, k))
-    flagged = doc_sh.filter(F.col("bloom_hit"))
+    flagged = _persist(
+        doc_shingles(corpus, text_col, n, id_col=id_col).filter(
+            bloom_member(F.col("shingle"), words, m, k)
+        )
+    )
     exact = flagged.join(F.broadcast(bench_sh), "shingle", "left_semi").groupBy(
         id_col
     ).agg(F.count_distinct("shingle").alias("n_exact"))
@@ -153,6 +155,21 @@ def bloom_contamination(
 # ---------------------------------------------------------------------------
 
 
+def _probe_struct(key_col: str, depth: int, width: int) -> Column:
+    """Exploded (seed, pos) probe rows — one per hash row of the grid."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    _probe_pos(F.col(key_col), s, width).alias("pos"),
+                )
+                for s in range(depth)
+            ]
+        )
+    ).alias("pr")
+
+
 def cms_counters(
     counts: DataFrame,
     key_col: str = "token",
@@ -168,21 +185,8 @@ def cms_counters(
     shuffles |vocab| rows once instead of the full stream; the final
     grid is depth*width rows regardless of vocabulary size.
     """
-    probes = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("seed"),
-                    (md5_32(F.concat(F.col(key_col), F.lit(f"#{s}"))) % F.lit(width)).alias(
-                        "pos"
-                    ),
-                )
-                for s in range(depth)
-            ]
-        )
-    ).alias("pr")
     return (
-        counts.select(F.col(n_col).alias("_n"), probes)
+        counts.select(F.col(n_col).alias("_n"), _probe_struct(key_col, depth, width))
         .select("pr.seed", "pr.pos", "_n")
         .groupBy("seed", "pos")
         .agg(F.sum("_n").alias("cnt"))
@@ -198,26 +202,20 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimate per key: min over the depth counters at
     the key's positions. The counter grid is depth*width rows — always
-    broadcast side; keys stream through map-side."""
+    broadcast side; keys stream through map-side.
+
+    Left join: a key whose (seed, pos) cell is absent from the grid was
+    never counted there — the cell is 0, so the key's estimate is 0 (an
+    inner join would drop the key, or min over only its occupied cells).
+    """
     probed = keys.select(
-        F.col("*"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        (
-                            md5_32(F.concat(F.col(key_col), F.lit(f"#{s}"))) % F.lit(width)
-                        ).alias("pos"),
-                    )
-                    for s in range(depth)
-                ]
-            )
-        ).alias("pr"),
+        F.col("*"), _probe_struct(key_col, depth, width)
     ).select(F.col("*"), F.col("pr.seed").alias("seed"), F.col("pr.pos").alias("pos")).drop("pr")
-    joined = probed.join(F.broadcast(counters), ["seed", "pos"])
+    joined = probed.join(F.broadcast(counters), ["seed", "pos"], "left")
     group_cols = [c for c in keys.columns]
-    return joined.groupBy(*group_cols).agg(F.min("cnt").alias("cms_est"))
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est")
+    )
 
 
 def cms_topk_compare(
@@ -236,7 +234,9 @@ def cms_topk_compare(
     """
     from fluent_bit_spark.operators.text_analysis import tokens
 
-    counts = (
+    # counts feeds both the grid build and the exact top-k; persist so
+    # the full-vocab aggregation runs once (dedup.py convention)
+    counts = _persist(
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -270,6 +270,9 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
     Empty buckets are absent (count them as zeros when estimating).
     """
     rest_bits = _HLL_HASH_BITS - p
+    # COUNT(DISTINCT x) ignores NULLs; without the filter a NULL value
+    # would survive as a (NULL, NULL) register row and crash hll_estimate
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("string")
     h = (
         md5_32(v).bitwiseAND(F.lit(_M31)) * F.lit(1 << 31)

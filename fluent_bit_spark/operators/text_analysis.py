@@ -225,6 +225,28 @@ def word_grams(toks: Column, n: int) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 13, id_col: str | None = None
+) -> DataFrame:
+    """Per-doc distinct word n-grams as an exploded (id, shingle) frame,
+    or the corpus-distinct shingle set (one `shingle` column) when
+    `id_col` is None.
+
+    The single shingle pipeline shared by contamination checks
+    (curation.contamination_flags, sketch.bloom_contamination) and
+    their DuckDB mirrors — tokenization rule, the in-lambda
+    re-tokenization guard, and gram bounds live here only.
+    """
+    ids = [F.col(id_col)] if id_col else []
+    # tokens bound to a column before gram construction (in-lambda
+    # re-tokenization is O(tokens^2) per row otherwise)
+    sh = df.select(*ids, tokens(F.col(text_col)).alias("tk")).select(
+        *ids,
+        F.explode(F.array_distinct(word_grams(F.col("tk"), n))).alias("shingle"),
+    )
+    return sh if id_col else sh.distinct()
+
+
 def corpus_ngram_topk(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -74,6 +74,30 @@ def test_cms_one_sided_error(spark, sf_dir):
     assert exact_hits >= 10
 
 
+def test_cms_estimate_absent_key_is_zero(spark):
+    """A key the grid never counted must estimate 0 (empty cell), not
+    vanish from the output or min over partial cells."""
+    from fluent_bit_spark.operators.sketch import cms_counters, cms_estimate
+
+    counts = spark.createDataFrame([("alpha", 7), ("beta", 3)], ["token", "n"])
+    grid = cms_counters(counts, "token", "n", depth=4, width=512)
+    keys = spark.createDataFrame(
+        [("alpha",), ("never-seen-token",)], ["token"]
+    )
+    out = {r.token: r.cms_est for r in cms_estimate(grid, keys, "token").collect()}
+    assert out["alpha"] >= 7
+    assert out["never-seen-token"] == 0
+
+
+def test_hll_ignores_nulls(spark):
+    """COUNT(DISTINCT) semantics: NULL values contribute no register."""
+    a = spark.range(50).select(F.concat(F.lit("n-"), F.col("id")).alias("v"))
+    with_nulls = a.union(spark.createDataFrame([(None,), (None,)], "v: string"))
+    assert sorted(map(tuple, hll_registers(a, "v").collect())) == sorted(
+        map(tuple, hll_registers(with_nulls, "v").collect())
+    )
+
+
 def test_hll_estimate_accuracy(spark):
     n = 5000
     df = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("v"))
