@@ -913,6 +913,28 @@ def _q_hll_convs(spark, sf_dir):
     return hll_registers(_transcripts(spark, sf_dir), "conv_id", p=10)
 
 
+def _q_hll_hourly(spark, sf_dir):
+    """Per-hour HLL register sets (p=10) for distinct conversations —
+    the windowed-rollup shape: any span of hours merges to one estimate
+    with MAX over registers, never re-reading the stream."""
+    from fluent_bit_spark.operators.sketch import hll_registers
+
+    t = _transcripts(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    return hll_registers(t, "conv_id", p=10, by=("hour",))
+
+
+def _q_len_quantiles_hist(spark, sf_dir):
+    """Histogram quantiles of document length (width-64 buckets):
+    bounded-memory percentile path — the shuffle moves #buckets keys,
+    not |corpus| values."""
+    from fluent_bit_spark.operators.sketch import hist_quantiles
+
+    lens = _docs(spark, sf_dir).select(F.length("text").alias("len"))
+    return hist_quantiles(lens, "len", qs=(0.5, 0.9, 0.99), width=64)
+
+
 def _q_tool_transitions(spark, sf_dir):
     """Corpus-wide (from_tool -> to_tool) transition counts over
     consecutive tool-bearing turns."""
@@ -1107,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contam": _q_bloom_contam,
         "cms_tokens": _q_cms_tokens,
         "hll_convs": _q_hll_convs,
+        "hll_hourly": _q_hll_hourly,
+        "len_quantiles_hist": _q_len_quantiles_hist,
     }
 
 

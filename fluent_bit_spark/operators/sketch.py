@@ -260,8 +260,14 @@ _M31 = (1 << 31) - 1
 _HLL_HASH_BITS = 62  # two 31-bit md5 slices; keeps every value positive
 
 
-def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
-    """HLL register table (bucket, max_rho) for COUNT(DISTINCT value).
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = 10, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """HLL register table (*by, bucket, max_rho) for COUNT(DISTINCT
+    value) — overall, or per group when `by` names grouping columns
+    (the per-window rollup shape: one <=2^p-row register set per group,
+    and any set of groups merges to a coarser rollup with a plain MAX,
+    never re-reading the data).
 
     62-bit hash = (md5_32(x) & M31) << 31 | (md5_32(x, offset 9) & M31);
     bucket = top p bits, rho = 1 + leading zeros of the remaining
@@ -287,10 +293,86 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
         .otherwise(F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1))
         .cast("long")
     )
+    keys = [*by, "bucket"]
     return (
-        df.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        df.select(*[F.col(c) for c in by], bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys)
         .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """Roll grouped registers up to coarser groups (or the overall set
+    when `by` is empty) — pure MAX over <=2^p rows per group, the merge
+    law that makes HLL distributable and incrementally maintainable."""
+    return registers.groupBy(*by, "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram: the
+    bounded-memory percentile path when exact per-group percentiles
+    (len_percentiles) would shuffle every value.
+
+    bucket = value div width (integer division, non-negative values);
+    per-bucket counts cumulate in bucket order; the q-quantile is the
+    first bucket whose running count reaches ceil(q * total). Output
+    (q, bucket, lo, hi, cum_n, n_total) — `hi` is the inclusive upper
+    edge, i.e. the estimate, always >= the exact q-quantile and within
+    `width` of it. Everything is integer except q itself, and
+    ceil(q*total) is the same IEEE double both engines compute, so the
+    result is deterministic and exactly oracle-checkable.
+
+    Scale shape: one shuffle of #buckets keys (bounded by domain/width,
+    not by row count) with map-side partial counts; the cumulative
+    window runs over that bounded bucket table, never the raw values.
+    """
+    buckets = (
+        df.select(F.expr(f"{value_col} div {width}").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q: double")
+    hit = qdf.join(
+        cum, F.col("cum_n") >= F.ceil(F.col("q") * F.col("n_total"))
+    )
+    w_first = Window.partitionBy("q").orderBy("bucket")
+    return (
+        hit.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q",
+            "bucket",
+            (F.col("bucket") * width).alias("lo"),
+            (F.col("bucket") * width + width - 1).alias("hi"),
+            "cum_n",
+            "n_total",
+        )
+        .orderBy("q")
     )
 
 

@@ -697,10 +697,40 @@ SELECT bucket,
                 ELSE {rest_bits} - length(bin(rest)) + 1 END) AS max_rho
 FROM hr GROUP BY bucket"""
 
+    hll_hourly_sql = f"""
+, hgh AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           ((('0x'||substr(md5(conv_id),1,8))::BIGINT & 2147483647) << 31)
+           + (('0x'||substr(md5(conv_id),9,8))::BIGINT & 2147483647) AS h
+    FROM transcripts)
+, hgr AS (SELECT hour, h >> {rest_bits} AS bucket,
+                 h & ((1::BIGINT << {rest_bits}) - 1) AS rest FROM hgh)
+SELECT hour, bucket,
+       MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                ELSE {rest_bits} - length(bin(rest)) + 1 END) AS max_rho
+FROM hgr GROUP BY hour, bucket"""
+
+    width = 64
+    hist_sql = f"""
+, hqv AS (SELECT length(text) AS v FROM documents)
+, hqb AS (SELECT v // {width} AS bucket, COUNT(*) AS n FROM hqv GROUP BY 1)
+, hqc AS (SELECT bucket,
+                 CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM hqb)
+, hqq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+, hqh AS (SELECT q, bucket, cum_n, n_total,
+                 row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+          FROM hqq JOIN hqc ON cum_n >= ceil(q * n_total))
+SELECT q, bucket, bucket * {width} AS lo, bucket * {width} + {width - 1} AS hi,
+       cum_n, n_total
+FROM hqh WHERE rn = 1 ORDER BY q"""
+
     return {
         "bloom_contam": bloom_sql,
         "cms_tokens": cms_sql,
         "hll_convs": hll_sql,
+        "hll_hourly": hll_hourly_sql,
+        "len_quantiles_hist": hist_sql,
     }
 
 

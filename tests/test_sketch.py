@@ -123,6 +123,41 @@ def test_hll_merge_is_max(spark):
     assert whole == merged
 
 
+def test_hll_grouped_rollup_merges_to_overall(spark, sf_dir):
+    """hll_merge over per-hour registers == registers of the whole
+    stream — the incremental-rollup law the hourly query relies on."""
+    from fluent_bit_spark.operators.sketch import hll_merge
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    hourly = hll_registers(t, "conv_id", p=10, by=("hour",))
+    rolled = sorted(map(tuple, hll_merge(hourly).collect()))
+    whole = sorted(map(tuple, hll_registers(t, "conv_id", p=10).collect()))
+    assert rolled == whole
+
+
+def test_hist_quantiles_bracket_exact_percentiles(spark, sf_dir):
+    """Each histogram estimate's bucket must contain the exact
+    q-quantile: lo <= exact <= hi."""
+    from fluent_bit_spark.operators.sketch import hist_quantiles
+
+    lens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.length("text").alias("len"))
+    )
+    out = {r.q: r for r in hist_quantiles(lens, "len", width=64).collect()}
+    values = sorted(r.len for r in lens.collect())
+    n = len(values)
+    import math
+
+    for q, row in out.items():
+        exact = values[math.ceil(q * n) - 1]
+        assert row.lo <= exact <= row.hi, (q, exact, row)
+        assert row.cum_n >= math.ceil(q * n)
+
+
 def test_hll_duplicates_do_not_move_registers(spark):
     a = spark.range(100).select(F.concat(F.lit("d-"), F.col("id")).alias("v"))
     dup = a.union(a).union(a)
