@@ -163,3 +163,40 @@ def test_asof_join_single_shuffle_no_range_explosion(spark):
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_sketch_queries_broadcast_only_joins(spark, sf_dir):
+    """Bloom membership is literal bit math and the CMS grid is always
+    the broadcast side — neither query may ever plan a sort-merge,
+    nested-loop, or cartesian join over the corpus."""
+    import __spark_entry__ as entry
+
+    for name in ("bloom_contam", "cms_tokens"):
+        plan = plan_of(entry.queries()[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_hist_quantiles_window_only_over_bucket_table(spark, sf_dir):
+    """The single-partition cumulative window must run over the
+    aggregated bucket table (post-HashAggregate), never the raw
+    values — the histogram's whole point at scale."""
+    from fluent_bit_spark.operators.sketch import hist_quantiles
+
+    lens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.length("text").alias("len"))
+    )
+    plan = plan_of(hist_quantiles(lens, "len"), "formatted")
+    # scan prunes to the value column only
+    assert "ReadSchema: struct<text:string>" in plan, plan
+    # no join over raw values (the only loop join is qs x bucket table)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # every Window sits above the bucket HashAggregate: in the printed
+    # top-down tree, the aggregate must be a descendant (appear later)
+    # of the deepest Window line — windows never run over raw values
+    tree = plan.split("\n\n")[0]
+    last_window = tree.rindex("Window")
+    assert "HashAggregate" in tree[last_window:], tree
