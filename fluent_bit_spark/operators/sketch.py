@@ -260,6 +260,33 @@ _M31 = (1 << 31) - 1
 _HLL_HASH_BITS = 62  # two 31-bit md5 slices; keeps every value positive
 
 
+def hll_bucket_rho(value_col: str, p: int = 10) -> tuple[Column, Column]:
+    """The (bucket, rho) column pair underlying every HLL aggregate —
+    shared by the batch register builder and the streaming windowed
+    variant so both produce byte-identical registers.
+
+    62-bit hash = two 31-bit md5 slices; bucket = top p bits, rho =
+    1 + leading zeros of the remaining bits via length(bin(rest)) —
+    exact integer arithmetic, no log2 rounding hazard. Integer
+    shift/mask only: h spans 62 bits, beyond double's 2^53 exact range,
+    so float division here would misbucket values.
+    """
+    rest_bits = _HLL_HASH_BITS - p
+    v = F.col(value_col).cast("string")
+    h = (
+        md5_32(v).bitwiseAND(F.lit(_M31)) * F.lit(1 << 31)
+        + md5_32(v, 9).bitwiseAND(F.lit(_M31))
+    )
+    bucket = F.shiftright(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1))
+        .cast("long")
+    )
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame, value_col: str, p: int = 10, by: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -275,24 +302,10 @@ def hll_registers(
     log2 rounding hazard). Output <= 2^p rows; mergeable by MAX.
     Empty buckets are absent (count them as zeros when estimating).
     """
-    rest_bits = _HLL_HASH_BITS - p
     # COUNT(DISTINCT x) ignores NULLs; without the filter a NULL value
     # would survive as a (NULL, NULL) register row and crash hll_estimate
     df = df.filter(F.col(value_col).isNotNull())
-    v = F.col(value_col).cast("string")
-    h = (
-        md5_32(v).bitwiseAND(F.lit(_M31)) * F.lit(1 << 31)
-        + md5_32(v, 9).bitwiseAND(F.lit(_M31))
-    )
-    # integer shift/mask only: h spans 62 bits, beyond double's 2^53
-    # exact range, so float division here would misbucket values
-    bucket = F.shiftright(h, rest_bits)
-    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
-    rho = (
-        F.when(rest == 0, F.lit(rest_bits + 1))
-        .otherwise(F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1))
-        .cast("long")
-    )
+    bucket, rho = hll_bucket_rho(value_col, p)
     keys = [*by, "bucket"]
     return (
         df.select(*[F.col(c) for c in by], bucket.alias("bucket"), rho.alias("rho"))

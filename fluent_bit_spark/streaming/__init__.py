@@ -98,6 +98,44 @@ def session_stats(
     )
 
 
+def windowed_hll(
+    df: DataFrame,
+    value_col: str = "conv_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    p: int = 10,
+) -> DataFrame:
+    """Streaming per-window distinct-count HLL registers: the sketch
+    that makes COUNT(DISTINCT) feasible over an unbounded stream.
+
+    MAX over (window, bucket) is an ordinary mergeable streaming
+    aggregate — state is <= 2^p rows per open window regardless of how
+    many distinct values arrive, and the watermark evicts closed
+    windows. Works on batch frames too (same expressions), which is how
+    the stream==batch test and the batch query (`hll_hourly` via
+    hll_registers) cross-check it: identical registers, byte for byte.
+
+    Output: (window_start, window_end, bucket, max_rho) — any set of
+    windows merges to a coarser estimate with sketch.hll_merge.
+    """
+    from fluent_bit_spark.operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(value_col, p)
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.filter(F.col(value_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), bucket.alias("bucket"))
+        .agg(F.max(rho).alias("max_rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "max_rho",
+        )
+    )
+
+
 def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
     """Exactly-once fan-out for writeStream.foreachBatch: each epoch
     writes every sink slice under <base>/<sink>/epoch=<id> (idempotent

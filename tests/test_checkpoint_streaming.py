@@ -353,3 +353,49 @@ def test_multiline_stateful_multi_chunk_batch(spark, tmp_path):
         3: "[rec3] x\n cont4\n cont5",
         6: "[rec6] x\n cont7\n cont8",
     }
+
+
+def test_windowed_hll_streaming_matches_batch(spark, sf_dir, transcript_dir):
+    """Per-window HLL registers from the stream must equal the batch
+    evaluation of the same expressions AND the grouped batch operator
+    (hll_registers by=hour) on non-null hours — three independent paths
+    to byte-identical registers."""
+    from fluent_bit_spark.operators.sketch import hll_registers
+    from fluent_bit_spark.streaming import streaming_transcripts, windowed_hll
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA, load_transcripts
+
+    src = streaming_transcripts(spark, transcript_dir, TRANSCRIPT_SCHEMA)
+    q = (
+        windowed_hll(src, "conv_id", window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.bucket): r.max_rho
+            for r in spark.sql("SELECT * FROM hll_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    t = load_transcripts(spark, sf_dir)
+    want = {
+        (r.window_start, r.bucket): r.max_rho
+        for r in windowed_hll(t, "conv_id", window="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+
+    from pyspark.sql import functions as F
+
+    grouped = hll_registers(
+        t.withColumn("hour", F.date_trunc("hour", "ts")), "conv_id", by=("hour",)
+    )
+    by_hour = {
+        (r.hour, r.bucket): r.max_rho
+        for r in grouped.collect()
+        if r.hour is not None
+    }
+    assert by_hour == {k: v for k, v in got.items() if k[0] is not None}
