@@ -283,3 +283,32 @@ def test_rate_anomalies_flags_spike_after_full_window(spark):
     df2 = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out2 = {r.hour.hour: r for r in rate_anomalies(df2).collect()}
     assert out2[6].spike is True and out2[6].z > 3
+
+
+def test_pmi_topk_known_values(spark):
+    """Tiny corpus with hand-computable marginals: 'alpha beta' always
+    adjacent, 'gamma delta' never co-occurring within the window."""
+    import math
+
+    from fluent_bit_spark.operators.text_analysis import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(6)]
+        + [(i + 10, "gamma x y z delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = pmi_topk(docs, k=50, window=2, min_count=5).collect()
+    pairs = {(r.w1, r.w2): r for r in out}
+    assert ("alpha", "beta") in pairs
+    assert ("gamma", "delta") not in pairs  # distance 4 > window
+    r = pairs[("alpha", "beta")]
+    assert r.n_pair == 6
+    # totals: pairs = 6*1 ('alpha beta') + 6*(4+3) ('gamma x y z delta')
+    total_pairs = 6 + 6 * 7
+    total_tok = 6 * 2 + 6 * 5
+    want = (
+        math.log(6) - math.log(total_pairs)
+        - math.log(6) - math.log(6)
+        + 2.0 * math.log(total_tok)
+    )
+    assert abs(r.pmi - round(want, 6)) < 1e-9
