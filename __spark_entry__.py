@@ -935,6 +935,14 @@ def _q_len_quantiles_hist(spark, sf_dir):
     return hist_quantiles(lens, "len", qs=(0.5, 0.9, 0.99), width=64)
 
 
+def _q_pmi_topk(spark, sf_dir):
+    """Top-20 word pairs by PMI over within-2 co-occurrences — pairs
+    built map-side from shifted-slice zips, no positional self-join."""
+    from fluent_bit_spark.operators.text_analysis import pmi_topk
+
+    return pmi_topk(_docs(spark, sf_dir), k=20, window=2, min_count=5)
+
+
 def _q_tool_transitions(spark, sf_dir):
     """Corpus-wide (from_tool -> to_tool) transition counts over
     consecutive tool-bearing turns."""
@@ -1131,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_convs": _q_hll_convs,
         "hll_hourly": _q_hll_hourly,
         "len_quantiles_hist": _q_len_quantiles_hist,
+        "pmi_topk": _q_pmi_topk,
     }
 
 

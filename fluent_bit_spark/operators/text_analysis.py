@@ -381,6 +381,79 @@ def tfidf_topk(
     )
 
 
+def pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-`k` co-occurring word pairs by pointwise mutual information
+    over within-`window` ordered co-occurrences. Output
+    (w1, w2, n_pair, pmi), ranked (pmi desc, w1, w2).
+
+    Pairs are built map-side with zero joins: for each distance d the
+    token array is zipped with its own d-shifted slice, so the first
+    shuffle moves (pair, count) keys, never positions. Marginals join
+    on the vocab (same shape as tfidf's df join); corpus totals ride
+    in as 1-row broadcast cross joins (lazy, no driver action).
+
+    pmi = ln(P(a,b) / (P(a)P(b))) computed as a left-folded sum of
+    per-integer ln terms — no giant integer products that could
+    overflow at corpus scale — and rounded to 6 decimals BEFORE
+    ranking (tfidf's cross-engine float-lockstep convention).
+    min_count filters pairs AFTER the totals are taken, so
+    probabilities stay those of the full pair population.
+    """
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("tk"))
+    sz = F.size(F.col("tk"))
+    arms = [
+        F.zip_with(
+            F.slice(F.col("tk"), 1, F.greatest(sz - d, F.lit(0))),
+            F.slice(F.col("tk"), d + 1, F.greatest(sz - d, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = toks.select(F.explode(F.concat(*arms)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_p"))
+    tok_counts = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t"))
+    )
+    total_pairs = pair_counts.agg(F.sum("n_p").alias("total_pairs"))
+    total_tok = tok_counts.agg(F.sum("n_t").alias("total_tok"))
+    scored = (
+        pair_counts.filter(F.col("n_p") >= min_count)
+        .join(tok_counts.withColumnRenamed("term", "w1").withColumnRenamed("n_t", "n1"), "w1")
+        .join(tok_counts.withColumnRenamed("term", "w2").withColumnRenamed("n_t", "n2"), "w2")
+        .crossJoin(F.broadcast(total_pairs))
+        .crossJoin(F.broadcast(total_tok))
+        .withColumn(
+            "pmi",
+            F.round(
+                (
+                    (
+                        (F.log("n_p") - F.log("total_pairs"))
+                        - F.log("n1")
+                    )
+                    - F.log("n2")
+                )
+                + F.lit(2.0) * F.log("total_tok"),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", F.col("n_p").alias("n_pair"), "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document stats frame."""
     t = F.col(text_col)

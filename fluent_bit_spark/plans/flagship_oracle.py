@@ -413,6 +413,34 @@ SELECT node AS tool, pr FROM pr3"""
                     THEN (n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0) > 3.0
                     END AS spike
              FROM ra_w""",
+        # PMI: pairs from the same 1-based slice arithmetic as the
+        # Spark shifted-slice zips; ln fold parenthesized identically
+        # for cross-engine round-6 lockstep
+        "pmi_topk": """, pm_tk AS (
+               SELECT list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS tk
+               FROM documents),
+             pm_pr AS (
+               SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                              FOR i IN range(1, len(tk))]) AS p FROM pm_tk
+               UNION ALL
+               SELECT unnest([{'w1': tk[i], 'w2': tk[i+2]}
+                              FOR i IN range(1, len(tk) - 1)]) AS p FROM pm_tk),
+             pm_pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_p
+                       FROM pm_pr GROUP BY 1, 2),
+             pm_tc AS (SELECT term, count(*) AS n_t FROM
+                       (SELECT unnest(tk) AS term FROM pm_tk) GROUP BY term),
+             pm_tp AS (SELECT CAST(SUM(n_p) AS BIGINT) AS total_pairs FROM pm_pc),
+             pm_tt AS (SELECT CAST(SUM(n_t) AS BIGINT) AS total_tok FROM pm_tc)
+             SELECT w1, w2, n_p AS n_pair,
+                    round((((ln(n_p) - ln(total_pairs)) - ln(c1.n_t)) - ln(c2.n_t))
+                          + 2.0 * ln(total_tok), 6) AS pmi
+             FROM pm_pc CROSS JOIN pm_tp CROSS JOIN pm_tt
+             JOIN pm_tc c1 ON c1.term = w1
+             JOIN pm_tc c2 ON c2.term = w2
+             WHERE n_p >= 5
+             ORDER BY pmi DESC, w1, w2 LIMIT 20""",
         "tfidf_topk": """, ti_tok AS (
                SELECT doc_id,
                       unnest(list_filter(
