@@ -935,6 +935,15 @@ def _q_len_quantiles_hist(spark, sf_dir):
     return hist_quantiles(lens, "len", qs=(0.5, 0.9, 0.99), width=64)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """First 5 BPE merge rules induced from the corpus word-frequency
+    table — one pair-count shuffle per iteration over the vocab-bound
+    working set, rewrite as a map-side fold, no driver-side loop."""
+    from fluent_bit_spark.operators.text_analysis import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), iters=5)
+
+
 def _q_pmi_topk(spark, sf_dir):
     """Top-20 word pairs by PMI over within-2 co-occurrences — pairs
     built map-side from shifted-slice zips, no positional self-join."""
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_hourly": _q_hll_hourly,
         "len_quantiles_hist": _q_len_quantiles_hist,
         "pmi_topk": _q_pmi_topk,
+        "bpe_merges": _q_bpe_merges,
     }
 
 

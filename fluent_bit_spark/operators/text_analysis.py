@@ -454,6 +454,91 @@ def pmi_topk(
     )
 
 
+def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFrame:
+    """BPE-style vocabulary induction: `iters` greedy pair merges over
+    the corpus word-frequency table. Output one merge rule per
+    iteration: (iter, left, right, merged, cnt), ordered by iter.
+
+    Classic byte-pair encoding (Sennrich et al. 2016), restricted to
+    the merge-table induction (no end-of-word marker): words split to
+    characters; each round counts adjacent symbol pairs weighted by
+    word frequency, picks the most frequent (ties: cnt desc, pair
+    lexicographic — fully deterministic, so the DuckDB oracle matches
+    hash-exactly), and rewrites every word by greedy leftmost
+    non-overlapping replacement ('aaa' + (a,a) -> ['aa','a']).
+
+    Scale shape: the working set is the DISTINCT-word table (vocab-
+    bound, not corpus-bound) — one pair-count shuffle per iteration;
+    the winning rule joins back as a 1-row broadcast, and the rewrite
+    is a map-side array fold. The whole induction is one lazy plan:
+    no driver-side collect between iterations; per-level persists
+    (dedup.py convention) keep lineage linear instead of 2^iters.
+
+    A word shorter than 2 symbols contributes no pairs; if pairs are
+    exhausted before `iters`, later iterations emit no rule row.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+    base = toks.groupBy("word").agg(F.count("*").alias("n"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    cur = _persist(base.select("n", chars.alias("sym")))
+    tops = []
+    for it in range(1, iters + 1):
+        sz = F.size(F.col("sym"))
+        pairs = F.zip_with(
+            F.slice(F.col("sym"), 1, F.greatest(sz - 1, F.lit(0))),
+            F.slice(F.col("sym"), 2, F.greatest(sz - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pc = (
+            cur.select("n", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = _persist(
+            pc.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(it).alias("iter"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        tops.append(top)
+        if it < iters:
+            rule = F.broadcast(
+                top.select(
+                    F.col("left").alias("_ma"), F.col("right").alias("_mb")
+                )
+            )
+            # greedy leftmost fold; F.get (0-based, NULL out-of-bounds)
+            # instead of element_at(acc, -1), which throws under ANSI
+            # on the empty initial accumulator
+            folded = F.aggregate(
+                "sym",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.get(acc, F.size(acc) - 1) == F.col("_ma"))
+                    & (s == F.col("_mb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.col("_ma"), F.col("_mb"))),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            cur = _persist(cur.crossJoin(rule).select("n", folded.alias("sym")))
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.union(t)
+    return out.orderBy("iter")
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document stats frame."""
     t = F.col(text_col)

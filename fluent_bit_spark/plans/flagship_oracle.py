@@ -762,6 +762,49 @@ FROM hqh WHERE rn = 1 ORDER BY q"""
     }
 
 
+def _bpe_sql(iters: int = 5) -> dict[str, str]:
+    """Unrolled-CTE mirror of text_analysis.bpe_merges (pagerank-style
+    per-iteration unrolling): each round counts adjacent symbol pairs
+    from the distinct-word table, takes the (cnt desc, a, b) argmax,
+    and rewrites words with the same greedy leftmost fold — list_reduce
+    over singleton-wrapped symbols with a list_prepend'ed empty init
+    (DuckDB list_reduce has no init parameter). acc[-1] on the empty
+    accumulator is NULL (never an error), matching Spark's F.get."""
+    ctes = ["""
+, bw AS (
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS word
+      FROM documents) GROUP BY word)
+, b0 AS (SELECT n, [substr(word, CAST(i AS INT), 1)
+                    FOR i IN range(1, len(word) + 1)] AS sym FROM bw)"""]
+    for it in range(1, iters + 1):
+        prev = f"b{it - 1}"
+        ctes.append(f"""
+, p{it} AS (
+    SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+      SELECT n, unnest([{{'a': sym[i], 'b': sym[i+1]}}
+                        FOR i IN range(1, len(sym))]) AS p FROM {prev})
+    GROUP BY 1, 2)
+, t{it} AS (SELECT a, b, a || b AS merged, cnt FROM p{it}
+            ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if it < iters:
+            ctes.append(f"""
+, b{it} AS (
+    SELECT n, list_reduce(
+      list_prepend([]::VARCHAR[], list_transform(sym, s -> [s])),
+      (acc, x) -> CASE WHEN acc[-1] = t{it}.a AND x[1] = t{it}.b
+                  THEN list_append(acc[1:len(acc)-1], t{it}.a || t{it}.b)
+                  ELSE list_append(acc, x[1]) END) AS sym
+    FROM {prev}, t{it})""")
+    union = "\nUNION ALL ".join(
+        f'SELECT {i} AS iter, a AS "left", b AS "right", merged, cnt FROM t{i}'
+        for i in range(1, iters + 1)
+    )
+    return {"bpe_merges": "".join(ctes) + f"\n{union} ORDER BY iter"}
+
+
 def _values(rows, alias, cols) -> str:
     def lit(v):
         return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
@@ -902,6 +945,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _sample_split_sql().items()},
         **{k: c + v for k, v in _curation_sql().items()},
         **{k: c + v for k, v in _sketch_sql().items()},
+        **{k: c + v for k, v in _bpe_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

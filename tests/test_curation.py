@@ -312,3 +312,32 @@ def test_pmi_topk_known_values(spark):
         + 2.0 * math.log(total_tok)
     )
     assert abs(r.pmi - round(want, 6)) < 1e-9
+
+
+def test_bpe_merges_greedy_semantics(spark):
+    """Toy corpus with a hand-traceable merge sequence, including the
+    overlap case: 'aaa' + rule (a,a) must rewrite to ['aa','a']."""
+    from fluent_bit_spark.operators.text_analysis import bpe_merges
+
+    # 'aaa' x4, 'ab' x3: round 1 pairs = (a,a):8, (a,b):3 -> merge (a,a)
+    # round 2: 'aaa'->['aa','a'] so pairs = (aa,a):4, (a,b):3 -> (aa,a)
+    # round 3: 'aaa'->['aaa'], only (a,b):3 remains
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa aaa aaa ab ab ab")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(docs, iters=3).collect()]
+    assert out == [
+        (1, "a", "a", "aa", 8),
+        (2, "aa", "a", "aaa", 4),
+        (3, "a", "b", "ab", 3),
+    ]
+
+
+def test_bpe_merges_exhaustion_emits_no_rule(spark):
+    """When every pair is merged away, later iterations emit nothing
+    (rather than erroring or repeating the last rule)."""
+    from fluent_bit_spark.operators.text_analysis import bpe_merges
+
+    docs = spark.createDataFrame([(0, "xy xy")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_merges(docs, iters=3).collect()]
+    assert out == [(1, "x", "y", "xy", 2)]
