@@ -944,6 +944,18 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir), iters=5)
 
 
+def _q_role_len_quantiles(spark, sf_dir):
+    """Per-role turn-length histogram quantiles — the grouped variant:
+    every window stage partitions by role, so there is no
+    single-partition stage anywhere in the plan."""
+    from fluent_bit_spark.operators.sketch import hist_quantiles_by
+
+    t = _transcripts(spark, sf_dir).select(
+        "role", F.length("text").alias("len")
+    )
+    return hist_quantiles_by(t, "len", by=("role",), qs=(0.5, 0.9, 0.99))
+
+
 def _q_pmi_topk(spark, sf_dir):
     """Top-20 word pairs by PMI over within-2 co-occurrences — pairs
     built map-side from shifted-slice zips, no positional self-join."""
@@ -1148,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_convs": _q_hll_convs,
         "hll_hourly": _q_hll_hourly,
         "len_quantiles_hist": _q_len_quantiles_hist,
+        "role_len_quantiles": _q_role_len_quantiles,
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,
     }

@@ -351,19 +351,49 @@ def hist_quantiles(
     not by row count) with map-side partial counts; the cumulative
     window runs over that bounded bucket table, never the raw values.
     """
+    return _hist_quantiles(df, value_col, qs, width, by=())
+
+
+def hist_quantiles_by(
+    df: DataFrame,
+    value_col: str,
+    by: tuple[str, ...],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width: int = 64,
+) -> DataFrame:
+    """Per-group histogram quantiles: same bounded-memory estimate,
+    with the cumulative window partitioned by the group columns — the
+    bucket table is #groups x #buckets rows and every window stage is
+    group-parallel (no single-partition stage at all)."""
+    return _hist_quantiles(df, value_col, qs, width, by=by)
+
+
+def _hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...],
+    width: int,
+    by: tuple[str, ...],
+) -> DataFrame:
+    bcols = [F.col(c) for c in by]
     buckets = (
-        df.select(F.expr(f"{value_col} div {width}").alias("bucket"))
+        df.select(*bcols, F.expr(f"{value_col} div {width}").alias("bucket"))
         .filter(F.col("bucket").isNotNull())
-        .groupBy("bucket")
+        .groupBy(*by, "bucket")
         .agg(F.count("*").alias("n"))
     )
     from pyspark.sql import Window
 
-    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*by).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = buckets.select(
+        *by,
         "bucket",
         F.sum("n").over(w_cum).alias("cum_n"),
         F.sum("n").over(w_all).alias("n_total"),
@@ -373,11 +403,12 @@ def hist_quantiles(
     hit = qdf.join(
         cum, F.col("cum_n") >= F.ceil(F.col("q") * F.col("n_total"))
     )
-    w_first = Window.partitionBy("q").orderBy("bucket")
+    w_first = Window.partitionBy(*by, "q").orderBy("bucket")
     return (
         hit.withColumn("_rn", F.row_number().over(w_first))
         .filter(F.col("_rn") == 1)
         .select(
+            *by,
             "q",
             "bucket",
             (F.col("bucket") * width).alias("lo"),
@@ -385,7 +416,7 @@ def hist_quantiles(
             "cum_n",
             "n_total",
         )
-        .orderBy("q")
+        .orderBy(*by, "q")
     )
 
 

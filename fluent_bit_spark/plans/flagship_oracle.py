@@ -753,12 +753,29 @@ SELECT q, bucket, bucket * {width} AS lo, bucket * {width} + {width - 1} AS hi,
        cum_n, n_total
 FROM hqh WHERE rn = 1 ORDER BY q"""
 
+    grouped_hist_sql = f"""
+, rqb AS (SELECT role, length(text) // {width} AS bucket, COUNT(*) AS n
+          FROM transcripts WHERE length(text) IS NOT NULL GROUP BY 1, 2)
+, rqc AS (SELECT role, bucket,
+                 CAST(SUM(n) OVER (PARTITION BY role ORDER BY bucket)
+                      AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER (PARTITION BY role) AS BIGINT) AS n_total
+          FROM rqb)
+, rqq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+, rqh AS (SELECT role, q, bucket, cum_n, n_total,
+                 row_number() OVER (PARTITION BY role, q ORDER BY bucket) AS rn
+          FROM rqq JOIN rqc ON cum_n >= ceil(q * n_total))
+SELECT role, q, bucket, bucket * {width} AS lo,
+       bucket * {width} + {width - 1} AS hi, cum_n, n_total
+FROM rqh WHERE rn = 1 ORDER BY role, q"""
+
     return {
         "bloom_contam": bloom_sql,
         "cms_tokens": cms_sql,
         "hll_convs": hll_sql,
         "hll_hourly": hll_hourly_sql,
         "len_quantiles_hist": hist_sql,
+        "role_len_quantiles": grouped_hist_sql,
     }
 
 

@@ -136,6 +136,47 @@ def windowed_hll(
     )
 
 
+def windowed_cms(
+    df: DataFrame,
+    key_col: str = "tool",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming count-min counter grid per event-time window:
+    per-window state is depth*width counter rows regardless of key
+    cardinality — the sum-mergeable sibling of windowed_hll's
+    max-mergeable registers (together they cover the two mergeable-
+    sketch shapes a streaming pipeline needs: frequency and distinct).
+
+    Point estimates over any set of emitted windows: sum the grids
+    cell-wise (plain SUM group-by), then sketch.cms_estimate. Works on
+    batch frames too — the stream==batch test and the cross-check
+    against sketch.cms_counters both ride on that.
+
+    Output: (window_start, window_end, seed, pos, cnt).
+    """
+    from fluent_bit_spark.operators.sketch import _probe_struct
+
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.filter(F.col(key_col).isNotNull())
+        .select(F.col(ts_col), _probe_struct(key_col, depth, width))
+        .select(F.col(ts_col), F.col("pr.seed").alias("seed"), F.col("pr.pos").alias("pos"))
+        .groupBy(F.window(ts_col, window).alias("w"), "seed", "pos")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "seed",
+            "pos",
+            "cnt",
+        )
+    )
+
+
 def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
     """Exactly-once fan-out for writeStream.foreachBatch: each epoch
     writes every sink slice under <base>/<sink>/epoch=<id> (idempotent

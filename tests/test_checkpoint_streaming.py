@@ -399,3 +399,51 @@ def test_windowed_hll_streaming_matches_batch(spark, sf_dir, transcript_dir):
         if r.hour is not None
     }
     assert by_hour == {k: v for k, v in got.items() if k[0] is not None}
+
+
+def test_windowed_cms_streaming_matches_batch(spark, sf_dir, transcript_dir):
+    """Streaming per-window CMS grids must equal the batch evaluation,
+    and cell-wise summing all windows must equal the whole-corpus grid
+    from sketch.cms_counters (the sum-merge law)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.sketch import cms_counters
+    from fluent_bit_spark.streaming import streaming_transcripts, windowed_cms
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA, load_transcripts
+
+    src = streaming_transcripts(spark, transcript_dir, TRANSCRIPT_SCHEMA)
+    q = (
+        windowed_cms(src, "tool", window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.seed, r.pos): r.cnt
+            for r in spark.sql("SELECT * FROM cms_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    t = load_transcripts(spark, sf_dir)
+    want = {
+        (r.window_start, r.seed, r.pos): r.cnt
+        for r in windowed_cms(t, "tool", window="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
+
+    merged: dict = {}
+    for (_, seed, pos), cnt in got.items():
+        merged[(seed, pos)] = merged.get((seed, pos), 0) + cnt
+    counts = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy(F.col("tool").alias("token"))
+        .agg(F.count("*").alias("n"))
+    )
+    whole = {
+        (r.seed, r.pos): r.cnt for r in cms_counters(counts).collect()
+    }
+    assert merged == whole
