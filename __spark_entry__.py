@@ -956,6 +956,15 @@ def _q_role_len_quantiles(spark, sf_dir):
     return hist_quantiles_by(t, "len", by=("role",), qs=(0.5, 0.9, 0.99))
 
 
+def _q_centroid_assign(spark, sf_dir):
+    """Nearest-centroid classification over the embeddings table:
+    label centroids from exact fixed-point sums, vectors scored
+    map-side against the broadcast centroid table."""
+    from fluent_bit_spark.operators.similarity import centroid_assign
+
+    return centroid_assign(_embs(spark, sf_dir))
+
+
 def _q_pmi_topk(spark, sf_dir):
     """Top-20 word pairs by PMI over within-2 co-occurrences — pairs
     built map-side from shifted-slice zips, no positional self-join."""
@@ -1163,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_len_quantiles": _q_role_len_quantiles,
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,
+        "centroid_assign": _q_centroid_assign,
     }
 
 

@@ -264,3 +264,96 @@ def embedding_near_dup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid classification (label centroids + nearest-centroid assignment)
+
+
+def label_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label mean vector — (label, n_vecs, centroid array<double>).
+
+    Components are fixed-pointed to round(x * scale) BIGINT before
+    summation, so the aggregation is pure integer arithmetic:
+    order-independent, hence bit-identical across engines and
+    partitionings (float summation order would differ run to run).
+    The mean divides the exact integer sum once at the end.
+
+    Scale shape: posexplode to (label, pos) keys — one shuffle of
+    #labels x dim keys with map-side partial sums; the centroid array
+    reassembles from an array_sort'ed collect_list over dim entries
+    per label (bounded), never over vectors.
+    """
+    comps = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        "label", "pos", F.round(F.col("x") * scale).cast("long").alias("fx")
+    )
+    sums = comps.groupBy("label", "pos").agg(
+        F.sum("fx").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("_ps"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(
+                "_ps", lambda ps: ps["s"] / (F.lit(float(scale)) * F.col("n_vecs"))
+            ).alias("centroid"),
+        )
+    )
+
+
+def centroid_assign(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid classification: every vector scored against
+    every label centroid (broadcast — #labels rows), winner by
+    (cosine desc, label asc). Output (id, label, pred_label, cosine,
+    correct) with cosine rounded to 6 decimals for cross-engine rank
+    lockstep (same convention as cosine_topk).
+
+    The label-purity / cluster-assignment primitive: at corpus scale
+    the vectors stream map-side against the broadcast centroid table;
+    the only shuffles are the centroid build (#labels x dim keys) and
+    the per-vector argmax window on the id."""
+    cents = label_centroids(vectors, vec_col, label_col, scale)
+    scored = (
+        vectors.select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cents.select(F.col("label").alias("pred_label"), "centroid")
+            )
+        )
+        .withColumn("cosine", F.round(cosine_col(F.col("_v"), F.col("centroid")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), "pred_label")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "label",
+            "pred_label",
+            "cosine",
+            (F.col("label") == F.col("pred_label")).alias("correct"),
+        )
+    )

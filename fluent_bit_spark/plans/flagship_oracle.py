@@ -657,6 +657,36 @@ _APACHE = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d
 _SYSLOG = r"^<(\d+)>1 (\S+) (\S+) (\S+) (\d+) (\S+) - (.*)$"
 
 
+# similarity.centroid_assign mirror: centroids from exact fixed-point
+# integer sums (order-independent), components divided once at the end
+# with the same operand order as the Spark expression; cosine via
+# list_cosine_similarity at round-6 (the ann-query convention)
+_CENTROID_SQL = """
+, cc0 AS (SELECT label, vec_id, embedding FROM embeddings)
+, ccf AS (SELECT label,
+                 unnest([{'pos': i, 'fx': CAST(round(embedding[i]::DOUBLE
+                                                     * 1000000) AS BIGINT)}
+                         FOR i IN range(1, len(embedding) + 1)]) AS p
+          FROM cc0)
+, ccs AS (SELECT label, p.pos AS pos, CAST(SUM(p.fx) AS BIGINT) AS s,
+                 COUNT(*) AS n
+          FROM ccf GROUP BY 1, 2)
+, ccn AS (SELECT label, MAX(n) AS n_vecs FROM ccs GROUP BY label)
+, ccc AS (SELECT s.label,
+                 list(s.s / (1000000.0 * n.n_vecs) ORDER BY s.pos) AS centroid
+          FROM ccs s JOIN ccn n USING (label) GROUP BY s.label)
+, cca AS (SELECT e.vec_id, e.label, c.label AS pred_label,
+                 round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> x::DOUBLE), c.centroid), 6) AS cosine
+          FROM cc0 e CROSS JOIN ccc c)
+, ccr AS (SELECT vec_id, label, pred_label, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, pred_label) AS rn
+          FROM cca)
+SELECT vec_id, label, pred_label, cosine, label = pred_label AS correct
+FROM ccr WHERE rn = 1"""
+
+
 def _sketch_sql() -> dict[str, str]:
     """operators/sketch.py mirrors: every sketch hashes via md5 hex
     slices, so DuckDB reproduces the bloom verdicts (incl. false
@@ -776,6 +806,7 @@ FROM rqh WHERE rn = 1 ORDER BY role, q"""
         "hll_hourly": hll_hourly_sql,
         "len_quantiles_hist": hist_sql,
         "role_len_quantiles": grouped_hist_sql,
+        "centroid_assign": _CENTROID_SQL,
     }
 
 

@@ -303,3 +303,29 @@ def test_hash_split_fractions_validated(spark, docs):
 
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_label_centroids_exact_and_assignment(spark):
+    """Hand-computable centroids (integer-valued components) and a
+    separable geometry where every vector classifies to its own label."""
+    from fluent_bit_spark.operators.similarity import (
+        centroid_assign,
+        label_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [3.0, 0.0], "a"),
+        (3, [0.0, 2.0], "b"),
+        (4, [0.0, 4.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    cents = {r.label: (r.n_vecs, r.centroid) for r in label_centroids(df).collect()}
+    assert cents["a"] == (2, [2.0, 0.0])
+    assert cents["b"] == (2, [0.0, 3.0])
+    out = {r.vec_id: r for r in centroid_assign(df).collect()}
+    assert all(out[i].correct for i in (1, 2, 3, 4))
+    assert out[1].pred_label == "a" and out[3].pred_label == "b"
+    assert out[1].cosine == 1.0  # colinear with its centroid
