@@ -965,6 +965,15 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """3 rounds of deterministic spherical k-means (k=8, seeds =
+    vec_id < 8) over the embeddings table; one lazy plan, no
+    driver-side loop."""
+    from fluent_bit_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_embs(spark, sf_dir), k=8, iters=3)
+
+
 def _q_pmi_topk(spark, sf_dir):
     """Top-20 word pairs by PMI over within-2 co-occurrences — pairs
     built map-side from shifted-slice zips, no positional self-join."""
@@ -1173,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,
         "centroid_assign": _q_centroid_assign,
+        "kmeans_assign": _q_kmeans_assign,
     }
 
 

@@ -332,28 +332,93 @@ def centroid_assign(
     the only shuffles are the centroid build (#labels x dim keys) and
     the per-vector argmax window on the id."""
     cents = label_centroids(vectors, vec_col, label_col, scale)
+    assigned = assign_to_centroids(
+        vectors, cents, vec_col, id_col, carry_cols=(label_col,)
+    )
+    return assigned.select(
+        id_col,
+        F.col(label_col).alias("label"),
+        F.col("cluster").alias("pred_label"),
+        "cosine",
+        (F.col(label_col) == F.col("cluster")).alias("correct"),
+    )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Each vector's nearest centroid from `cents` (label, centroid):
+    (id, *carry_cols, cluster, cosine) by (round-6 cosine desc, label
+    asc) argmax. Centroid table broadcast; vectors stream map-side;
+    `carry_cols` ride through so callers need no re-join on the id."""
     scored = (
         vectors.select(
             F.col(id_col),
-            F.col(label_col).alias("label"),
+            *[F.col(c) for c in carry_cols],
             as_double_array(F.col(vec_col)).alias("_v"),
         )
         .crossJoin(
-            F.broadcast(
-                cents.select(F.col("label").alias("pred_label"), "centroid")
-            )
+            F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
         )
-        .withColumn("cosine", F.round(cosine_col(F.col("_v"), F.col("centroid")), 6))
+        .withColumn(
+            "cosine", F.round(cosine_col(F.col("_v"), F.col("centroid")), 6)
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), "pred_label")
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), "cluster")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            "label",
-            "pred_label",
-            "cosine",
-            (F.col("label") == F.col("pred_label")).alias("correct"),
+        .select(id_col, *carry_cols, "cluster", "cosine")
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration spherical k-means (Lloyd with cosine):
+    deterministic seeding (the vectors with id < k are the initial
+    centroids, cluster id = seed id), `iters` rounds of
+    assign -> exact fixed-point centroid recompute, returning the
+    final assignment (id, cluster, cosine).
+
+    Everything is deterministic — round-6 cosine argmax with
+    cluster-asc ties, and label_centroids' integer-sum means — so the
+    whole iteration is reproducible across engines and partitionings
+    (oracle = unrolled per-iteration CTEs, the bpe_merges pattern).
+    A cluster that loses all members simply drops out of later rounds.
+
+    Scale shape per round: one broadcast assign pass over the vectors
+    + one argmax window on the id + the #clusters x dim centroid
+    shuffle. Lazy end-to-end with per-level persists (dedup.py
+    convention); no driver-side loop.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+
+    cents = _persist(
+        vectors.filter(F.col(id_col) < k).select(
+            F.col(id_col).alias("label"),
+            as_double_array(F.col(vec_col)).alias("centroid"),
         )
     )
+    assigned = None
+    for t in range(iters):
+        assigned = _persist(assign_to_centroids(vectors, cents, vec_col, id_col))
+        if t < iters - 1:
+            members = vectors.select(F.col(id_col), F.col(vec_col)).join(
+                assigned.select(F.col(id_col), F.col("cluster").alias("label")),
+                id_col,
+            )
+            cents = _persist(
+                label_centroids(members, vec_col, "label").select(
+                    "label", "centroid"
+                )
+            )
+    return assigned.orderBy(id_col)

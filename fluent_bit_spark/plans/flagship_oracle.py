@@ -687,6 +687,45 @@ SELECT vec_id, label, pred_label, cosine, label = pred_label AS correct
 FROM ccr WHERE rn = 1"""
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
+    """similarity.kmeans_assign mirror, unrolled per iteration (the
+    bpe_merges pattern): assignment = round-6 cosine argmax with
+    cluster-asc ties; recompute = the exact fixed-point centroid sums
+    from _CENTROID_SQL. Initial centroids are the vec_id < k vectors."""
+    ctes = [f"""
+, km0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings)
+, kc0 AS (SELECT vec_id AS label, v AS centroid FROM km0 WHERE vec_id < {k})"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+, ka{t} AS (SELECT m.vec_id, c.label AS cluster,
+                   round(list_cosine_similarity(m.v, c.centroid), 6) AS cosine
+            FROM km0 m CROSS JOIN kc{t - 1} c)
+, kb{t} AS (SELECT vec_id, cluster, cosine FROM (
+              SELECT vec_id, cluster, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cosine DESC, cluster) AS rn
+              FROM ka{t}) WHERE rn = 1)""")
+        if t < iters:
+            ctes.append(f"""
+, kf{t} AS (SELECT b.cluster,
+                   unnest([{{'pos': i, 'fx': CAST(round(m.v[i] * 1000000)
+                                                  AS BIGINT)}}
+                           FOR i IN range(1, len(m.v) + 1)]) AS p
+            FROM kb{t} b JOIN km0 m USING (vec_id))
+, ks{t} AS (SELECT cluster, p.pos AS pos, CAST(SUM(p.fx) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM kf{t} GROUP BY 1, 2)
+, kn{t} AS (SELECT cluster, MAX(n) AS n_vecs FROM ks{t} GROUP BY cluster)
+, kc{t} AS (SELECT s.cluster AS label,
+                   list(s.s / (1000000.0 * n.n_vecs) ORDER BY s.pos) AS centroid
+            FROM ks{t} s JOIN kn{t} n USING (cluster) GROUP BY s.cluster)""")
+    return {
+        "kmeans_assign": "".join(ctes)
+        + f"\nSELECT vec_id, cluster, cosine FROM kb{iters} ORDER BY vec_id"
+    }
+
+
 def _sketch_sql() -> dict[str, str]:
     """operators/sketch.py mirrors: every sketch hashes via md5 hex
     slices, so DuckDB reproduces the bloom verdicts (incl. false
@@ -994,6 +1033,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _curation_sql().items()},
         **{k: c + v for k, v in _sketch_sql().items()},
         **{k: c + v for k, v in _bpe_sql().items()},
+        **{k: c + v for k, v in _kmeans_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

@@ -329,3 +329,22 @@ def test_label_centroids_exact_and_assignment(spark):
     assert all(out[i].correct for i in (1, 2, 3, 4))
     assert out[1].pred_label == "a" and out[3].pred_label == "b"
     assert out[1].cosine == 1.0  # colinear with its centroid
+
+
+def test_kmeans_assign_separable_clusters(spark):
+    """Two well-separated directions: after 3 rounds every vector sits
+    with its direction's seed and survivors' cosines are ~1."""
+    from fluent_bit_spark.operators.similarity import kmeans_assign
+
+    rows = (
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])]  # seeds (k=2)
+        + [(i, [1.0, float(0.01 * (i % 3))]) for i in range(10, 20)]
+        + [(i, [float(0.01 * (i % 3)), 1.0]) for i in range(20, 30)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert len(out) == 22
+    x_cluster = {out[i].cluster for i in range(10, 20)}
+    y_cluster = {out[i].cluster for i in range(20, 30)}
+    assert x_cluster == {0} and y_cluster == {1}
+    assert all(out[i].cosine > 0.99 for i in range(10, 30))
