@@ -1096,7 +1096,33 @@ def _q_record_function(spark, sf_dir):
     )
 
 
+def _releasing(fn):
+    """Release the previous query's operator-internal persisted frames
+    before building the next one: several operators persist frames
+    consumed by two plan branches (dedup/sketch/kmeans convention), and
+    a harness that materializes all ~85 gated queries in one session
+    would otherwise pin every cache until exit. Unpersisting is purely
+    a cache drop — never a correctness concern."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        from fluent_bit_spark.operators.dedup import release_persisted
+
+        release_persisted()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        k: _releasing(fn)
+        for k, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
         "parse_fields": _q_parse_fields,

@@ -786,7 +786,7 @@ ORDER BY t.exact_n DESC, t.token"""
 , hh AS (
     SELECT ((('0x'||substr(md5(conv_id),1,8))::BIGINT & 2147483647) << 31)
            + (('0x'||substr(md5(conv_id),9,8))::BIGINT & 2147483647) AS h
-    FROM transcripts)
+    FROM transcripts WHERE conv_id IS NOT NULL)
 , hr AS (SELECT h >> {rest_bits} AS bucket,
                 h & ((1::BIGINT << {rest_bits}) - 1) AS rest FROM hh)
 SELECT bucket,
@@ -799,7 +799,7 @@ FROM hr GROUP BY bucket"""
     SELECT date_trunc('hour', ts) AS hour,
            ((('0x'||substr(md5(conv_id),1,8))::BIGINT & 2147483647) << 31)
            + (('0x'||substr(md5(conv_id),9,8))::BIGINT & 2147483647) AS h
-    FROM transcripts)
+    FROM transcripts WHERE conv_id IS NOT NULL)
 , hgr AS (SELECT hour, h >> {rest_bits} AS bucket,
                  h & ((1::BIGINT << {rest_bits}) - 1) AS rest FROM hgh)
 SELECT hour, bucket,
