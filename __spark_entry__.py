@@ -965,6 +965,20 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval: docs 0..2 as queries against the rest of
+    the corpus; fixed-point score accumulation keeps the sum
+    order-independent and oracle-exact."""
+    from fluent_bit_spark.operators.text_analysis import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(
+        docs.filter(F.col("doc_id") >= 3),
+        docs.filter(F.col("doc_id") < 3).withColumnRenamed("doc_id", "query_id"),
+        k=10,
+    )
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """3 rounds of deterministic spherical k-means (k=8, seeds =
     vec_id < 8) over the embeddings table; one lazy plan, no
@@ -1209,6 +1223,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "centroid_assign": _q_centroid_assign,
         "kmeans_assign": _q_kmeans_assign,
+        "bm25_topk": _q_bm25_topk,
     }
 
 

@@ -454,6 +454,88 @@ def pmi_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-`k` documents per query. Output
+    (query_id, doc_id, score, rank), rank by (score desc, doc_id).
+
+    Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)); query terms
+    are DISTINCT (query-side tf fixed at 1). Per-term contributions
+    are fixed-pointed to round(x * 1e6) BIGINT before the per-(query,
+    doc) sum, so the accumulated score is integer arithmetic —
+    order-independent across partitions and engines (float summation
+    order would differ run to run); the float math inside one term is
+    a fixed expression tree the DuckDB oracle replicates operand for
+    operand.
+
+    Scale shape: the (doc, term) tf table shuffles once; query terms
+    join it on term (queries broadcast — the small side); doc length
+    and df join on their natural keys; N and avg_len ride in as a
+    1-row broadcast. No per-row Python anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy(id_col).agg(F.count("*").alias("len_d"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.sum("len_d").alias("total_len")
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_ts",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("len_d")
+                    / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+        )
+        .withColumn("_fx", F.round(F.col("_ts") * 1_000_000).cast("long"))
+    )
+    agg = scored.groupBy(query_id_col, id_col).agg(
+        (F.sum("_fx") / F.lit(1_000_000.0)).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), id_col)
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFrame:
     """BPE-style vocabulary induction: `iters` greedy pair merges over
     the corpus word-frequency table. Output one merge rule per

@@ -687,6 +687,44 @@ SELECT vec_id, label, pred_label, cosine, label = pred_label AS correct
 FROM ccr WHERE rn = 1"""
 
 
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
+    """text_analysis.bm25_topk mirror (queries = doc_id < 3, candidates
+    = the rest). Constants are interpolated via repr() so DuckDB parses
+    the exact doubles Spark computes; per-term scores fixed-point to
+    BIGINT before the sum, so accumulation is order-independent."""
+    return {"bm25_topk": f"""
+, bmt AS (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                          '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents WHERE doc_id >= 3)
+, bmtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bmt GROUP BY 1, 2)
+, bmdl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d FROM bmt GROUP BY 1)
+, bmdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY 1)
+, bmst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len_d) AS BIGINT) AS total_len FROM bmdl)
+, bmq AS (SELECT doc_id AS query_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> ''))) AS term
+          FROM documents WHERE doc_id < 3)
+, bms AS (SELECT q.query_id, t.doc_id,
+                 CAST(round((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * (t.tf * {k1 + 1.0!r})
+                             / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.len_d
+                                                 / (s.total_len / s.n_docs))))
+                            * 1000000) AS BIGINT) AS fx
+          FROM bmtf t JOIN bmq q USING (term) JOIN bmdf d USING (term)
+               JOIN bmdl l ON l.doc_id = t.doc_id CROSS JOIN bmst s)
+, bma AS (SELECT query_id, doc_id, SUM(fx) / 1000000.0 AS score
+          FROM bms GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bma) WHERE rank <= {k}"""}
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
     """similarity.kmeans_assign mirror, unrolled per iteration (the
     bpe_merges pattern): assignment = round-6 cosine argmax with
@@ -1034,6 +1072,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _sketch_sql().items()},
         **{k: c + v for k, v in _bpe_sql().items()},
         **{k: c + v for k, v in _kmeans_sql().items()},
+        **{k: c + v for k, v in _bm25_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

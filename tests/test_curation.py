@@ -341,3 +341,27 @@ def test_bpe_merges_exhaustion_emits_no_rule(spark):
     docs = spark.createDataFrame([(0, "xy xy")], "doc_id long, text string")
     out = [tuple(r) for r in bpe_merges(docs, iters=3).collect()]
     assert out == [(1, "x", "y", "xy", 2)]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the query's rare term must outrank docs matching
+    only the ubiquitous term, and scores must be positive and ranked
+    deterministically."""
+    from fluent_bit_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (10, "zebra common common"),
+            (11, "common common common"),
+            (12, "common filler filler"),
+            (13, "other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "zebra common")], "query_id long, text string"
+    )
+    out = bm25_topk(docs, queries, k=4).orderBy("rank").collect()
+    assert [r.doc_id for r in out][:1] == [10]  # rare 'zebra' dominates
+    assert out[0].score > out[1].score > 0
+    assert 13 not in {r.doc_id for r in out}  # no term overlap, no row
