@@ -141,6 +141,34 @@ def bench_queries(spark, source):
         q = embs.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
         return cosine_topk(embs.filter(F.col("vec_id") >= 20), q, k=10)
 
+    def bloom_contam():
+        from fluent_bit_spark.operators.sketch import bloom_contamination
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return bloom_contamination(docs, docs.filter(F.col("doc_id") % 50 == 0))
+
+    def bpe_merges():
+        from fluent_bit_spark.operators.text_analysis import bpe_merges as op
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return op(docs, iters=5)
+
+    def bm25_topk():
+        from fluent_bit_spark.operators.text_analysis import bm25_topk as op
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return op(
+            docs.filter(F.col("doc_id") >= 3),
+            docs.filter(F.col("doc_id") < 3).withColumnRenamed(
+                "doc_id", "query_id"
+            ),
+            k=10,
+        )
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -156,6 +184,9 @@ def bench_queries(spark, source):
         "sft_pairs": sft_pairs,
         "unigram_lm": unigram_lm,
         "chunk_docs": chunk_docs,
+        "bloom_contam": bloom_contam,
+        "bpe_merges": bpe_merges,
+        "bm25_topk": bm25_topk,
     }
 
 
@@ -181,7 +212,7 @@ def run_default() -> None:
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name.startswith("dedup"):
+        if name.startswith(("dedup", "bloom", "bpe", "bm25")):
             # free the operator-internal signature caches between stages
             release_persisted()
 
