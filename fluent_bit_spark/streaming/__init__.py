@@ -136,6 +136,29 @@ def windowed_hll(
     )
 
 
+def dedup_stateful(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, catching
+    duplicates ACROSS micro-batches — the streaming analog of the
+    batch digest-groupBy dedup (dedup.exact_dedup can only collapse
+    within one frame).
+
+    Built on dropDuplicatesWithinWatermark: the state store holds one
+    entry per key only until the watermark passes its event time, so
+    state is bounded by the duplicate-arrival horizon rather than
+    growing with the stream. Duplicates separated by more than the
+    watermark are NOT caught — that is the documented contract (late
+    exact dedup at unbounded horizons is a batch backfill job).
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def windowed_cms(
     df: DataFrame,
     key_col: str = "tool",

@@ -447,3 +447,54 @@ def test_windowed_cms_streaming_matches_batch(spark, sf_dir, transcript_dir):
         (r.seed, r.pos): r.cnt for r in cms_counters(counts).collect()
     }
     assert merged == whole
+
+
+def test_dedup_stateful_drops_duplicates_across_batches(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch (within the
+    watermark) must be dropped; distinct keys all survive."""
+    import datetime as dt
+
+    from fluent_bit_spark.streaming import dedup_stateful
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    src_dir = tmp_path / "src"
+    rows1 = [
+        ("c1", 0, "user", "hello", None, base),
+        ("c1", 1, "assistant", "hi", None, base),
+        ("c2", 0, "user", "yo", None, base),
+    ]
+    rows2 = [
+        ("c1", 0, "user", "hello", None, base),  # dup of batch-1 row
+        ("c2", 1, "assistant", "sup", None, base),
+    ]
+    spark.createDataFrame(rows1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src_dir))
+    q = (
+        dedup_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        q.processAllAvailable()
+        got = {
+            (r.conv_id, r.turn_idx)
+            for r in spark.sql("SELECT * FROM dedup_stream").collect()
+        }
+        n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0].n
+    finally:
+        q.stop()
+    assert got == {("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)}
+    assert n == 4  # the cross-batch duplicate was dropped, not re-emitted

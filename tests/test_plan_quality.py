@@ -183,8 +183,14 @@ def test_hist_quantiles_window_only_over_bucket_table(spark, sf_dir):
     """The single-partition cumulative window must run over the
     aggregated bucket table (post-HashAggregate), never the raw
     values — the histogram's whole point at scale."""
+    from fluent_bit_spark.operators.dedup import release_persisted
     from fluent_bit_spark.operators.sketch import hist_quantiles
 
+    # hermetic plan: frames persisted by earlier tests (entry queries)
+    # would substitute InMemoryTableScan for the parquet scan fragment
+    # and break the ReadSchema/tree assertions below
+    release_persisted()
+    spark.catalog.clearCache()
     lens = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.length("text").alias("len"))
