@@ -402,17 +402,24 @@ def kmeans_assign(
     """
     from fluent_bit_spark.operators.dedup import _persist
 
+    # the prepared (id, double-array) frame is consumed by every round's
+    # assign pass plus the members re-join — persist once instead of
+    # re-reading and re-casting the source 2*iters - 1 times
+    prepped = _persist(
+        vectors.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+        )
+    )
     cents = _persist(
-        vectors.filter(F.col(id_col) < k).select(
-            F.col(id_col).alias("label"),
-            as_double_array(F.col(vec_col)).alias("centroid"),
+        prepped.filter(F.col(id_col) < k).select(
+            F.col(id_col).alias("label"), F.col(vec_col).alias("centroid")
         )
     )
     assigned = None
     for t in range(iters):
-        assigned = _persist(assign_to_centroids(vectors, cents, vec_col, id_col))
+        assigned = _persist(assign_to_centroids(prepped, cents, vec_col, id_col))
         if t < iters - 1:
-            members = vectors.select(F.col(id_col), F.col(vec_col)).join(
+            members = prepped.join(
                 assigned.select(F.col(id_col), F.col("cluster").alias("label")),
                 id_col,
             )

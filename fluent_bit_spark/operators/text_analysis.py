@@ -405,7 +405,11 @@ def pmi_topk(
     min_count filters pairs AFTER the totals are taken, so
     probabilities stay those of the full pair population.
     """
-    toks = df.select(tokens(F.lower(F.col(text_col))).alias("tk"))
+    from fluent_bit_spark.operators.dedup import _persist
+
+    # toks feeds two plan branches (pair generation + marginal counts);
+    # Spark shares no common subplans, so persist (dedup.py convention)
+    toks = _persist(df.select(tokens(F.lower(F.col(text_col))).alias("tk")))
     sz = F.size(F.col("tk"))
     arms = [
         F.zip_with(
@@ -482,11 +486,15 @@ def bm25_topk(
     and df join on their natural keys; N and avg_len ride in as a
     1-row broadcast. No per-row Python anywhere.
     """
+    from fluent_bit_spark.operators.dedup import _persist
+
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dlen = toks.groupBy(id_col).agg(F.count("*").alias("len_d"))
+    # tf feeds three consumers (dfreq, dlen, the query join); persist so
+    # the corpus is tokenized and aggregated once (dedup.py convention)
+    tf = _persist(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("len_d"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.sum("len_d").alias("total_len")

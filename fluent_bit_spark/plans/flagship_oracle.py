@@ -689,8 +689,10 @@ FROM ccr WHERE rn = 1"""
 
 def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
     """text_analysis.bm25_topk mirror (queries = doc_id < 3, candidates
-    = the rest). Constants are interpolated via repr() so DuckDB parses
-    the exact doubles Spark computes; per-term scores fixed-point to
+    = the rest). Constants are interpolated via repr() AND cast
+    ::DOUBLE — a bare decimal literal types as DECIMAL in DuckDB, and
+    e.g. tf * 2.2 in exact decimal arithmetic differs from Spark's
+    long * double in the last ulp. Per-term scores fixed-point to
     BIGINT before the sum, so accumulation is order-independent."""
     return {"bm25_topk": f"""
 , bmt AS (SELECT doc_id,
@@ -699,7 +701,7 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
                                     x -> x <> '')) AS term
           FROM documents WHERE doc_id >= 3)
 , bmtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bmt GROUP BY 1, 2)
-, bmdl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d FROM bmt GROUP BY 1)
+, bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len_d FROM bmtf GROUP BY 1)
 , bmdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY 1)
 , bmst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                   CAST(SUM(len_d) AS BIGINT) AS total_len FROM bmdl)
@@ -709,10 +711,14 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
                    x -> x <> ''))) AS term
           FROM documents WHERE doc_id < 3)
 , bms AS (SELECT q.query_id, t.doc_id,
-                 CAST(round((ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                             * (t.tf * {k1 + 1.0!r})
-                             / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.len_d
-                                                 / (s.total_len / s.n_docs))))
+                 CAST(round((ln(1.0::DOUBLE
+                                + (s.n_docs - d.df + 0.5::DOUBLE)
+                                  / (d.df + 0.5::DOUBLE))
+                             * (t.tf * {k1 + 1.0!r}::DOUBLE)
+                             / (t.tf + {k1!r}::DOUBLE
+                                       * ({1.0 - b!r}::DOUBLE
+                                          + {b!r}::DOUBLE * l.len_d
+                                            / (s.total_len / s.n_docs))))
                             * 1000000) AS BIGINT) AS fx
           FROM bmtf t JOIN bmq q USING (term) JOIN bmdf d USING (term)
                JOIN bmdl l ON l.doc_id = t.doc_id CROSS JOIN bmst s)
@@ -847,7 +853,7 @@ FROM hgr GROUP BY hour, bucket"""
 
     width = 64
     hist_sql = f"""
-, hqv AS (SELECT length(text) AS v FROM documents)
+, hqv AS (SELECT length(text) AS v FROM documents WHERE text IS NOT NULL)
 , hqb AS (SELECT v // {width} AS bucket, COUNT(*) AS n FROM hqv GROUP BY 1)
 , hqc AS (SELECT bucket,
                  CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
