@@ -965,6 +965,14 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    """The encoded corpus vocabulary after all 5 induced BPE merges —
+    the encode side of bpe_merges."""
+    from fluent_bit_spark.operators.text_analysis import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), iters=5)
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 top-10 retrieval: docs 0..2 as queries against the rest of
     the corpus; fixed-point score accumulation keeps the sum
@@ -1224,6 +1232,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_assign": _q_centroid_assign,
         "kmeans_assign": _q_kmeans_assign,
         "bm25_topk": _q_bm25_topk,
+        "bpe_vocab": _q_bpe_vocab,
     }
 
 

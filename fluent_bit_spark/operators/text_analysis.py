@@ -567,6 +567,31 @@ def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFra
     A word shorter than 2 symbols contributes no pairs; if pairs are
     exhausted before `iters`, later iterations emit no rule row.
     """
+    tops, _ = _bpe_iterate(df, text_col, iters, apply_last=False)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.union(t)
+    return out.orderBy("iter")
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFrame:
+    """The encoded vocabulary after applying ALL `iters` induced merge
+    rules: (word, n, encoded) where encoded is the space-joined symbol
+    sequence — the encode side of bpe_merges (same induction, with the
+    final rule applied too). Vocab-bound like the induction itself."""
+    _, cur = _bpe_iterate(df, text_col, iters, apply_last=True)
+    return cur.select(
+        "word", "n", F.array_join("sym", " ").alias("encoded")
+    ).orderBy("word")
+
+
+def _bpe_iterate(
+    df: DataFrame, text_col: str, iters: int, apply_last: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE induction loop: returns (per-iteration rule frames,
+    the running (word, n, sym) vocab). With apply_last the final rule
+    is folded in as well (encode semantics); without, the vocab stops
+    one rewrite short (induction only needs pair counts)."""
     from fluent_bit_spark.operators.dedup import _persist
 
     toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
@@ -575,7 +600,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFra
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    cur = _persist(base.select("n", chars.alias("sym")))
+    cur = _persist(base.select("word", "n", chars.alias("sym")))
     tops = []
     for it in range(1, iters + 1):
         sz = F.size(F.col("sym"))
@@ -601,10 +626,14 @@ def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFra
             )
         )
         tops.append(top)
-        if it < iters:
+        if it < iters or apply_last:
+            # global agg, not select: it yields exactly ONE row even
+            # when no pair exists (NULL rule -> the fold's condition is
+            # NULL -> no-op), whereas crossJoin with an empty rule
+            # frame would wipe the whole vocab
             rule = F.broadcast(
-                top.select(
-                    F.col("left").alias("_ma"), F.col("right").alias("_mb")
+                top.agg(
+                    F.max("left").alias("_ma"), F.max("right").alias("_mb")
                 )
             )
             # greedy leftmost fold; F.get (0-based, NULL out-of-bounds)
@@ -622,11 +651,10 @@ def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFra
                     ),
                 ).otherwise(F.concat(acc, F.array(s))),
             )
-            cur = _persist(cur.crossJoin(rule).select("n", folded.alias("sym")))
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.union(t)
-    return out.orderBy("iter")
+            cur = _persist(
+                cur.crossJoin(rule).select("word", "n", folded.alias("sym"))
+            )
+    return tops, cur
 
 
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -908,8 +908,8 @@ def _bpe_sql(iters: int = 5) -> dict[str, str]:
                regexp_split_to_array(trim(lower(text)), '\\s+'),
                x -> x <> '')) AS word
       FROM documents) GROUP BY word)
-, b0 AS (SELECT n, [substr(word, CAST(i AS INT), 1)
-                    FOR i IN range(1, len(word) + 1)] AS sym FROM bw)"""]
+, b0 AS (SELECT word, n, [substr(word, CAST(i AS INT), 1)
+                          FOR i IN range(1, len(word) + 1)] AS sym FROM bw)"""]
     for it in range(1, iters + 1):
         prev = f"b{it - 1}"
         ctes.append(f"""
@@ -919,21 +919,25 @@ def _bpe_sql(iters: int = 5) -> dict[str, str]:
                         FOR i IN range(1, len(sym))]) AS p FROM {prev})
     GROUP BY 1, 2)
 , t{it} AS (SELECT a, b, a || b AS merged, cnt FROM p{it}
-            ORDER BY cnt DESC, a, b LIMIT 1)""")
-        if it < iters:
-            ctes.append(f"""
+            ORDER BY cnt DESC, a, b LIMIT 1)
 , b{it} AS (
-    SELECT n, list_reduce(
+    SELECT word, n, list_reduce(
       list_prepend([]::VARCHAR[], list_transform(sym, s -> [s])),
-      (acc, x) -> CASE WHEN acc[-1] = t{it}.a AND x[1] = t{it}.b
-                  THEN list_append(acc[1:len(acc)-1], t{it}.a || t{it}.b)
+      (acc, x) -> CASE WHEN acc[-1] = tr.a AND x[1] = tr.b
+                  THEN list_append(acc[1:len(acc)-1], tr.a || tr.b)
                   ELSE list_append(acc, x[1]) END) AS sym
-    FROM {prev}, t{it})""")
+    FROM {prev}, (SELECT MAX(a) AS a, MAX(b) AS b FROM t{it}) tr)""")
     union = "\nUNION ALL ".join(
         f'SELECT {i} AS iter, a AS "left", b AS "right", merged, cnt FROM t{i}'
         for i in range(1, iters + 1)
     )
-    return {"bpe_merges": "".join(ctes) + f"\n{union} ORDER BY iter"}
+    body = "".join(ctes)
+    return {
+        "bpe_merges": body + f"\n{union} ORDER BY iter",
+        "bpe_vocab": body
+        + f"\nSELECT word, n, array_to_string(sym, ' ') AS encoded"
+        f" FROM b{iters} ORDER BY word",
+    }
 
 
 def _values(rows, alias, cols) -> str:

@@ -365,3 +365,20 @@ def test_bm25_rare_term_outranks_common(spark):
     assert [r.doc_id for r in out][:1] == [10]  # rare 'zebra' dominates
     assert out[0].score > out[1].score > 0
     assert 13 not in {r.doc_id for r in out}  # no term overlap, no row
+
+
+def test_bpe_vocab_applies_all_merges(spark):
+    """Encode side: the toy trace collapses 'aaa' and 'ab' fully, and
+    pair exhaustion after the first merge must be a no-op (not wipe
+    the vocab via an empty rule)."""
+    from fluent_bit_spark.operators.text_analysis import bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa aaa aaa ab ab ab")], "doc_id long, text string"
+    )
+    out = {r.word: (r.n, r.encoded) for r in bpe_vocab(docs, iters=3).collect()}
+    assert out == {"aaa": (4, "aaa"), "ab": (3, "ab")}
+
+    lone = spark.createDataFrame([(0, "xy xy")], "doc_id long, text string")
+    out2 = {r.word: r.encoded for r in bpe_vocab(lone, iters=3).collect()}
+    assert out2 == {"xy": "xy"}  # iters 2-3 find no pair -> no-op
