@@ -589,9 +589,14 @@ def _bpe_iterate(
     df: DataFrame, text_col: str, iters: int, apply_last: bool
 ) -> tuple[list[DataFrame], DataFrame]:
     """Shared BPE induction loop: returns (per-iteration rule frames,
-    the running (word, n, sym) vocab). With apply_last the final rule
-    is folded in as well (encode semantics); without, the vocab stops
-    one rewrite short (induction only needs pair counts)."""
+    the running (n, sym) — or, with apply_last, (word, n, sym) —
+    vocab). With apply_last the final rule is folded in as well
+    (encode semantics) and the word rides along for the output;
+    without, the vocab stops one rewrite short (induction only needs
+    pair counts) and the word column is dropped so the benched
+    induction path doesn't cache the string payload per iteration."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     from fluent_bit_spark.operators.dedup import _persist
 
     toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
@@ -600,7 +605,8 @@ def _bpe_iterate(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    cur = _persist(base.select("word", "n", chars.alias("sym")))
+    carry = ["word"] if apply_last else []
+    cur = _persist(base.select(*carry, "n", chars.alias("sym")))
     tops = []
     for it in range(1, iters + 1):
         sz = F.size(F.col("sym"))
@@ -652,7 +658,7 @@ def _bpe_iterate(
                 ).otherwise(F.concat(acc, F.array(s))),
             )
             cur = _persist(
-                cur.crossJoin(rule).select("word", "n", folded.alias("sym"))
+                cur.crossJoin(rule).select(*carry, "n", folded.alias("sym"))
             )
     return tops, cur
 
