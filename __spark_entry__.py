@@ -965,6 +965,14 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Add-k bigram LM score per doc (corpus-trained) — fixed-point ln
+    sums, so the per-doc mean is summation-order-independent."""
+    from fluent_bit_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_bpe_vocab(spark, sf_dir):
     """The encoded corpus vocabulary after all 5 induced BPE merges —
     the encode side of bpe_merges."""
@@ -1233,6 +1241,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "bm25_topk": _q_bm25_topk,
         "bpe_vocab": _q_bpe_vocab,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 

@@ -335,6 +335,69 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained add-k bigram LM score per document — the bigram
+    upgrade of unigram_logprob: mean ln P(w2 | w1) with
+    P = (C(w1,w2) + k) / (C(w1) + k*V) over the corpus's own counts.
+    Output (id, n_bigrams, logprob); docs with < 2 tokens have no
+    bigram and emit no row.
+
+    Per-bigram ln terms are fixed-pointed to BIGINT before the per-doc
+    sum (the bm25 convention), so the mean is independent of partition
+    summation order — exactly oracle-checkable, unlike a float AVG.
+
+    Scale shape: the exploded bigram frame is persisted (it feeds the
+    corpus count AND the scoring join); corpus bigram counts join back
+    on the bigram key (one shuffle), left-context counts on w1, and V
+    rides in as a 1-row broadcast.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    sz = F.size("tk")
+    grams = F.zip_with(
+        F.slice(F.col("tk"), 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice(F.col("tk"), 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = _persist(
+        tk.select("id", F.explode(grams).alias("g")).select("id", "g.w1", "g.w2")
+    )
+    uni = _persist(
+        tk.select(F.explode("tk").alias("w")).groupBy("w").agg(
+            F.count("*").alias("n1")
+        )
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    vtot = uni.agg(F.count("*").alias("_v"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vtot))
+        .withColumn(
+            "_fx",
+            F.round(
+                F.log(
+                    (F.col("n2") + F.lit(k))
+                    / (F.col("n1") + F.lit(k) * F.col("_v"))
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("_fx") / F.lit(1_000_000.0) / F.count("*"), 6
+        ).alias("logprob"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str = "text",

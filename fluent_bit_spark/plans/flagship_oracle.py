@@ -413,6 +413,32 @@ SELECT node AS tool, pr FROM pr3"""
                     THEN (n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0) > 3.0
                     END AS spike
              FROM ra_w""",
+        # bigram LM: fixed-point ln sums (order-independent); 0.5 cast
+        # ::DOUBLE (bare literal would run the smoothing in DECIMAL)
+        "bigram_logprob": """, bg_tk AS (
+               SELECT doc_id,
+                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '') AS tk
+               FROM documents),
+             bg_bb AS (
+               SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+                 SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                                        FOR i IN range(1, len(tk))]) AS g
+                 FROM bg_tk)),
+             bg_c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg_bb GROUP BY 1, 2),
+             bg_u AS (SELECT w, COUNT(*) AS n1 FROM
+                      (SELECT unnest(tk) AS w FROM bg_tk) GROUP BY 1),
+             bg_v AS (SELECT COUNT(*) AS v FROM bg_u),
+             bg_s AS (
+               SELECT b.doc_id,
+                      CAST(round(ln((c.n2 + 0.5::DOUBLE)
+                                    / (u.n1 + 0.5::DOUBLE * v.v))
+                                 * 1000000) AS BIGINT) AS fx
+               FROM bg_bb b JOIN bg_c2 c USING (w1, w2)
+                    JOIN bg_u u ON u.w = b.w1 CROSS JOIN bg_v v)
+             SELECT doc_id, COUNT(*) AS n_bigrams,
+                    round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
+             FROM bg_s GROUP BY doc_id""",
         # PMI: pairs from the same 1-based slice arithmetic as the
         # Spark shifted-slice zips; ln fold parenthesized identically
         # for cross-engine round-6 lockstep

@@ -382,3 +382,26 @@ def test_bpe_vocab_applies_all_merges(spark):
     lone = spark.createDataFrame([(0, "xy xy")], "doc_id long, text string")
     out2 = {r.word: r.encoded for r in bpe_vocab(lone, iters=3).collect()}
     assert out2 == {"xy": "xy"}  # iters 2-3 find no pair -> no-op
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computable smoothed bigram probabilities."""
+    import math
+
+    from fluent_bit_spark.operators.text_analysis import bigram_logprob
+
+    # corpus: 'a b' x3, 'a c' x1 -> C(a,b)=3, C(a,c)=1, C1(a)=4, V=3
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert 4 not in out  # single token, no bigram
+    v = 4  # distinct unigrams: a, b, c, x
+    p_ab = (3 + 0.5) / (4 + 0.5 * v)
+    p_ac = (1 + 0.5) / (4 + 0.5 * v)
+    fx = lambda p: round(math.log(p) * 1_000_000)
+    assert out[0].n_bigrams == 1
+    assert abs(out[0].logprob - round(fx(p_ab) / 1e6 / 1, 6)) < 1e-9
+    assert abs(out[3].logprob - round(fx(p_ac) / 1e6 / 1, 6)) < 1e-9
+    assert out[3].logprob < out[0].logprob  # rarer continuation scores lower
