@@ -973,6 +973,14 @@ def _q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_retrieval_eval(spark, sf_dir):
+    """Self-retrieval recall@1/@10 + fixed-point MRR over the bm25
+    path: every 25th doc's 8-token prefix queries the full corpus."""
+    from fluent_bit_spark.operators.text_analysis import retrieval_eval
+
+    return retrieval_eval(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_bpe_vocab(spark, sf_dir):
     """The encoded corpus vocabulary after all 5 induced BPE merges —
     the encode side of bpe_merges."""
@@ -1242,6 +1250,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bpe_vocab": _q_bpe_vocab,
         "bigram_logprob": _q_bigram_logprob,
+        "retrieval_eval": _q_retrieval_eval,
     }
 
 

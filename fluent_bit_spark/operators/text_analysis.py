@@ -607,6 +607,63 @@ def bm25_topk(
     )
 
 
+def retrieval_eval(
+    docs: DataFrame,
+    every: int = 25,
+    qtokens: int = 8,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-retrieval evaluation harness over bm25_topk: every
+    `every`-th doc's first `qtokens` tokens become a query whose ground
+    truth is the doc itself; the full corpus is the candidate set.
+    Output is ONE row: (n_queries, hits_at_1, hits_at_k, recall_at_1,
+    recall_at_k, mrr).
+
+    MRR accumulates round(1e6 / rank) integers (the fixed-point
+    convention), so the metric is summation-order-independent and
+    exactly oracle-checkable. The eval composes entirely from the
+    production retrieval path — it measures the same plan a user runs.
+    """
+    q = docs.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.lower(F.col(text_col))), 1, qtokens), " "
+        ).alias("text"),
+    )
+    res = bm25_topk(docs, q, k=k, text_col=text_col, id_col=id_col)
+    hits = res.filter(F.col(id_col) == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    per_q = q.select("query_id").join(hits, "query_id", "left")
+    agg = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("hits_at_1"),
+        F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0)).alias(
+            f"hits_at_{k}"
+        ),
+        F.sum(
+            F.coalesce(
+                F.round(F.lit(1_000_000.0) / F.col("rank")).cast("long"),
+                F.lit(0),
+            )
+        ).alias("_mrr_fx"),
+    )
+    return agg.select(
+        "n_queries",
+        "hits_at_1",
+        f"hits_at_{k}",
+        F.round(F.col("hits_at_1") / F.col("n_queries"), 6).alias("recall_at_1"),
+        F.round(F.col(f"hits_at_{k}") / F.col("n_queries"), 6).alias(
+            f"recall_at_{k}"
+        ),
+        F.round(
+            F.col("_mrr_fx") / F.lit(1_000_000.0) / F.col("n_queries"), 6
+        ).alias("mrr"),
+    )
+
+
 def bpe_merges(df: DataFrame, text_col: str = "text", iters: int = 5) -> DataFrame:
     """BPE-style vocabulary induction: `iters` greedy pair merges over
     the corpus word-frequency table. Output one merge rule per

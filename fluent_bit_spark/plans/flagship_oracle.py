@@ -713,29 +713,29 @@ SELECT vec_id, label, pred_label, cosine, label = pred_label AS correct
 FROM ccr WHERE rn = 1"""
 
 
-def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
-    """text_analysis.bm25_topk mirror (queries = doc_id < 3, candidates
-    = the rest). Constants are interpolated via repr() AND cast
-    ::DOUBLE — a bare decimal literal types as DECIMAL in DuckDB, and
-    e.g. tf * 2.2 in exact decimal arithmetic differs from Spark's
-    long * double in the last ulp. Per-term scores fixed-point to
-    BIGINT before the sum, so accumulation is order-independent."""
-    return {"bm25_topk": f"""
+def _bm25_core(
+    cand_where: str, query_cte: str, k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Shared CTE chain for every BM25 mirror, ending in `bmr`
+    (query_id, doc_id, score, rank<=k). Constants are interpolated via
+    repr() AND cast ::DOUBLE — a bare decimal literal types as DECIMAL
+    in DuckDB, and e.g. tf * 2.2 in exact decimal arithmetic differs
+    from Spark's long * double in the last ulp. Per-term scores
+    fixed-point to BIGINT before the sum, so accumulation is
+    order-independent. `query_cte` must yield (query_id, term) with
+    distinct terms per query."""
+    return f"""
 , bmt AS (SELECT doc_id,
                  unnest(list_filter(regexp_split_to_array(trim(lower(text)),
                                                           '\\s+'),
                                     x -> x <> '')) AS term
-          FROM documents WHERE doc_id >= 3)
+          FROM documents WHERE {cand_where})
 , bmtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bmt GROUP BY 1, 2)
 , bmdl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len_d FROM bmtf GROUP BY 1)
 , bmdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY 1)
 , bmst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                   CAST(SUM(len_d) AS BIGINT) AS total_len FROM bmdl)
-, bmq AS (SELECT doc_id AS query_id,
-                 unnest(list_distinct(list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'),
-                   x -> x <> ''))) AS term
-          FROM documents WHERE doc_id < 3)
+, bmq AS ({query_cte})
 , bms AS (SELECT q.query_id, t.doc_id,
                  CAST(round((ln(1.0::DOUBLE
                                 + (s.n_docs - d.df + 0.5::DOUBLE)
@@ -750,11 +750,49 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> dict[str, str]:
                JOIN bmdl l ON l.doc_id = t.doc_id CROSS JOIN bmst s)
 , bma AS (SELECT query_id, doc_id, SUM(fx) / 1000000.0 AS score
           FROM bms GROUP BY 1, 2)
-SELECT query_id, doc_id, score, rank FROM (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rank
-  FROM bma) WHERE rank <= {k}"""}
+, bmr AS (SELECT query_id, doc_id, score, rank FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM bma) WHERE rank <= {k})"""
+
+
+def _bm25_sql(k: int = 10) -> dict[str, str]:
+    """bm25_topk mirror: queries = doc_id < 3 full texts, candidates =
+    the rest. retrieval_eval mirror: every 25th doc's first 8 tokens as
+    the query, ALL docs as candidates, self-retrieval recall@1/@10 and
+    fixed-point MRR (round(1e6/rank) integer sums)."""
+    topk_queries = """SELECT doc_id AS query_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> ''))) AS term
+          FROM documents WHERE doc_id < 3"""
+    eval_queries = """SELECT doc_id AS query_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')[1:8])) AS term
+          FROM documents WHERE doc_id % 25 = 0"""
+    eval_sql = _bm25_core("TRUE", eval_queries, k) + f"""
+, evq AS (SELECT DISTINCT query_id FROM bmq)
+, evh AS (SELECT query_id, rank FROM bmr WHERE doc_id = query_id)
+, evm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits_at_1,
+                 CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits_at_{k},
+                 CAST(SUM(coalesce(CAST(round(1000000.0::DOUBLE / rank)
+                                        AS BIGINT), 0)) AS BIGINT) AS mrr_fx
+          FROM evq LEFT JOIN evh USING (query_id))
+SELECT n_queries, hits_at_1, hits_at_{k},
+       round(hits_at_1 / n_queries, 6) AS recall_at_1,
+       round(hits_at_{k} / n_queries, 6) AS recall_at_{k},
+       round(mrr_fx / 1000000.0 / n_queries, 6) AS mrr
+FROM evm"""
+    return {
+        "bm25_topk": _bm25_core("doc_id >= 3", topk_queries, k)
+        + "\nSELECT query_id, doc_id, score, rank FROM bmr",
+        "retrieval_eval": eval_sql,
+    }
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:

@@ -405,3 +405,19 @@ def test_bigram_logprob_hand_computed(spark):
     assert abs(out[0].logprob - round(fx(p_ab) / 1e6 / 1, 6)) < 1e-9
     assert abs(out[3].logprob - round(fx(p_ac) / 1e6 / 1, 6)) < 1e-9
     assert out[3].logprob < out[0].logprob  # rarer continuation scores lower
+
+
+def test_retrieval_eval_distinctive_docs_hit_rank_one(spark):
+    """With unique-vocabulary docs the self-retrieval query must rank
+    its source first: recall@1 == 1.0 and mrr == 1.0."""
+    from fluent_bit_spark.operators.text_analysis import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [(i * 25, f"uniq{i}a uniq{i}b uniq{i}c filler common") for i in range(4)]
+        + [(7, "filler common words here")],
+        "doc_id long, text string",
+    )
+    row = retrieval_eval(docs, every=25, qtokens=3, k=10).collect()[0]
+    assert row.n_queries == 4
+    assert row.hits_at_1 == 4 and row.recall_at_1 == 1.0
+    assert row.mrr == 1.0
