@@ -973,6 +973,14 @@ def _q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_context_pairs(spark, sf_dir):
+    """(context, response) training pairs for every assistant turn:
+    prior turns concatenated and truncated to the last 64 tokens."""
+    from fluent_bit_spark.operators.transcript_qa import context_response_pairs
+
+    return context_response_pairs(_transcripts(spark, sf_dir), max_ctx_tokens=64)
+
+
 def _q_retrieval_eval(spark, sf_dir):
     """Self-retrieval recall@1/@10 + fixed-point MRR over the bm25
     path: every 25th doc's 8-token prefix queries the full corpus."""
@@ -1251,6 +1259,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "bigram_logprob": _q_bigram_logprob,
         "retrieval_eval": _q_retrieval_eval,
+        "context_pairs": _q_context_pairs,
     }
 
 

@@ -163,3 +163,63 @@ def tool_transitions(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def context_response_pairs(
+    df: DataFrame,
+    max_ctx_tokens: int = 64,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Training-pair assembly: for every assistant turn, the
+    concatenation of ALL prior turns in the conversation truncated to
+    the LAST `max_ctx_tokens` whitespace tokens (the context window a
+    trainer would feed), plus the turn's text as the response. Output
+    (conv_id, turn_idx, n_ctx_tokens, context, response); the opening
+    assistant turn of a conversation (no prior turns) yields an empty
+    context, n_ctx_tokens = 0.
+
+    Scale shape: one window shuffle per conversation (the same
+    partitioning every turn-ordered operator uses); truncation is a
+    map-side array slice — the full prior-turn list is materialized
+    per row, so at extreme conversation lengths pair this with a
+    turn-count cap upstream (throttle/alter_size) the way any
+    collect_list-over-window op must be.
+
+    Text is coalesced to '' before the window: Spark's collect_list
+    SKIPS NULLs while DuckDB's list() keeps them — coalescing makes
+    both engines see the same sequence. Roles are normalized through
+    ROLE_MAP first (raw transcripts carry 'ai'/'Assistant'/... forms).
+    """
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    t = df.select(
+        "conv_id",
+        "turn_idx",
+        norm_role_col(F.col("role")).alias("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_ctx = t.withColumn("_prior", F.collect_list("text").over(w))
+    joined = with_ctx.withColumn(
+        "_ctx_tk", tokens(F.array_join(F.col("_prior"), " "))
+    )
+    sz = F.size("_ctx_tk")
+    kept = F.slice(
+        F.col("_ctx_tk"),
+        F.greatest(sz - max_ctx_tokens + 1, F.lit(1)),
+        F.least(sz, F.lit(max_ctx_tokens)),
+    )
+    return (
+        joined.filter(F.col("role") == assistant_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.least(sz, F.lit(max_ctx_tokens)).alias("n_ctx_tokens"),
+            F.array_join(kept, " ").alias("context"),
+            F.col("text").alias("response"),
+        )
+    )

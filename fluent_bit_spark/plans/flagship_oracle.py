@@ -264,6 +264,32 @@ SELECT conv_id, n_turns, n_same_role_adjacent, first_role, last_role,
        (n_same_role_adjacent = 0 AND first_role IN ('system', 'user')) AS structure_ok
 FROM rq2"""
 
+    max_ctx = 64
+    context_pairs_sql = f"""
+, cp1 AS (
+    SELECT conv_id, turn_idx, {rc} AS nrole, coalesce(text, '') AS text
+    FROM transcripts)
+, cp2 AS (
+    SELECT conv_id, turn_idx, nrole, text,
+           coalesce(list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING),
+                    []::VARCHAR[]) AS prior
+    FROM cp1)
+, cp3 AS (
+    SELECT conv_id, turn_idx, text,
+           list_filter(regexp_split_to_array(
+             trim(coalesce(array_to_string(prior, ' '), '')), '\\s+'),
+             x -> x <> '') AS ctk
+    FROM cp2 WHERE nrole = 'assistant')
+SELECT conv_id, turn_idx,
+       CAST(least(len(ctk), {max_ctx}) AS INT) AS n_ctx_tokens,
+       coalesce(array_to_string(
+         ctk[greatest(len(ctk) - {max_ctx} + 1, 1)
+             : len(ctk)], ' '), '') AS context,
+       text AS response
+FROM cp3"""
+
     conv_dedup_sql = """
 , dctr AS (
     SELECT conv_id, turn_idx, text FROM transcripts
@@ -384,6 +410,7 @@ SELECT node AS tool, pr FROM pr3"""
         "sft_pairs": sft_pairs_sql,
         "role_qa": role_qa_sql,
         "conv_dedup": conv_dedup_sql,
+        "context_pairs": context_pairs_sql,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "contamination": contamination_sql,

@@ -201,3 +201,27 @@ def test_dup_ngram_fraction_semantics(spark):
     assert rows[2].dup_fraction == 1.0
     assert rows[3].dup_fraction == 0.0 and rows[3].n_dup_grams == 0
     assert 4 not in rows
+
+
+def test_context_response_pairs_truncation_and_roles(spark):
+    """Context = prior turns only, truncated to the LAST max tokens;
+    only (normalized) assistant turns emit pairs."""
+    from fluent_bit_spark.operators.transcript_qa import context_response_pairs
+
+    rows = [
+        ("c1", 0, "user", "one two three"),
+        ("c1", 1, "ai", "resp-a"),          # normalized assistant
+        ("c1", 2, "human", "four five"),
+        ("c1", 3, "Assistant", "resp-b"),
+        ("c2", 0, "assistant", "opener"),   # no prior context
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r.conv_id, r.turn_idx): r for r in
+           context_response_pairs(df, max_ctx_tokens=4).collect()}
+    assert set(out) == {("c1", 1), ("c1", 3), ("c2", 0)}
+    assert out[("c1", 1)].context == "one two three"
+    assert out[("c1", 1)].n_ctx_tokens == 3
+    # full prior = 'one two three resp-a four five' (6 tokens) -> last 4
+    assert out[("c1", 3)].context == "three resp-a four five"
+    assert out[("c1", 3)].n_ctx_tokens == 4
+    assert out[("c2", 0)].context == "" and out[("c2", 0)].n_ctx_tokens == 0
