@@ -981,6 +981,22 @@ def _q_context_pairs(spark, sf_dir):
     return context_response_pairs(_transcripts(spark, sf_dir), max_ctx_tokens=64)
 
 
+def _q_render_chat(spark, sf_dir):
+    """Chat-template rendering: each conversation as one training
+    string ('<|role|>\\ntext' per turn, deterministic turn order)."""
+    from fluent_bit_spark.operators.transcript_qa import render_chat
+
+    return render_chat(_transcripts(spark, sf_dir))
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.3) per-source mixture weights from
+    token counts — fixed-point normalizer, order-independent."""
+    from fluent_bit_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), alpha=0.3)
+
+
 def _q_retrieval_eval(spark, sf_dir):
     """Self-retrieval recall@1/@10 + fixed-point MRR over the bm25
     path: every 25th doc's 8-token prefix queries the full corpus."""
@@ -1260,6 +1276,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "retrieval_eval": _q_retrieval_eval,
         "context_pairs": _q_context_pairs,
+        "render_chat": _q_render_chat,
+        "mixture_weights": _q_mixture_weights,
     }
 
 

@@ -72,3 +72,50 @@ def hash_split(
     last = F.lit(names[-1])
     expr = expr.otherwise(last) if expr is not None else last
     return df.withColumn(out, expr)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source — the
+    multilingual-sampling recipe (share^alpha, renormalized): sources
+    small in raw share are up-weighted as alpha -> 0. Output
+    (source, n_docs, n_tokens, share, weight), shares/weights rounded
+    to 6 decimals after a fixed expression tree both engines replicate
+    (pow on exact integer ratios; the normalizer is a 1-row broadcast).
+
+    Scale shape: one groupBy(source) over a map-side token count; the
+    per-source table is tiny (sources ~ O(100)) so everything after
+    the first aggregation is broadcast arithmetic.
+    """
+    from fluent_bit_spark.operators.text_analysis import token_count
+
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("_tot"))
+    # share^alpha fixed-pointed to BIGINT (x 1e9): the normalizing sum
+    # is then integer arithmetic — order-independent across engines
+    powed = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "_fx",
+        F.round(
+            F.pow(F.col("n_tokens") / F.col("_tot"), F.lit(alpha))
+            * 1_000_000_000
+        ).cast("long"),
+    )
+    norm = powed.agg(F.sum("_fx").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("share"),
+            F.round(F.col("_fx") / F.col("_z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

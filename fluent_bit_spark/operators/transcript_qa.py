@@ -223,3 +223,38 @@ def context_response_pairs(
             F.col("text").alias("response"),
         )
     )
+
+
+def render_chat(df: DataFrame) -> DataFrame:
+    """Render each conversation to one training string in a chat
+    template: '<|role|>\\ntext' per turn, turns joined by newlines in
+    (conv_id, turn_idx) order. Output (conv_id, n_turns, rendered) —
+    the SFT formatting step between transcript tables and a tokenizer.
+
+    Determinism: collect_list has no ordering guarantee, so turns are
+    gathered as (turn_idx, line) structs and array_sort'ed before the
+    join (the label_centroids reassembly pattern); roles normalized
+    via ROLE_MAP, text coalesced to ''.
+    """
+    line = F.concat(
+        F.lit("<|"),
+        norm_role_col(F.col("role")),
+        F.lit("|>\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return (
+        df.select("conv_id", "turn_idx", line.alias("_line"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("rendered"),
+        )
+    )

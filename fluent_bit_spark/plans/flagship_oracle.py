@@ -290,6 +290,33 @@ SELECT conv_id, turn_idx,
        text AS response
 FROM cp3"""
 
+    render_chat_sql = f"""
+, rcl AS (SELECT conv_id, turn_idx,
+                 '<|' || {rc} || '|>' || chr(10) || coalesce(text, '') AS line
+          FROM transcripts)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       array_to_string(list(line ORDER BY turn_idx), chr(10)) AS rendered
+FROM rcl GROUP BY conv_id"""
+
+    # mixture: share^alpha fixed-pointed (x 1e9) before the normalizing
+    # sum; alpha cast ::DOUBLE (bare literal would be DECIMAL)
+    mixture_sql = """
+, mw1 AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source)
+, mwt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM mw1)
+, mwp AS (SELECT source, n_docs, n_tokens, tot,
+                 CAST(round(pow(n_tokens / tot, 0.3::DOUBLE)
+                            * 1000000000) AS BIGINT) AS fx
+          FROM mw1 CROSS JOIN mwt)
+, mwz AS (SELECT CAST(SUM(fx) AS BIGINT) AS z FROM mwp)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS share,
+       round(fx / z, 6) AS weight
+FROM mwp CROSS JOIN mwz ORDER BY source"""
+
     conv_dedup_sql = """
 , dctr AS (
     SELECT conv_id, turn_idx, text FROM transcripts
@@ -411,6 +438,8 @@ SELECT node AS tool, pr FROM pr3"""
         "role_qa": role_qa_sql,
         "conv_dedup": conv_dedup_sql,
         "context_pairs": context_pairs_sql,
+        "render_chat": render_chat_sql,
+        "mixture_weights": mixture_sql,
         "pii_redact": pii_sql,
         "gopher_quality": gopher_sql,
         "contamination": contamination_sql,

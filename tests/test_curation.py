@@ -421,3 +421,19 @@ def test_retrieval_eval_distinctive_docs_hit_rank_one(spark):
     assert row.n_queries == 4
     assert row.hits_at_1 == 4 and row.recall_at_1 == 1.0
     assert row.mrr == 1.0
+
+
+def test_mixture_weights_temperature_flattens(spark):
+    """alpha < 1 must up-weight the small source relative to its raw
+    share; weights sum to ~1."""
+    from fluent_bit_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "big") for i in range(9)]
+        + [(100, "w " * 99 + "w", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in mixture_weights(docs, alpha=0.3).collect()}
+    assert out["big"].share == 0.9 and out["small"].share == 0.1
+    assert out["small"].weight > out["small"].share  # up-weighted
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 2e-6

@@ -225,3 +225,18 @@ def test_context_response_pairs_truncation_and_roles(spark):
     assert out[("c1", 3)].context == "three resp-a four five"
     assert out[("c1", 3)].n_ctx_tokens == 4
     assert out[("c2", 0)].context == "" and out[("c2", 0)].n_ctx_tokens == 0
+
+
+def test_render_chat_deterministic_order_and_roles(spark):
+    from fluent_bit_spark.operators.transcript_qa import render_chat
+
+    rows = [
+        ("c1", 1, "ai", "second"),
+        ("c1", 0, "USER", "first"),  # out-of-order input
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = render_chat(df).collect()[0]
+    assert out.n_turns == 2
+    assert out.rendered == "<|user|>\nfirst\n<|assistant|>\nsecond"
