@@ -358,7 +358,11 @@ def bigram_logprob(
     """
     from fluent_bit_spark.operators.dedup import _persist
 
-    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    # tk feeds both the bigram and the unigram explode — persist so the
+    # corpus tokenization runs once (the unigram_logprob rationale)
+    tk = _persist(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    )
     sz = F.size("tk")
     grams = F.zip_with(
         F.slice(F.col("tk"), 1, F.greatest(sz - 1, F.lit(0))),

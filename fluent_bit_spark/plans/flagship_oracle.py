@@ -829,7 +829,7 @@ def _bm25_sql(k: int = 10) -> dict[str, str]:
                    x -> x <> '')[1:8])) AS term
           FROM documents WHERE doc_id % 25 = 0"""
     eval_sql = _bm25_core("TRUE", eval_queries, k) + f"""
-, evq AS (SELECT DISTINCT query_id FROM bmq)
+, evq AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 25 = 0)
 , evh AS (SELECT query_id, rank FROM bmr WHERE doc_id = query_id)
 , evm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                  CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END)

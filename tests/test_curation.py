@@ -390,7 +390,7 @@ def test_bigram_logprob_hand_computed(spark):
 
     from fluent_bit_spark.operators.text_analysis import bigram_logprob
 
-    # corpus: 'a b' x3, 'a c' x1 -> C(a,b)=3, C(a,c)=1, C1(a)=4, V=3
+    # corpus: 'a b' x3, 'a c' x1, 'x' -> C(a,b)=3, C(a,c)=1, C1(a)=4, V=4
     docs = spark.createDataFrame(
         [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a c"), (4, "x")],
         "doc_id long, text string",
