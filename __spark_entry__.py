@@ -831,6 +831,16 @@ def _q_winnow_fp(spark, sf_dir):
     )
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Cross-document duplicated 8-gram span removal (keep-first):
+    the n-gram approximation of exact-substring training-data dedup;
+    duplicate detection is one gram shuffle, the corpus text itself is
+    never shuffled."""
+    from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+
+    return cross_doc_span_dedup(_docs(spark, sf_dir).select("doc_id", "text"), n=8)
+
+
 def _q_intra_doc_dedup(spark, sf_dir):
     """Within-document repetition removal (first-occurrence keep) over
     re-lined docs; every 4th doc gets its own first line re-appended
@@ -1247,6 +1257,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "line_dedup": _q_line_dedup,
         "intra_doc_dedup": _q_intra_doc_dedup,
+        "span_dedup": _q_span_dedup,
         "winnow_fp": _q_winnow_fp,
         "tfidf_topk": _q_tfidf_topk,
         "rate_anomalies": _q_rate_anomalies,

@@ -334,6 +334,86 @@ def intra_doc_dedup(
     ).drop("_idd_lines")
 
 
+def cross_doc_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated n-gram span removal — the n-gram
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better";
+    the suffix-array pass replaced by a gram shuffle, which is the
+    shape that distributes).
+
+    Contract (deterministic; mirrored verbatim by the DuckDB oracle):
+
+    - an *occurrence* is a word n-gram starting at 1-based token
+      position `s` of document `d`;
+    - a gram is *duplicated* when it occurs >= 2 times corpus-wide
+      (across documents or repeated within one);
+    - the *canonical* occurrence of a duplicated gram is the
+      lexicographically smallest (doc, start);
+    - a token is removed iff at least one NON-canonical duplicated
+      occurrence covers it — so exactly one copy of every duplicated
+      span survives (keep-first, matching exact_dedup's policy).
+
+    Output: (id_col, n_tokens, removed_tokens, cleaned_text), one row
+    per input document, cleaned_text rebuilt in original token order
+    (empty string when everything was removed).
+
+    Scale shape: occurrences are built map-side (bound token array ->
+    word_grams -> posexplode; no per-gram re-tokenization). Duplicate
+    detection + canonical pick is ONE shuffle on the gram with
+    map-side partial aggregation; the occurrence->stats self-join
+    reuses the persisted occurrence frame (both consumers, no common-
+    subplan sharing otherwise). Removed positions come back as one
+    per-doc sorted array (a shuffle of ~n ints per non-canonical
+    occurrence — proportional to the duplicated volume, NOT the
+    corpus), and the rebuild is a shuffle-free array filter against
+    the original token array. The raw corpus text is never shuffled.
+    At 100 TB, raise `n` (the reference setting in the paper is
+    50-token spans) to shrink the dup set and splice points.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
+
+    toks_f = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk")).withColumn(
+        "nt", F.size("tk")
+    )
+    occ = _persist(
+        toks_f.select(F.col(id_col), F.posexplode(word_grams(F.col("tk"), n)))
+        .select(F.col(id_col), (F.col("pos") + 1).alias("start"), F.col("col").alias("g"))
+    )
+    stats = occ.groupBy("g").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))).alias("fst"),
+    )
+    non_canon = occ.join(stats.filter(F.col("cnt") >= 2), "g").filter(
+        ~((F.col(id_col) == F.col("fst.d")) & (F.col("start") == F.col("fst.s")))
+    )
+    removed = (
+        non_canon.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("p")).alias("rm"))
+    )
+    joined = toks_f.join(removed, id_col, "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    rm = F.col("rm")
+    kept = F.filter(F.col("tk"), lambda t, i: ~F.array_contains(rm, i + F.lit(1)))
+    out = joined.select(
+        F.col(id_col),
+        F.col("nt").alias("n_tokens"),
+        F.size("rm").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+    return out
+
+
 def common_line_filter(
     df: DataFrame,
     id_col: str = "doc_id",

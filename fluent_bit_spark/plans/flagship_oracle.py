@@ -154,6 +154,50 @@ SELECT doc_id, COUNT(DISTINCT shingle) AS n_overlap,
        COUNT(DISTINCT shingle) >= 1 AS contaminated
 FROM chits GROUP BY doc_id"""
 
+    # cross-doc duplicated n-gram span removal (curation.
+    # cross_doc_span_dedup, n=8): same tokenization, gram windows via a
+    # ROWS frame, duplicate/canonical pick via per-gram windowed
+    # count + row_number, covered positions expanded from range()
+    span_n = 8
+    span_sql = f"""
+, sdt AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, sdtok AS (
+    SELECT doc_id, unnest(tk) AS tok,
+           unnest(range(1, len(tk) + 1)) AS pos, len(tk) AS nt
+    FROM sdt)
+, sdocc AS (
+    SELECT doc_id, start, g FROM (
+        SELECT doc_id, pos AS start, nt,
+               string_agg(tok, ' ') OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {span_n - 1} FOLLOWING) AS g
+        FROM sdtok)
+    WHERE start + {span_n - 1} <= nt)
+, sdmark AS (
+    SELECT doc_id, start,
+           COUNT(*) OVER (PARTITION BY g) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+    FROM sdocc)
+, sdrm AS (
+    SELECT DISTINCT doc_id, start + u.i AS p
+    FROM (SELECT doc_id, start FROM sdmark WHERE cnt >= 2 AND rn > 1) nc,
+         LATERAL (SELECT unnest(range(0, {span_n})) AS i) u)
+, sdkept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM sdtok t LEFT JOIN sdrm r ON t.doc_id = r.doc_id AND t.pos = r.p
+    WHERE r.p IS NULL)
+, sdreb AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt FROM sdkept GROUP BY doc_id)
+SELECT d.doc_id, d.nt AS n_tokens,
+       COALESCE(r.c, 0) AS removed_tokens,
+       COALESCE(k.txt, '') AS cleaned_text
+FROM (SELECT doc_id, len(tk) AS nt FROM sdt) d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM sdrm GROUP BY doc_id) r USING (doc_id)
+LEFT JOIN sdreb k USING (doc_id)"""
+
     quota_sql = f"""
 SELECT doc_id, source FROM (
     SELECT doc_id, source,
@@ -446,6 +490,7 @@ SELECT node AS tool, pr FROM pr3"""
         "quota_sample": quota_sql,
         "line_dedup": line_dedup_sql,
         "intra_doc_dedup": intra_doc_sql,
+        "span_dedup": span_sql,
         "rate_anomalies": """, ra_h AS (
                SELECT event_type, date_trunc('hour', ts) AS hour,
                       count(*) AS n

@@ -437,3 +437,55 @@ def test_mixture_weights_temperature_flattens(spark):
     assert out["big"].share == 0.9 and out["small"].share == 0.1
     assert out["small"].weight > out["small"].share  # up-weighted
     assert abs(out["big"].weight + out["small"].weight - 1.0) < 2e-6
+
+
+def test_cross_doc_span_dedup_keep_first_and_coverage(spark):
+    from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+
+    # n=3 grams; doc 1 starts with the same 4 tokens as doc 0 (two
+    # duplicated 3-gram occurrences covering its tokens 1..4), doc 2
+    # shares nothing long enough, doc 3 repeats a span of doc 0
+    # INSIDE one document boundary.
+    rows = [
+        (0, "a b c d x y z"),          # canonical owner of 'a b c'/'b c d'
+        (1, "a b c d q r s"),          # tokens 1..4 removed, tail kept
+        (2, "a b q c d r"),            # no duplicated 3-gram
+        (3, "m n a b c d m n"),        # middle span removed, edges kept
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=3
+        ).collect()
+    }
+    assert out[0]["removed_tokens"] == 0
+    assert out[0]["cleaned_text"] == "a b c d x y z"
+    assert out[1]["removed_tokens"] == 4
+    assert out[1]["cleaned_text"] == "q r s"
+    assert out[2]["removed_tokens"] == 0
+    assert out[3]["removed_tokens"] == 4
+    assert out[3]["cleaned_text"] == "m n m n"
+    assert all(out[i]["n_tokens"] in (6, 7, 8) for i in out)
+
+
+def test_cross_doc_span_dedup_intra_doc_repeat_keeps_one_copy(spark):
+    from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+
+    # a doc repeating its own 3-gram: first occurrence canonical, the
+    # second removed — exactly one copy survives
+    df = spark.createDataFrame([(7, "p q r z z p q r")], ["doc_id", "text"])
+    row = cross_doc_span_dedup(df, n=3).collect()[0]
+    assert row["removed_tokens"] == 3
+    assert row["cleaned_text"] == "p q r z z"
+
+
+def test_cross_doc_span_dedup_short_docs_untouched(spark):
+    from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_span_dedup(df, n=3).collect()}
+    assert rows[0]["cleaned_text"] == "a b" and rows[0]["removed_tokens"] == 0
+    assert rows[1]["cleaned_text"] == "a b"
+    assert rows[2]["n_tokens"] == 0 and rows[2]["cleaned_text"] == ""
