@@ -1037,6 +1037,15 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters bound the
+    pairwise-cosine blowup, then keep-first greedy within each
+    cluster at round-6 cosine >= 0.3."""
+    from fluent_bit_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), k=8, iters=3, threshold=0.3)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """3 rounds of deterministic spherical k-means (k=8, seeds =
     vec_id < 8) over the embeddings table; one lazy plan, no
@@ -1282,6 +1291,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "centroid_assign": _q_centroid_assign,
         "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
         "bm25_topk": _q_bm25_topk,
         "bpe_vocab": _q_bpe_vocab,
         "bigram_logprob": _q_bigram_logprob,

@@ -376,6 +376,64 @@ def assign_to_centroids(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embeddings with fixed-iteration spherical k-means,
+    then within each cluster mark a vector as a duplicate when some
+    SMALLER-id cluster-mate has round-6 cosine >= threshold — the
+    deterministic keep-first greedy. Output: (id, cluster, keep), one
+    row per input vector.
+
+    Why cluster first: the near-dup relation needs pairwise cosines,
+    and clustering caps the quadratic term at (cluster size)^2 instead
+    of corpus^2 — at 100 TB you scale `k` with the corpus so cluster
+    sizes stay bounded, and each cluster's pair block is an equi-join
+    on the cluster id (one shuffle, AQE-splittable when a cluster
+    skews). The prepared vector frame is persisted once and feeds the
+    k-means rounds, both pair sides, and the final projection.
+
+    Deterministic end-to-end: k-means is reproducible (see
+    kmeans_assign), pair cosines are round-6, and the keep rule is a
+    pure order on ids — the oracle replays it as an unrolled CTE chain
+    plus a within-cluster self-join.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+
+    assigned = kmeans_assign(vectors, k, iters, vec_col, id_col).select(
+        id_col, "cluster"
+    )
+    labeled = _persist(
+        vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+        .join(assigned, id_col)
+    )
+    a = labeled.select(
+        "cluster", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
+    )
+    b = labeled.select(
+        "cluster", F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(F.round(cosine_col(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        labeled.select(id_col, "cluster")
+        .join(dup, id_col, "left")
+        .select(id_col, "cluster", F.col("_dup").isNull().alias("keep"))
+    )
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int = 8,

@@ -896,11 +896,10 @@ FROM evm"""
     }
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
-    """similarity.kmeans_assign mirror, unrolled per iteration (the
-    bpe_merges pattern): assignment = round-6 cosine argmax with
-    cluster-asc ties; recompute = the exact fixed-point centroid sums
-    from _CENTROID_SQL. Initial centroids are the vec_id < k vectors."""
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """The unrolled k-means CTE chain (ends at kb{iters} =
+    (vec_id, cluster, cosine), with km0 = (vec_id, v)) shared by the
+    kmeans_assign and semantic_dedup oracles."""
     ctes = [f"""
 , km0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings)
@@ -929,9 +928,32 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
 , kc{t} AS (SELECT s.cluster AS label,
                    list(s.s / (1000000.0 * n.n_vecs) ORDER BY s.pos) AS centroid
             FROM ks{t} s JOIN kn{t} n USING (cluster) GROUP BY s.cluster)""")
+    return "".join(ctes)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, semdedup_thr: float = 0.3) -> dict[str, str]:
+    """similarity.kmeans_assign mirror, unrolled per iteration (the
+    bpe_merges pattern): assignment = round-6 cosine argmax with
+    cluster-asc ties; recompute = the exact fixed-point centroid sums
+    from _CENTROID_SQL. Initial centroids are the vec_id < k vectors.
+
+    semantic_dedup rides the same chain: a vector is kept unless a
+    smaller-id cluster-mate has round-6 cosine >= threshold."""
+    c = _kmeans_ctes(k, iters)
+    semdedup = c + f"""
+, sdl AS (SELECT b.vec_id, b.cluster, m.v
+          FROM kb{iters} b JOIN km0 m USING (vec_id))
+, sdd AS (SELECT DISTINCT y.vec_id
+          FROM sdl x JOIN sdl y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 6)
+                >= {semdedup_thr!r}::DOUBLE)
+SELECT l.vec_id, l.cluster, (d.vec_id IS NULL) AS keep
+FROM sdl l LEFT JOIN sdd d USING (vec_id)"""
     return {
-        "kmeans_assign": "".join(ctes)
-        + f"\nSELECT vec_id, cluster, cosine FROM kb{iters} ORDER BY vec_id"
+        "kmeans_assign": c
+        + f"\nSELECT vec_id, cluster, cosine FROM kb{iters} ORDER BY vec_id",
+        "semantic_dedup": semdedup,
     }
 
 

@@ -348,3 +348,35 @@ def test_kmeans_assign_separable_clusters(spark):
     y_cluster = {out[i].cluster for i in range(20, 30)}
     assert x_cluster == {0} and y_cluster == {1}
     assert all(out[i].cosine > 0.99 for i in range(10, 30))
+
+
+def test_semantic_dedup_keeps_first_per_neighborhood(spark):
+    """Two separable directions; within the x-direction cluster, vecs
+    11/12 duplicate 10's direction (cosine ~1 >= thr) so only 10
+    survives; the lone y-direction vector is kept."""
+    from fluent_bit_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),   # seed / canonical x vector
+        (1, [0.0, 1.0]),   # seed y
+        (10, [2.0, 0.0]),  # dup of direction x (cos=1 with 0)
+        (11, [3.0, 0.0]),  # dup
+        (20, [0.0, 5.0]),  # dup of y seed
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, k=2, iters=2, threshold=0.9).collect()}
+    assert len(out) == 5
+    assert out[0].keep and out[1].keep          # lowest ids survive
+    assert not out[10].keep and not out[11].keep
+    assert not out[20].keep
+    assert out[10].cluster == out[0].cluster
+
+
+def test_semantic_dedup_orthogonal_cluster_mates_kept(spark):
+    """Cluster-mates below the threshold are all kept."""
+    from fluent_bit_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=1, iters=1, threshold=0.5).collect()
+    assert all(r.keep for r in out) and len(out) == 3
