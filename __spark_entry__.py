@@ -999,6 +999,15 @@ def _q_render_chat(spark, sf_dir):
     return render_chat(_transcripts(spark, sf_dir))
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed-bigram bucket distributions
+    (target = en docs) with add-0.5 smoothing; per-bucket log-ratios
+    fixed-pointed before the per-doc sum."""
+    from fluent_bit_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
+
+
 def _q_mixture_weights(spark, sf_dir):
     """Temperature-scaled (alpha=0.3) per-source mixture weights from
     token counts — fixed-point normalizer, order-independent."""
@@ -1299,6 +1308,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_pairs": _q_context_pairs,
         "render_chat": _q_render_chat,
         "mixture_weights": _q_mixture_weights,
+        "dsir_weights": _q_dsir_weights,
     }
 
 

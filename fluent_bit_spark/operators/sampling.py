@@ -74,6 +74,83 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 4096,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): represent every
+    document as hashed word-bigram bucket counts, estimate the target
+    and raw (non-target) bucket distributions with add-k smoothing,
+    and score each doc by its log importance ratio
+
+        log w(x) = sum_b count_x(b) * [ln p_target(b) - ln p_raw(b)]
+
+    Documents resembling the target distribution score high; sampling
+    proportional to w(x) is the DSIR selection step (compose with
+    hash_sample / quota-style ranking downstream).
+
+    `target` is a boolean Column marking the target-distribution rows
+    (e.g. ``F.col("lang") == "en"``). Output: (id_col, n_feats, logw),
+    one row per doc with >= 1 bigram; per-bucket log-ratios are
+    fixed-pointed to BIGINT before the per-doc sum (the bm25/bigram
+    convention) so the result is independent of partition order.
+
+    Scale shape: the hashed-feature frame is persisted (it feeds the
+    bucket-distribution shuffle AND the per-doc aggregation); the
+    bucket table is `buckets` rows — broadcast back for scoring, so
+    the per-doc pass is map-side + one partial-agg shuffle on the doc
+    id. Nothing downstream of the explode ever re-reads the corpus.
+    """
+    from fluent_bit_spark.operators.dedup import _persist
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    tk = docs.select(
+        F.col(id_col).alias("id"), target.alias("is_t"), tokens(F.col(text_col)).alias("tk")
+    )
+    sz = F.size("tk")
+    grams = F.zip_with(
+        F.slice(F.col("tk"), 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice(F.col("tk"), 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = _persist(
+        tk.select("id", "is_t", F.explode(grams).alias("g")).select(
+            "id", "is_t", (md5_32(F.col("g")) % F.lit(buckets)).alias("b")
+        )
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("r"),
+    )
+    tot = stats.agg(F.sum("t").alias("tt"), F.sum("r").alias("rt"))
+    lam = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lam",
+            F.round(
+                (
+                    F.log((F.col("t") + F.lit(k)) / (F.col("tt") + F.lit(k * buckets)))
+                    - F.log((F.col("r") + F.lit(k)) / (F.col("rt") + F.lit(k * buckets)))
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .select("b", "lam")
+    )
+    per_doc = feats.groupBy("id", "b").agg(F.count("*").alias("cnt"))
+    return per_doc.join(F.broadcast(lam), "b").groupBy(
+        F.col("id").alias(id_col)
+    ).agg(
+        F.sum("cnt").alias("n_feats"),
+        F.round(F.sum(F.col("cnt") * F.col("lam")) / 1_000_000.0, 6).alias("logw"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     alpha: float = 0.3,

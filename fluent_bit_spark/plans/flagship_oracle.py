@@ -472,8 +472,37 @@ pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS pr FROM pr_nodes CROSS JOIN pr_
 SELECT node AS tool, pr FROM pr3"""
     )
 
+    # DSIR importance weights (sampling.dsir_weights, target = en docs,
+    # 4096 hashed-bigram buckets, add-0.5 smoothing): per-bucket
+    # log-ratios fixed-pointed to BIGINT before the per-doc sum
+    dsir_b, dsir_k = 4096, 0.5
+    dsir_sql = f"""
+, dst AS (
+    SELECT doc_id, (lang = 'en') AS is_t,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents)
+, dsg AS (SELECT doc_id, is_t,
+                 unnest([tk[i] || ' ' || tk[i + 1] FOR i IN range(1, len(tk))]) AS g
+          FROM dst)
+, dsb AS (SELECT doc_id, is_t, {_md5_32_sql('g')} % {dsir_b} AS b FROM dsg)
+, dss AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t,
+                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r
+          FROM dsb GROUP BY b)
+, dstot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(r) AS BIGINT) AS rt
+            FROM dss)
+, dlam AS (SELECT b,
+                  CAST(round((ln((t + {dsir_k!r}::DOUBLE) / (tt + {dsir_k * dsir_b!r}::DOUBLE))
+                            - ln((r + {dsir_k!r}::DOUBLE) / (rt + {dsir_k * dsir_b!r}::DOUBLE)))
+                             * 1000000.0::DOUBLE) AS BIGINT) AS lam
+           FROM dss, dstot)
+, ddoc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM dsb GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       round(CAST(SUM(cnt * lam) AS BIGINT) / 1000000.0, 6) AS logw
+FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
+
     return {
         "tool_pagerank": pagerank_sql,
+        "dsir_weights": dsir_sql,
         "pack_offsets": pack_sql,
         "chunk_docs": chunk_sql,
         "dup_ngram_fraction": dup_ngram_sql,

@@ -489,3 +489,32 @@ def test_cross_doc_span_dedup_short_docs_untouched(spark):
     assert rows[0]["cleaned_text"] == "a b" and rows[0]["removed_tokens"] == 0
     assert rows[1]["cleaned_text"] == "a b"
     assert rows[2]["n_tokens"] == 0 and rows[2]["cleaned_text"] == ""
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from fluent_bit_spark.operators.sampling import dsir_weights
+
+    # target docs share the 'alpha beta' bigram; doc 100 looks like the
+    # target, doc 101 looks like the raw pool, doc 102 has no bigram
+    rows = [
+        (0, "alpha beta alpha beta", True),
+        (1, "alpha beta gamma", True),
+        (100, "alpha beta alpha", False),
+        (101, "delta epsilon zeta", False),
+        (102, "solo", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r.doc_id: r for r in dsir_weights(df, target=F.col("is_t")).collect()}
+    assert 102 not in out          # no bigram -> no row
+    assert out[100].logw > out[101].logw
+    assert out[0].n_feats == 3 and out[101].n_feats == 2
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from fluent_bit_spark.operators.sampling import dsir_weights
+
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} common tail", i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    a = sorted(map(tuple, dsir_weights(df.repartition(1), target=F.col("is_t")).collect()))
+    b = sorted(map(tuple, dsir_weights(df.repartition(7), target=F.col("is_t")).collect()))
+    assert a == b
