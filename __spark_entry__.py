@@ -1055,6 +1055,28 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_embs(spark, sf_dir), k=8, iters=3, threshold=0.3)
 
 
+def _q_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 (sparse) and brute-force cosine (dense)
+    top-20 lists for query ids 0..2, fused with fixed-point
+    reciprocal-rank fusion to a final top-10."""
+    from fluent_bit_spark.operators.similarity import cosine_topk, rrf_fuse
+    from fluent_bit_spark.operators.text_analysis import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sparse = bm25_topk(
+        docs.filter(F.col("doc_id") >= 3),
+        docs.filter(F.col("doc_id") < 3).withColumnRenamed("doc_id", "query_id"),
+        k=20,
+    )
+    embs = _embs(spark, sf_dir)
+    dense = cosine_topk(
+        embs.filter(F.col("vec_id") >= 3),
+        embs.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id"),
+        k=20,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([sparse, dense], k=10)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """3 rounds of deterministic spherical k-means (k=8, seeds =
     vec_id < 8) over the embeddings table; one lazy plan, no
@@ -1300,6 +1322,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "centroid_assign": _q_centroid_assign,
         "kmeans_assign": _q_kmeans_assign,
+        "hybrid_topk": _q_hybrid_topk,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_topk": _q_bm25_topk,
         "bpe_vocab": _q_bpe_vocab,

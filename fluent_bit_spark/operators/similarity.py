@@ -376,6 +376,55 @@ def assign_to_centroids(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    combine N per-query rankings — each input frame carrying
+    (query_col, id_col, rank) — by summing 1/(k0 + rank) per candidate
+    and re-ranking. The standard hybrid-retrieval merge (sparse BM25 +
+    dense cosine) that needs no score calibration across rankers.
+
+    Per-list contributions are fixed-pointed to BIGINT (round(1e6 /
+    (k0+rank))) before the sum, so fusion is independent of list and
+    partition order; ties break on the candidate id. Output:
+    (query_col, id_col, rrf, n_lists, rank<=k).
+
+    Scale shape: a unionAll of the (already small, <= depth-per-query)
+    ranking frames, one partial-agg shuffle on (query, candidate), and
+    a per-query top-k window — the fused stage never touches the
+    corpus, only the rankers' outputs.
+    """
+    import functools
+
+    parts = [
+        r.select(F.col(query_col), F.col(id_col), F.col("rank")) for r in rankings
+    ]
+    u = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    fx = F.round(F.lit(1_000_000.0) / (F.lit(k0) + F.col("rank"))).cast("long")
+    g = (
+        u.withColumn("_fx", fx)
+        .groupBy(query_col, id_col)
+        .agg(F.sum("_fx").alias("_rrf_fx"), F.count("*").alias("n_lists"))
+    )
+    w = Window.partitionBy(query_col).orderBy(F.col("_rrf_fx").desc(), F.col(id_col))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_col,
+            id_col,
+            F.round(F.col("_rrf_fx") / 1_000_000.0, 6).alias("rrf"),
+            "n_lists",
+            "rank",
+        )
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 8,

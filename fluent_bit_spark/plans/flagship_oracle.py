@@ -918,10 +918,37 @@ SELECT n_queries, hits_at_1, hits_at_{k},
        round(hits_at_{k} / n_queries, 6) AS recall_at_{k},
        round(mrr_fx / 1000000.0 / n_queries, 6) AS mrr
 FROM evm"""
+    # hybrid retrieval: BM25 + dense-cosine top-20 lists for query ids
+    # 0..2, fused by fixed-point reciprocal-rank fusion (k0=60, top-10)
+    hybrid_sql = _bm25_core(
+        "doc_id >= 3", topk_queries, 20
+    ) + """
+, hyd AS (SELECT query_id, vec_id AS doc_id, rank FROM (
+     SELECT q.vec_id AS query_id, c.vec_id,
+            row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) AS rank
+     FROM embeddings q, embeddings c WHERE q.vec_id < 3 AND c.vec_id >= 3)
+   WHERE rank <= 20)
+, hyu AS (SELECT query_id, doc_id, rank FROM bmr
+          UNION ALL SELECT query_id, doc_id, rank FROM hyd)
+, hyg AS (SELECT query_id, doc_id,
+                 CAST(SUM(CAST(round(1000000.0::DOUBLE / (60 + rank))
+                               AS BIGINT)) AS BIGINT) AS fx,
+                 CAST(COUNT(*) AS BIGINT) AS n_lists
+          FROM hyu GROUP BY 1, 2)
+SELECT query_id, doc_id, round(fx / 1000000.0, 6) AS rrf, n_lists, rank FROM (
+  SELECT query_id, doc_id, fx, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fx DESC, doc_id) AS rank
+  FROM hyg) WHERE rank <= 10"""
     return {
         "bm25_topk": _bm25_core("doc_id >= 3", topk_queries, k)
         + "\nSELECT query_id, doc_id, score, rank FROM bmr",
         "retrieval_eval": eval_sql,
+        "hybrid_topk": hybrid_sql,
     }
 
 

@@ -380,3 +380,24 @@ def test_semantic_dedup_orthogonal_cluster_mates_kept(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semantic_dedup(df, k=1, iters=1, threshold=0.5).collect()
     assert all(r.keep for r in out) and len(out) == 3
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    from fluent_bit_spark.operators.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [("q", 11, 1), ("q", 10, 2), ("q", 13, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([sparse, dense], k=4, k0=60).collect()}
+    # 10 and 11 appear in both lists (ranks {1,2}) -> same fused score,
+    # tie broken by doc id; 12/13 single-list rank 3
+    assert out[10].rank == 1 and out[11].rank == 2
+    assert out[10].n_lists == 2 and out[12].n_lists == 1
+    assert out[10].rrf == out[11].rrf
+    assert out[12].rank == 3 and out[13].rank == 4  # doc-id tiebreak
+    assert out[10].rrf > out[12].rrf
