@@ -975,6 +975,15 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail terciles over the
+    corpus-trained bigram LM score (fixed-point, engine-independent
+    NTILE order)."""
+    from fluent_bit_spark.operators.text_analysis import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 def _q_bigram_logprob(spark, sf_dir):
     """Add-k bigram LM score per doc (corpus-trained) — fixed-point ln
     sums, so the per-doc mean is summation-order-independent."""
@@ -1327,6 +1336,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bpe_vocab": _q_bpe_vocab,
         "bigram_logprob": _q_bigram_logprob,
+        "ccnet_buckets": _q_ccnet_buckets,
         "retrieval_eval": _q_retrieval_eval,
         "context_pairs": _q_context_pairs,
         "render_chat": _q_render_chat,

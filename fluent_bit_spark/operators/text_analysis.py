@@ -402,6 +402,50 @@ def bigram_logprob(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style per-language LM-quality bucketing (Wenzek et al.
+    2020): score every document with the corpus-trained add-k bigram
+    LM (bigram_logprob — fixed-point, partition-order independent) and
+    split each language into head / middle / tail terciles by score.
+    CCNet keeps `head` (and often `middle`) as training data; `tail`
+    is the low-quality cut.
+
+    Deterministic: the tercile order is (round-6 logprob DESC, id), so
+    NTILE assignments are identical across engines and partitionings.
+    Docs with < 2 tokens have no bigram and emit no row (the
+    bigram_logprob contract).
+
+    Scale shape: bigram_logprob's shuffles plus one per-language NTILE
+    window. Languages are a bounded-cardinality partition key; if one
+    language dominates the corpus, swap the exact NTILE for the
+    hist_quantiles sketch cutoffs — the operator contract (per-lang
+    score terciles) stays the same.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, id_col, text_col, k)
+    j = scored.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    t = F.ntile(3).over(
+        Window.partitionBy(lang_col).orderBy(
+            F.col("logprob").desc(), F.col(id_col)
+        )
+    )
+    bucket = (
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        id_col, lang_col, "n_bigrams", "logprob", bucket.alias("bucket")
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -569,6 +569,42 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
              SELECT doc_id, COUNT(*) AS n_bigrams,
                     round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
              FROM bg_s GROUP BY doc_id""",
+        # CCNet per-language terciles over the same bigram-LM chain;
+        # NTILE ordered by (round-6 logprob DESC, doc_id) so the
+        # assignment is engine- and partition-independent
+        "ccnet_buckets": """, cb_tk AS (
+               SELECT doc_id,
+                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '') AS tk
+               FROM documents),
+             cb_bb AS (
+               SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+                 SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                                        FOR i IN range(1, len(tk))]) AS g
+                 FROM cb_tk)),
+             cb_c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM cb_bb GROUP BY 1, 2),
+             cb_u AS (SELECT w, COUNT(*) AS n1 FROM
+                      (SELECT unnest(tk) AS w FROM cb_tk) GROUP BY 1),
+             cb_v AS (SELECT COUNT(*) AS v FROM cb_u),
+             cb_s AS (
+               SELECT b.doc_id,
+                      CAST(round(ln((c.n2 + 0.5::DOUBLE)
+                                    / (u.n1 + 0.5::DOUBLE * v.v))
+                                 * 1000000) AS BIGINT) AS fx
+               FROM cb_bb b JOIN cb_c2 c USING (w1, w2)
+                    JOIN cb_u u ON u.w = b.w1 CROSS JOIN cb_v v),
+             cb_d AS (
+               SELECT doc_id, COUNT(*) AS n_bigrams,
+                      round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
+               FROM cb_s GROUP BY doc_id)
+             SELECT doc_id, lang, n_bigrams, logprob,
+                    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket
+             FROM (
+               SELECT d.doc_id, m.lang, d.n_bigrams, d.logprob,
+                      ntile(3) OVER (PARTITION BY m.lang
+                                     ORDER BY d.logprob DESC, d.doc_id) AS nt
+               FROM cb_d d JOIN documents m USING (doc_id))""",
         # PMI: pairs from the same 1-based slice arithmetic as the
         # Spark shifted-slice zips; ln fold parenthesized identically
         # for cross-engine round-6 lockstep

@@ -518,3 +518,26 @@ def test_dsir_weights_partition_invariant(spark):
     a = sorted(map(tuple, dsir_weights(df.repartition(1), target=F.col("is_t")).collect()))
     b = sorted(map(tuple, dsir_weights(df.repartition(7), target=F.col("is_t")).collect()))
     assert a == b
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    from fluent_bit_spark.operators.text_analysis import ccnet_buckets
+
+    # 6 en docs: common bigrams score high, rare ones low; 3 fr docs
+    rows = (
+        [(i, "en", "good text good text good") for i in range(4)]
+        + [(4, "en", "rare weird string here"), (5, "en", "odd other thing too")]
+        + [(10 + i, "fr", f"bonjour le monde v{i} bonjour le") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["en"]) == 6 and len(by_lang["fr"]) == 3
+    en = {b: [r for r in by_lang["en"] if r.bucket == b] for b in ("head", "middle", "tail")}
+    assert len(en["head"]) == 2 and len(en["middle"]) == 2 and len(en["tail"]) == 2
+    # the high-frequency docs outrank the rare-bigram ones
+    assert all(r.doc_id < 4 for r in en["head"])
+    fr = sorted(by_lang["fr"], key=lambda r: r.doc_id)
+    assert {r.bucket for r in by_lang["fr"]} == {"head", "middle", "tail"}
