@@ -601,6 +601,16 @@ def _q_sink_gelf(spark, sf_dir):
     )
 
 
+def _q_sink_stackdriver(spark, sf_dir):
+    """Cloud Logging entry shape with the reference's case-insensitive
+    severity token mapping (validate_severity_level); unmatched/absent
+    tokens -> DEFAULT."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.sinks import stackdriver_transform
+
+    return stackdriver_transform(parse_stage(_transcripts(spark, sf_dir)))
+
+
 def _q_sink_datadog(spark, sf_dir):
     """Datadog logs-intake shape with ddtags from role/tool."""
     from fluent_bit_spark.sinks import datadog_transform
@@ -1290,6 +1300,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_es_index": _q_sink_es_index,
         "sink_gelf": _q_sink_gelf,
         "sink_datadog": _q_sink_datadog,
+        "sink_stackdriver": _q_sink_stackdriver,
         "rewrite_tag_keep": _q_rewrite_tag_keep,
         "sink_splunk": _q_sink_splunk,
         "sink_loki": _q_sink_loki,

@@ -1353,6 +1353,30 @@ def _grok_parse_sql() -> str:
     return f"SELECT conv_id, turn_idx, {', '.join(cols)} FROM transcripts"
 
 
+def _stackdriver_sql() -> str:
+    """sinks.stackdriver_transform mirror: the severity token/name
+    tables are shared constants (the PII_RULES convention); the SQL
+    re-derives every entry field independently from `unified`."""
+    from fluent_bit_spark.sinks import (
+        STACKDRIVER_SEVERITY,
+        STACKDRIVER_SEVERITY_NAMES,
+    )
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN {n}" for t, n in STACKDRIVER_SEVERITY.items()
+    )
+    names = " ".join(
+        f"WHEN {n} THEN '{s}'" for n, s in STACKDRIVER_SEVERITY_NAMES.items()
+    )
+    return f"""SELECT 'projects/fluent-bit/logs/fluent-bit' AS logName,
+       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS insertId,
+       CASE sev {names} END AS severity,
+       sev AS severity_num, text AS message, epoch_ms(ts) AS timestamp
+FROM (SELECT conv_id, turn_idx, text, ts,
+             coalesce(CASE upper(level) {whens} END, 0) AS sev
+      FROM unified)"""
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
@@ -1622,6 +1646,7 @@ def oracle_queries() -> dict[str, str]:
                     'fluent-bit-spark' AS service, 'spark' AS ddsource,
                     'role:' || coalesce(role, '') || ',tool:' || coalesce(tool, '') AS ddtags
              FROM transcripts""",
+        "sink_stackdriver": c + _stackdriver_sql(),
         "rewrite_tag_keep": c
         + """SELECT conv_id, turn_idx, tag FROM routed
              UNION ALL

@@ -281,6 +281,74 @@ def datadog_transform(
     )
 
 
+# Cloud-Logging LogSeverity token table — the reference's
+# case-insensitive token mapping (plugins/out_stackdriver/
+# stackdriver.c:1027-1094 validate_severity_level; enum values
+# plugins/out_stackdriver/stackdriver.h:156-164). Unmatched or absent
+# tokens fall back to DEFAULT (0), get_severity_level's contract.
+STACKDRIVER_SEVERITY: dict[str, int] = {
+    "EMERGENCY": 800, "EMERG": 800,
+    "A": 700, "ALERT": 700,
+    "C": 600, "F": 600, "CRIT": 600, "FATAL": 600, "CRITICAL": 600,
+    "E": 500, "ERR": 500, "ERROR": 500, "SEVERE": 500,
+    "W": 400, "WARN": 400, "WARNING": 400,
+    "N": 300, "NOTICE": 300,
+    "I": 200, "INFO": 200,
+    "D": 100, "DEBUG": 100, "TRACE": 100, "TRACE_INT": 100, "FINE": 100,
+    "FINER": 100, "FINEST": 100, "CONFIG": 100,
+    "DEFAULT": 0,
+}
+
+STACKDRIVER_SEVERITY_NAMES: dict[int, str] = {
+    800: "EMERGENCY", 700: "ALERT", 600: "CRITICAL", 500: "ERROR",
+    400: "WARNING", 300: "NOTICE", 200: "INFO", 100: "DEBUG", 0: "DEFAULT",
+}
+
+
+def stackdriver_transform(
+    df: DataFrame,
+    message_col: str = "text",
+    ts_col: str = "ts",
+    severity_col: str | None = "level",
+    id_cols: tuple[str, str] | None = ("conv_id", "turn_idx"),
+    log_name: str = "projects/fluent-bit/logs/fluent-bit",
+) -> DataFrame:
+    """Cloud Logging (out_stackdriver) entry shape: logName, insertId,
+    severity (name) + severity_num, message, timestamp(ms). Severity
+    resolves via the reference's case-insensitive token table — a
+    literal map expression, so the whole transform stays inside
+    whole-stage codegen (no join, no UDF)."""
+    pairs: list[Column] = []
+    for tok, num in STACKDRIVER_SEVERITY.items():
+        pairs += [F.lit(tok), F.lit(num)]
+    sev_map = F.create_map(*pairs)
+    names = []
+    for num, name in STACKDRIVER_SEVERITY_NAMES.items():
+        names += [F.lit(num), F.lit(name)]
+    name_map = F.create_map(*names)
+    sev_num = (
+        F.coalesce(
+            F.element_at(sev_map, F.upper(F.col(severity_col).cast("string"))),
+            F.lit(0),
+        )
+        if severity_col
+        else F.lit(0)
+    )
+    insert_id = (
+        F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+        if id_cols
+        else F.monotonically_increasing_id().cast("string")
+    )
+    return df.select(
+        F.lit(log_name).alias("logName"),
+        insert_id.alias("insertId"),
+        F.element_at(name_map, sev_num).alias("severity"),
+        sev_num.alias("severity_num"),
+        F.col(message_col).alias("message"),
+        (_epoch_seconds(F.col(ts_col)) * 1000).cast("long").alias("timestamp"),
+    )
+
+
 def write_avro(df: DataFrame, path: str) -> bool:
     """Avro encode (src/flb_avro.c) — needs the spark-avro module on
     the classpath; gated (absent in this image). Returns False ONLY

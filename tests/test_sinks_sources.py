@@ -210,3 +210,31 @@ def test_config_tail_star_tag_routing(spark, tmp_path):
     res = ConfigPipeline(cfg).run(spark)
     rows = res["stdout_0"]
     assert len(rows) == 2 and all(r.tag.endswith(".a.log") for r in rows)
+
+
+def test_stackdriver_severity_token_table(spark):
+    """Every reference token maps to its LogSeverity value,
+    case-insensitively; unknown/absent -> DEFAULT (0)."""
+    from fluent_bit_spark.sinks import STACKDRIVER_SEVERITY, stackdriver_transform
+
+    rows = [(str(i), i, tok, "m") for i, tok in enumerate(STACKDRIVER_SEVERITY)]
+    rows += [
+        ("x", 90, "warn", "lower ok"),
+        ("x", 91, "Fatal", "mixed ok"),
+        ("x", 92, "nonsense", "unknown"),
+        ("x", 93, None, "absent"),
+    ]
+    import datetime
+
+    df = spark.createDataFrame(
+        [(c, t, lv, m, datetime.datetime(2024, 1, 1)) for c, t, lv, m in rows],
+        "conv_id string, turn_idx int, level string, text string, ts timestamp",
+    )
+    out = {r.insertId: r for r in stackdriver_transform(df).collect()}
+    for i, (tok, num) in enumerate(STACKDRIVER_SEVERITY.items()):
+        r = out[f"{i}:{i}"]
+        assert r.severity_num == num, tok
+    assert out["x:90"].severity_num == 400 and out["x:90"].severity == "WARNING"
+    assert out["x:91"].severity_num == 600
+    assert out["x:92"].severity_num == 0 and out["x:92"].severity == "DEFAULT"
+    assert out["x:93"].severity_num == 0
