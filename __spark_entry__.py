@@ -1092,6 +1092,7 @@ def _q_hybrid_topk(spark, sf_dir):
         embs.filter(F.col("vec_id") >= 3),
         embs.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id"),
         k=20,
+        rank_round=6,
     ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([sparse, dense], k=10)
 

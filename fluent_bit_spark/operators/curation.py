@@ -378,8 +378,13 @@ def cross_doc_span_dedup(
     from fluent_bit_spark.operators.dedup import _persist
     from fluent_bit_spark.operators.text_analysis import tokens, word_grams
 
-    toks_f = df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk")).withColumn(
-        "nt", F.size("tk")
+    # tokenization feeds the occurrence build AND the rebuild join —
+    # persist so the corpus splits once (the bigram_logprob rationale);
+    # occ additionally feeds both sides of its stats self-join
+    toks_f = _persist(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk")).withColumn(
+            "nt", F.size("tk")
+        )
     )
     occ = _persist(
         toks_f.select(F.col(id_col), F.posexplode(word_grams(F.col("tk"), n)))

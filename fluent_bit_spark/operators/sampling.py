@@ -107,19 +107,13 @@ def dsir_weights(
     id. Nothing downstream of the explode ever re-reads the corpus.
     """
     from fluent_bit_spark.operators.dedup import _persist
-    from fluent_bit_spark.operators.text_analysis import tokens
+    from fluent_bit_spark.operators.text_analysis import tokens, word_grams
 
     tk = docs.select(
         F.col(id_col).alias("id"), target.alias("is_t"), tokens(F.col(text_col)).alias("tk")
     )
-    sz = F.size("tk")
-    grams = F.zip_with(
-        F.slice(F.col("tk"), 1, F.greatest(sz - 1, F.lit(0))),
-        F.slice(F.col("tk"), 2, F.greatest(sz - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     feats = _persist(
-        tk.select("id", "is_t", F.explode(grams).alias("g")).select(
+        tk.select("id", "is_t", F.explode(word_grams(F.col("tk"), 2)).alias("g")).select(
             "id", "is_t", (md5_32(F.col("g")) % F.lit(buckets)).alias("b")
         )
     )

@@ -52,11 +52,18 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Brute-force top-k: for each query row, the k nearest candidate
     vectors by cosine. Queries are broadcast (small side); candidates
     stream through one scan — no shuffle until the final per-query
-    top-k (tiny)."""
+    top-k (tiny).
+
+    `rank_round`: when set, the ranking order uses the cosine rounded
+    to that many decimals (id tie-break) — required when downstream
+    consumes the RANK itself (e.g. rrf_fuse) and must agree with a
+    cross-engine oracle: unrounded last-ulp differences between
+    engines could otherwise swap near-tied ranks."""
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qv")
     )
@@ -64,9 +71,11 @@ def cosine_topk(
     scored = v.crossJoin(F.broadcast(q)).withColumn(
         "cosine", cosine_col(F.col("_vv"), F.col("_qv"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
+    order = (
+        F.round(F.col("cosine"), rank_round) if rank_round is not None
+        else F.col("cosine")
     )
+    w = Window.partitionBy(query_id_col).orderBy(order.desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -83,6 +83,40 @@ _LINED_SQL = """
 """
 
 
+def _bigram_lm_ctes(p: str) -> str:
+    """Add-0.5 bigram-LM per-doc score chain (text_analysis.
+    bigram_logprob mirror), ending at {p}d = (doc_id, n_bigrams,
+    logprob). Per-bigram ln terms fixed-point to BIGINT before the
+    per-doc sum; constants ::DOUBLE (a bare decimal literal types as
+    DECIMAL in DuckDB and diverges from Spark in the last ulp).
+    Shared by the bigram_logprob and ccnet_buckets oracles."""
+    return f""", {p}tk AS (
+               SELECT doc_id,
+                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '') AS tk
+               FROM documents),
+             {p}bb AS (
+               SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+                 SELECT doc_id, unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                                        FOR i IN range(1, len(tk))]) AS g
+                 FROM {p}tk)),
+             {p}c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM {p}bb GROUP BY 1, 2),
+             {p}u AS (SELECT w, COUNT(*) AS n1 FROM
+                      (SELECT unnest(tk) AS w FROM {p}tk) GROUP BY 1),
+             {p}v AS (SELECT COUNT(*) AS v FROM {p}u),
+             {p}s AS (
+               SELECT b.doc_id,
+                      CAST(round(ln((c.n2 + 0.5::DOUBLE)
+                                    / (u.n1 + 0.5::DOUBLE * v.v))
+                                 * 1000000) AS BIGINT) AS fx
+               FROM {p}bb b JOIN {p}c2 c USING (w1, w2)
+                    JOIN {p}u u ON u.w = b.w1 CROSS JOIN {p}v v),
+             {p}d AS (
+               SELECT doc_id, COUNT(*) AS n_bigrams,
+                      round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
+               FROM {p}s GROUP BY doc_id)"""
+
+
 def _curation_sql() -> dict[str, str]:
     from fluent_bit_spark.operators.curation import PII_RULES
 
@@ -545,58 +579,14 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
              FROM ra_w""",
         # bigram LM: fixed-point ln sums (order-independent); 0.5 cast
         # ::DOUBLE (bare literal would run the smoothing in DECIMAL)
-        "bigram_logprob": """, bg_tk AS (
-               SELECT doc_id,
-                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                  x -> x <> '') AS tk
-               FROM documents),
-             bg_bb AS (
-               SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
-                 SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]}
-                                        FOR i IN range(1, len(tk))]) AS g
-                 FROM bg_tk)),
-             bg_c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg_bb GROUP BY 1, 2),
-             bg_u AS (SELECT w, COUNT(*) AS n1 FROM
-                      (SELECT unnest(tk) AS w FROM bg_tk) GROUP BY 1),
-             bg_v AS (SELECT COUNT(*) AS v FROM bg_u),
-             bg_s AS (
-               SELECT b.doc_id,
-                      CAST(round(ln((c.n2 + 0.5::DOUBLE)
-                                    / (u.n1 + 0.5::DOUBLE * v.v))
-                                 * 1000000) AS BIGINT) AS fx
-               FROM bg_bb b JOIN bg_c2 c USING (w1, w2)
-                    JOIN bg_u u ON u.w = b.w1 CROSS JOIN bg_v v)
-             SELECT doc_id, COUNT(*) AS n_bigrams,
-                    round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
-             FROM bg_s GROUP BY doc_id""",
+        "bigram_logprob": _bigram_lm_ctes("bg")
+        + """
+             SELECT doc_id, n_bigrams, logprob FROM bgd""",
         # CCNet per-language terciles over the same bigram-LM chain;
         # NTILE ordered by (round-6 logprob DESC, doc_id) so the
         # assignment is engine- and partition-independent
-        "ccnet_buckets": """, cb_tk AS (
-               SELECT doc_id,
-                      list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                  x -> x <> '') AS tk
-               FROM documents),
-             cb_bb AS (
-               SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
-                 SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]}
-                                        FOR i IN range(1, len(tk))]) AS g
-                 FROM cb_tk)),
-             cb_c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM cb_bb GROUP BY 1, 2),
-             cb_u AS (SELECT w, COUNT(*) AS n1 FROM
-                      (SELECT unnest(tk) AS w FROM cb_tk) GROUP BY 1),
-             cb_v AS (SELECT COUNT(*) AS v FROM cb_u),
-             cb_s AS (
-               SELECT b.doc_id,
-                      CAST(round(ln((c.n2 + 0.5::DOUBLE)
-                                    / (u.n1 + 0.5::DOUBLE * v.v))
-                                 * 1000000) AS BIGINT) AS fx
-               FROM cb_bb b JOIN cb_c2 c USING (w1, w2)
-                    JOIN cb_u u ON u.w = b.w1 CROSS JOIN cb_v v),
-             cb_d AS (
-               SELECT doc_id, COUNT(*) AS n_bigrams,
-                      round(SUM(fx) / 1000000.0 / COUNT(*), 6) AS logprob
-               FROM cb_s GROUP BY doc_id)
+        "ccnet_buckets": _bigram_lm_ctes("cb")
+        + """
              SELECT doc_id, lang, n_bigrams, logprob,
                     CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                          ELSE 'tail' END AS bucket
@@ -604,7 +594,7 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
                SELECT d.doc_id, m.lang, d.n_bigrams, d.logprob,
                       ntile(3) OVER (PARTITION BY m.lang
                                      ORDER BY d.logprob DESC, d.doc_id) AS nt
-               FROM cb_d d JOIN documents m USING (doc_id))""",
+               FROM cbd d JOIN documents m USING (doc_id))""",
         # PMI: pairs from the same 1-based slice arithmetic as the
         # Spark shifted-slice zips; ln fold parenthesized identically
         # for cross-engine round-6 lockstep
@@ -963,8 +953,9 @@ FROM evm"""
      SELECT q.vec_id AS query_id, c.vec_id,
             row_number() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                ORDER BY round(list_cosine_similarity(
+                             CAST(c.embedding AS DOUBLE[]),
+                             CAST(q.embedding AS DOUBLE[])), 6) DESC,
                          c.vec_id) AS rank
      FROM embeddings q, embeddings c WHERE q.vec_id < 3 AND c.vec_id >= 3)
    WHERE rank <= 20)
