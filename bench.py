@@ -169,6 +169,26 @@ def bench_queries(spark, source):
             k=10,
         )
 
+    def span_dedup():
+        from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return cross_doc_span_dedup(docs, n=8)
+
+    def semantic_dedup():
+        from fluent_bit_spark.operators.similarity import semantic_dedup as op
+
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return op(embs, k=8, iters=3, threshold=0.3)
+
+    def dsir_weights():
+        from fluent_bit_spark.operators.sampling import dsir_weights as op
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return op(docs, target=F.col("lang") == "en")
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -187,6 +207,9 @@ def bench_queries(spark, source):
         "bloom_contam": bloom_contam,
         "bpe_merges": bpe_merges,
         "bm25_topk": bm25_topk,
+        "span_dedup": span_dedup,
+        "semantic_dedup": semantic_dedup,
+        "dsir_weights": dsir_weights,
     }
 
 
@@ -212,7 +235,7 @@ def run_default() -> None:
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name.startswith(("dedup", "bloom", "bpe", "bm25")):
+        if name.startswith(("dedup", "bloom", "bpe", "bm25", "span", "semantic", "dsir")):
             # free the operator-internal signature caches between stages
             release_persisted()
 

@@ -206,3 +206,49 @@ def test_hist_quantiles_window_only_over_bucket_table(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     last_window = tree.rindex("Window")
     assert "HashAggregate" in tree[last_window:], tree
+
+
+def test_span_dedup_no_cartesian_one_gram_shuffle(spark, sf_dir):
+    """Cross-doc span dedup: duplicate detection must stay an
+    equi-join on the gram (never a cartesian / nested-loop over the
+    corpus), and the final token rebuild must not re-shuffle text."""
+    from fluent_bit_spark.operators.curation import cross_doc_span_dedup
+    from fluent_bit_spark.operators.dedup import release_persisted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(cross_doc_span_dedup(docs, n=8), "simple")
+    release_persisted()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_on_cluster_key(spark, sf_dir):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster
+    id — the whole point of clustering first."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.similarity import semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(semantic_dedup(embs, k=4, iters=1), "simple")
+    release_persisted()
+    # k-means legitimately broadcasts the k-row centroid table and
+    # 1-row totals (bounded BroadcastNestedLoopJoin); what must never
+    # appear is an unbounded cartesian — and the pair stage must join
+    # hash-wise on the cluster id
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[?cluster", plan
+    ), plan
+
+
+def test_dsir_bucket_table_broadcast(spark, sf_dir):
+    """DSIR scoring must broadcast the (tiny) bucket log-ratio table —
+    the per-doc pass is map-side, no sort-merge join over features."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dsir_weights(docs, target=F.col("lang") == "en"), "simple")
+    release_persisted()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
