@@ -726,6 +726,35 @@ def _q_pii_redact(spark, sf_dir):
     )
 
 
+def _c4_docs(spark, sf_dir):
+    """documents re-sentenced (every 6-word run becomes a '.'-terminated
+    line) with injected C4 trigger cases: every 5th doc a javascript
+    line, every 7th a lorem-ipsum tail, every 11th a short (<3 words)
+    line. Mirrored in the oracle CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sent = F.regexp_replace("text", r"((\S+ ){5}\S+) ", "$1.\n")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("this line has javascript inside it.\n"), sent),
+    ).otherwise(sent)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit."))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit("\ntiny line."))
+    ).otherwise(t)
+    return docs.withColumn("text", t)
+
+
+def _q_c4_filter(spark, sf_dir):
+    """C4-style line/page cleanup over re-sentenced docs: terminal-
+    punctuation + min-words + javascript line rules, >=5-sentence /
+    lorem-ipsum / curly-brace page rules."""
+    from fluent_bit_spark.operators.curation import c4_filter
+
+    return c4_filter(_c4_docs(spark, sf_dir))
+
+
 def _lined_docs(spark, sf_dir):
     """documents re-lined (every 5-word run becomes a line) plus a
     boilerplate footer on all docs and a bullet/ellipsis suffix on
@@ -1314,6 +1343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_function_udf": _q_record_function,
         "pii_redact": _q_pii_redact,
         "gopher_quality": _q_gopher_quality,
+        "c4_filter": _q_c4_filter,
         "contamination": _q_contamination,
         "quota_sample": _q_quota_sample,
         "line_dedup": _q_line_dedup,

@@ -334,6 +334,62 @@ def intra_doc_dedup(
     ).drop("_idd_lines")
 
 
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style cleanup (Raffel et al. 2020, the `en` pipeline rules):
+
+    line level — keep only (trimmed, non-empty) lines that end in a
+    terminal punctuation mark (. ! ? ") AND have >= 3 words AND do not
+    contain the word "javascript" (case-insensitive);
+    page level — `c4_pass` requires >= 5 sentences in the retained
+    text, no "lorem ipsum", and no curly brace in the RAW page (the
+    code-page heuristic).
+
+    Output: (id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    c4_pass, clean_text). Entirely array/regexp Column expressions over
+    one row — shuffle-free map stage inside whole-stage codegen, the
+    only acceptable shape for per-page cleanup at 100 TB.
+
+    The lines array is bound to a column before filtering (in-lambda
+    re-splitting is O(lines^2) per row — the intra_doc_dedup lesson).
+    """
+    low = F.lower(F.col(text_col))
+    bound = df.withColumn("_c4_lines", _lines(F.col(text_col)))
+    lines = F.col("_c4_lines")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return (
+        bound.withColumns(
+            {
+                "n_lines": F.size(lines),
+                "n_kept": F.size(kept),
+                "n_sentences": n_sent,
+                "has_lorem": has_lorem,
+                "has_brace": has_brace,
+                "c4_pass": (n_sent >= min_sentences) & ~has_lorem & ~has_brace,
+                "clean_text": clean,
+            }
+        )
+        .select(
+            id_col, "n_lines", "n_kept", "n_sentences",
+            "has_lorem", "has_brace", "c4_pass", "clean_text",
+        )
+    )
+
+
 def cross_doc_span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -188,6 +188,42 @@ SELECT doc_id, COUNT(DISTINCT shingle) AS n_overlap,
        COUNT(DISTINCT shingle) >= 1 AS contaminated
 FROM chits GROUP BY doc_id"""
 
+    # C4 line/page rules over the re-sentenced docs (mirrors
+    # __spark_entry__._c4_docs + curation.c4_filter)
+    c4_sql = """
+, c4src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'this line has javascript inside it.' || chr(10) ELSE '' END
+           || regexp_replace(text, '((\\S+ ){5}\\S+) ', '\\1.' || chr(10), 'g')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || 'tiny line.' ELSE '' END AS text
+    FROM documents)
+, c4l AS (SELECT doc_id, text,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)), l -> l <> '') AS lines
+          FROM c4src)
+, c4k AS (SELECT doc_id, text, lines,
+                 list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                     AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                         w -> w <> '')) >= 3
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM c4l)
+, c4c AS (SELECT doc_id, text, lines, kept,
+                 coalesce(array_to_string(kept, chr(10)), '') AS clean
+          FROM c4k)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       len(regexp_extract_all(clean, '[.!?]')) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       (len(regexp_extract_all(clean, '[.!?]')) >= 5
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS c4_pass,
+       clean AS clean_text
+FROM c4c"""
+
     # cross-doc duplicated n-gram span removal (curation.
     # cross_doc_span_dedup, n=8): same tokenization, gram windows via a
     # ROWS frame, duplicate/canonical pick via per-gram windowed
@@ -554,6 +590,7 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
         "line_dedup": line_dedup_sql,
         "intra_doc_dedup": intra_doc_sql,
         "span_dedup": span_sql,
+        "c4_filter": c4_sql,
         "rate_anomalies": """, ra_h AS (
                SELECT event_type, date_trunc('hour', ts) AS hour,
                       count(*) AS n

@@ -541,3 +541,25 @@ def test_ccnet_buckets_terciles_per_lang(spark):
     assert all(r.doc_id < 4 for r in en["head"])
     fr = sorted(by_lang["fr"], key=lambda r: r.doc_id)
     assert {r.bucket for r in by_lang["fr"]} == {"head", "middle", "tail"}
+
+
+def test_c4_filter_line_and_page_rules(spark):
+    from fluent_bit_spark.operators.curation import c4_filter
+
+    five_sent = "one two three four.\n" * 5
+    rows = [
+        (0, five_sent),                                   # clean pass
+        (1, "no terminal punctuation here\nstill none"),  # all lines dropped
+        (2, five_sent + "uses javascript heavily.\n"),    # js line dropped, page ok
+        (3, five_sent + "lorem ipsum dolor."),            # page flagged
+        (4, five_sent.replace("four.", "four {.")),       # brace page
+        (5, "ok.\nhi.\n" + five_sent),                    # <3-word lines dropped
+    ]
+    out = {r.doc_id: r for r in c4_filter(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0].c4_pass and out[0].n_kept == 5 and out[0].n_sentences == 5
+    assert out[1].n_kept == 0 and not out[1].c4_pass and out[1].clean_text == ""
+    assert out[2].c4_pass and out[2].n_kept == 5  # js line removed
+    assert out[3].has_lorem and not out[3].c4_pass
+    assert out[4].has_brace and not out[4].c4_pass
+    assert out[5].n_lines == 7 and out[5].n_kept == 5  # short lines dropped
