@@ -1014,6 +1014,14 @@ def _q_centroid_assign(spark, sf_dir):
     return centroid_assign(_embs(spark, sf_dir))
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Char-distribution Shannon entropy per doc (gibberish/base64
+    detector): fixed-point per-char terms over the sorted alphabet."""
+    from fluent_bit_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language head/middle/tail terciles over the
     corpus-trained bigram LM score (fixed-point, engine-independent
@@ -1379,6 +1387,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "bigram_logprob": _q_bigram_logprob,
         "ccnet_buckets": _q_ccnet_buckets,
+        "char_entropy": _q_char_entropy,
         "retrieval_eval": _q_retrieval_eval,
         "context_pairs": _q_context_pairs,
         "render_chat": _q_render_chat,

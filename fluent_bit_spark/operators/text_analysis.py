@@ -402,6 +402,66 @@ def bigram_logprob(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic gibberish / binary-blob / base64 detector in quality
+    pipelines: natural language sits in a mid band, repeated-char spam
+    scores near 0, random blobs near ln(alphabet).
+
+    Output: (id, n_chars, n_distinct, entropy). Per-character terms
+    -p·ln(p) are fixed-pointed to BIGINT and summed over the SORTED
+    distinct-character array, so the result is bit-identical across
+    engines and partitionings (round-6 after the integer sum).
+
+    Scale shape: pure array expressions over one row — shuffle-free
+    map stage. The char array and its distinct set are let-bound
+    lambda variables (each is referenced inside nested HOF lambdas; a
+    plain alias would be re-inlined per element — the winnowing
+    lesson). Cost is O(len · distinct) comparisons per row, with
+    distinct bounded by the alphabet.
+    """
+    def ent(chars: Column) -> Column:
+        n = F.size(chars)
+
+        def over_distinct(d: Column) -> Column:
+            terms = F.transform(
+                d,
+                lambda c: let_bound(
+                    F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+                    lambda p: F.round(-(p * F.log(p)) * 1_000_000_000).cast("long"),
+                ),
+            )
+            return F.struct(
+                n.alias("n_chars"),
+                F.size(d).alias("n_distinct"),
+                F.round(
+                    F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t)
+                    / 1_000_000_000.0,
+                    6,
+                ).alias("entropy"),
+            )
+
+        return let_bound(F.array_sort(F.array_distinct(chars)), over_distinct)
+
+    chars_expr = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    out = df.select(
+        F.col(id_col),
+        let_bound(chars_expr, ent).alias("_e"),
+    )
+    return out.select(
+        id_col,
+        F.col("_e.n_chars").alias("n_chars"),
+        F.col("_e.n_distinct").alias("n_distinct"),
+        F.when(F.col("_e.n_chars") > 0, F.col("_e.entropy"))
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -616,6 +616,30 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
              FROM ra_w""",
         # bigram LM: fixed-point ln sums (order-independent); 0.5 cast
         # ::DOUBLE (bare literal would run the smoothing in DECIMAL)
+        # char-entropy: per-char -p*ln(p) fixed-pointed to BIGINT over
+        # the sorted distinct set (integer sum => order-independent)
+        "char_entropy": """, ce_c AS (
+               SELECT doc_id,
+                      [text[i] FOR i IN range(1, len(text) + 1)] AS chars
+               FROM documents),
+             ce_d AS (SELECT doc_id, chars,
+                             list_sort(list_distinct(chars)) AS d
+                      FROM ce_c),
+             ce_t AS (
+               SELECT doc_id, len(chars) AS n_chars, len(d) AS n_distinct,
+                      [CAST(round(-((len(list_filter(chars, x -> x = c))
+                                     / len(chars))
+                                    * ln(len(list_filter(chars, x -> x = c))
+                                         / len(chars)))
+                                  * 1000000000) AS BIGINT)
+                       FOR c IN d] AS terms
+               FROM ce_d)
+             SELECT doc_id, n_chars, n_distinct,
+                    CASE WHEN n_chars > 0
+                         THEN round(CAST(list_aggregate(terms, 'sum') AS BIGINT)
+                                    / 1000000000.0, 6)
+                         ELSE 0.0 END AS entropy
+             FROM ce_t""",
         "bigram_logprob": _bigram_lm_ctes("bg")
         + """
              SELECT doc_id, n_bigrams, logprob FROM bgd""",

@@ -563,3 +563,18 @@ def test_c4_filter_line_and_page_rules(spark):
     assert out[3].has_lorem and not out[3].c4_pass
     assert out[4].has_brace and not out[4].c4_pass
     assert out[5].n_lines == 7 and out[5].n_kept == 5  # short lines dropped
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from fluent_bit_spark.operators.text_analysis import char_entropy
+
+    rows = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "")]
+    out = {r.doc_id: r for r in char_entropy(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0].entropy == 0.0 and out[0].n_distinct == 1
+    assert out[1].entropy == round(math.log(2), 6)
+    assert out[2].entropy == round(math.log(4), 6)
+    assert out[3].n_chars == 0 and out[3].entropy == 0.0
+    assert out[2].entropy > out[1].entropy > out[0].entropy
