@@ -361,26 +361,38 @@ def c4_filter(
     low = F.lower(F.col(text_col))
     bound = df.withColumn("_c4_lines", _lines(F.col(text_col)))
     lines = F.col("_c4_lines")
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike(r'[.!?"]$')
-        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= min_words_per_line)
-        & ~F.lower(l).contains("javascript"),
-    )
-    clean = F.array_join(kept, "\n")
-    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    # kept and clean_text are bound columns too: each is referenced by
+    # several output columns, and the lambda-bearing filter tree is
+    # exempt from codegen subexpression elimination — unbound, the
+    # per-line regex work ran 4x per row (measured in the plan)
+    bound = bound.withColumn(
+        "_c4_kept",
+        F.filter(
+            lines,
+            lambda l: l.rlike(r'[.!?"]$')
+            & (
+                F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+                >= min_words_per_line
+            )
+            & ~F.lower(l).contains("javascript"),
+        ),
+    ).withColumn("clean_text", F.array_join(F.col("_c4_kept"), "\n"))
     has_lorem = low.contains("lorem ipsum")
     has_brace = F.col(text_col).contains("{")
     return (
-        bound.withColumns(
+        bound.withColumn(
+            "n_sentences",
+            F.size(F.regexp_extract_all(F.col("clean_text"), F.lit(r"[.!?]"), 0)),
+        )
+        .withColumns(
             {
                 "n_lines": F.size(lines),
-                "n_kept": F.size(kept),
-                "n_sentences": n_sent,
+                "n_kept": F.size(F.col("_c4_kept")),
                 "has_lorem": has_lorem,
                 "has_brace": has_brace,
-                "c4_pass": (n_sent >= min_sentences) & ~has_lorem & ~has_brace,
-                "clean_text": clean,
+                "c4_pass": (F.col("n_sentences") >= min_sentences)
+                & ~has_lorem
+                & ~has_brace,
             }
         )
         .select(
