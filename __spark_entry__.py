@@ -601,6 +601,24 @@ def _q_sink_gelf(spark, sf_dir):
     )
 
 
+def _q_sink_syslog(spark, sf_dir):
+    """RFC5424 syslog rendering (out_syslog parity): prival from the
+    shared severity table, microsecond UTC stamp, '-' placeholders,
+    reference truncation caps."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.sinks import syslog_rfc5424_transform
+
+    return syslog_rfc5424_transform(parse_stage(_transcripts(spark, sf_dir)))
+
+
+def _q_sink_influx(spark, sf_dir):
+    """InfluxDB line protocol (out_influxdb parity): escaped tag set,
+    i-suffixed integer fields, nanosecond timestamps."""
+    from fluent_bit_spark.sinks import influx_line_transform
+
+    return influx_line_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_stackdriver(spark, sf_dir):
     """Cloud Logging entry shape with the reference's case-insensitive
     severity token mapping (validate_severity_level); unmatched/absent
@@ -1339,6 +1357,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_gelf": _q_sink_gelf,
         "sink_datadog": _q_sink_datadog,
         "sink_stackdriver": _q_sink_stackdriver,
+        "sink_syslog": _q_sink_syslog,
+        "sink_influx": _q_sink_influx,
         "rewrite_tag_keep": _q_rewrite_tag_keep,
         "sink_splunk": _q_sink_splunk,
         "sink_loki": _q_sink_loki,

@@ -1429,6 +1429,36 @@ FROM (SELECT conv_id, turn_idx, text, ts,
       FROM unified)"""
 
 
+def _syslog_sql() -> str:
+    """sinks.syslog_rfc5424_transform mirror (severity table shared,
+    the PII_RULES convention)."""
+    from fluent_bit_spark.sinks import SYSLOG_SEVERITY
+
+    whens = " ".join(f"WHEN '{t}' THEN {n}" for t, n in SYSLOG_SEVERITY.items())
+    return f"""SELECT conv_id, turn_idx, sev AS severity,
+       '<' || CAST(8 + sev AS VARCHAR) || '>1 '
+       || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || ' '
+       || coalesce(substr(host, 1, 255), '-') || ' '
+       || coalesce(substr(tool, 1, 48), '-') || ' - - - ' || text AS line
+FROM (SELECT conv_id, turn_idx, host, tool, ts, text,
+             coalesce(CASE lower(level) {whens} END, 6) AS sev
+      FROM unified)"""
+
+
+_INFLUX_SQL = r"""SELECT conv_id, turn_idx,
+       'transcripts'
+       || CASE WHEN role IS NOT NULL THEN ',role='
+               || replace(replace(replace(role, ',', '\,'), ' ', '\ '), '=', '\=')
+               ELSE '' END
+       || CASE WHEN tool IS NOT NULL THEN ',tool='
+               || replace(replace(replace(tool, ',', '\,'), ' ', '\ '), '=', '\=')
+               ELSE '' END
+       || ' turn_idx=' || CAST(turn_idx AS VARCHAR) || 'i,len='
+       || CAST(length(text) AS VARCHAR) || 'i '
+       || CAST(epoch_us(ts) * 1000 AS VARCHAR) AS line
+FROM transcripts"""
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
@@ -1699,6 +1729,8 @@ def oracle_queries() -> dict[str, str]:
                     'role:' || coalesce(role, '') || ',tool:' || coalesce(tool, '') AS ddtags
              FROM transcripts""",
         "sink_stackdriver": c + _stackdriver_sql(),
+        "sink_syslog": c + _syslog_sql(),
+        "sink_influx": c + _INFLUX_SQL,
         "rewrite_tag_keep": c
         + """SELECT conv_id, turn_idx, tag FROM routed
              UNION ALL

@@ -349,6 +349,105 @@ def stackdriver_transform(
     )
 
 
+# RFC3164/RFC5424 syslog severities for the level strings the parse
+# stage emits (out_syslog reads severity from a record key; absent or
+# unrecognized values keep the informational default 6)
+SYSLOG_SEVERITY: dict[str, int] = {
+    "emerg": 0, "alert": 1, "crit": 2, "error": 3, "err": 3,
+    "warn": 4, "warning": 4, "notice": 5, "info": 6, "debug": 7,
+}
+
+
+def syslog_rfc5424_transform(
+    df: DataFrame,
+    msg_col: str = "text",
+    ts_col: str = "ts",
+    host_col: str | None = "host",
+    app_col: str | None = "tool",
+    severity_col: str | None = "level",
+    facility: int = 1,
+) -> DataFrame:
+    """RFC5424 syslog line rendering (plugins/out_syslog/syslog.c:143
+    syslog_rfc5424): `<prival>1 TIMESTAMP HOST APP PROCID MSGID SD
+    MSG` with prival = facility*8 + severity, microsecond UTC
+    timestamp, '-' for absent fields, and the reference's truncation
+    caps (host 255, appname 48). Pure string expressions — stays in
+    whole-stage codegen."""
+    pairs: list[Column] = []
+    for tok, num in SYSLOG_SEVERITY.items():
+        pairs += [F.lit(tok), F.lit(num)]
+    sev = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*pairs), F.lower(F.col(severity_col).cast("string"))
+            ),
+            F.lit(6),
+        )
+        if severity_col
+        else F.lit(6)
+    )
+    prival = F.lit(facility * 8) + sev
+    stamp = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    host = (
+        F.coalesce(F.substring(F.col(host_col).cast("string"), 1, 255), F.lit("-"))
+        if host_col
+        else F.lit("-")
+    )
+    app = (
+        F.coalesce(F.substring(F.col(app_col).cast("string"), 1, 48), F.lit("-"))
+        if app_col
+        else F.lit("-")
+    )
+    line = F.concat(
+        F.lit("<"), prival.cast("string"), F.lit(">1 "), stamp, F.lit(" "),
+        host, F.lit(" "), app, F.lit(" - - - "), F.col(msg_col),
+    )
+    return df.select(
+        F.col("conv_id"), F.col("turn_idx"), sev.alias("severity"), line.alias("line")
+    )
+
+
+def _influx_escape(c: Column) -> Column:
+    """Line-protocol tag escaping: backslash-escape comma, space, and
+    equals (in that order — the order is part of the contract and the
+    oracle mirrors it)."""
+    out = F.regexp_replace(c, r",", "\\\\,")
+    out = F.regexp_replace(out, r" ", "\\\\ ")
+    return F.regexp_replace(out, r"=", "\\\\=")
+
+
+def influx_line_transform(
+    df: DataFrame,
+    measurement: str = "transcripts",
+    tag_cols: tuple[str, ...] = ("role", "tool"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """InfluxDB line protocol (out_influxdb):
+    `measurement,tag=v,... field=value,... timestamp_ns` — tag values
+    backslash-escaped, integer fields suffixed `i`, string fields
+    double-quoted, nanosecond epoch timestamp. Absent tags are omitted
+    (line protocol has no null tags)."""
+    tags = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit("," + c + "="), _influx_escape(F.col(c).cast("string"))),
+            ).otherwise(F.lit(""))
+            for c in tag_cols
+        ],
+    )
+    fields = F.concat(
+        F.lit("turn_idx="), F.col("turn_idx").cast("string"), F.lit("i"),
+        F.lit(",len="), F.length("text").cast("string"), F.lit("i"),
+    )
+    ns = (_epoch_seconds(F.col(ts_col)) * 1_000_000).cast("long") * F.lit(1000)
+    line = F.concat(
+        F.lit(measurement), tags, F.lit(" "), fields, F.lit(" "), ns.cast("string")
+    )
+    return df.select(F.col("conv_id"), F.col("turn_idx"), line.alias("line"))
+
+
 def write_avro(df: DataFrame, path: str) -> bool:
     """Avro encode (src/flb_avro.c) — needs the spark-avro module on
     the classpath; gated (absent in this image). Returns False ONLY

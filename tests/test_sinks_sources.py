@@ -238,3 +238,38 @@ def test_stackdriver_severity_token_table(spark):
     assert out["x:91"].severity_num == 600
     assert out["x:92"].severity_num == 0 and out["x:92"].severity == "DEFAULT"
     assert out["x:93"].severity_num == 0
+
+
+def test_syslog_rfc5424_line_shape(spark):
+    import datetime
+
+    from fluent_bit_spark.sinks import syslog_rfc5424_transform
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "h1", "tool1", "error", "boom", ts),
+            ("c", 1, None, None, None, "plain", ts),
+            ("c", 2, "h", "t", "WARN", "w", ts),
+        ],
+        "conv_id string, turn_idx int, host string, tool string, level string, text string, ts timestamp",
+    )
+    out = {r.turn_idx: r for r in syslog_rfc5424_transform(df).collect()}
+    assert out[0].line == "<11>1 2024-03-01T12:30:45.123456Z h1 tool1 - - - boom"
+    assert out[0].severity == 3  # error -> 3; prival = 8+3
+    assert out[1].line == "<14>1 2024-03-01T12:30:45.123456Z - - - - - plain"
+    assert out[2].severity == 4  # case-insensitive warn
+
+
+def test_influx_line_escaping_and_fields(spark):
+    import datetime
+
+    from fluent_bit_spark.sinks import influx_line_transform
+
+    ts = datetime.datetime(1970, 1, 1, 0, 0, 1)
+    df = spark.createDataFrame(
+        [("c", 3, "a b,c=d", None, "hello", ts)],
+        "conv_id string, turn_idx int, role string, tool string, text string, ts timestamp",
+    )
+    line = influx_line_transform(df).collect()[0].line
+    assert line == "transcripts,role=a\\ b\\,c\\=d turn_idx=3i,len=5i 1000000000"
