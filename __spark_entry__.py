@@ -764,6 +764,14 @@ def _c4_docs(spark, sf_dir):
     return docs.withColumn("text", t)
 
 
+def _q_curation_scorecard(spark, sf_dir):
+    """The composed filter stack (quality + entropy + bigram LM) as
+    one lazy plan with a final keep decision."""
+    from fluent_bit_spark.operators.curation import curation_scorecard
+
+    return curation_scorecard(_docs(spark, sf_dir))
+
+
 def _q_c4_filter(spark, sf_dir):
     """C4-style line/page cleanup over re-sentenced docs: terminal-
     punctuation + min-words + javascript line rules, >=5-sentence /
@@ -1372,6 +1380,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "gopher_quality": _q_gopher_quality,
         "c4_filter": _q_c4_filter,
+        "curation_scorecard": _q_curation_scorecard,
         "contamination": _q_contamination,
         "quota_sample": _q_quota_sample,
         "line_dedup": _q_line_dedup,

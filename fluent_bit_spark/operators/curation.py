@@ -334,6 +334,53 @@ def intra_doc_dedup(
     ).drop("_idd_lines")
 
 
+def curation_scorecard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    min_entropy: float = 2.7,
+    min_logprob: float = -3.45,
+) -> DataFrame:
+    """The composed filter stack a training-data pipeline actually
+    runs: heuristic quality score + char-distribution entropy +
+    corpus-trained bigram-LM score, joined into one per-doc scorecard
+    with the final keep decision
+
+        keep = quality >= q AND entropy >= e AND logprob >= l
+
+    (docs too short for a bigram score fail the LM cut — coalesce to
+    FALSE, mirrored by the oracle).
+
+    Output: (id, quality, entropy, logprob, keep). Scale shape: the
+    quality and entropy stages are shuffle-free maps over the same
+    scan; the LM stage contributes its own shuffles (see
+    bigram_logprob); the three join back on the doc id, which AQE
+    plans as broadcasts once the per-doc frames are aggregated. One
+    lazy plan end-to-end — this is the "run the whole stack in one
+    pass" shape that matters at 100 TB, not three separate jobs.
+    """
+    from fluent_bit_spark.operators.text_analysis import (
+        bigram_logprob,
+        char_entropy,
+        quality_score,
+    )
+
+    q = df.select(F.col(id_col), quality_score(F.col(text_col)).alias("quality"))
+    e = char_entropy(df, id_col, text_col).select(id_col, "entropy")
+    lm = bigram_logprob(df, id_col, text_col).select(id_col, "logprob")
+    keep = (
+        (F.col("quality") >= min_quality)
+        & (F.col("entropy") >= min_entropy)
+        & F.coalesce(F.col("logprob") >= min_logprob, F.lit(False))
+    )
+    return (
+        q.join(e, id_col)
+        .join(lm, id_col, "left")
+        .select(id_col, "quality", "entropy", "logprob", keep.alias("keep"))
+    )
+
+
 def c4_filter(
     df: DataFrame,
     id_col: str = "doc_id",

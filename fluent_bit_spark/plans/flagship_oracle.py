@@ -618,28 +618,21 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
         # ::DOUBLE (bare literal would run the smoothing in DECIMAL)
         # char-entropy: per-char -p*ln(p) fixed-pointed to BIGINT over
         # the sorted distinct set (integer sum => order-independent)
-        "char_entropy": """, ce_c AS (
-               SELECT doc_id,
-                      [text[i] FOR i IN range(1, len(text) + 1)] AS chars
-               FROM documents),
-             ce_d AS (SELECT doc_id, chars,
-                             list_sort(list_distinct(chars)) AS d
-                      FROM ce_c),
-             ce_t AS (
-               SELECT doc_id, len(chars) AS n_chars, len(d) AS n_distinct,
-                      [CAST(round(-((len(list_filter(chars, x -> x = c))
-                                     / len(chars))
-                                    * ln(len(list_filter(chars, x -> x = c))
-                                         / len(chars)))
-                                  * 1000000000) AS BIGINT)
-                       FOR c IN d] AS terms
-               FROM ce_d)
+        "char_entropy": _CHAR_ENTROPY_CTES + f"""
              SELECT doc_id, n_chars, n_distinct,
-                    CASE WHEN n_chars > 0
-                         THEN round(CAST(list_aggregate(terms, 'sum') AS BIGINT)
-                                    / 1000000000.0, 6)
-                         ELSE 0.0 END AS entropy
+                    {_ENTROPY_EXPR} AS entropy
              FROM ce_t""",
+        # the composed filter stack: quality heuristics + char entropy +
+        # bigram-LM score joined into one per-doc keep decision
+        "curation_scorecard": _DOC_STATS_CTES + _CHAR_ENTROPY_CTES
+        + _bigram_lm_ctes("sc") + f"""
+             SELECT q.doc_id, q.quality, e.entropy, d.logprob,
+                    (q.quality >= 0.75 AND e.entropy >= 2.7
+                     AND coalesce(d.logprob >= -3.45::DOUBLE, FALSE)) AS keep
+             FROM (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM s) q
+             JOIN (SELECT doc_id, {_ENTROPY_EXPR} AS entropy FROM ce_t) e
+                  USING (doc_id)
+             LEFT JOIN scd d USING (doc_id)""",
         "bigram_logprob": _bigram_lm_ctes("bg")
         + """
              SELECT doc_id, n_bigrams, logprob FROM bgd""",
@@ -1459,6 +1452,62 @@ _INFLUX_SQL = r"""SELECT conv_id, turn_idx,
 FROM transcripts"""
 
 
+# token/word-metric chain shared by the doc_stats and scorecard
+# oracles: ends at s = (doc_id, text, n_tok, mwl, swr, pr, s_*)
+_DOC_STATS_CTES = """, t AS (
+               SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toksl
+               FROM documents),
+             s AS (
+               SELECT doc_id, text, len(toks) AS n_tok,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS mwl,
+                 CASE WHEN len(toksl) > 0
+                      THEN CAST(len(list_filter(toksl, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toksl)
+                      ELSE 0.0 END AS swr,
+                 CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                      ELSE 0.0 END AS pr,
+                 len(list_filter(toksl, x -> list_contains(['the','and','of','to','a'], x))) AS s_en,
+                 len(list_filter(toksl, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+                 len(list_filter(toksl, x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
+                 len(list_filter(toksl, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de
+               FROM t)"""
+
+_QUALITY_EXPR = """(CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END
+                     + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END)"""
+
+# char-entropy chain (ends at ce_t = doc_id, n_chars, n_distinct,
+# terms) + final expression, shared with the scorecard oracle
+_CHAR_ENTROPY_CTES = """, ce_c AS (
+               SELECT doc_id,
+                      [text[i] FOR i IN range(1, len(text) + 1)] AS chars
+               FROM documents),
+             ce_d AS (SELECT doc_id, chars,
+                             list_sort(list_distinct(chars)) AS d
+                      FROM ce_c),
+             ce_t AS (
+               SELECT doc_id, len(chars) AS n_chars, len(d) AS n_distinct,
+                      [CAST(round(-((len(list_filter(chars, x -> x = c))
+                                     / len(chars))
+                                    * ln(len(list_filter(chars, x -> x = c))
+                                         / len(chars)))
+                                  * 1000000000) AS BIGINT)
+                       FOR c IN d] AS terms
+               FROM ce_d)"""
+
+_ENTROPY_EXPR = """CASE WHEN n_chars > 0
+                         THEN round(CAST(list_aggregate(terms, 'sum') AS BIGINT)
+                                    / 1000000000.0, 6)
+                         ELSE 0.0 END"""
+
+
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
@@ -1550,34 +1599,10 @@ def oracle_queries() -> dict[str, str]:
              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                    / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5""",
-        "doc_stats": c
-        + """, t AS (
-               SELECT doc_id, text,
-                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
-                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toksl
-               FROM documents),
-             s AS (
-               SELECT doc_id, text, len(toks) AS n_tok,
-                 CASE WHEN len(toks) > 0
-                      THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
-                      ELSE 0.0 END AS mwl,
-                 CASE WHEN len(toksl) > 0
-                      THEN CAST(len(list_filter(toksl, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(toksl)
-                      ELSE 0.0 END AS swr,
-                 CASE WHEN length(text) > 0
-                      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
-                      ELSE 0.0 END AS pr,
-                 len(list_filter(toksl, x -> list_contains(['the','and','of','to','a'], x))) AS s_en,
-                 len(list_filter(toksl, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
-                 len(list_filter(toksl, x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
-                 len(list_filter(toksl, x -> list_contains(['der','die','und','das','ein'], x))) AS s_de
-               FROM t)
+        "doc_stats": c + _DOC_STATS_CTES + f"""
              SELECT doc_id, n_tok AS n_tokens, round(mwl, 6) AS mean_word_len,
                     round(swr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
-                    (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END
-                     + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0.25 ELSE 0.0 END
-                     + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END
-                     + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END) AS quality,
+                    {_QUALITY_EXPR} AS quality,
                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
                          ELSE CASE greatest(s_de*10+0, s_en*10+1, s_es*10+2, s_fr*10+3) % 10
                               WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END

@@ -578,3 +578,26 @@ def test_char_entropy_known_values(spark):
     assert out[2].entropy == round(math.log(4), 6)
     assert out[3].n_chars == 0 and out[3].entropy == 0.0
     assert out[2].entropy > out[1].entropy > out[0].entropy
+
+
+def test_curation_scorecard_composes_and_decides(spark):
+    from fluent_bit_spark.operators.curation import curation_scorecard
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, good + " " + good),          # passes every cut
+        (1, "aaaa aaaa aaaa aaaa aaaa"), # entropy ~0 -> fails
+        (2, "hi"),                       # no bigram in corpus? has one; but quality len fails
+    ]
+    out = {r.doc_id: r for r in curation_scorecard(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_quality=0.5, min_entropy=2.0, min_logprob=-10.0).collect()}
+    assert len(out) == 3
+    assert out[0].keep
+    assert not out[1].keep and out[1].entropy < 1.0
+    assert not out[2].keep  # n_tok < 5 -> quality below threshold
+    # one-token doc: no bigram -> logprob null -> keep false via coalesce
+    solo = curation_scorecard(
+        spark.createDataFrame([(9, "solo")], "doc_id long, text string"),
+        min_quality=0.0, min_entropy=0.0, min_logprob=-10.0).collect()[0]
+    assert solo.logprob is None and solo.keep is False
