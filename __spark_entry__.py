@@ -1291,6 +1291,76 @@ def _q_record_function(spark, sf_dir):
     )
 
 
+def _q_funnel_steps(spark, sf_dir):
+    """Per-conversation ordered funnel (first user -> first tool after
+    it -> first assistant after that) — one fold shuffle, no per-step
+    window passes."""
+    from fluent_bit_spark.operators.transcript_qa import funnel_steps
+
+    return funnel_steps(_transcripts(spark, sf_dir))
+
+
+def _q_echo_overlap(spark, sf_dir):
+    """SFT response-echo scoring: distinct-token overlap of each
+    response with its prompt, flagged at >= 0.6."""
+    from fluent_bit_spark.operators.transcript_qa import echo_overlap
+
+    return echo_overlap(_transcripts(spark, sf_dir), threshold=0.6)
+
+
+def _q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: 30-minute conversation sessions x 2-hour
+    event-spike incident windows, via hour-bucket equi-join candidates
+    (no cartesian) and exact microsecond overlap."""
+    from fluent_bit_spark.operators.aggregate import sessionize
+    from fluent_bit_spark.operators.enrich import interval_overlap_join
+
+    sess = sessionize(_transcripts(spark, sf_dir), "conv_id", gap="30 minutes")
+    left = sess.select(
+        F.concat(
+            F.col("conv_id"),
+            F.lit("#"),
+            F.unix_micros(F.col("session_start").cast("timestamp_ltz")).cast("string"),
+        ).alias("session_id"),
+        F.col("session_start").alias("s"),
+        F.col("session_end").alias("e"),
+    )
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    avg = hourly.groupBy("event_type").agg(F.avg("n").alias("av"))
+    incidents = (
+        hourly.join(F.broadcast(avg), "event_type")
+        .filter(F.col("n") >= F.lit(1.5) * F.col("av"))
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("@"),
+                F.unix_micros(F.col("hr").cast("timestamp_ltz")).cast("string"),
+            ).alias("incident_id"),
+            F.col("hr").alias("s"),
+            (F.col("hr") + F.expr("INTERVAL 2 HOUR")).alias("e"),
+        )
+    )
+    return interval_overlap_join(
+        left, incidents, "session_id", "incident_id", ("s", "e"), ("s", "e")
+    )
+
+
+def _q_ann_int8(spark, sf_dir):
+    """Top-10 ANN over int8-quantized embeddings (queries = vec_id < 5):
+    integer dot products, exact cross-engine cosine reconstruction."""
+    from fluent_bit_spark.operators.similarity import quantized_topk
+
+    embs = _embs(spark, sf_dir)
+    return quantized_topk(
+        embs.filter(F.col("vec_id") >= 5),
+        embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k=10,
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -1422,6 +1492,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_chat": _q_render_chat,
         "mixture_weights": _q_mixture_weights,
         "dsir_weights": _q_dsir_weights,
+        "funnel_steps": _q_funnel_steps,
+        "echo_overlap": _q_echo_overlap,
+        "interval_overlap": _q_interval_overlap,
+        "ann_int8_topk": _q_ann_int8,
     }
 
 

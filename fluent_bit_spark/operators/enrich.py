@@ -19,7 +19,7 @@ shuffle-free and stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,6 +156,76 @@ def asof_join(
         *left_cols, *[F.col(f"{packed}.{c}").alias(c) for c in value_cols]
     )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_span: tuple[str, str] = ("start_ts", "end_ts"),
+    right_span: tuple[str, str] = ("start_ts", "end_ts"),
+) -> DataFrame:
+    """Interval-overlap join of two half-open interval relations:
+    emit (left_id, right_id, overlap_us) for every pair whose spans
+    [start, end) strictly overlap (l.start < r.end AND r.start <
+    l.end); overlap_us is the exact intersection length in
+    microseconds (BIGINT — integer timestamp math, no float drift).
+    The "which conversations were live during which incidents" join
+    that neither equi-join nor as-of covers.
+
+    Scale shape: a naive overlap join is a cartesian product with a
+    post-filter (Spark plans a BroadcastNestedLoopJoin — O(n*m)).
+    Instead both sides explode to the hour buckets their span covers
+    (F.sequence over truncated hours — bounded by span length, spans
+    are short relative to the corpus timeline), equi-join on the
+    bucket, drop the per-shared-bucket duplicates, and apply the exact
+    predicate. Every true overlap shares at least one covered hour, so
+    recall is exact; work is O(candidates-within-the-same-hour), never
+    O(n*m). Skewed hours (everything online at peak) shuffle as
+    ordinary equi-join keys, so AQE skew handling applies.
+
+    Both ends are exploded INCLUSIVE of the end's hour: an interval
+    ending inside hour h still covers part of h, and one ending exactly
+    on the boundary only adds h as a false candidate the exact filter
+    removes — bucketing affects candidate count, never correctness.
+    """
+    ls, le = left_span
+    rs, re_ = right_span
+
+    def _buckets(df: DataFrame, idc: str, s: str, e: str, pfx: str) -> DataFrame:
+        cov = F.sequence(
+            F.date_trunc("hour", F.col(s)),
+            F.date_trunc("hour", F.col(e)),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+        return df.filter(F.col(s) < F.col(e)).select(
+            F.col(idc).alias(f"{pfx}_id"),
+            F.col(s).alias(f"{pfx}_s"),
+            F.col(e).alias(f"{pfx}_e"),
+            F.explode(cov).alias("_bucket"),
+        )
+
+    lb = _buckets(left, left_id, ls, le, "_l")
+    rb = _buckets(right, right_id, rs, re_, "_r")
+    cand = (
+        lb.join(rb, "_bucket")
+        .filter((F.col("_l_s") < F.col("_r_e")) & (F.col("_r_s") < F.col("_l_e")))
+        .select("_l_id", "_r_id", "_l_s", "_l_e", "_r_s", "_r_e")
+        .distinct()
+    )
+
+    def _us(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
+    return cand.select(
+        F.col("_l_id").alias(left_id),
+        F.col("_r_id").alias(right_id),
+        (
+            F.least(_us(F.col("_l_e")), _us(F.col("_r_e")))
+            - F.greatest(_us(F.col("_l_s")), _us(F.col("_r_s")))
+        ).alias("overlap_us"),
+    )
 
 
 def regex_table_enrich(

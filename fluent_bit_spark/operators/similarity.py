@@ -83,6 +83,100 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max(|x|),
+    q_i = floor(x_i / scale * 127 + 0.5) in [-127, 127] (all-zero codes
+    for a zero vector). Returns (id_col, q array<bigint>, n2 bigint =
+    sum q_i^2) — the compressed form an ANN serving tier ships instead
+    of float32 (4x smaller, integer SIMD dot products).
+
+    Determinism: scale and the quantized values are pure double
+    arithmetic in a fixed evaluation order, and floor() of the same
+    IEEE double is engine-independent — so codes are bit-identical to
+    the DuckDB oracle's. The scale is let-bound through a single-element
+    transform (the text_analysis.let_bound trick) so Catalyst evaluates
+    the array_max once per row, not once per element inside the
+    quantizing lambda.
+    """
+    v = as_double_array(F.col(vec_col))
+    staged = df.select(F.col(id_col), v.alias("_v"))
+    scale = F.array_max(F.transform(F.col("_v"), F.abs))
+    q = F.get(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                F.col("_v"),
+                lambda x: F.when(s > 0, F.floor(x / s * 127.0 + 0.5))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ),
+        ),
+        F.lit(0),
+    )
+    out = staged.select(F.col(id_col), q.alias("q"))
+    n2 = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return out.withColumn("n2", n2)
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot
+    products on the codes, cosine reconstructed as dot / sqrt(n2_a *
+    n2_b). Output (query_id, vec_id, qcosine round-6, rank). The
+    memory-bound scale path: at 100 TB the quantized corpus is 4x
+    smaller than float32 and the hot loop is integer multiply-add;
+    ranking quality degrades only by the quantization error.
+
+    Exactness: every partial sum is an integer far below 2^53, so the
+    double-typed oracle accumulates the SAME exact values in any order
+    — qcosine is cross-engine deterministic without fixed-point tricks.
+    Zero vectors (n2 = 0) are excluded: cosine is undefined for them.
+    Queries broadcast; one scan over candidates; only the tiny
+    per-query top-k shuffles (same shape as cosine_topk).
+    """
+    qv = quantize_int8(vectors, vec_col, id_col).filter(F.col("n2") > 0)
+    qq = (
+        quantize_int8(queries, vec_col, query_id_col)
+        .filter(F.col("n2") > 0)
+        .withColumnRenamed("q", "_qq")
+        .withColumnRenamed("n2", "_qn2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("_qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qv.crossJoin(F.broadcast(qq))
+        .withColumn(
+            "qcosine",
+            F.round(
+                dot.cast("double")
+                / F.sqrt((F.col("n2") * F.col("_qn2")).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qcosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "qcosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 

@@ -225,6 +225,116 @@ def context_response_pairs(
     )
 
 
+def funnel_steps(df: DataFrame) -> DataFrame:
+    """Per-conversation ordered funnel detection: the first user turn,
+    the first tool-bearing turn strictly after it, and the first
+    assistant turn strictly after that. Output (conv_id, step_user,
+    step_tool, step_assist, converted) with NULL for unreached steps —
+    the sequence-pattern analytics (did the user's ask lead to a tool
+    call that led to an answer?) an agent-transcript pipeline feeds
+    into conversion dashboards.
+
+    Scale shape: one shuffle — turns are gathered per conversation and
+    the ordered scan is a single F.aggregate fold over the sorted
+    struct array (conversations are bounded, so per-key state is
+    small). No per-step window passes, no iterative joins.
+
+    The fold carries (s1, s2, s3) with -1 as the not-yet sentinel
+    (ANSI-safe: no NULL arithmetic inside the lambda), converted to
+    NULL on output so the closed-form chained-MIN oracle matches.
+    """
+    turns = df.select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx").alias("idx"),
+            norm_role_col(F.col("role")).alias("nrole"),
+            F.col("tool").isNotNull().alias("has_tool"),
+        ).alias("t"),
+    )
+    folded = turns.groupBy("conv_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("t")),
+            F.struct(
+                F.lit(-1).alias("s1"), F.lit(-1).alias("s2"), F.lit(-1).alias("s3")
+            ),
+            lambda acc, e: F.struct(
+                F.when(
+                    (acc["s1"] == -1) & (e["nrole"] == "user"), e["idx"]
+                ).otherwise(acc["s1"]).alias("s1"),
+                # every field reads the PRE-update acc, so an element
+                # that sets s1 cannot set s2 in the same step: "strictly
+                # after" falls out of the fold order for free.
+                F.when(
+                    (acc["s1"] != -1)
+                    & (acc["s2"] == -1)
+                    & e["has_tool"]
+                    & (e["idx"] > acc["s1"]),
+                    e["idx"],
+                ).otherwise(acc["s2"]).alias("s2"),
+                F.when(
+                    (acc["s2"] != -1)
+                    & (acc["s3"] == -1)
+                    & (e["nrole"] == "assistant")
+                    & (e["idx"] > acc["s2"]),
+                    e["idx"],
+                ).otherwise(acc["s3"]).alias("s3"),
+            ),
+        ).alias("s")
+    )
+
+    def _step(c: Column) -> Column:
+        return F.when(c != -1, c).cast("int")
+
+    return folded.select(
+        "conv_id",
+        _step(F.col("s.s1")).alias("step_user"),
+        _step(F.col("s.s2")).alias("step_tool"),
+        _step(F.col("s.s3")).alias("step_assist"),
+        (F.col("s.s3") != -1).alias("converted"),
+    )
+
+
+def echo_overlap(df: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Response-echo scoring over SFT pairs: the fraction of the
+    response's DISTINCT whitespace tokens already present in the
+    prompt. Responses that mostly parrot the prompt (overlap >=
+    threshold) are flagged — the standard self-instruct/SFT echo
+    filter applied before training-pair export.
+
+    Output (conv_id, prompt_idx, response_idx, n_resp_tokens, overlap,
+    is_echo); overlap is round-6, 0.0 for an empty response.
+
+    Scale shape: rides sft_pairs' single conv_id window shuffle; the
+    token/intersect math is all map-side JVM array expressions
+    (array_distinct / array_intersect), no UDFs, no extra shuffle.
+    """
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    pairs = sft_pairs(df)
+    # coalesce before tokenizing: NULL text would propagate through
+    # split/distinct into a NULL count (the oracle coalesces too)
+    staged = pairs.withColumns(
+        {
+            "_ptk": F.array_distinct(tokens(F.coalesce(F.col("prompt"), F.lit("")))),
+            "_rtk": F.array_distinct(tokens(F.coalesce(F.col("response"), F.lit("")))),
+        }
+    )
+    n_resp = F.size("_rtk")
+    overlap = F.when(n_resp > 0,
+        F.round(
+            F.size(F.array_intersect("_rtk", "_ptk")).cast("double") / n_resp, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "conv_id",
+        "prompt_idx",
+        "response_idx",
+        n_resp.alias("n_resp_tokens"),
+        overlap.alias("overlap"),
+        (overlap >= threshold).alias("is_echo"),
+    )
+
+
 def render_chat(df: DataFrame) -> DataFrame:
     """Render each conversation to one training string in a chat
     template: '<|role|>\\ntext' per turn, turns joined by newlines in

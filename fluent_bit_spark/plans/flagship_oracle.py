@@ -570,7 +570,111 @@ SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
        round(CAST(SUM(cnt * lam) AS BIGINT) / 1000000.0, 6) AS logw
 FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
 
+    # funnel: the fold's "first X strictly after Y" chain is the
+    # closed-form chained FILTERed MIN (turn_idx unique per conv)
+    funnel_sql = f"""
+, fn1 AS (SELECT conv_id, turn_idx, {rc} AS nrole, tool FROM transcripts)
+, fns1 AS (SELECT conv_id,
+                  CAST(min(turn_idx) FILTER (WHERE nrole = 'user') AS INT) AS s1
+           FROM fn1 GROUP BY conv_id)
+, fns2 AS (SELECT t.conv_id, any_value(f.s1) AS s1,
+                  CAST(min(t.turn_idx) FILTER (
+                    WHERE t.tool IS NOT NULL AND t.turn_idx > f.s1) AS INT) AS s2
+           FROM fn1 t JOIN fns1 f USING (conv_id) GROUP BY t.conv_id)
+, fns3 AS (SELECT t.conv_id, any_value(f.s1) AS s1, any_value(f.s2) AS s2,
+                  CAST(min(t.turn_idx) FILTER (
+                    WHERE t.nrole = 'assistant' AND t.turn_idx > f.s2) AS INT) AS s3
+           FROM fn1 t JOIN fns2 f USING (conv_id) GROUP BY t.conv_id)
+SELECT conv_id, s1 AS step_user, s2 AS step_tool, s3 AS step_assist,
+       s3 IS NOT NULL AS converted
+FROM fns3"""
+
+    echo_thr = 0.6
+    echo_sql = f"""
+, ec1 AS (
+    SELECT conv_id, turn_idx, text, {rc} AS nrole,
+           lead({rc}) OVER w AS next_role,
+           lead(turn_idx) OVER w AS next_idx,
+           lead(text) OVER w AS next_text
+    FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+, ec2 AS (
+    SELECT conv_id, turn_idx AS prompt_idx, next_idx AS response_idx,
+           list_distinct(list_filter(regexp_split_to_array(
+             trim(coalesce(text, '')), '\\s+'), x -> x <> '')) AS ptk,
+           list_distinct(list_filter(regexp_split_to_array(
+             trim(coalesce(next_text, '')), '\\s+'), x -> x <> '')) AS rtk
+    FROM ec1 WHERE nrole = 'user' AND next_role = 'assistant')
+, ec3 AS (
+    SELECT conv_id, prompt_idx, response_idx,
+           CAST(len(rtk) AS INT) AS n_resp_tokens,
+           CASE WHEN len(rtk) > 0
+                THEN round(CAST(len(list_intersect(rtk, ptk)) AS DOUBLE) / len(rtk), 6)
+                ELSE 0.0::DOUBLE END AS overlap
+    FROM ec2)
+SELECT conv_id, prompt_idx, response_idx, n_resp_tokens, overlap,
+       overlap >= {echo_thr!r}::DOUBLE AS is_echo
+FROM ec3"""
+
+    # interval overlap: sessions (gap 30 min, Spark session_window
+    # semantics: end = last ts + gap, break at diff >= gap) x event
+    # spike incidents; exact microsecond intersection of the true
+    # overlap predicate — the hour-bucket candidate step is a Spark-side
+    # performance device the closed form doesn't need
+    interval_sql = """
+, io_s AS (
+    SELECT conv_id, sess, min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+    FROM (
+      SELECT conv_id, ts,
+             SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sess
+      FROM (SELECT conv_id, turn_idx, ts,
+                   lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+            FROM transcripts))
+    GROUP BY conv_id, sess)
+, io_l AS (SELECT conv_id || '#' || CAST(epoch_us(s) AS VARCHAR) AS session_id,
+                  s, e FROM io_s)
+, io_h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+, io_a AS (SELECT event_type, avg(n) AS av FROM io_h GROUP BY event_type)
+, io_i AS (SELECT event_type || '@' || CAST(epoch_us(hr) AS VARCHAR) AS incident_id,
+                  hr AS s, hr + INTERVAL 2 HOUR AS e
+           FROM io_h JOIN io_a USING (event_type)
+           WHERE n >= 1.5::DOUBLE * av)
+SELECT l.session_id, i.incident_id,
+       least(epoch_us(l.e), epoch_us(i.e))
+         - greatest(epoch_us(l.s), epoch_us(i.s)) AS overlap_us
+FROM io_l l JOIN io_i i ON l.s < i.e AND i.s < l.e"""
+
+    # int8 ANN: floor(x/s*127+0.5) codes are bit-identical across
+    # engines (same IEEE double expression); dots/norms are small
+    # integers, exact in DOUBLE in any accumulation order
+    int8_sql = """
+, qi1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+, qi2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM qi1)
+, qi3 AS (SELECT vec_id,
+            CASE WHEN s > 0 THEN list_transform(v, x -> floor(x / s * 127.0 + 0.5))
+                 ELSE list_transform(v, x -> 0.0::DOUBLE) END AS q
+          FROM qi2)
+, qi4 AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qi3)
+, qiq AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM qi4
+          WHERE vec_id < 5 AND n2 > 0)
+, qic AS (SELECT vec_id, q, n2 FROM qi4 WHERE vec_id >= 5 AND n2 > 0)
+, qis AS (SELECT query_id, vec_id,
+                 round(list_dot_product(q, qq) / sqrt(n2 * qn2), 6) AS qcosine
+          FROM qic CROSS JOIN qiq)
+SELECT query_id, vec_id, qcosine, rank FROM (
+  SELECT query_id, vec_id, qcosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcosine DESC, vec_id) AS rank
+  FROM qis)
+WHERE rank <= 10"""
+
     return {
+        "funnel_steps": funnel_sql,
+        "echo_overlap": echo_sql,
+        "interval_overlap": interval_sql,
+        "ann_int8_topk": int8_sql,
         "tool_pagerank": pagerank_sql,
         "dsir_weights": dsir_sql,
         "pack_offsets": pack_sql,

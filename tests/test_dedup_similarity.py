@@ -401,3 +401,44 @@ def test_rrf_fuse_combines_and_ranks(spark):
     assert out[10].rrf == out[11].rrf
     assert out[12].rank == 3 and out[13].rank == 4  # doc-id tiebreak
     assert out[10].rrf > out[12].rrf
+
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    from fluent_bit_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 1.0, 0.0, 0.25]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r.vec_id: (r.q, r.n2) for r in quantize_int8(df).collect()}
+    # scale 1.0: 127, -127, floor(63.5+0.5)=64, 0
+    assert got[1] == ([127, -127, 64, 0], 127 * 127 * 2 + 64 * 64)
+    assert got[2] == ([0, 0, 0, 0], 0)
+    # scale 2.0: -127, floor(63.5+0.5)=64, 0, floor(15.875+0.5)=16
+    assert got[3] == ([-127, 64, 0, 16], 127 * 127 + 64 * 64 + 256)
+
+
+def test_quantized_topk_matches_exact_ranking_on_separated_vectors(spark):
+    from fluent_bit_spark.operators.similarity import quantized_topk
+
+    # well-separated directions: quantization noise cannot flip ranks
+    cand = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.9, 0.1, 0.0, 0.0]),
+            (12, [0.0, 1.0, 0.0, 0.0]),
+            (13, [0.0, 0.0, 0.0, 0.0]),  # zero vector: excluded
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id int, embedding array<float>"
+    )
+    rows = quantized_topk(cand, q, k=3).collect()
+    assert [r.vec_id for r in rows] == [10, 11, 12]
+    assert rows[0].qcosine == 1.0
+    assert all(r.query_id == 0 for r in rows)

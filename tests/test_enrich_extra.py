@@ -173,3 +173,46 @@ def test_asof_join_partition_invariant(spark):
             for r in asof_join(left.repartition(n), right.repartition(n), key="k").collect()
         )
         assert got == base
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.operators.enrich import interval_overlap_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            # contained in i1
+            ("s1", T(2024, 1, 1, 10, 15), T(2024, 1, 1, 10, 45)),
+            # straddles i1's end
+            ("s2", T(2024, 1, 1, 11, 30), T(2024, 1, 1, 12, 30)),
+            # touches i1's end exactly: half-open => NO overlap
+            ("s3", T(2024, 1, 1, 12, 0), T(2024, 1, 1, 13, 0)),
+            # many-hour span bridging i1 and i2
+            ("s4", T(2024, 1, 1, 9, 0), T(2024, 1, 2, 1, 0)),
+            # empty interval: dropped
+            ("s5", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 0)),
+        ],
+        "session_id string, s timestamp_ntz, e timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("i1", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 12, 0)),
+            ("i2", T(2024, 1, 2, 0, 0), T(2024, 1, 2, 2, 0)),
+        ],
+        "incident_id string, s timestamp_ntz, e timestamp_ntz",
+    )
+    got = {
+        (r.session_id, r.incident_id): r.overlap_us
+        for r in interval_overlap_join(
+            left, right, "session_id", "incident_id", ("s", "e"), ("s", "e")
+        ).collect()
+    }
+    m = 60 * 1_000_000
+    assert got == {
+        ("s1", "i1"): 30 * m,
+        ("s2", "i1"): 30 * m,
+        ("s4", "i1"): 120 * m,
+        ("s4", "i2"): 60 * m,
+    }

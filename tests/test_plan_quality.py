@@ -264,3 +264,39 @@ def test_dsir_bucket_table_broadcast(spark, sf_dir):
     release_persisted()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_equi_join_no_nested_loop(spark, sf_dir):
+    """The interval-overlap join must plan as an equi-join on the hour
+    bucket — never a CartesianProduct/BroadcastNestedLoopJoin with a
+    range post-filter (O(n*m) at scale)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from fluent_bit_spark.operators.dedup import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+    df = e._raw_queries()["interval_overlap"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_broadcast_queries_single_topk_shuffle(spark, sf_dir):
+    """int8 ANN: queries broadcast, candidates stream through one scan;
+    the only hash-partition exchange is the tiny per-query top-k."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from fluent_bit_spark.operators.dedup import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+    df = e._raw_queries()["ann_int8_topk"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 1

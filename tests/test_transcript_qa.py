@@ -240,3 +240,73 @@ def test_render_chat_deterministic_order_and_roles(spark):
     out = render_chat(df).collect()[0]
     assert out.n_turns == 2
     assert out.rendered == "<|user|>\nfirst\n<|assistant|>\nsecond"
+
+
+def _conv_tool(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def test_funnel_steps_ordered_chain(spark):
+    from fluent_bit_spark.operators.transcript_qa import funnel_steps
+
+    df = _conv_tool(
+        spark,
+        [
+            # full funnel; the tool turn BEFORE the first user turn must
+            # not count, nor the assistant turn before the tool step
+            ("c1", 0, "assistant", "hi", "search"),
+            ("c1", 1, "human", "q", None),          # s1 = 1 (normalized)
+            ("c1", 2, "ai", "thinking", None),      # assistant before s2: ignored
+            ("c1", 3, "function", "out", "browser"),  # s2 = 3
+            ("c1", 4, "ai", "answer", None),        # s3 = 4
+            # user turn that itself carries a tool: strictly-after means
+            # it cannot double as its own s2
+            ("c2", 0, "user", "q", "search"),
+            ("c2", 1, "tool", "out", "search"),     # s2 = 1
+            ("c2", 2, "assistant", "a", None),      # s3 = 2
+            # no user turn at all: nothing reached
+            ("c3", 0, "system", "s", None),
+            ("c3", 1, "assistant", "a", "search"),
+            # funnel stalls after the tool step
+            ("c4", 0, "user", "q", None),
+            ("c4", 1, "tool", "out", "grep"),
+            ("c4", 2, "user", "again?", None),
+        ],
+    )
+    got = {
+        r.conv_id: (r.step_user, r.step_tool, r.step_assist, r.converted)
+        for r in funnel_steps(df).collect()
+    }
+    assert got == {
+        "c1": (1, 3, 4, True),
+        "c2": (0, 1, 2, True),
+        "c3": (None, None, None, False),
+        "c4": (0, 1, None, False),
+    }
+
+
+def test_echo_overlap_values_and_empty_response(spark):
+    from fluent_bit_spark.operators.transcript_qa import echo_overlap
+
+    df = _conv(
+        spark,
+        [
+            ("c1", 0, "user", "alpha beta gamma"),
+            ("c1", 1, "assistant", "alpha beta delta epsilon"),  # 2/4 distinct
+            ("c2", 0, "user", "alpha beta"),
+            ("c2", 1, "assistant", "alpha  alpha beta"),  # distinct = 2/2 echo
+            ("c3", 0, "user", "question"),
+            ("c3", 1, "assistant", "   "),  # empty response -> overlap 0.0
+        ],
+    )
+    got = {
+        r.conv_id: (r.n_resp_tokens, r.overlap, r.is_echo)
+        for r in echo_overlap(df, threshold=0.6).collect()
+    }
+    assert got == {
+        "c1": (4, 0.5, False),
+        "c2": (2, 1.0, True),
+        "c3": (0, 0.0, False),
+    }
