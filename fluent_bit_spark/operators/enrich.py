@@ -189,6 +189,12 @@ def interval_overlap_join(
     ending inside hour h still covers part of h, and one ending exactly
     on the boundary only adds h as a false candidate the exact filter
     removes — bucketing affects candidate count, never correctness.
+
+    Precondition: ids must be unique per input row (each id names one
+    interval). The per-shared-bucket duplicates are removed with a
+    distinct() over (ids, spans), which would also collapse genuine
+    duplicate input rows — pre-aggregate duplicated intervals upstream
+    if their multiplicity matters.
     """
     ls, le = left_span
     rs, re_ = right_span

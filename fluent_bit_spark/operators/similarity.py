@@ -100,20 +100,19 @@ def quantize_int8(
     the array_max once per row, not once per element inside the
     quantizing lambda.
     """
+    from fluent_bit_spark.operators.text_analysis import let_bound
+
     v = as_double_array(F.col(vec_col))
     staged = df.select(F.col(id_col), v.alias("_v"))
     scale = F.array_max(F.transform(F.col("_v"), F.abs))
-    q = F.get(
-        F.transform(
-            F.array(scale),
-            lambda s: F.transform(
-                F.col("_v"),
-                lambda x: F.when(s > 0, F.floor(x / s * 127.0 + 0.5))
-                .otherwise(F.lit(0))
-                .cast("long"),
-            ),
+    q = let_bound(
+        scale,
+        lambda s: F.transform(
+            F.col("_v"),
+            lambda x: F.when(s > 0, F.floor(x / s * 127.0 + 0.5))
+            .otherwise(F.lit(0))
+            .cast("long"),
         ),
-        F.lit(0),
     )
     out = staged.select(F.col(id_col), q.alias("q"))
     n2 = F.aggregate(
@@ -141,8 +140,11 @@ def quantized_topk(
     double-typed oracle accumulates the SAME exact values in any order
     — qcosine is cross-engine deterministic without fixed-point tricks.
     Zero vectors (n2 = 0) are excluded: cosine is undefined for them.
-    Queries broadcast; one scan over candidates; only the tiny
-    per-query top-k shuffles (same shape as cosine_topk).
+    Dimension-mismatched pairs (zip_with would NULL-pad the dot) are
+    excluded too rather than surfacing NULL-scored ranks — mixed-dim
+    corpora should be split upstream. Queries broadcast; one scan over
+    candidates; only the tiny per-query top-k shuffles (same shape as
+    cosine_topk).
     """
     qv = quantize_int8(vectors, vec_col, id_col).filter(F.col("n2") > 0)
     qq = (
@@ -166,6 +168,7 @@ def quantized_topk(
                 6,
             ),
         )
+        .filter(F.col("qcosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("qcosine").desc(), F.col(id_col)

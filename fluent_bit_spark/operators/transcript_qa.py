@@ -325,13 +325,16 @@ def echo_overlap(df: DataFrame, threshold: float = 0.6) -> DataFrame:
             F.size(F.array_intersect("_rtk", "_ptk")).cast("double") / n_resp, 6
         ),
     ).otherwise(F.lit(0.0))
-    return staged.select(
+    # bind overlap once: codegen does not CSE the intersect/round
+    # subtree across output columns, so deriving is_echo from the
+    # inline expression would run it twice per row
+    return staged.withColumn("overlap", overlap).select(
         "conv_id",
         "prompt_idx",
         "response_idx",
         n_resp.alias("n_resp_tokens"),
-        overlap.alias("overlap"),
-        (overlap >= threshold).alias("is_echo"),
+        "overlap",
+        (F.col("overlap") >= threshold).alias("is_echo"),
     )
 
 
