@@ -1361,6 +1361,51 @@ def _q_ann_int8(spark, sf_dir):
     )
 
 
+def _neardup_docs(spark, sf_dir):
+    """documents + prefix-cut copies of every 4th doc (keeping
+    50..89% of tokens by doc_id) — a spread of true shingle-Jaccards
+    so the LSH scorecard has real borderline pairs; mirrored in the
+    oracle's NEARDUP_DOCS_SQL."""
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    cut = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("_tk", tokens(F.col("text")))
+        .withColumn(
+            "_keep", F.expr("(size(_tk) * (50 + doc_id % 40)) div 100").cast("int")
+        )
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(F.col("_tk"), 1, F.col("_keep")), " ").alias("text"),
+            "source",
+        )
+    )
+    return docs.unionByName(cut)
+
+
+def _q_minhash_eval(spark, sf_dir):
+    """Precision/recall scorecard of a deliberately lossy 4-row-band
+    MinHash operating point vs the exact blocked shingle-Jaccard
+    truth over the synthesized near-dup corpus — one row of counts
+    and rates."""
+    from fluent_bit_spark.operators.dedup import minhash_eval
+
+    return minhash_eval(
+        _neardup_docs(spark, sf_dir), threshold=0.5, num_perm=64, bands=16
+    )
+
+
+def _q_strat_sample(spark, sf_dir):
+    """Exact stratified 10% sample of documents per language: largest
+    remainder allocation, content-hash selection order."""
+    from fluent_bit_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), stratum_col="lang", key_col="doc_id", fraction=0.1
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -1496,6 +1541,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "echo_overlap": _q_echo_overlap,
         "interval_overlap": _q_interval_overlap,
         "ann_int8_topk": _q_ann_int8,
+        "strat_sample": _q_strat_sample,
+        "minhash_eval": _q_minhash_eval,
     }
 
 

@@ -296,6 +296,100 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    spread: bool = True,
+) -> DataFrame:
+    """Measure, don't guess: precision/recall of MinHash-LSH candidate
+    generation against the exact shingle-Jaccard truth at `threshold`.
+    Truth is the blocked all-pairs set (same `block_col`), and the LSH
+    candidate set is restricted to the same blocks so both sides rank
+    the same pair universe. Output is ONE row: (n_truth, n_pred, tp,
+    fp, fn, precision, recall) — the scorecard that tells you whether
+    a given (num_perm, bands) operating point clears your recall bar
+    BEFORE you burn a 100 TB pass on it.
+
+    With 4-row bands (64/16) at threshold 0.5 the S-curve predicts
+    ~64% candidate recall — a deliberately lossy operating point the
+    scorecard should expose (the shipped dedup uses 2-row bands).
+
+    Scale shape: the truth side is the jaccard_pairs_blocked join
+    (block equi-join, never corpus-wide O(n^2)); the candidate side is
+    the banded equi-join; the final full-outer join and count run over
+    pair keys only. Shingle frames are persisted — both the truth
+    self-join sides consume them.
+    """
+    cand = minhash_candidates(
+        df, text_col, id_col, num_perm, bands, spread, shingle_k
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+    sides = _persist(
+        shingle_frame(df, text_col, id_col, shingle_k, spread).join(src, "id")
+    )
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk_a")
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("blk").alias("blk_b")
+    )
+    truth = (
+        a.join(b, on=[F.col("blk_a") == F.col("blk_b"), F.col("id_a") < F.col("id_b")])
+        .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(True))
+    )
+    pred = (
+        cand.join(
+            src.withColumnRenamed("id", "id_a").withColumnRenamed("blk", "blk_a"),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("id", "id_b").withColumnRenamed("blk", "blk_b"),
+            "id_b",
+        )
+        .filter(F.col("blk_a") == F.col("blk_b"))
+        .select("id_a", "id_b")
+        .withColumn("_p", F.lit(True))
+    )
+    joined = truth.join(pred, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("_t"), F.lit(False)).alias("t"),
+        F.coalesce(F.col("_p"), F.lit(False)).alias("p"),
+    )
+
+    def _n(c: Column) -> Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    counts = joined.agg(
+        _n(F.col("t")).alias("n_truth"),
+        _n(F.col("p")).alias("n_pred"),
+        _n(F.col("t") & F.col("p")).alias("tp"),
+        _n(F.col("p") & ~F.col("t")).alias("fp"),
+        _n(F.col("t") & ~F.col("p")).alias("fn"),
+    )
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pred"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_truth"), 6),
+        ).alias("recall"),
+    )
+
+
 def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep-first policy: drop ids that appear as the larger member of
     any duplicate pair."""

@@ -74,6 +74,96 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Exact stratified sampling with largest-remainder allocation:
+    take round(total * fraction) rows overall, split across strata
+    proportionally — each stratum contributes floor(n_i * fraction),
+    and the leftover seats go to the strata with the largest fractional
+    quotas (ties by stratum name). Within a stratum, rows are chosen in
+    content-hash order (partition-independent, resume-stable — the
+    hash_sample property), so re-runs select identical rows.
+
+    Unlike hash_sample (which keeps a ~fraction BINOMIAL sample whose
+    size wobbles per stratum), the output size is exact per stratum —
+    the "balanced subcorpus" step a training mixture needs before
+    tokenization. Output: (stratum, key, rk) for the selected rows.
+
+    Scale shape: stratum counts are one partial-agg shuffle; the
+    allocation table is #strata rows (a single-task window over a tiny
+    aggregated frame, then broadcast back). Row selection pre-limits
+    per input partition BEFORE the per-stratum rank window (a
+    partition can only contribute its own first take_i — the
+    quota_sample/throttle bound), so a hot stratum never lands its
+    full row set on one reducer.
+
+    Determinism across engines: quotas are n_i * fraction in exact
+    IEEE double, base = floor(quota), leftovers = round(total *
+    fraction) - sum(base) — every comparison the oracle replays
+    bit-identically. Requires 0 <= fraction <= 1.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    from pyspark.sql import Window
+
+    s, k = F.col(stratum_col), F.col(key_col)
+    counts = df.groupBy(s.alias("stratum")).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.floor(F.sum("n") * F.lit(fraction) + F.lit(0.5))
+        .cast("long")
+        .alias("_take_total"),
+        F.sum(F.floor(F.col("n") * F.lit(fraction)).cast("long")).alias("_base_sum"),
+    )
+    quota = F.col("n") * F.lit(fraction)
+    ranked = (
+        counts.withColumn("_base", F.floor(quota).cast("long"))
+        .withColumn("_frac", quota - F.col("_base"))
+        .withColumn(
+            "_fr",
+            F.row_number().over(
+                Window.orderBy(F.col("_frac").desc(), F.col("stratum"))
+            ),
+        )
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_take",
+            F.col("_base")
+            + F.when(
+                F.col("_fr") <= F.col("_take_total") - F.col("_base_sum"), 1
+            ).otherwise(0),
+        )
+        .select("stratum", "_take")
+    )
+    staged = (
+        df.select(s.alias("stratum"), k.alias("key"))
+        .withColumn(
+            "_h", md5_32(F.concat(F.col("key").cast("string"), F.lit(salt)))
+        )
+        .join(F.broadcast(alloc), "stratum")
+    )
+    pre = Window.partitionBy(F.spark_partition_id(), "stratum").orderBy(
+        F.col("_h").asc(), F.col("key").asc()
+    )
+    candidates = (
+        staged.withColumn("_pre", F.row_number().over(pre))
+        .filter(F.col("_pre") <= F.col("_take"))
+        .drop("_pre")
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col("_h").asc(), F.col("key").asc())
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("_take"))
+        .select("stratum", "key", "rk")
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,

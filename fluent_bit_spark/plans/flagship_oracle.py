@@ -55,6 +55,29 @@ def _sample_split_sql() -> dict[str, str]:
              FROM (SELECT doc_id,
                           {_md5_32_sql('CAST(doc_id AS VARCHAR)')} % {domain} AS h
                    FROM documents)""",
+        # largest-remainder stratified allocation: base = floor(n*f),
+        # leftovers = round(total*f) - sum(base) to the largest
+        # fractional quotas (ties by stratum); selection in hash order
+        "strat_sample": f"""
+, sa_n AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY lang)
+, sa_t AS (SELECT CAST(floor(SUM(n) * {0.1!r}::DOUBLE + 0.5) AS BIGINT) AS take_total,
+                  CAST(SUM(CAST(floor(n * {0.1!r}::DOUBLE) AS BIGINT)) AS BIGINT) AS base_sum
+           FROM sa_n)
+, sa_r AS (SELECT stratum, n,
+                  CAST(floor(n * {0.1!r}::DOUBLE) AS BIGINT) AS base,
+                  n * {0.1!r}::DOUBLE - floor(n * {0.1!r}::DOUBLE) AS frac,
+                  row_number() OVER (ORDER BY n * {0.1!r}::DOUBLE
+                                     - floor(n * {0.1!r}::DOUBLE) DESC, stratum) AS fr
+           FROM sa_n)
+, sa_a AS (SELECT stratum,
+                  base + CASE WHEN fr <= take_total - base_sum THEN 1 ELSE 0 END AS take
+           FROM sa_r CROSS JOIN sa_t)
+, sa_k AS (SELECT lang AS stratum, doc_id AS key,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY {_md5_32_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rk
+           FROM documents)
+SELECT stratum, key, rk FROM sa_k JOIN sa_a USING (stratum) WHERE rk <= take""",
     }
 
 
@@ -845,12 +868,30 @@ GROUP BY doc_id""",
     }
 
 
-def _minhash_pairs_sql(
-    num_perm: int = 64, bands: int = 32, threshold: float = 0.8, k: int = 3
+NEARDUP_DOCS_SQL = """
+, ne_base AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents)
+, ne_docs AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           coalesce(array_to_string(
+             toks[1 : CAST(len(toks) * (50 + doc_id % 40) // 100 AS BIGINT)],
+             ' '), '') AS text,
+           source
+    FROM ne_base WHERE doc_id % 4 = 0)
+"""
+
+
+def _minhash_ctes(
+    num_perm: int = 64, bands: int = 32, k: int = 3, table: str = "documents"
 ) -> str:
-    """Full MinHash-LSH pipeline in SQL: shingles -> md5 base hashes ->
-    affine-permutation minima -> banded candidate join -> exact Jaccard
-    verification. Same permutation constants as minhash_signature."""
+    """MinHash-LSH CTE chain (shingles -> md5 base hashes -> affine
+    permutation minima -> banded candidate join) through `mh_cand`;
+    `mh_sig` keeps the shingle sets for exact verification. Same
+    permutation constants as minhash_signature."""
     rows = num_perm // bands
     consts = _perm_consts(num_perm)
     sig_exprs = ", ".join(
@@ -865,7 +906,7 @@ def _minhash_pairs_sql(
 , mh_tok AS (
     SELECT doc_id AS id,
            list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
-    FROM documents),
+    FROM {table}),
 mh_sh AS (
     SELECT id, CASE WHEN len(toks) >= {k}
         THEN list_distinct([array_to_string(toks[i+1:i+{k}], ' ')
@@ -884,7 +925,17 @@ mh_band AS (
 mh_cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM mh_band a JOIN mh_band b
-      ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
+
+
+def _minhash_pairs_sql(
+    num_perm: int = 64, bands: int = 32, threshold: float = 0.8, k: int = 3
+) -> str:
+    """Full MinHash-LSH pipeline in SQL: banded candidates + exact
+    Jaccard verification."""
+    return (
+        _minhash_ctes(num_perm, bands, k)
+        + f"""
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
              / (len(sa.shingles) + len(sb.shingles)
@@ -895,6 +946,53 @@ JOIN mh_sig sb ON sb.id = id_b
 WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       / (len(sa.shingles) + len(sb.shingles)
          - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}"""
+    )
+
+
+def _minhash_eval_sql(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5, k: int = 3
+) -> str:
+    """Precision/recall scorecard for MinHash-LSH candidate generation
+    vs the exact shingle-Jaccard truth, both restricted to same-source
+    pairs (the blocked truth is computable; the restriction applies to
+    BOTH sides so the comparison is apples-to-apples). Runs over the
+    synthesized near-duplicate corpus (prefix-cut copies with a spread
+    of true Jaccards) — the raw table is all-distinct at small SFs."""
+    return (
+        NEARDUP_DOCS_SQL
+        + _minhash_ctes(num_perm, bands, k, table="ne_docs")
+        + f"""
+, me_src AS (SELECT doc_id AS id, source FROM ne_docs)
+, me_s AS (SELECT s.id, s.shingles, d.source
+           FROM mh_sig s JOIN me_src d ON d.id = s.id)
+, me_j AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS j
+    FROM me_s a JOIN me_s b ON a.source = b.source AND a.id < b.id)
+, me_truth AS (SELECT id_a, id_b FROM me_j WHERE j >= {threshold!r}::DOUBLE)
+, me_pred AS (
+    SELECT c.id_a, c.id_b FROM mh_cand c
+    JOIN me_src sa ON sa.id = c.id_a
+    JOIN me_src sb ON sb.id = c.id_b
+    WHERE sa.source = sb.source)
+, me_join AS (
+    SELECT coalesce(t.id_a, p.id_a) AS id_a,
+           (t.id_a IS NOT NULL) AS in_t, (p.id_a IS NOT NULL) AS in_p
+    FROM me_truth t FULL OUTER JOIN me_pred p
+      ON t.id_a = p.id_a AND t.id_b = p.id_b)
+SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN in_t AND NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       round(CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(SUM(CASE WHEN in_p THEN 1 ELSE 0 END), 0), 6) AS precision,
+       round(CAST(SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(SUM(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6) AS recall
+FROM me_join"""
+    )
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -1690,6 +1788,7 @@ def oracle_queries() -> dict[str, str]:
         + DUP_DOCS_SQL
         + "SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text",
         "dedup_minhash": c + _minhash_pairs_sql(),
+        "minhash_eval": c + _minhash_eval_sql(),
         "dedup_simhash": c + _simhash_pairs_sql(),
         "ann_lsh_topk": c + _lsh_topk_sql(),
         "jaccard_blocked": c

@@ -200,6 +200,67 @@ def windowed_cms(
     )
 
 
+def windowed_rate(
+    df: DataFrame,
+    key: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key hourly rate counts (key, hour, n). Streaming frames get
+    a watermark so append-mode emits each hour exactly once when it
+    closes; works on batch frames too (same expressions) for the
+    stream==batch cross-check."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key), F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col(key), F.col("w.start").alias("hour"), F.col("n"))
+    )
+
+
+def anomaly_foreach_batch(history_dir: str, out_dir: str,
+                          key: str = "event_type",
+                          window_hours: int = 6,
+                          z_threshold: float = 3.0):
+    """Streaming rolling-z spike detection: a foreachBatch sink over
+    the closed hourly windows from `windowed_rate` (append mode). Each
+    micro-batch appends its closed hours to a history table, recomputes
+    the exact-integer-sum z-score (aggregate.rate_anomalies_hourly —
+    the SAME expressions as the batch operator) over the history, and
+    appends verdicts for the newly-closed hours only. A rolling window
+    over PRIOR hours cannot be a pure streaming aggregate (it crosses
+    window boundaries), so this is the standard incremental-history
+    pattern.
+
+    Idempotence: both writes go to per-batch subdirectories keyed by
+    batch_id with mode("overwrite") (plain 'b<id>' names — 'batch=<id>'
+    would trigger partition-column inference on read) — a replayed micro-batch (failure
+    recovery) overwrites its own previous attempt instead of
+    double-counting hours. History volume is (keys x hours), tiny
+    relative to the stream.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{history_dir}/b{batch_id}"
+        )
+        from fluent_bit_spark.operators.aggregate import rate_anomalies_hourly
+
+        hist = spark.read.parquet(f"{history_dir}/b*")
+        verdicts = rate_anomalies_hourly(hist, key, window_hours, z_threshold)
+        emit = verdicts.join(
+            batch_df.select(key, "hour"), [key, "hour"], "left_semi"
+        )
+        emit.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id}")
+
+    return _sink
+
+
 def foreach_batch_fanout(base_path: str, sinks: list[tuple[str, str]]):
     """Exactly-once fan-out for writeStream.foreachBatch: each epoch
     writes every sink slice under <base>/<sink>/epoch=<id> (idempotent

@@ -498,3 +498,60 @@ def test_dedup_stateful_drops_duplicates_across_batches(spark, tmp_path):
         q.stop()
     assert got == {("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)}
     assert n == 4  # the cross-batch duplicate was dropped, not re-emitted
+
+
+def test_rate_anomalies_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Rolling-z spike verdicts from the streaming foreachBatch path
+    must equal the batch rate_anomalies rows for every hour the stream
+    closed (the last watermark horizon never closes under availableNow
+    — that is the documented streaming contract)."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.aggregate import rate_anomalies
+    from fluent_bit_spark.streaming import anomaly_foreach_batch, windowed_rate
+
+    # watermarks require TIMESTAMP (LTZ) event time; the session TZ is
+    # UTC so the cast is value-preserving
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")
+    )
+    # multiple time-ordered files => multiple micro-batches, watermark
+    # advances between them and closes earlier hours
+    src_dir = str(tmp_path / "events_stream")
+    for i, (lo, hi) in enumerate([(1, 9), (9, 17), (17, 25), (25, 32)]):
+        events.filter(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/f{i}")
+    hist_dir = str(tmp_path / "hist")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/f*")
+    )
+    q = (
+        windowed_rate(stream, "event_type", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(anomaly_foreach_batch(hist_dir, out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert globmod.glob(f"{out_dir}/b*"), "stream emitted nothing"
+    got = {
+        (r.event_type, r.hour): (r.n, r.mean_n, r.z, r.spike)
+        for r in spark.read.parquet(f"{out_dir}/b*").collect()
+    }
+    want = {
+        (r.event_type, r.hour): (r.n, r.mean_n, r.z, r.spike)
+        for r in rate_anomalies(events).collect()
+    }
+    assert len(got) > 100
+    for k, v in got.items():
+        assert want[k] == v, k

@@ -442,3 +442,65 @@ def test_quantized_topk_matches_exact_ranking_on_separated_vectors(spark):
     assert [r.vec_id for r in rows] == [10, 11, 12]
     assert rows[0].qcosine == 1.0
     assert all(r.query_id == 0 for r in rows)
+
+
+def test_stratified_sample_largest_remainder_allocation(spark):
+    from fluent_bit_spark.operators.sampling import stratified_sample
+
+    # strata sizes 7/6/5, fraction 0.25: quotas 1.75/1.5/1.25,
+    # bases 1/1/1, total take = round(18*0.25) = 5 => 2 leftovers go to
+    # the largest fractional quotas (a: .75, b: .5) => takes 2/2/1
+    rows = (
+        [("a", i) for i in range(7)]
+        + [("b", 10 + i) for i in range(6)]
+        + [("c", 20 + i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_sample(df, "lang", "doc_id", 0.25).collect()
+    rks: dict[str, set] = {}
+    for r in out:
+        rks.setdefault(r.stratum, set()).add(r.rk)
+    # ranks are dense 1..take within each stratum
+    assert rks == {"a": {1, 2}, "b": {1, 2}, "c": {1}}
+    assert len(out) == 5
+
+
+def test_stratified_sample_partition_invariant_and_bounds(spark):
+    from fluent_bit_spark.operators.sampling import stratified_sample
+
+    rows = [("s%d" % (i % 3), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    base = {
+        (r.stratum, r.key) for r in stratified_sample(df, "lang", "doc_id", 0.3).collect()
+    }
+    for parts in (1, 2, 7):
+        got = {
+            (r.stratum, r.key)
+            for r in stratified_sample(
+                df.repartition(parts), "lang", "doc_id", 0.3
+            ).collect()
+        }
+        assert got == base
+    assert len(base) == round(60 * 0.3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", "doc_id", 1.5)
+
+
+def test_minhash_eval_counts_consistent_and_exact_copies_recalled(spark):
+    from fluent_bit_spark.operators.dedup import minhash_eval
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base, "s1"),
+        (2, base, "s1"),            # exact copy: every band collides -> tp
+        (3, "totally different words here nothing shared at all", "s1"),
+        (4, base, "s2"),            # same text, other block: NOT a truth pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = minhash_eval(df, threshold=0.5, num_perm=64, bands=16).collect()[0]
+    assert r.n_truth == r.tp + r.fn and r.n_pred == r.tp + r.fp
+    assert r.tp >= 1 and r.recall == 1.0  # the exact copy is always found
+    # cross-block identical pair is excluded from both sides
+    assert r.n_truth == 1
