@@ -126,8 +126,6 @@ def rate_anomalies(
     Scale shape: one shuffle to the (key, hour) aggregate (map-side
     partial), then a per-key ordered window over tiny hourly rows.
     """
-    from pyspark.sql import Window
-
     # NULL timestamps have no hour bucket — drop them up front (engines
     # disagree on NULL placement in window ORDER BY: Spark NULLS FIRST,
     # DuckDB NULLS LAST, so keeping them would also break the oracle)

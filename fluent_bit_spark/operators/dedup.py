@@ -229,15 +229,27 @@ def minhash_candidates(
     slice equality (no hash-collision candidates, so the DuckDB oracle
     reproduces the candidate set bit-for-bit); the join key stays small
     (`rows` longs as text)."""
-    rows = num_perm // bands
     # tokens and shingles are bound to columns (shingle_frame) before
     # the signature fold — in-lambda re-evaluation otherwise makes the
     # signature stage O(tokens^2) per row (measured 4.5x at 400 tok).
+    return minhash_candidates_from_shingles(
+        shingle_frame(df, text_col, id_col, shingle_k, spread), num_perm, bands
+    )
+
+
+def minhash_candidates_from_shingles(
+    shingled: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """minhash_candidates over a prebuilt (id, sh) shingle frame —
+    callers that also need the shingle sets for verification (eval /
+    dedup_pairs paths) build the frame once instead of re-tokenizing
+    the corpus per consumer."""
+    rows = num_perm // bands
     # persist: the self-join consumes the signatures TWICE (both join
     # sides) and Spark has no common-subplan sharing across them — at
     # any scale you compute signatures once, not per side
     sig = _persist(
-        shingle_frame(df, text_col, id_col, shingle_k, spread).select(
+        shingled.select(
             "id", minhash_sig_from_shingles(F.col("sh"), num_perm).alias("sig")
         )
     )
@@ -323,15 +335,16 @@ def minhash_eval(
     Scale shape: the truth side is the jaccard_pairs_blocked join
     (block equi-join, never corpus-wide O(n^2)); the candidate side is
     the banded equi-join; the final full-outer join and count run over
-    pair keys only. Shingle frames are persisted — both the truth
-    self-join sides consume them.
+    pair keys only. The shingle frame is built ONCE and persisted —
+    the signature path and both truth self-join sides consume it, so
+    the corpus is tokenized a single time.
     """
-    cand = minhash_candidates(
-        df, text_col, id_col, num_perm, bands, spread, shingle_k
-    )
     src = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
     sides = _persist(
         shingle_frame(df, text_col, id_col, shingle_k, spread).join(src, "id")
+    )
+    cand = minhash_candidates_from_shingles(
+        sides.select("id", "sh"), num_perm, bands
     )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk_a")

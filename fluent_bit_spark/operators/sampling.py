@@ -87,7 +87,9 @@ def stratified_sample(
     and the leftover seats go to the strata with the largest fractional
     quotas (ties by stratum name). Within a stratum, rows are chosen in
     content-hash order (partition-independent, resume-stable — the
-    hash_sample property), so re-runs select identical rows.
+    hash_sample property), so re-runs select identical rows. Rows with
+    a NULL stratum are excluded before counting (they can never join
+    the allocation table).
 
     Unlike hash_sample (which keeps a ~fraction BINOMIAL sample whose
     size wobbles per stratum), the output size is exact per stratum —
@@ -112,6 +114,10 @@ def stratified_sample(
     from pyspark.sql import Window
 
     s, k = F.col(stratum_col), F.col(key_col)
+    # NULL strata are excluded up front: the allocation join is on the
+    # stratum key, so counting NULL rows would reserve seats the join
+    # can never fill (silently shrinking the promised total)
+    df = df.filter(s.isNotNull())
     counts = df.groupBy(s.alias("stratum")).agg(F.count("*").alias("n"))
     tot = counts.agg(
         F.floor(F.sum("n") * F.lit(fraction) + F.lit(0.5))

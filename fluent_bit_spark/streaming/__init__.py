@@ -225,38 +225,65 @@ def anomaly_foreach_batch(history_dir: str, out_dir: str,
                           window_hours: int = 6,
                           z_threshold: float = 3.0):
     """Streaming rolling-z spike detection: a foreachBatch sink over
-    the closed hourly windows from `windowed_rate` (append mode). Each
-    micro-batch appends its closed hours to a history table, recomputes
-    the exact-integer-sum z-score (aggregate.rate_anomalies_hourly —
-    the SAME expressions as the batch operator) over the history, and
-    appends verdicts for the newly-closed hours only. A rolling window
-    over PRIOR hours cannot be a pure streaming aggregate (it crosses
-    window boundaries), so this is the standard incremental-history
-    pattern.
+    the closed hourly windows from `windowed_rate` (append mode). A
+    rolling window over PRIOR hours cannot be a pure streaming
+    aggregate (it crosses window boundaries), so the sink keeps its own
+    rolling state: the last `window_hours` OBSERVED hours per key —
+    everything the ROWS-frame z-score can ever look back at. Each
+    micro-batch reads the previous state snapshot, scores the newly
+    closed hours with the exact-integer-sum expressions the batch
+    operator uses (aggregate.rate_anomalies_hourly — so stream and
+    batch verdicts are identical), emits those verdicts, and writes the
+    next state snapshot.
 
-    Idempotence: both writes go to per-batch subdirectories keyed by
-    batch_id with mode("overwrite") (plain 'b<id>' names — 'batch=<id>'
-    would trigger partition-column inference on read) — a replayed micro-batch (failure
-    recovery) overwrites its own previous attempt instead of
-    double-counting hours. History volume is (keys x hours), tiny
-    relative to the stream.
+    This is exact, not a time-horizon approximation: hours close in
+    event-time order under the watermark, so a new hour's trailing
+    `window_hours` observed buckets are always inside (previous state
+    UNION this batch's earlier hours). State and per-batch I/O are
+    O(keys x window_hours) — they do NOT grow with stream length.
+
+    Idempotence: state and verdicts go to per-batch subdirectories
+    keyed by batch_id with mode("overwrite") (plain 'b<id>' names —
+    'batch=<id>' would trigger partition-column inference on read);
+    the state READ picks the newest snapshot with id < batch_id, so a
+    replayed micro-batch re-derives from its predecessor instead of
+    double-counting its own failed attempt. Snapshot listing uses the
+    local filesystem (this runtime's storage); an object-store
+    deployment would swap in the Hadoop FileSystem listing.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        batch_df.write.mode("overwrite").parquet(
-            f"{history_dir}/b{batch_id}"
-        )
+        import glob as _glob
+
+        from pyspark.sql import Window
+
         from fluent_bit_spark.operators.aggregate import rate_anomalies_hourly
 
-        hist = spark.read.parquet(f"{history_dir}/b*")
-        verdicts = rate_anomalies_hourly(hist, key, window_hours, z_threshold)
-        emit = verdicts.join(
-            batch_df.select(key, "hour"), [key, "hour"], "left_semi"
-        )
+        spark = batch_df.sparkSession
+        prior = [
+            int(p.rsplit("/b", 1)[1])
+            for p in _glob.glob(f"{history_dir}/b*")
+            if p.rsplit("/b", 1)[1].isdigit()
+        ]
+        prior = [i for i in prior if i < batch_id]
+        new = batch_df.select(key, "hour", "n")
+        if prior:
+            state = spark.read.parquet(f"{history_dir}/b{max(prior)}")
+            combined = state.unionByName(new)
+        else:
+            combined = new
+        verdicts = rate_anomalies_hourly(combined, key, window_hours, z_threshold)
+        emit = verdicts.join(new.select(key, "hour"), [key, "hour"], "left_semi")
         emit.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id}")
+        w = Window.partitionBy(key).orderBy(F.col("hour").desc())
+        next_state = (
+            combined.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= window_hours)
+            .drop("_r")
+        )
+        next_state.write.mode("overwrite").parquet(f"{history_dir}/b{batch_id}")
 
     return _sink
 

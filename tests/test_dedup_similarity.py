@@ -504,3 +504,14 @@ def test_minhash_eval_counts_consistent_and_exact_copies_recalled(spark):
     assert r.tp >= 1 and r.recall == 1.0  # the exact copy is always found
     # cross-block identical pair is excluded from both sides
     assert r.n_truth == 1
+
+
+def test_stratified_sample_null_strata_excluded(spark):
+    from fluent_bit_spark.operators.sampling import stratified_sample
+
+    rows = [(None, i) for i in range(10)] + [("en", 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_sample(df, "lang", "doc_id", 0.5).collect()
+    # NULL-stratum rows neither receive seats nor inflate the total:
+    # allocation is over the 10 'en' rows only => exactly 5 selected
+    assert len(out) == 5 and all(r.stratum == "en" for r in out)
