@@ -1384,6 +1384,18 @@ def _neardup_docs(spark, sf_dir):
     return docs.unionByName(cut)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN over the deterministic k-means coarse quantizer
+    (k=8, 3 rounds, nprobe=2): queries = vec_id < 5, candidates
+    ranked only inside probed cells."""
+    from fluent_bit_spark.operators.similarity import ivf_topk_fixed
+
+    return ivf_topk_fixed(
+        _embs(spark, sf_dir), F.col("vec_id") < 5, k_clusters=8, iters=3,
+        nprobe=2, k=10,
+    )
+
+
 def _q_minhash_eval(spark, sf_dir):
     """Precision/recall scorecard of a deliberately lossy 4-row-band
     MinHash operating point vs the exact blocked shingle-Jaccard
@@ -1543,6 +1555,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": _q_ann_int8,
         "strat_sample": _q_strat_sample,
         "minhash_eval": _q_minhash_eval,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 

@@ -613,6 +613,22 @@ def kmeans_assign(
     shuffle. Lazy end-to-end with per-level persists (dedup.py
     convention); no driver-side loop.
     """
+    assigned, _, _ = _kmeans_fit(vectors, k, iters, vec_col, id_col)
+    return assigned.orderBy(id_col)
+
+
+def _kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """kmeans_assign's fitting loop, returning (assigned, cents,
+    prepped): the final assignment, the centroids that PRODUCED it
+    (what an IVF probe must rank against), and the persisted prepared
+    vector frame — so IVF and SemDeDup build on the fitted state
+    without re-running rounds."""
     from fluent_bit_spark.operators.dedup import _persist
 
     # the prepared (id, double-array) frame is consumed by every round's
@@ -641,4 +657,62 @@ def kmeans_assign(
                     "label", "centroid"
                 )
             )
-    return assigned.orderBy(id_col)
+    return assigned, cents, prepped
+
+
+def ivf_topk_fixed(
+    vectors: DataFrame,
+    is_query: Column,
+    k_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a deterministic coarse quantizer: the inverted-file
+    cells come from fixed-iteration spherical k-means (kmeans_assign's
+    chain — seeded, round-6 argmax, exact fixed-point centroids), each
+    query probes its `nprobe` nearest centroids, and exact round-6
+    cosine ranks the candidates inside the probed cells only. Output
+    (query_id, vec_id, cosine, rank).
+
+    Unlike ivf_topk (whose driver-trained centroids are data-dependent
+    floats no SQL oracle can replay), everything here derives from the
+    reproducible k-means rounds — so the full IVF path is
+    oracle-checkable end to end.
+
+    Scale shape: fitting is kmeans_assign's per-round broadcast passes;
+    probing broadcasts the tiny (queries x nprobe) probe table and the
+    candidate scan touches only vectors in probed cells (the IVF
+    selectivity win: ~nprobe/k_clusters of the corpus per query).
+    `is_query` partitions one input frame so the quantizer is fitted
+    over the SAME population the oracle's CTE chain sees.
+    """
+    assigned, cents, prepped = _kmeans_fit(
+        vectors, k_clusters, iters, vec_col, id_col
+    )
+    qs = prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_scored = qs.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
+    ).withColumn("_pc", F.round(cosine_col(F.col("_qv"), F.col("centroid")), 6))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_pc").desc(), "cluster")
+    probes = (
+        probe_scored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cluster", "_qv")
+    )
+    cells = prepped.filter(~is_query).join(
+        assigned.select(F.col(id_col), "cluster"), id_col
+    )
+    scored = cells.join(F.broadcast(probes), "cluster").withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

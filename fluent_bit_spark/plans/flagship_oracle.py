@@ -1289,10 +1289,34 @@ def _kmeans_sql(k: int = 8, iters: int = 3, semdedup_thr: float = 0.3) -> dict[s
                 >= {semdedup_thr!r}::DOUBLE)
 SELECT l.vec_id, l.cluster, (d.vec_id IS NULL) AS keep
 FROM sdl l LEFT JOIN sdd d USING (vec_id)"""
+    # IVF: probe nprobe nearest FINAL-round centroids (kc{iters-1} —
+    # the ones that produced assignment kb{iters}), exact cosine inside
+    # probed cells only, candidates = vec_id >= 5, queries < 5
+    nprobe, topk = 2, 10
+    ivf = c + f"""
+, ivq AS (SELECT vec_id AS query_id, v FROM km0 WHERE vec_id < 5)
+, ivp AS (SELECT query_id, cluster, v FROM (
+    SELECT q.query_id, c.label AS cluster, q.v,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.v, c.centroid), 6) DESC,
+                      c.label) AS pr
+    FROM ivq q CROSS JOIN kc{iters - 1} c) WHERE pr <= {nprobe})
+, ivc AS (SELECT b.vec_id, b.cluster, m.v
+          FROM kb{iters} b JOIN km0 m USING (vec_id) WHERE b.vec_id >= 5)
+, ivs AS (SELECT p.query_id, c.vec_id,
+                 round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+          FROM ivp p JOIN ivc c USING (cluster))
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM ivs) WHERE rank <= {topk}"""
     return {
         "kmeans_assign": c
         + f"\nSELECT vec_id, cluster, cosine FROM kb{iters} ORDER BY vec_id",
         "semantic_dedup": semdedup,
+        "ann_ivf_topk": ivf,
     }
 
 

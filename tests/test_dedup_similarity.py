@@ -515,3 +515,46 @@ def test_stratified_sample_null_strata_excluded(spark):
     # NULL-stratum rows neither receive seats nor inflate the total:
     # allocation is over the 10 'en' rows only => exactly 5 selected
     assert len(out) == 5 and all(r.stratum == "en" for r in out)
+
+
+def test_ivf_topk_fixed_probes_subset_and_finds_separable_neighbors(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.similarity import cosine_topk, ivf_topk_fixed
+
+    # two well-separated directions; seeds 0,1 become the two cells
+    rows = (
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+        + [(10 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(5)]
+        + [(20 + i, [0.01 * i, 1.0, 0.0, 0.0]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_topk_fixed(
+        df, F.col("vec_id") < 2, k_clusters=2, iters=2, nprobe=1, k=5
+    )
+    rowsg = got.collect()
+    by_q = {}
+    for r in rowsg:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    # nprobe=1 on separable data: each query only sees its own cell
+    assert by_q[0] == {10, 11, 12, 13, 14}
+    assert by_q[1] == {20, 21, 22, 23, 24}
+    # and within the probed cell the ranking equals exact brute force
+    exact = cosine_topk(
+        df.filter(F.col("vec_id") >= 10),
+        df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id"),
+        k=5,
+        rank_round=6,
+    )
+    def ordered(rows_iter, q, keep):
+        return [
+            r.vec_id
+            for r in sorted(rows_iter, key=lambda r: (r.query_id, r.rank))
+            if r.query_id == q and keep(r.vec_id)
+        ]
+
+    exact_rows = exact.collect()
+    # exact ranks cover all candidates; restrict to each query's cell and
+    # the relative order must match IVF's
+    assert ordered(rowsg, 0, lambda v: True) == ordered(exact_rows, 0, lambda v: v < 20)
+    assert ordered(rowsg, 1, lambda v: True) == ordered(exact_rows, 1, lambda v: v >= 20)
