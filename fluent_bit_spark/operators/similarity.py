@@ -561,12 +561,13 @@ def semantic_dedup(
     """
     from fluent_bit_spark.operators.dedup import _persist
 
-    assigned = kmeans_assign(vectors, k, iters, vec_col, id_col).select(
-        id_col, "cluster"
-    )
+    # reuse the fit's prepared double-array frame — re-preparing from
+    # `vectors` would scan/cast/persist the embeddings a second time
+    assigned, _, prepped = _kmeans_fit(vectors, k, iters, vec_col, id_col)
     labeled = _persist(
-        vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-        .join(assigned, id_col)
+        prepped.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
+            assigned.select(F.col(id_col), "cluster"), id_col
+        )
     )
     a = labeled.select(
         "cluster", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
@@ -687,8 +688,12 @@ def ivf_topk_fixed(
     candidate scan touches only vectors in probed cells (the IVF
     selectivity win: ~nprobe/k_clusters of the corpus per query).
     `is_query` partitions one input frame so the quantizer is fitted
-    over the SAME population the oracle's CTE chain sees.
+    over the SAME population the oracle's CTE chain sees. A NULL
+    predicate value counts as "not a query" (the row stays a
+    candidate) — without the coalesce, NULL rows would shape the
+    quantizer yet silently vanish from both sides of the partition.
     """
+    is_query = F.coalesce(is_query, F.lit(False))
     assigned, cents, prepped = _kmeans_fit(
         vectors, k_clusters, iters, vec_col, id_col
     )
