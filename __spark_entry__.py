@@ -1396,6 +1396,16 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 (m=4 subspaces, 4 codes each,
+    2 L2 k-means rounds): candidates ranked by table-lookup sums only."""
+    from fluent_bit_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _embs(spark, sf_dir), F.col("vec_id") < 5, m=4, k_codes=4, iters=2, k=10
+    )
+
+
 def _q_minhash_eval(spark, sf_dir):
     """Precision/recall scorecard of a deliberately lossy 4-row-band
     MinHash operating point vs the exact blocked shingle-Jaccard
@@ -1556,6 +1566,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": _q_strat_sample,
         "minhash_eval": _q_minhash_eval,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
     }
 
 

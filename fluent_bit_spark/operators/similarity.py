@@ -180,6 +180,175 @@ def quantized_topk(
     )
 
 
+def _ssq(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two double arrays (index-order fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_l2(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid by round-6 squared-L2 (ties: code asc) — the
+    Euclidean sibling of assign_to_centroids for PQ codebooks. `sub`
+    carries (id_col, sv); `cents` carries (label, centroid)."""
+    scored = sub.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
+    ).withColumn("d", F.round(_ssq(F.col("sv"), F.col("centroid")), 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), "cluster")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster")
+    )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Product-quantization fit: split each vector into `m` equal
+    subspaces, learn a `k_codes`-entry codebook per subspace with
+    fixed-iteration L2 k-means (seeds = the id < k_codes subvectors,
+    exact fixed-point centroid means, round-6 argmin with code-asc
+    ties), and encode every vector as m one-byte-ish codes. Returns
+    (codes, books, prepped, sub_dim): codes = (id, sub, code), books =
+    (sub, label, centroid).
+
+    PQ is the classic memory-bound ANN compression (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): a 64-dim
+    float32 vector becomes m=4 codes — 64x smaller — and queries scan
+    codes with per-subspace lookup tables instead of touching floats.
+    Every step here is the deterministic k-means recipe, so the whole
+    fit replays as unrolled CTEs in the oracle.
+
+    Scale shape per subspace round: broadcast codebook (k_codes rows)
+    against the streamed subvectors + an argmin window on the id + the
+    k_codes x sub_dim centroid shuffle. The prepared frame and each
+    subspace's slice frame are persisted (consumed by every round).
+    """
+    from functools import reduce
+
+    from fluent_bit_spark.operators.dedup import _persist
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sd = dim // m
+    prepped = _persist(
+        vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    )
+    codes_parts, book_parts = [], []
+    for s in range(m):
+        sub = _persist(
+            prepped.select(
+                F.col(id_col), F.slice("_v", s * sd + 1, sd).alias("sv")
+            )
+        )
+        cents = _persist(
+            sub.filter(F.col(id_col) < k_codes).select(
+                F.col(id_col).alias("label"), F.col("sv").alias("centroid")
+            )
+        )
+        assigned = None
+        for t in range(iters):
+            assigned = _persist(_assign_l2(sub, cents, id_col))
+            if t < iters - 1:
+                members = sub.join(
+                    assigned.select(F.col(id_col), F.col("cluster").alias("label")),
+                    id_col,
+                )
+                cents = _persist(
+                    label_centroids(members, "sv", "label").select(
+                        "label", "centroid"
+                    )
+                )
+        codes_parts.append(
+            assigned.select(
+                F.col(id_col), F.lit(s).alias("sub"), F.col("cluster").alias("code")
+            )
+        )
+        book_parts.append(cents.select(F.lit(s).alias("sub"), "label", "centroid"))
+    codes = reduce(lambda a, b: a.unionByName(b), codes_parts)
+    books = reduce(lambda a, b: a.unionByName(b), book_parts)
+    return codes, books, prepped, sd
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    is_query: Column,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an m x k_codes lookup table of exact squared-L2 distances to every
+    codebook entry, and a candidate's distance is the SUM of its m
+    table cells — the candidate floats are never touched. Output
+    (query_id, vec_id, adc_dist, rank), nearest first.
+
+    Per-cell distances are fixed-pointed to BIGINT (round(ssq * 1e6))
+    before the per-candidate sum, so accumulation is integer and
+    order-independent — the oracle replays the table and the sum
+    exactly. A NULL is_query counts as candidate (the IVF convention).
+
+    Scale shape: the fit is pq_fit; the distance table is (queries x m
+    x k_codes) rows — broadcast; the scan joins each candidate's m code
+    rows to the table (equi-join on sub+code) and one partial-agg
+    shuffle on (query, candidate) sums the m cells.
+    """
+    is_query = F.coalesce(is_query, F.lit(False))
+    codes, books, prepped, sd = pq_fit(vectors, m, k_codes, iters, vec_col, id_col)
+    qs = prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"), F.col("_v")
+    )
+    qsubs_parts = [
+        qs.select(
+            "query_id",
+            F.lit(s).alias("sub"),
+            F.slice("_v", s * sd + 1, sd).alias("qv"),
+        )
+        for s in range(m)
+    ]
+    from functools import reduce
+
+    qsubs = reduce(lambda a, b: a.unionByName(b), qsubs_parts)
+    dtab = qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("label").alias("code"),
+        F.round(_ssq(F.col("qv"), F.col("centroid")) * 1_000_000)
+        .cast("long")
+        .alias("fx"),
+    )
+    cand_ids = prepped.filter(~is_query).select(id_col)
+    cand_codes = codes.join(cand_ids, id_col, "left_semi")
+    adc = (
+        cand_codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("fx").alias("_fx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_fx").asc(), F.col(id_col))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("_fx") / 1_000_000.0, 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 

@@ -1320,6 +1320,83 @@ SELECT query_id, vec_id, cosine, rank FROM (
     }
 
 
+def _pq_sql(
+    m: int = 4, k_codes: int = 4, iters: int = 2, dim: int = 64,
+    nq: int = 5, topk: int = 10,
+) -> str:
+    """similarity.pq_adc_topk mirror: per-subspace unrolled L2 k-means
+    codebooks (the _kmeans_ctes pattern with squared-L2 argmin), PQ
+    encoding, and the fixed-point ADC table-lookup sum. Queries =
+    vec_id < nq, candidates = the rest."""
+    sd = dim // m
+
+    def ssq(a: str, b: str) -> str:
+        return (
+            f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"FOR i IN range(1, {sd} + 1)])"
+        )
+
+    parts = ["""
+, pq0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings)"""]
+    for s in range(m):
+        lo = s * sd + 1
+        parts.append(f"""
+, p{s}m AS (SELECT vec_id, v[{lo}:{lo + sd - 1}] AS sv FROM pq0)
+, p{s}c0 AS (SELECT vec_id AS label, sv AS centroid FROM p{s}m
+             WHERE vec_id < {k_codes})""")
+        for t in range(1, iters + 1):
+            parts.append(f"""
+, p{s}a{t} AS (SELECT mm.vec_id, c.label AS cluster,
+                      round({ssq('mm.sv', 'c.centroid')}, 6) AS d
+               FROM p{s}m mm CROSS JOIN p{s}c{t - 1} c)
+, p{s}b{t} AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d ASC, cluster) AS rn
+                 FROM p{s}a{t}) WHERE rn = 1)""")
+            if t < iters:
+                parts.append(f"""
+, p{s}f{t} AS (SELECT b.cluster,
+                      unnest([{{'pos': i,
+                                'fx': CAST(round(mm.sv[i] * 1000000) AS BIGINT)}}
+                              FOR i IN range(1, {sd} + 1)]) AS p
+               FROM p{s}b{t} b JOIN p{s}m mm USING (vec_id))
+, p{s}s{t} AS (SELECT cluster, p.pos AS pos, CAST(SUM(p.fx) AS BIGINT) AS sm,
+                      COUNT(*) AS n
+               FROM p{s}f{t} GROUP BY 1, 2)
+, p{s}n{t} AS (SELECT cluster, MAX(n) AS n_vecs FROM p{s}s{t} GROUP BY cluster)
+, p{s}c{t} AS (SELECT ss.cluster AS label,
+                      list(ss.sm / (1000000.0 * nn.n_vecs) ORDER BY ss.pos)
+                        AS centroid
+               FROM p{s}s{t} ss JOIN p{s}n{t} nn USING (cluster)
+               GROUP BY ss.cluster)""")
+    code_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, cluster AS code FROM p{s}b{iters} "
+        f"WHERE vec_id >= {nq}"
+        for s in range(m)
+    )
+    dtab_union = "\n    UNION ALL ".join(
+        f"""SELECT q.vec_id AS query_id, {s} AS sub, c.label AS code,
+               CAST(round({ssq(f'q.v[{s * sd + 1}:{s * sd + sd}]', 'c.centroid')}
+                          * 1000000) AS BIGINT) AS fx
+        FROM pq0 q CROSS JOIN p{s}c{iters - 1} c WHERE q.vec_id < {nq}"""
+        for s in range(m)
+    )
+    parts.append(f"""
+, pqc AS ({code_union})
+, pqt AS ({dtab_union})
+, pqs AS (SELECT t.query_id, c.vec_id, CAST(SUM(t.fx) AS BIGINT) AS fx
+          FROM pqc c JOIN pqt t ON t.sub = c.sub AND t.code = c.code
+          GROUP BY 1, 2)
+SELECT query_id, vec_id, round(fx / 1000000.0, 6) AS adc_dist, rank FROM (
+  SELECT query_id, vec_id, fx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fx ASC, vec_id) AS rank
+  FROM pqs) WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
 def _sketch_sql() -> dict[str, str]:
     """operators/sketch.py mirrors: every sketch hashes via md5 hex
     slices, so DuckDB reproduces the bloom verdicts (incl. false
@@ -1813,6 +1890,7 @@ def oracle_queries() -> dict[str, str]:
         + "SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text",
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
+        "ann_pq_topk": c + _pq_sql(),
         "dedup_simhash": c + _simhash_pairs_sql(),
         "ann_lsh_topk": c + _lsh_topk_sql(),
         "jaccard_blocked": c

@@ -558,3 +558,44 @@ def test_ivf_topk_fixed_probes_subset_and_finds_separable_neighbors(spark):
     # the relative order must match IVF's
     assert ordered(rowsg, 0, lambda v: True) == ordered(exact_rows, 0, lambda v: v < 20)
     assert ordered(rowsg, 1, lambda v: True) == ordered(exact_rows, 1, lambda v: v >= 20)
+
+
+def test_pq_adc_topk_separable_and_table_sum_semantics(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.similarity import pq_adc_topk, pq_fit
+
+    # 8-dim, m=2 subspaces of 4; two groups separated in BOTH subspaces
+    ga = [1.0, 1.0, 0.0, 0.0]
+    gb = [0.0, 0.0, 1.0, 1.0]
+    rows = (
+        [(0, ga + ga), (1, gb + gb)]  # seeds => codebooks split the groups
+        + [(10 + i, [x + 0.01 * i for x in ga] + ga) for i in range(3)]
+        + [(20 + i, [x + 0.01 * i for x in gb] + gb) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pq_adc_topk(df, F.col("vec_id") < 2, m=2, k_codes=2, iters=2, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.adc_dist))
+    # nearest group wins for each query
+    top0 = [v for _, v, _ in sorted(by_q[0])]
+    top1 = [v for _, v, _ in sorted(by_q[1])]
+    assert set(top0) == {10, 11, 12}
+    assert set(top1) == {20, 21, 22}
+
+    # ADC = exact fixed-point sum of per-subspace table cells: recompute
+    # from the fitted codes/books with numpy
+    codes, books, _, sd = pq_fit(df, m=2, k_codes=2, iters=2)
+    code_map = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+    book_map = {(r.sub, r.label): np.array(r.centroid) for r in books.collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in df.collect()}
+    for q, lst in by_q.items():
+        for rank, vid, adc in lst:
+            fx = 0
+            for s in range(2):
+                qsub = vecs[q][s * sd : (s + 1) * sd]
+                cent = book_map[(s, code_map[(vid, s)])]
+                fx += round(float(((qsub - cent) ** 2).sum()) * 1_000_000)
+            assert abs(adc - fx / 1_000_000.0) < 1e-9, (q, vid)
