@@ -204,6 +204,33 @@ def _assign_l2(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _fit_codebook(prepped, cents, assign_fn, vec_col, id_col, iters):
+    """The shared fixed-iteration fitting loop (kmeans / PQ subspaces):
+    assign -> exact fixed-point centroid recompute, per-round persists.
+    `assign_fn(frame, cents)` supplies the metric (cosine argmax or
+    round-6 squared-L2 argmin) and must return at least (id, cluster).
+    Returns (assigned, cents): the final assignment and the centroids
+    that produced it."""
+    from fluent_bit_spark.operators.dedup import _persist
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    assigned = None
+    for t in range(iters):
+        assigned = _persist(assign_fn(prepped, cents))
+        if t < iters - 1:
+            members = prepped.join(
+                assigned.select(F.col(id_col), F.col("cluster").alias("label")),
+                id_col,
+            )
+            cents = _persist(
+                label_centroids(members, vec_col, "label").select(
+                    "label", "centroid"
+                )
+            )
+    return assigned, cents
+
+
 def pq_fit(
     vectors: DataFrame,
     m: int = 4,
@@ -211,6 +238,7 @@ def pq_fit(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Product-quantization fit: split each vector into `m` equal
     subspaces, learn a `k_codes`-entry codebook per subspace with
@@ -231,17 +259,27 @@ def pq_fit(
     against the streamed subvectors + an argmin window on the id + the
     k_codes x sub_dim centroid shuffle. The prepared frame and each
     subspace's slice frame are persisted (consumed by every round).
+    Pass `dim` when known to skip the one-row probe job. Rows whose
+    vector is not exactly `dim` long or carries a NULL component are
+    EXCLUDED up front (they would NULL-poison the L2 folds and diverge
+    from the oracle — the quantized_topk convention).
     """
     from functools import reduce
 
     from fluent_bit_spark.operators.dedup import _persist
 
-    dim = len(vectors.select(vec_col).first()[0])
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sd = dim // m
     prepped = _persist(
         vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+        .filter(
+            (F.size("_v") == dim) & ~F.exists("_v", lambda x: x.isNull())
+        )
     )
     codes_parts, book_parts = [], []
     for s in range(m):
@@ -255,19 +293,9 @@ def pq_fit(
                 F.col(id_col).alias("label"), F.col("sv").alias("centroid")
             )
         )
-        assigned = None
-        for t in range(iters):
-            assigned = _persist(_assign_l2(sub, cents, id_col))
-            if t < iters - 1:
-                members = sub.join(
-                    assigned.select(F.col(id_col), F.col("cluster").alias("label")),
-                    id_col,
-                )
-                cents = _persist(
-                    label_centroids(members, "sv", "label").select(
-                        "label", "centroid"
-                    )
-                )
+        assigned, cents = _fit_codebook(
+            sub, cents, lambda p, c: _assign_l2(p, c, id_col), "sv", id_col, iters
+        )
         codes_parts.append(
             assigned.select(
                 F.col(id_col), F.lit(s).alias("sub"), F.col("cluster").alias("code")
@@ -814,19 +842,14 @@ def _kmeans_fit(
             F.col(id_col).alias("label"), F.col(vec_col).alias("centroid")
         )
     )
-    assigned = None
-    for t in range(iters):
-        assigned = _persist(assign_to_centroids(prepped, cents, vec_col, id_col))
-        if t < iters - 1:
-            members = prepped.join(
-                assigned.select(F.col(id_col), F.col("cluster").alias("label")),
-                id_col,
-            )
-            cents = _persist(
-                label_centroids(members, vec_col, "label").select(
-                    "label", "centroid"
-                )
-            )
+    assigned, cents = _fit_codebook(
+        prepped,
+        cents,
+        lambda p, c: assign_to_centroids(p, c, vec_col, id_col),
+        vec_col,
+        id_col,
+        iters,
+    )
     return assigned, cents, prepped
 
 

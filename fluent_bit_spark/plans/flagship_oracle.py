@@ -1327,7 +1327,14 @@ def _pq_sql(
     """similarity.pq_adc_topk mirror: per-subspace unrolled L2 k-means
     codebooks (the _kmeans_ctes pattern with squared-L2 argmin), PQ
     encoding, and the fixed-point ADC table-lookup sum. Queries =
-    vec_id < nq, candidates = the rest."""
+    vec_id < nq, candidates = the rest.
+
+    NOTE: the p{s}a/b/f/s/n/c chain is the same fitting recipe as
+    _kmeans_ctes' ka/kb/kf/ks/kn/kc (score expression, sort direction,
+    and source differ) — a change to the shared recipe (fixed-point
+    constant, MAX(n) n_vecs trick, tie rules) must be mirrored in BOTH
+    generators, exactly as similarity._fit_codebook is the single
+    Spark-side loop behind both."""
     sd = dim // m
 
     def ssq(a: str, b: str) -> str:

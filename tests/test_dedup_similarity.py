@@ -597,5 +597,7 @@ def test_pq_adc_topk_separable_and_table_sum_semantics(spark):
             for s in range(2):
                 qsub = vecs[q][s * sd : (s + 1) * sd]
                 cent = book_map[(s, code_map[(vid, s)])]
-                fx += round(float(((qsub - cent) ** 2).sum()) * 1_000_000)
+                # int(x+0.5): HALF_UP like Spark's F.round (python round()
+                # is banker's and would diverge on exact .5 boundaries)
+                fx += int(float(((qsub - cent) ** 2).sum()) * 1_000_000 + 0.5)
             assert abs(adc - fx / 1_000_000.0) < 1e-9, (q, vid)
