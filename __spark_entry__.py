@@ -1406,6 +1406,52 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language with
+    per-label rates — the quality report for the n-gram lang_id
+    heuristic (one tiny groupBy, window over #langs^2 rows)."""
+    from pyspark.sql import Window
+
+    from fluent_bit_spark.operators.text_analysis import lang_id
+
+    conf = (
+        _docs(spark, sf_dir)
+        .select(F.col("lang"), lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return conf.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / tot.cast("double"), 6).alias("rate"),
+        (F.col("lang") == F.col("lang_pred")).alias("correct"),
+    )
+
+
+def _q_flow_rollup(spark, sf_dir):
+    """Multi-granularity flowcounter: ROLLUP over (sink, tag) emits
+    per-tag, per-sink, and grand-total rows in one partial-agg pass
+    ('*' marks the rolled-up level)."""
+    from fluent_bit_spark.operators.route import explode_routes
+
+    ps = explode_routes(_routed(spark, sf_dir))
+    return (
+        ps.rollup("sink", "tag")
+        .agg(
+            F.count("*").alias("records"),
+            F.sum(F.length("text")).alias("bytes"),
+        )
+        .select(
+            F.coalesce(F.col("sink"), F.lit("*")).alias("sink"),
+            F.coalesce(F.col("tag"), F.lit("*")).alias("tag"),
+            "records",
+            F.col("bytes").cast("long").alias("bytes"),
+        )
+    )
+
+
 def _q_minhash_eval(spark, sf_dir):
     """Precision/recall scorecard of a deliberately lossy 4-row-band
     MinHash operating point vs the exact blocked shingle-Jaccard
@@ -1567,6 +1613,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_eval": _q_minhash_eval,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "langid_eval": _q_langid_eval,
+        "flow_rollup": _q_flow_rollup,
     }
 
 

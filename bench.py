@@ -189,6 +189,33 @@ def bench_queries(spark, source):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return op(docs, target=F.col("lang") == "en")
 
+    def interval_overlap():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["interval_overlap"](spark, SF_DIR)
+
+    def ann_pq():
+        from fluent_bit_spark.operators.similarity import pq_adc_topk
+
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return pq_adc_topk(
+            embs, F.col("vec_id") < 20, m=4, k_codes=4, iters=2, k=10
+        )
+
+    def ann_int8():
+        from fluent_bit_spark.operators.similarity import quantized_topk
+
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = embs.filter(F.col("vec_id") < 20).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        return quantized_topk(embs.filter(F.col("vec_id") >= 20), q, k=10)
+
+    def minhash_eval():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["minhash_eval"](spark, SF_DIR)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -210,6 +237,10 @@ def bench_queries(spark, source):
         "span_dedup": span_dedup,
         "semantic_dedup": semantic_dedup,
         "dsir_weights": dsir_weights,
+        "interval_overlap": interval_overlap,
+        "ann_pq": ann_pq,
+        "ann_int8": ann_int8,
+        "minhash_eval": minhash_eval,
     }
 
 
@@ -235,7 +266,10 @@ def run_default() -> None:
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name.startswith(("dedup", "bloom", "bpe", "bm25", "span", "semantic", "dsir")):
+        if name.startswith(
+            ("dedup", "bloom", "bpe", "bm25", "span", "semantic", "dsir",
+             "ann_pq", "minhash_eval")
+        ):
             # free the operator-internal signature caches between stages
             release_persisted()
 

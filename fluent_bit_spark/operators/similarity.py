@@ -192,16 +192,20 @@ def _ssq(a: Column, b: Column) -> Column:
 def _assign_l2(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid by round-6 squared-L2 (ties: code asc) — the
     Euclidean sibling of assign_to_centroids for PQ codebooks. `sub`
-    carries (id_col, sv); `cents` carries (label, centroid)."""
+    carries (id_col, sv); `cents` carries (label, centroid).
+
+    The argmin is MIN over a (d, cluster) struct — lexicographic struct
+    ordering IS the (d asc, cluster asc) tie rule, and an aggregate
+    gets map-side partial combining, so unlike a row_number window
+    there is no per-round sort and the shuffle carries one pre-reduced
+    row per id (the cosine path keeps its window because its ties are
+    desc/asc mixed, which struct ordering can't express)."""
     scored = sub.crossJoin(
         F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
     ).withColumn("d", F.round(_ssq(F.col("sv"), F.col("centroid")), 6))
-    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), "cluster")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cluster")
-    )
+    return scored.groupBy(id_col).agg(
+        F.min(F.struct("d", "cluster")).alias("_best")
+    ).select(id_col, F.col("_best.cluster").alias("cluster"))
 
 
 def _fit_codebook(prepped, cents, assign_fn, vec_col, id_col, iters):

@@ -1898,6 +1898,25 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        "langid_eval": c + _DOC_STATS_CTES
+        + """
+, lce AS (
+    SELECT d.lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                ELSE CASE greatest(s_de*10+0, s_en*10+1, s_es*10+2, s_fr*10+3) % 10
+                     WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
+           END AS lang_pred
+    FROM s JOIN documents d USING (doc_id))
+, lcc AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lce GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS rate,
+       lang = lang_pred AS correct
+FROM lcc""",
+        "flow_rollup": c
+        + """SELECT coalesce(sink, '*') AS sink, coalesce(tag, '*') AS tag,
+                    COUNT(*) AS records, CAST(SUM(length(text)) AS BIGINT) AS bytes
+             FROM per_sink GROUP BY ROLLUP (sink, tag)""",
         "dedup_simhash": c + _simhash_pairs_sql(),
         "ann_lsh_topk": c + _lsh_topk_sql(),
         "jaccard_blocked": c
