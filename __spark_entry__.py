@@ -1432,8 +1432,9 @@ def _q_langid_eval(spark, sf_dir):
 
 def _q_flow_rollup(spark, sf_dir):
     """Multi-granularity flowcounter: ROLLUP over (sink, tag) emits
-    per-tag, per-sink, and grand-total rows in one partial-agg pass
-    ('*' marks the rolled-up level)."""
+    per-tag, per-sink, and grand-total rows in one partial-agg pass.
+    '*' marks the rolled-up level; the GROUPING flags disambiguate a
+    subtotal from a hypothetical literal-NULL/'*' group."""
     from fluent_bit_spark.operators.route import explode_routes
 
     ps = explode_routes(_routed(spark, sf_dir))
@@ -1442,10 +1443,14 @@ def _q_flow_rollup(spark, sf_dir):
         .agg(
             F.count("*").alias("records"),
             F.sum(F.length("text")).alias("bytes"),
+            F.grouping("sink").cast("int").alias("g_sink"),
+            F.grouping("tag").cast("int").alias("g_tag"),
         )
         .select(
             F.coalesce(F.col("sink"), F.lit("*")).alias("sink"),
             F.coalesce(F.col("tag"), F.lit("*")).alias("tag"),
+            "g_sink",
+            "g_tag",
             "records",
             F.col("bytes").cast("long").alias("bytes"),
         )

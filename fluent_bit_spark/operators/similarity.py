@@ -260,8 +260,9 @@ def pq_fit(
     fit replays as unrolled CTEs in the oracle.
 
     Scale shape per subspace round: broadcast codebook (k_codes rows)
-    against the streamed subvectors + an argmin window on the id + the
-    k_codes x sub_dim centroid shuffle. The prepared frame and each
+    against the streamed subvectors + a map-side-combined struct-MIN
+    argmin on the id (see _assign_l2) + the k_codes x sub_dim centroid
+    shuffle. The prepared frame and each
     subspace's slice frame are persisted (consumed by every round).
     Pass `dim` when known to skip the one-row probe job. Rows whose
     vector is not exactly `dim` long or carries a NULL component are

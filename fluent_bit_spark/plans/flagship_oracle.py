@@ -1902,7 +1902,7 @@ def oracle_queries() -> dict[str, str]:
         + """
 , lce AS (
     SELECT d.lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) = 0 THEN 'und'
                 ELSE CASE greatest(s_de*10+0, s_en*10+1, s_es*10+2, s_fr*10+3) % 10
                      WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
            END AS lang_pred
@@ -1915,6 +1915,8 @@ SELECT lang, lang_pred, n,
 FROM lcc""",
         "flow_rollup": c
         + """SELECT coalesce(sink, '*') AS sink, coalesce(tag, '*') AS tag,
+                    CAST(GROUPING(sink) AS INT) AS g_sink,
+                    CAST(GROUPING(tag) AS INT) AS g_tag,
                     COUNT(*) AS records, CAST(SUM(length(text)) AS BIGINT) AS bytes
              FROM per_sink GROUP BY ROLLUP (sink, tag)""",
         "dedup_simhash": c + _simhash_pairs_sql(),
