@@ -1406,6 +1406,14 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: rolling 3-gram hash boundaries at
+    ~32-token expected length — dedup-stable chunk hashes."""
+    from fluent_bit_spark.operators.packing import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), window=3, divisor=32)
+
+
 def _q_langid_eval(spark, sf_dir):
     """Language-ID confusion matrix: predicted vs labeled language with
     per-label rates — the quality report for the n-gram lang_id
@@ -1620,6 +1628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
+        "cdc_chunks": _q_cdc_chunks,
     }
 
 

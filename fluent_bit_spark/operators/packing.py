@@ -133,3 +133,82 @@ def chunk_documents(
         F.size("_c.toks").alias("n_chunk_tokens"),
         F.array_join("_c.toks", " ").alias("chunk"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 3,
+    divisor: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: cut the token stream AFTER position i
+    whenever the hash of the `window`-gram ending at i lands on the
+    boundary class (md5_32 % divisor == 0) — expected chunk length ~
+    `divisor` tokens. Emits (id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_hash).
+
+    Why content-defined instead of chunk_documents' fixed stride:
+    boundaries depend only on a local token window, so inserting or
+    deleting a sentence re-chunks ONLY the neighborhood — every other
+    chunk keeps its hash, which is what makes chunk-level dedup and
+    incremental re-ingestion stable across document revisions (the
+    rsync/LBFS rolling-hash trick at token granularity).
+
+    Chunk lengths are geometric around `divisor` with no hard min/max
+    clamp: a greedy clamp is a sequential recursion (see the module
+    docstring on why no-straddle packing is out too), and dedup-stable
+    hashing only needs the boundary-locality property.
+
+    Scale shape: shuffle-free map + explode over a bound token column;
+    the per-position gram hash reads a `window`-token slice, so the
+    row cost is O(n_tokens * window) with no Python in the path.
+    """
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    if window < 1 or divisor < 1:
+        raise ValueError("window and divisor must be >= 1")
+    bound = df.withColumn("_cd_tk", tokens(F.col(text_col)))
+    tk = F.col("_cd_tk")
+    n = F.size(tk)
+
+    def gram_hash(i):
+        start = F.greatest(i - (window - 1), F.lit(1))
+        return md5_32(F.array_join(F.slice(tk, start, i - start + 1), " "))
+
+    cuts = F.when(
+        n > 1,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: gram_hash(i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts, F.when(n > 0, F.array(n)).otherwise(F.array())
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            F.get(bounds, j - 1).alias("start"),
+            (F.get(bounds, j) - F.get(bounds, j - 1)).alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        tk, F.get(bounds, j - 1) + 1, F.get(bounds, j) - F.get(bounds, j - 1)
+                    ),
+                    " ",
+                )
+            ).alias("h"),
+        ),
+    )
+    out = bound.filter(n > 0).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.start").cast("long").alias("chunk_start"),
+        F.col("_c.n_toks").cast("long").alias("n_chunk_tokens"),
+        F.col("_c.h").alias("chunk_hash"),
+    )

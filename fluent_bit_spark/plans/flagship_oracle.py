@@ -1898,6 +1898,35 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        # CDC: cut after position i when md5_32(3-gram ending at i) % 32
+        # == 0; bounds = [0] ++ cuts ++ [n]; chunk hash = md5 of the
+        # re-joined slice (window=3, divisor=32 mirror cdc_chunks)
+        "cdc_chunks": c
+        + f"""
+, cdt AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents)
+, cdc AS (SELECT doc_id, tk, len(tk) AS n,
+                 CASE WHEN len(tk) > 1 THEN
+                   list_filter([i FOR i IN range(1, len(tk))],
+                     i -> {_md5_32_sql("array_to_string(tk[greatest(i - 2, 1):i], ' ')")} % 32 = 0)
+                 ELSE [] END AS cuts
+          FROM cdt WHERE len(tk) > 0)
+, cdb AS (SELECT doc_id, tk, [0] || cuts || [n] AS bounds FROM cdc)
+, cdx AS (SELECT doc_id,
+                 unnest([{{'ci': j - 1,
+                           'start': bounds[j],
+                           'n_toks': bounds[j + 1] - bounds[j],
+                           'h': md5(array_to_string(
+                                  tk[bounds[j] + 1:bounds[j + 1]], ' '))}}
+                         FOR j IN range(1, len(bounds))]) AS ch
+          FROM cdb)
+SELECT doc_id, CAST(ch.ci AS INT) AS chunk_idx,
+       CAST(ch.start AS BIGINT) AS chunk_start,
+       CAST(ch.n_toks AS BIGINT) AS n_chunk_tokens,
+       ch.h AS chunk_hash
+FROM cdx""",
         "langid_eval": c + _DOC_STATS_CTES
         + """
 , lce AS (

@@ -310,3 +310,52 @@ def test_echo_overlap_values_and_empty_response(spark):
         "c2": (2, 1.0, True),
         "c3": (0, 0.0, False),
     }
+
+
+def test_cdc_chunks_insertion_stability_and_coverage(spark):
+    """The CDC property: editing the middle of a document re-chunks
+    only the neighborhood — chunk hashes away from the edit survive,
+    unlike fixed-stride chunking where everything downstream shifts."""
+    from fluent_bit_spark.operators.packing import cdc_chunks
+
+    words = [f"w{i}" for i in range(400)]
+    edited = words[:200] + ["INSERTED", "SENTENCE", "HERE"] + words[200:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, window=3, divisor=32).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # full coverage, no gaps/overlaps
+        pos = 0
+        for r in rs:
+            assert r.chunk_start == pos
+            assert r.n_chunk_tokens > 0
+            pos += r.n_chunk_tokens
+        assert pos == (400 if d == 1 else 403)
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    shared = h1 & h2
+    # chunks before AND after the edit point survive byte-identically
+    assert len(shared) >= max(len(h1), len(h2)) - 3, (len(h1), len(h2), len(shared))
+    # and at least one surviving chunk lies AFTER the edit (start > 203
+    # in doc 2) — fixed-stride chunking could never achieve that
+    after = {
+        r.chunk_hash for r in by_doc[2] if r.chunk_start > 203
+    } & {r.chunk_hash for r in by_doc[1] if r.chunk_start >= 200}
+    assert after
+
+
+def test_cdc_chunks_empty_and_single_token(spark):
+    from fluent_bit_spark.operators.packing import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "solo"), (3, None)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens) for r in rows}
+    # blank and NULL docs emit nothing; a 1-token doc is one chunk
+    assert got == {(2, 0): (0, 1)}
