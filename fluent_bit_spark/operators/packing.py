@@ -184,24 +184,38 @@ def cdc_chunks(
             lambda i: gram_hash(i) % divisor == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(
+    bounds_expr = F.concat(
         F.array(F.lit(0)), cuts, F.when(n > 0, F.array(n)).otherwise(F.array())
     )
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda j: F.struct(
-            F.get(bounds, j - 1).alias("start"),
-            (F.get(bounds, j) - F.get(bounds, j - 1)).alias("n_toks"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        tk, F.get(bounds, j - 1) + 1, F.get(bounds, j) - F.get(bounds, j - 1)
-                    ),
-                    " ",
-                )
-            ).alias("h"),
-        ),
-    )
+
+    # the bounds array embeds the O(n_tokens) md5 cut scan; it is
+    # referenced many times inside the chunk lambda and Catalyst does
+    # not CSE subtrees inside HOF lambdas — let-bind it (the
+    # text_analysis.let_bound trick: a lambda variable cannot be
+    # re-inlined by CollapseProject) so the scan runs once per row,
+    # keeping the documented O(n_tokens * window) row cost
+    def _chunks_of(bounds):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.struct(
+                F.get(bounds, j - 1).alias("start"),
+                (F.get(bounds, j) - F.get(bounds, j - 1)).alias("n_toks"),
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            tk,
+                            F.get(bounds, j - 1) + 1,
+                            F.get(bounds, j) - F.get(bounds, j - 1),
+                        ),
+                        " ",
+                    )
+                ).alias("h"),
+            ),
+        )
+
+    from fluent_bit_spark.operators.text_analysis import let_bound
+
+    chunks = let_bound(bounds_expr, _chunks_of)
     out = bound.filter(n > 0).select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
     )
