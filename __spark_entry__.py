@@ -1406,6 +1406,24 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_m4_downsample(spark, sf_dir):
+    """M4 chart downsampling: min/max/first/last per (event_type,
+    6h bucket) — the out_plot analog that survives 100 TB."""
+    from fluent_bit_spark.operators.aggregate import m4_downsample
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return m4_downsample(ev)
+
+
+def _q_alert_edges(spark, sf_dir):
+    """Flap-suppressed alerting: only spike-state transitions from the
+    rolling-z detector reach the pager."""
+    from fluent_bit_spark.operators.aggregate import alert_edges
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return alert_edges(ev)
+
+
 def _q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: rolling 3-gram hash boundaries at
     ~32-token expected length — dedup-stable chunk hashes."""
@@ -1629,6 +1647,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,
+        "m4_downsample": _q_m4_downsample,
+        "alert_edges": _q_alert_edges,
     }
 
 

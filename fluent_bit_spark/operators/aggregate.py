@@ -169,3 +169,87 @@ def rate_anomalies_hourly(
         F.when(full, F.round(z, 6)).alias("z"),
         F.when(full, z > F.lit(z_threshold)).alias("spike"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per (key,
+    time bucket) keep min, max, first and last value — the four points
+    that make a line chart pixel-exact at the bucket resolution. The
+    scalable analog of the reference's out_plot (plugins/out_plot:
+    writes every point for gnuplot); at 100 TB you downsample
+    map-side-combinably instead of shipping raw points.
+
+    first/last tie-break on (ts, id) via a zero-padded string key —
+    min_by/arg_min take one ordering argument in both engines, and the
+    padded concatenation sorts exactly like the (ts, id) tuple.
+    Output: (key, bucket_start_s BIGINT epoch seconds, n, v_min, v_max,
+    v_first, v_last). Values are the stored doubles, bit-identical to
+    the oracle's.
+
+    Scale shape: one partial-agg shuffle on (key, bucket) — min/max/
+    min_by/max_by all combine map-side; no windows, no sort.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    step_us = F.lit(bucket_seconds * 1_000_000).cast("long")
+    # pure integer arithmetic: (us - us % step) is an exact multiple of
+    # step_us (itself a multiple of 1e6), so the division is exact
+    bucket = ((us - us % step_us) / F.lit(1_000_000)).cast("long")
+    order_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lit("#"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key), bucket.alias("bucket_start_s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+            F.min_by(value_col, order_key).alias("v_first"),
+            F.max_by(value_col, order_key).alias("v_last"),
+        )
+    )
+
+
+def alert_edges(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    window_hours: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flap suppression over rate_anomalies: emit only spike-state
+    TRANSITIONS — 'alert' when the flag goes false->true, 'resolve' on
+    true->false (NULL z hours count as not-spiking). A monitoring sink
+    pages on edges, not on every hot hour; this is the dedup between
+    the anomaly detector and the pager.
+
+    Output (key, hour, n, z, kind). One extra per-key lag window over
+    the already-tiny hourly verdict table.
+    """
+    from pyspark.sql import Window
+
+    v = rate_anomalies(df, key, ts_col, window_hours, z_threshold)
+    sp = F.coalesce(F.col("spike"), F.lit(False))
+    w = Window.partitionBy(key).orderBy("hour")
+    staged = v.withColumn("_sp", sp).withColumn(
+        "_prev", F.coalesce(F.lag("_sp").over(w), F.lit(False))
+    )
+    return (
+        staged.filter(F.col("_sp") != F.col("_prev"))
+        .select(
+            key,
+            "hour",
+            "n",
+            "z",
+            F.when(F.col("_sp"), F.lit("alert")).otherwise(F.lit("resolve")).alias("kind"),
+        )
+    )

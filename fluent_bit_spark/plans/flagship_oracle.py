@@ -718,29 +718,19 @@ WHERE rank <= 10"""
         "intra_doc_dedup": intra_doc_sql,
         "span_dedup": span_sql,
         "c4_filter": c4_sql,
-        "rate_anomalies": """, ra_h AS (
-               SELECT event_type, date_trunc('hour', ts) AS hour,
-                      count(*) AS n
-               FROM events WHERE ts IS NOT NULL
-               GROUP BY event_type, date_trunc('hour', ts)),
-             ra_w AS (
-               SELECT event_type, hour, n,
-                 SUM(n)   OVER w AS s1,
-                 SUM(n*n) OVER w AS s2,
-                 COUNT(n) OVER w AS cnt
-               FROM ra_h
-               WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
-             SELECT event_type, hour, n,
-               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
-                    THEN round(s1/6.0, 6) END AS mean_n,
-               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
-                    THEN round((n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0), 6)
-                    END AS z,
-               CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
-                    THEN (n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0) > 3.0
-                    END AS spike
-             FROM ra_w""",
+        "rate_anomalies": _RA_CTES + "\nSELECT event_type, hour, n, mean_n, z, spike FROM ra_v",
+        # alert edges: emit only spike-state TRANSITIONS (alert on
+        # false->true, resolve on true->false; NULL z counts as false)
+        "alert_edges": _RA_CTES + """
+, ae AS (SELECT event_type, hour, n, z,
+                coalesce(spike, FALSE) AS sp,
+                coalesce(lag(coalesce(spike, FALSE))
+                           OVER (PARTITION BY event_type ORDER BY hour),
+                         FALSE) AS prev
+         FROM ra_v)
+SELECT event_type, hour, n, z,
+       CASE WHEN sp THEN 'alert' ELSE 'resolve' END AS kind
+FROM ae WHERE sp <> prev""",
         # bigram LM: fixed-point ln sums (order-independent); 0.5 cast
         # ::DOUBLE (bare literal would run the smoothing in DECIMAL)
         # char-entropy: per-char -p*ln(p) fixed-pointed to BIGINT over
@@ -1764,6 +1754,33 @@ FROM transcripts"""
 
 # token/word-metric chain shared by the doc_stats and scorecard
 # oracles: ends at s = (doc_id, text, n_tok, mwl, swr, pr, s_*)
+# rate_anomalies chain, ending at ra_v = (event_type, hour, n, mean_n,
+# z, spike) — shared by the rate_anomalies and alert_edges oracles
+_RA_CTES = """, ra_h AS (
+               SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY event_type, date_trunc('hour', ts)),
+             ra_w AS (
+               SELECT event_type, hour, n,
+                 SUM(n)   OVER w AS s1,
+                 SUM(n*n) OVER w AS s2,
+                 COUNT(n) OVER w AS cnt
+               FROM ra_h
+               WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+             ra_v AS (
+               SELECT event_type, hour, n,
+                 CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                      THEN round(s1/6.0, 6) END AS mean_n,
+                 CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                      THEN round((n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0), 6)
+                      END AS z,
+                 CASE WHEN cnt = 6 AND (s2 - s1*s1/6.0)/6.0 > 0
+                      THEN (n - s1/6.0)/sqrt((s2 - s1*s1/6.0)/6.0) > 3.0
+                      END AS spike
+               FROM ra_w)"""
+
 _DOC_STATS_CTES = """, t AS (
                SELECT doc_id, text,
                  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
@@ -1898,6 +1915,20 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        # M4 downsampling: 6h buckets, first/last tie-broken on the
+        # zero-padded (epoch_us, event_id) string key (arg_min/min_by
+        # take one ordering argument in both engines)
+        "m4_downsample": c
+        + """
+, m4k AS (SELECT event_type, value,
+                 (epoch_us(ts) // 21600000000) * 21600 AS bucket_start_s,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#'
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+          FROM events WHERE ts IS NOT NULL)
+SELECT event_type, CAST(bucket_start_s AS BIGINT) AS bucket_start_s,
+       COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max,
+       arg_min(value, ok) AS v_first, arg_max(value, ok) AS v_last
+FROM m4k GROUP BY event_type, bucket_start_s""",
         # CDC: cut after position i when md5_32(3-gram ending at i) % 32
         # == 0; bounds = [0] ++ cuts ++ [n]; chunk hash = md5 of the
         # re-joined slice (window=3, divisor=32 mirror cdc_chunks)

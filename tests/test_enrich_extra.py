@@ -216,3 +216,59 @@ def test_interval_overlap_join_exact_pairs(spark):
         ("s4", "i1"): 120 * m,
         ("s4", "i2"): 60 * m,
     }
+
+
+def test_m4_downsample_four_points_and_tiebreak(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.operators.aggregate import m4_downsample
+
+    T = dt.datetime
+    rows = [
+        # one 6h bucket (epoch 0..21599): first at 00:00 (id tie-break:
+        # two events at the same ts, lower id wins first)
+        (2, T(1970, 1, 1, 0, 0), "a", 5.0),
+        (1, T(1970, 1, 1, 0, 0), "a", 7.0),
+        (3, T(1970, 1, 1, 3, 0), "a", -1.0),
+        (4, T(1970, 1, 1, 5, 59), "a", 2.0),
+        # next bucket
+        (5, T(1970, 1, 1, 6, 0), "a", 9.0),
+        (6, T(1970, 1, 1, 1, 0), "b", 4.0),
+        (7, None, "a", 99.0),  # NULL ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    got = {
+        (r.event_type, r.bucket_start_s): (r.n, r.v_min, r.v_max, r.v_first, r.v_last)
+        for r in m4_downsample(df).collect()
+    }
+    assert got == {
+        ("a", 0): (4, -1.0, 7.0, 7.0, 2.0),
+        ("a", 21600): (1, 9.0, 9.0, 9.0, 9.0),
+        ("b", 0): (1, 4.0, 4.0, 4.0, 4.0),
+    }
+
+
+def test_alert_edges_transitions_only(spark):
+    from fluent_bit_spark.operators.aggregate import alert_edges, rate_anomalies
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edges = alert_edges(events).collect()
+    verdicts = {
+        (r.event_type, r.hour): bool(r.spike) if r.spike is not None else False
+        for r in rate_anomalies(events).collect()
+    }
+    assert edges, "no transitions found in the test data"
+    # every edge is a genuine state change vs the previous observed hour
+    by_key = {}
+    for (k, h), sp in sorted(verdicts.items()):
+        by_key.setdefault(k, []).append((h, sp))
+    expected = set()
+    for k, seq in by_key.items():
+        prev = False
+        for h, sp in seq:
+            if sp != prev:
+                expected.add((k, h, "alert" if sp else "resolve"))
+            prev = sp
+    assert {(r.event_type, r.hour, r.kind) for r in edges} == expected
