@@ -188,26 +188,32 @@ def m4_downsample(
 
     first/last tie-break on (ts, id) via a zero-padded string key —
     min_by/arg_min take one ordering argument in both engines, and the
-    padded concatenation sorts exactly like the (ts, id) tuple.
+    padded concatenation sorts exactly like the (ts, id) tuple for
+    non-negative ids (20-digit pad covers the whole BIGINT range; a
+    negative id would misorder — row ids are non-negative).
     Output: (key, bucket_start_s BIGINT epoch seconds, n, v_min, v_max,
     v_first, v_last). Values are the stored doubles, bit-identical to
-    the oracle's.
+    the oracle's; rows with a NULL value are dropped (a NULL point
+    renders nothing, and the engines disagree on whether min_by skips
+    it).
 
     Scale shape: one partial-agg shuffle on (key, bucket) — min/max/
     min_by/max_by all combine map-side; no windows, no sort.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     step_us = F.lit(bucket_seconds * 1_000_000).cast("long")
-    # pure integer arithmetic: (us - us % step) is an exact multiple of
-    # step_us (itself a multiple of 1e6), so the division is exact
-    bucket = ((us - us % step_us) / F.lit(1_000_000)).cast("long")
+    # pure integer FLOOR arithmetic (pmod keeps pre-1970 timestamps in
+    # the bucket that starts before them; plain % would truncate toward
+    # zero); (us - pmod) is an exact multiple of step_us (itself a
+    # multiple of 1e6), so the division is exact
+    bucket = ((us - F.pmod(us, step_us)) / F.lit(1_000_000)).cast("long")
     order_key = F.concat(
         F.lpad(us.cast("string"), 20, "0"),
         F.lit("#"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
     )
     return (
-        df.filter(F.col(ts_col).isNotNull())
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(key), bucket.alias("bucket_start_s"))
         .agg(
             F.count("*").alias("n"),

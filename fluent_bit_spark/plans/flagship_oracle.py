@@ -1752,8 +1752,6 @@ _INFLUX_SQL = r"""SELECT conv_id, turn_idx,
 FROM transcripts"""
 
 
-# token/word-metric chain shared by the doc_stats and scorecard
-# oracles: ends at s = (doc_id, text, n_tok, mwl, swr, pr, s_*)
 # rate_anomalies chain, ending at ra_v = (event_type, hour, n, mean_n,
 # z, spike) — shared by the rate_anomalies and alert_edges oracles
 _RA_CTES = """, ra_h AS (
@@ -1781,6 +1779,8 @@ _RA_CTES = """, ra_h AS (
                       END AS spike
                FROM ra_w)"""
 
+# token/word-metric chain shared by the doc_stats and scorecard
+# oracles: ends at s = (doc_id, text, n_tok, mwl, swr, pr, s_*)
 _DOC_STATS_CTES = """, t AS (
                SELECT doc_id, text,
                  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
@@ -1921,10 +1921,12 @@ def oracle_queries() -> dict[str, str]:
         "m4_downsample": c
         + """
 , m4k AS (SELECT event_type, value,
-                 (epoch_us(ts) // 21600000000) * 21600 AS bucket_start_s,
+                 (epoch_us(ts)
+                  - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000)
+                   // 1000000 AS bucket_start_s,
                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#'
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
-          FROM events WHERE ts IS NOT NULL)
+                   || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
 SELECT event_type, CAST(bucket_start_s AS BIGINT) AS bucket_start_s,
        COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max,
        arg_min(value, ok) AS v_first, arg_max(value, ok) AS v_last

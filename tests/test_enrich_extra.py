@@ -235,6 +235,10 @@ def test_m4_downsample_four_points_and_tiebreak(spark):
         (5, T(1970, 1, 1, 6, 0), "a", 9.0),
         (6, T(1970, 1, 1, 1, 0), "b", 4.0),
         (7, None, "a", 99.0),  # NULL ts dropped
+        (8, T(1970, 1, 1, 2, 0), "a", None),  # NULL value dropped
+        # pre-epoch: FLOORS to the bucket starting before it (-21600),
+        # not the truncate-toward-zero bucket 0
+        (9, T(1969, 12, 31, 23, 0), "a", 3.0),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, event_type string, value double"
@@ -244,16 +248,17 @@ def test_m4_downsample_four_points_and_tiebreak(spark):
         for r in m4_downsample(df).collect()
     }
     assert got == {
+        ("a", -21600): (1, 3.0, 3.0, 3.0, 3.0),
         ("a", 0): (4, -1.0, 7.0, 7.0, 2.0),
         ("a", 21600): (1, 9.0, 9.0, 9.0, 9.0),
         ("b", 0): (1, 4.0, 4.0, 4.0, 4.0),
     }
 
 
-def test_alert_edges_transitions_only(spark):
+def test_alert_edges_transitions_only(spark, sf_dir):
     from fluent_bit_spark.operators.aggregate import alert_edges, rate_anomalies
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     edges = alert_edges(events).collect()
     verdicts = {
         (r.event_type, r.hour): bool(r.spike) if r.spike is not None else False
