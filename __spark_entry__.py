@@ -1424,6 +1424,25 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_ewma_hourly(spark, sf_dir):
+    """Truncated-renormalized EWMA smoothing of hourly event rates
+    (alpha=0.3, trailing 8 observed buckets)."""
+    from fluent_bit_spark.operators.aggregate import ewma_hourly
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return ewma_hourly(ev, alpha=0.3, window_hours=8)
+
+
+def _q_dim_trunc_eval(spark, sf_dir):
+    """Overlap@10 between full-dim and first-16-dim cosine top-10 —
+    the dimension-truncation serving scorecard."""
+    from fluent_bit_spark.operators.similarity import dim_trunc_eval
+
+    return dim_trunc_eval(
+        _embs(spark, sf_dir), F.col("vec_id") < 5, keep_dims=16, k=10
+    )
+
+
 def _q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: rolling 3-gram hash boundaries at
     ~32-token expected length — dedup-stable chunk hashes."""
@@ -1649,6 +1668,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "m4_downsample": _q_m4_downsample,
         "alert_edges": _q_alert_edges,
+        "ewma_hourly": _q_ewma_hourly,
+        "dim_trunc_eval": _q_dim_trunc_eval,
     }
 
 

@@ -259,3 +259,76 @@ def alert_edges(
             F.when(F.col("_sp"), F.lit("alert")).otherwise(F.lit("resolve")).alias("kind"),
         )
     )
+
+
+def ewma_hourly(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    window_hours: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average of hourly rates, truncated
+    to the trailing `window_hours` OBSERVED buckets (current included)
+    and renormalized: ewma_t = sum(w_j * n_{t-j}) / sum(w_j) with
+    w_j = (1-alpha)^j. The smoothing baseline a telemetry dashboard
+    draws under the raw rate line.
+
+    The textbook recursive EWMA is a sequential recurrence; truncation
+    makes it a windowed dot product instead — exact for the kept terms,
+    and the dropped tail's weight is (1-alpha)^window_hours (~6% at the
+    defaults), absorbed by the renormalizing denominator.
+
+    Determinism: the trailing counts are gathered as an ordered window
+    list and both the weighted numerator and the weight sum are
+    fixed-pointed to BIGINT per term before summation — integer sums in
+    any order, then one division, round-6. Output (key, hour, n, ewma).
+
+    Scale shape: one (key, hour) partial-agg shuffle + a per-key window
+    over tiny hourly rows (the rate_anomalies shape).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("hour")
+        .rowsBetween(-(window_hours - 1), 0)
+    )
+    # frame order is hour-ascending, so element i of the list is
+    # (size-1-i) hours before the current bucket
+    trail = F.collect_list("n").over(w)
+    staged = hourly.withColumn("_tr", trail)
+    sz = F.size("_tr")
+    ages = F.sequence(sz - 1, F.lit(0), F.lit(-1))
+    num = F.aggregate(
+        F.zip_with(
+            F.col("_tr"),
+            ages,
+            lambda x, j: F.round(
+                x * F.pow(F.lit(1.0 - alpha), j) * 1_000_000
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.transform(
+            ages,
+            lambda j: F.round(F.pow(F.lit(1.0 - alpha), j) * 1_000_000).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return staged.select(
+        key,
+        "hour",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )

@@ -382,6 +382,60 @@ def pq_adc_topk(
     )
 
 
+def dim_trunc_eval(
+    vectors: DataFrame,
+    is_query: Column,
+    keep_dims: int = 16,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: overlap@k
+    between the exact cosine top-k on the FULL vectors and on just the
+    first `keep_dims` components. Output one row per query:
+    (query_id, n_common, overlap). The scorecard that tells you whether
+    serving truncated embeddings (keep_dims/dim of the memory and
+    FLOPs) keeps enough ranking quality — measured, not guessed (the
+    minhash_eval convention for the embedding axis).
+
+    Both rankings use the round-6 cosine with id tie-break, so the
+    oracle replays them exactly. NULL is_query counts as candidate.
+
+    Scale shape: two broadcast-query brute-force passes (cosine_topk's
+    shape) over the same scan, then a join of two (queries x k) result
+    sets — the eval never materializes anything bigger than the top-k
+    lists.
+    """
+    is_query = F.coalesce(is_query, F.lit(False))
+    prepped = vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    )
+    qs = prepped.filter(is_query).withColumnRenamed(id_col, "query_id")
+    cands = prepped.filter(~is_query)
+    full = cosine_topk(
+        cands, qs, k=k, vec_col="_v", id_col=id_col, rank_round=6
+    ).select("query_id", id_col)
+    trunc_q = qs.withColumn("_v", F.slice("_v", 1, keep_dims))
+    trunc_c = cands.withColumn("_v", F.slice("_v", 1, keep_dims))
+    trunc = cosine_topk(
+        trunc_c, trunc_q, k=k, vec_col="_v", id_col=id_col, rank_round=6
+    ).select("query_id", id_col)
+    common = full.join(trunc, ["query_id", id_col]).groupBy("query_id").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        qs.select("query_id")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 

@@ -1915,6 +1915,52 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        # dimension-truncation eval: overlap@10 between full-dim and
+        # first-16-dim exact cosine top-10 (round-6, id tie-break)
+        "dim_trunc_eval": c
+        + """
+, dt0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+, dtq AS (SELECT vec_id AS query_id, v FROM dt0 WHERE vec_id < 5)
+, dtc AS (SELECT vec_id, v FROM dt0 WHERE vec_id >= 5)
+, dtf AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM dtq q CROSS JOIN dtc c) WHERE rnk <= 10)
+, dtt AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(c.v[1:16], q.v[1:16]), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM dtq q CROSS JOIN dtc c) WHERE rnk <= 10)
+, dtn AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM dtf f JOIN dtt t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+          GROUP BY f.query_id)
+SELECT q.query_id, coalesce(n.n_common, 0) AS n_common,
+       round(coalesce(n.n_common, 0) / 10.0::DOUBLE, 6) AS overlap
+FROM (SELECT DISTINCT query_id FROM dtq) q LEFT JOIN dtn n USING (query_id)""",
+        # EWMA: truncated-renormalized dot over the trailing 8 observed
+        # hourly buckets; per-term fixed-point, integer sums
+        "ewma_hourly": c
+        + f"""
+, ewh AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY event_type, date_trunc('hour', ts))
+, ewt AS (SELECT event_type, hour, n,
+                 list(n) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS tr
+          FROM ewh)
+SELECT event_type, hour, n,
+       round(
+         CAST(list_sum([CAST(round(tr[i] * pow({0.7!r}::DOUBLE, len(tr) - i)
+                                    * 1000000) AS BIGINT)
+                        FOR i IN range(1, len(tr) + 1)]) AS BIGINT)
+         / CAST(list_sum([CAST(round(pow({0.7!r}::DOUBLE, len(tr) - i)
+                                     * 1000000) AS BIGINT)
+                          FOR i IN range(1, len(tr) + 1)]) AS BIGINT)::DOUBLE,
+         6) AS ewma
+FROM ewt""",
         # M4 downsampling: 6h buckets, first/last tie-broken on the
         # zero-padded (epoch_us, event_id) string key (arg_min/min_by
         # take one ordering argument in both engines)

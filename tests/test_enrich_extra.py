@@ -277,3 +277,46 @@ def test_alert_edges_transitions_only(spark, sf_dir):
                 expected.add((k, h, "alert" if sp else "resolve"))
             prev = sp
     assert {(r.event_type, r.hour, r.kind) for r in edges} == expected
+
+
+def test_ewma_hourly_known_values(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.operators.aggregate import ewma_hourly
+
+    T = dt.datetime
+    # one key, hourly counts 2, 4, 8 (consecutive observed buckets)
+    rows = (
+        [(T(2024, 1, 1, 0, m), "a") for m in range(2)]
+        + [(T(2024, 1, 1, 1, m), "a") for m in range(4)]
+        + [(T(2024, 1, 1, 2, m), "a") for m in range(8)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    got = {r.hour.hour: (r.n, r.ewma) for r in ewma_hourly(df, alpha=0.3).collect()}
+    fx = lambda x: int(x * 1_000_000 + 0.5)
+
+    def ew(counts):
+        num = sum(fx(c * 0.7 ** (len(counts) - 1 - i)) for i, c in enumerate(counts))
+        den = sum(fx(0.7 ** (len(counts) - 1 - i)) for i, c in enumerate(counts))
+        return round(num / den, 6)
+
+    assert got[0] == (2, ew([2]))
+    assert got[1] == (4, ew([2, 4]))
+    assert got[2] == (8, ew([2, 4, 8]))
+    # closed form: (2*0.49 + 4*0.7 + 8) / (0.49 + 0.7 + 1) ~ 5.36
+    assert abs(got[2][1] - (2 * 0.49 + 4 * 0.7 + 8) / (0.49 + 0.7 + 1.0)) < 1e-5
+
+
+def test_dim_trunc_eval_identical_when_info_in_kept_dims(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.similarity import dim_trunc_eval
+
+    # all signal lives in the first 4 dims => truncation changes nothing
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)] + [0.0] * 4)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dim_trunc_eval(df, F.col("vec_id") < 2, keep_dims=4, k=5).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r.n_common, r.overlap) == (5, 1.0)
