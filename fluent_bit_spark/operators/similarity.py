@@ -36,9 +36,22 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays (JVM higher-order fns)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two double arrays (JVM higher-order fns).
+    A zero-norm side yields -1.0 — DuckDB's list_cosine_similarity
+    convention, and a total function instead of an ANSI
+    divide-by-zero/NaN (zero vectors become reachable once callers
+    slice dense embeddings, e.g. dim_trunc_eval). The positive branch
+    keeps the exact dot/(sqrt*sqrt) expression shape the oracles
+    replay."""
+    return F.when(
+        (_norm2(a) > 0) & (_norm2(b) > 0),
+        _dot(a, b) / (_norm(a) * _norm(b)),
+    ).otherwise(F.lit(-1.0))
 
 
 def as_double_array(c: Column) -> Column:
@@ -399,32 +412,46 @@ def dim_trunc_eval(
     minhash_eval convention for the embedding axis).
 
     Both rankings use the round-6 cosine with id tie-break, so the
-    oracle replays them exactly. NULL is_query counts as candidate.
+    oracle replays them exactly. NULL is_query counts as candidate;
+    NULL ids are excluded (they could claim top-k slots yet never
+    match the intersection join); ids must be unique per row (the
+    per-query ranking windows assume one query per id).
 
-    Scale shape: two broadcast-query brute-force passes (cosine_topk's
-    shape) over the same scan, then a join of two (queries x k) result
-    sets — the eval never materializes anything bigger than the top-k
-    lists.
+    Scale shape: ONE broadcast crossJoin scores both the full and the
+    truncated cosine per candidate pass; two per-query rank windows
+    over the scored rows, then a count of the doubly-top-k survivors —
+    nothing bigger than the scored top-k lists ever shuffles.
     """
     is_query = F.coalesce(is_query, F.lit(False))
-    prepped = vectors.select(
+    prepped = vectors.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
     )
-    qs = prepped.filter(is_query).withColumnRenamed(id_col, "query_id")
-    cands = prepped.filter(~is_query)
-    full = cosine_topk(
-        cands, qs, k=k, vec_col="_v", id_col=id_col, rank_round=6
-    ).select("query_id", id_col)
-    trunc_q = qs.withColumn("_v", F.slice("_v", 1, keep_dims))
-    trunc_c = cands.withColumn("_v", F.slice("_v", 1, keep_dims))
-    trunc = cosine_topk(
-        trunc_c, trunc_q, k=k, vec_col="_v", id_col=id_col, rank_round=6
-    ).select("query_id", id_col)
-    common = full.join(trunc, ["query_id", id_col]).groupBy("query_id").agg(
-        F.count("*").alias("n_common")
+    qs = prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.slice("_v", 1, keep_dims).alias("_qt"),
+    )
+    cands = prepped.filter(~is_query).withColumn(
+        "_vt", F.slice("_v", 1, keep_dims)
+    )
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col("_v"), F.col("_qv")), 6).alias("_cf"),
+        F.round(cosine_col(F.col("_vt"), F.col("_qt")), 6).alias("_ct"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("_cf").desc(), F.col(id_col))
+    wt = Window.partitionBy("query_id").orderBy(F.col("_ct").desc(), F.col(id_col))
+    common = (
+        scored.withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rt", F.row_number().over(wt))
+        .filter((F.col("_rf") <= k) & (F.col("_rt") <= k))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
     )
     return (
         qs.select("query_id")
+        .distinct()
         .join(common, "query_id", "left")
         .select(
             "query_id",
