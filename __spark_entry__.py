@@ -1424,6 +1424,37 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_config_pipeline(spark, sf_dir):
+    """A classic INI-config-defined pipeline (transcripts input -> grep
+    -> rewrite_tag -> record_modifier) compiled by ConfigPipeline and
+    aggregated per rewritten tag — proves the config surface end to end
+    under the oracle gate, not just in pytest."""
+    from fluent_bit_spark.config import ConfigPipeline
+
+    cfg = f"""
+[INPUT]
+    Name transcripts
+    Path {sf_dir}
+    Tag conv.raw
+[FILTER]
+    Name grep
+    Match conv.*
+    Regex text ^(level=|\\{{)
+[FILTER]
+    Name rewrite_tag
+    Match conv.*
+    Rule $role ^(assistant|ai|bot)$ conv.assistant false
+[FILTER]
+    Name record_modifier
+    Match *
+    Record env prod
+"""
+    df = ConfigPipeline(cfg).frame(_prep(spark))
+    return df.groupBy("tag", "env").agg(
+        F.count("*").alias("n"), F.count("tool").alias("tool_turns")
+    )
+
+
 def _q_ewma_hourly(spark, sf_dir):
     """Truncated-renormalized EWMA smoothing of hourly event rates
     (alpha=0.3, trailing 8 observed buckets)."""
@@ -1670,6 +1701,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_edges": _q_alert_edges,
         "ewma_hourly": _q_ewma_hourly,
         "dim_trunc_eval": _q_dim_trunc_eval,
+        "config_pipeline": _q_config_pipeline,
     }
 
 

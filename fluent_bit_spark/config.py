@@ -557,21 +557,29 @@ class ConfigPipeline:
         raise ConfigError(f"unsupported filter plugin {name!r}")
 
     # -- run ----------------------------------------------------------------
-    def run(
-        self, spark: SparkSession, output_base: str | None = None
-    ) -> dict[str, object]:
+    def frame(self, spark: SparkSession) -> DataFrame:
+        """The post-filter record stream — inputs unioned, every FILTER
+        section applied in config order, no sink materialization. For
+        embedding a config-defined pipeline inside a larger DataFrame
+        job (the gate query aggregates it like any other frame)."""
         inputs = [s for s in self.sections if s.kind == "INPUT"]
-        filters = [s for s in self.sections if s.kind == "FILTER"]
-        outputs = [s for s in self.sections if s.kind == "OUTPUT"]
-        if not inputs or not outputs:
-            raise ConfigError("config needs at least one INPUT and one OUTPUT")
-
+        if not inputs:
+            raise ConfigError("config needs at least one INPUT")
         frames = [self._input_frame(spark, s) for s in inputs]
         df = functools.reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
-        for s in filters:
+        for s in [s for s in self.sections if s.kind == "FILTER"]:
             df = self._apply_filter(df, s)
+        return df
+
+    def run(
+        self, spark: SparkSession, output_base: str | None = None
+    ) -> dict[str, object]:
+        outputs = [s for s in self.sections if s.kind == "OUTPUT"]
+        if not outputs:
+            raise ConfigError("config needs at least one INPUT and one OUTPUT")
+        df = self.frame(spark)
 
         sinks = [
             ((s.get("Name") or "x") + f"_{i}", s.get("Match", "*"))

@@ -1915,6 +1915,15 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        # config-driven pipeline: grep(text) -> rewrite_tag(role) ->
+        # record_modifier(env) over the transcripts input, per-tag agg
+        "config_pipeline": c
+        + """SELECT CASE WHEN coalesce(regexp_matches(role, '^(assistant|ai|bot)$'), FALSE)
+                         THEN 'conv.assistant' ELSE 'conv.raw' END AS tag,
+                    'prod' AS env, COUNT(*) AS n, COUNT(tool) AS tool_turns
+             FROM transcripts
+             WHERE coalesce(regexp_matches(text, '^(level=|\\{)'), FALSE)
+             GROUP BY 1""",
         # dimension-truncation eval: overlap@10 between full-dim and
         # first-16-dim exact cosine top-10 (round-6, id tie-break)
         "dim_trunc_eval": c
