@@ -578,7 +578,7 @@ class ConfigPipeline:
     ) -> dict[str, object]:
         outputs = [s for s in self.sections if s.kind == "OUTPUT"]
         if not outputs:
-            raise ConfigError("config needs at least one INPUT and one OUTPUT")
+            raise ConfigError("config needs at least one OUTPUT")
         df = self.frame(spark)
 
         sinks = [

@@ -436,3 +436,31 @@ def test_pipeline_from_file_missing_parsers_file(tmp_path):
     main.write_text("[SERVICE]\n    Parsers_File nope.conf\n")
     with pytest.raises(ConfigError):
         pipeline_from_file(str(main))
+
+
+def test_frame_applies_filters_in_order_and_requires_input(spark):
+    from fluent_bit_spark.config import ConfigError, ConfigPipeline
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "error a", "code": 1}
+    Samples 4
+    Tag t.x
+[FILTER]
+    Name grep
+    Match *
+    Regex message error
+[FILTER]
+    Name record_modifier
+    Match *
+    Record env prod
+"""
+    df = ConfigPipeline(cfg).frame(spark)
+    rows = df.collect()
+    # grep ran before record_modifier: only matching rows carry env
+    assert len(rows) == 4 and all(r.env == "prod" for r in rows)
+    assert {r.tag for r in rows} == {"t.x"}
+
+    with pytest.raises(ConfigError, match="INPUT"):
+        ConfigPipeline("[OUTPUT]\n    Name counter\n    Match *\n").frame(spark)
