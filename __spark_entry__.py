@@ -1424,6 +1424,44 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_clean_text(spark, sf_dir):
+    """Text normalization over documents with injected control chars,
+    curly quotes, and unicode dashes (the raw table is already-clean
+    ASCII, so the dirt is synthesized deterministically — mirrored in
+    the oracle)."""
+    from fluent_bit_spark.operators.curation import clean_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\x07\x01")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("  “quoted” — tail\t")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return clean_text(dirty).select(
+        "doc_id", "clean_text", "n_ctrl_removed", "changed"
+    )
+
+
+def _q_sp_chain(spark, sf_dir):
+    """CREATE STREAM chaining under the gate: a filtered stream is
+    registered, then aggregated by a second SP query — the reference's
+    in_stream_processor re-injection path."""
+    eng = _sp_engine(spark, sf_dir)
+    eng.execute(
+        "CREATE STREAM hot AS SELECT event_id, event_type, value "
+        "FROM STREAM:events WHERE value >= 50;"
+    )
+    return eng.execute(
+        "SELECT event_type, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi "
+        "FROM STREAM:hot GROUP BY event_type;"
+    )
+
+
 def _q_config_pipeline(spark, sf_dir):
     """A classic INI-config-defined pipeline (transcripts input -> grep
     -> rewrite_tag -> record_modifier) compiled by ConfigPipeline and
@@ -1702,6 +1740,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": _q_ewma_hourly,
         "dim_trunc_eval": _q_dim_trunc_eval,
         "config_pipeline": _q_config_pipeline,
+        "sp_chain": _q_sp_chain,
+        "clean_text": _q_clean_text,
     }
 
 

@@ -572,3 +572,40 @@ def common_line_filter(
         ).alias(out)
     )
     return df.select(id_col).join(rebuilt, id_col, "left").fillna({out: ""})
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4/CCNet-style text normalization: strip ASCII control
+    characters (keeping \\t and \\n semantics by collapsing them with
+    the whitespace pass), normalize curly quotes and unicode dashes to
+    their ASCII forms, collapse whitespace runs to single spaces, and
+    trim. Output adds (out, n_ctrl_removed, changed) — the cleanup
+    every web/transcript corpus runs before tokenization so that
+    hashing, dedup, and token counts see canonical bytes.
+
+    All Java/RE2-common-subset regexes and per-codepoint translate —
+    shuffle-free map stage, exact in both engines.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    no_ctrl = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+    )
+    quoted = F.translate(
+        no_ctrl, "‘’“”–—", "''\"\"--"
+    )
+    cleaned = F.trim(F.regexp_replace(quoted, "\\s+", " "))
+    return df.withColumns(
+        {
+            "_ct_nc": no_ctrl,
+            out: cleaned,
+        }
+    ).withColumns(
+        {
+            "n_ctrl_removed": (F.length(t) - F.length(F.col("_ct_nc"))).cast("int"),
+            "changed": F.col(out) != t,
+        }
+    ).drop("_ct_nc")

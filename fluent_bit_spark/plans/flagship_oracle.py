@@ -1915,6 +1915,37 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        # clean_text: synthesized dirt (ctrl chars / curly quotes / em
+        # dash), ctrl-strip + translate + whitespace collapse
+        "clean_text": c
+        + """
+, ctd AS (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN chr(7) || chr(1) ELSE '' END
+                 || text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN '  “quoted” — tail' || chr(9)
+                         ELSE '' END AS text
+          FROM documents)
+, ctc AS (SELECT doc_id, text,
+                 regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS nc
+          FROM ctd)
+SELECT doc_id,
+       trim(regexp_replace(
+         translate(nc, '‘’“”–—', '''''""--'),
+         '\\s+', ' ', 'g')) AS clean_text,
+       CAST(length(text) - length(nc) AS INT) AS n_ctrl_removed,
+       trim(regexp_replace(
+         translate(nc, '‘’“”–—', '''''""--'),
+         '\\s+', ' ', 'g')) <> text AS changed
+FROM ctc""",
+        # SP CREATE STREAM chaining: the registered stream is the inner
+        # filtered subquery
+        "sp_chain": c
+        + """SELECT event_type, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+             FROM (SELECT event_id, event_type, value FROM events
+                   WHERE value >= 50)
+             GROUP BY event_type""",
         # config-driven pipeline: grep(text) -> rewrite_tag(role) ->
         # record_modifier(env) over the transcripts input, per-tag agg
         "config_pipeline": c
