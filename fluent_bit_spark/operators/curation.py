@@ -598,14 +598,14 @@ def clean_text(
         no_ctrl, "‘’“”–—", "''\"\"--"
     )
     cleaned = F.trim(F.regexp_replace(quoted, "\\s+", " "))
+    # one withColumns pass: every expression resolves against the INPUT
+    # frame, so out == text_col (in-place normalize) stays correct —
+    # a chained second pass would re-resolve t against the replaced
+    # column and corrupt n_ctrl_removed/changed
     return df.withColumns(
         {
-            "_ct_nc": no_ctrl,
             out: cleaned,
+            "n_ctrl_removed": (F.length(t) - F.length(no_ctrl)).cast("int"),
+            "changed": cleaned != t,
         }
-    ).withColumns(
-        {
-            "n_ctrl_removed": (F.length(t) - F.length(F.col("_ct_nc"))).cast("int"),
-            "changed": F.col(out) != t,
-        }
-    ).drop("_ct_nc")
+    )

@@ -1921,23 +1921,22 @@ def oracle_queries() -> dict[str, str]:
         + """
 , ctd AS (SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0 THEN chr(7) || chr(1) ELSE '' END
-                 || text
+                 || coalesce(text, '')
                  || CASE WHEN doc_id % 5 = 0
                          THEN '  “quoted” — tail' || chr(9)
                          ELSE '' END AS text
           FROM documents)
-, ctc AS (SELECT doc_id, text,
-                 regexp_replace(text,
-                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS nc
-          FROM ctd)
-SELECT doc_id,
-       trim(regexp_replace(
-         translate(nc, '‘’“”–—', '''''""--'),
-         '\\s+', ' ', 'g')) AS clean_text,
+, ctc AS (SELECT doc_id, text, nc,
+                 trim(regexp_replace(
+                   translate(nc, '‘’“”–—', '''''""--'),
+                   '\\s+', ' ', 'g')) AS cleaned
+          FROM (SELECT doc_id, text,
+                       regexp_replace(text,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS nc
+                FROM ctd))
+SELECT doc_id, cleaned AS clean_text,
        CAST(length(text) - length(nc) AS INT) AS n_ctrl_removed,
-       trim(regexp_replace(
-         translate(nc, '‘’“”–—', '''''""--'),
-         '\\s+', ' ', 'g')) <> text AS changed
+       cleaned <> text AS changed
 FROM ctc""",
         # SP CREATE STREAM chaining: the registered stream is the inner
         # filtered subquery

@@ -601,3 +601,23 @@ def test_curation_scorecard_composes_and_decides(spark):
         spark.createDataFrame([(9, "solo")], "doc_id long, text string"),
         min_quality=0.0, min_entropy=0.0, min_logprob=-10.0).collect()[0]
     assert solo.logprob is None and solo.keep is False
+
+
+def test_clean_text_in_place_and_counts(spark):
+    from fluent_bit_spark.operators.curation import clean_text
+
+    rows = [
+        (1, "a\x07\x01  b\tc"),      # 2 ctrl chars + whitespace runs
+        (2, "‘x’ “y” – —"),          # quote/dash folding only
+        (3, "already clean"),
+        (4, None),                     # NULL -> '' (unchanged empty)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_ctrl_removed, r.changed)
+        for r in clean_text(df, out="text").collect()  # in-place
+    }
+    assert got[1] == ("a b c", 2, True)
+    assert got[2] == ("'x' \"y\" - -", 0, True)
+    assert got[3] == ("already clean", 0, False)
+    assert got[4] == ("", 0, False)
