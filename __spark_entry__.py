@@ -1571,6 +1571,18 @@ def _q_flow_rollup(spark, sf_dir):
     )
 
 
+def _q_ann_pq_sampled(spark, sf_dir):
+    """PQ ADC with the 100 TB fitting recipe: codebooks trained on a
+    deterministic 50% hash sample of the ids, every row encoded
+    against the sample-fitted books."""
+    from fluent_bit_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _embs(spark, sf_dir), F.col("vec_id") < 5, m=4, k_codes=4, iters=2,
+        k=10, fit_fraction=0.5,
+    )
+
+
 def _q_minhash_eval(spark, sf_dir):
     """Precision/recall scorecard of a deliberately lossy 4-row-band
     MinHash operating point vs the exact blocked shingle-Jaccard
@@ -1742,6 +1754,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_pipeline": _q_config_pipeline,
         "sp_chain": _q_sp_chain,
         "clean_text": _q_clean_text,
+        "ann_pq_sampled": _q_ann_pq_sampled,
     }
 
 

@@ -256,6 +256,8 @@ def pq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    fit_fraction: float | None = None,
+    fit_salt: str = "",
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Product-quantization fit: split each vector into `m` equal
     subspaces, learn a `k_codes`-entry codebook per subspace with
@@ -281,6 +283,14 @@ def pq_fit(
     vector is not exactly `dim` long or carries a NULL component are
     EXCLUDED up front (they would NULL-poison the L2 folds and diverge
     from the oracle — the quantized_topk convention).
+
+    `fit_fraction`: the 100 TB fitting recipe — train the codebooks on
+    a deterministic content-hash sample of the ids (sampling.hash_bucket
+    semantics: md5_32(id || salt) below fraction * 2^32) and encode the
+    FULL corpus against the fitted books. The per-round shuffles then
+    carry only the sample; the full data pays exactly one argmin pass
+    per subspace. The seed centroids stay the id < k_codes subvectors
+    whether or not they fall in the sample (fixed, oracle-replayable).
     """
     from functools import reduce
 
@@ -299,6 +309,15 @@ def pq_fit(
             (F.size("_v") == dim) & ~F.exists("_v", lambda x: x.isNull())
         )
     )
+    train_pred = None
+    if fit_fraction is not None:
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError(f"fit_fraction must be in (0, 1] (got {fit_fraction})")
+        from fluent_bit_spark.operators.sampling import hash_bucket
+
+        train_pred = hash_bucket(F.col(id_col), salt=fit_salt) < F.lit(
+            int(fit_fraction * (1 << 32))
+        )
     codes_parts, book_parts = [], []
     for s in range(m):
         sub = _persist(
@@ -311,9 +330,13 @@ def pq_fit(
                 F.col(id_col).alias("label"), F.col("sv").alias("centroid")
             )
         )
+        train = sub if train_pred is None else sub.filter(train_pred)
         assigned, cents = _fit_codebook(
-            sub, cents, lambda p, c: _assign_l2(p, c, id_col), "sv", id_col, iters
+            train, cents, lambda p, c: _assign_l2(p, c, id_col), "sv", id_col, iters
         )
+        if train is not sub:
+            # encode the FULL corpus against the sample-fitted books
+            assigned = _assign_l2(sub, cents, id_col)
         codes_parts.append(
             assigned.select(
                 F.col(id_col), F.lit(s).alias("sub"), F.col("cluster").alias("code")
@@ -334,6 +357,8 @@ def pq_adc_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float | None = None,
+    fit_salt: str = "",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
     an m x k_codes lookup table of exact squared-L2 distances to every
@@ -352,7 +377,10 @@ def pq_adc_topk(
     shuffle on (query, candidate) sums the m cells.
     """
     is_query = F.coalesce(is_query, F.lit(False))
-    codes, books, prepped, sd = pq_fit(vectors, m, k_codes, iters, vec_col, id_col)
+    codes, books, prepped, sd = pq_fit(
+        vectors, m, k_codes, iters, vec_col, id_col,
+        fit_fraction=fit_fraction, fit_salt=fit_salt,
+    )
     qs = prepped.filter(is_query).select(
         F.col(id_col).alias("query_id"), F.col("_v")
     )
@@ -452,7 +480,9 @@ def dim_trunc_eval(
     return (
         qs.select("query_id")
         .distinct()
-        .join(common, "query_id", "left")
+        # both sides are #queries rows; broadcast beats the SortMergeJoin
+        # Spark picks for two unknown-size aggregates
+        .join(F.broadcast(common), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),

@@ -1312,12 +1312,14 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 def _pq_sql(
     m: int = 4, k_codes: int = 4, iters: int = 2, dim: int = 64,
-    nq: int = 5, topk: int = 10,
+    nq: int = 5, topk: int = 10, fit_where: str = "TRUE",
 ) -> str:
     """similarity.pq_adc_topk mirror: per-subspace unrolled L2 k-means
     codebooks (the _kmeans_ctes pattern with squared-L2 argmin), PQ
     encoding, and the fixed-point ADC table-lookup sum. Queries =
-    vec_id < nq, candidates = the rest.
+    vec_id < nq, candidates = the rest. `fit_where` restricts the
+    TRAINING rows (pq_fit's fit_fraction hash sample); the final
+    encode always runs over all rows.
 
     NOTE: the p{s}a/b/f/s/n/c chain is the same fitting recipe as
     _kmeans_ctes' ka/kb/kf/ks/kn/kc (score expression, sort direction,
@@ -1340,13 +1342,17 @@ def _pq_sql(
         lo = s * sd + 1
         parts.append(f"""
 , p{s}m AS (SELECT vec_id, v[{lo}:{lo + sd - 1}] AS sv FROM pq0)
+, p{s}w AS (SELECT * FROM p{s}m WHERE {fit_where})
 , p{s}c0 AS (SELECT vec_id AS label, sv AS centroid FROM p{s}m
              WHERE vec_id < {k_codes})""")
         for t in range(1, iters + 1):
+            # training rounds assign/recompute over the fit sample; the
+            # FINAL round assigns every row against the fitted books
+            src = f"p{s}m" if t == iters else f"p{s}w"
             parts.append(f"""
 , p{s}a{t} AS (SELECT mm.vec_id, c.label AS cluster,
                       round({ssq('mm.sv', 'c.centroid')}, 6) AS d
-               FROM p{s}m mm CROSS JOIN p{s}c{t - 1} c)
+               FROM {src} mm CROSS JOIN p{s}c{t - 1} c)
 , p{s}b{t} AS (SELECT vec_id, cluster FROM (
                  SELECT vec_id, cluster,
                         row_number() OVER (PARTITION BY vec_id
@@ -1358,7 +1364,7 @@ def _pq_sql(
                       unnest([{{'pos': i,
                                 'fx': CAST(round(mm.sv[i] * 1000000) AS BIGINT)}}
                               FOR i IN range(1, {sd} + 1)]) AS p
-               FROM p{s}b{t} b JOIN p{s}m mm USING (vec_id))
+               FROM p{s}b{t} b JOIN p{s}w mm USING (vec_id))
 , p{s}s{t} AS (SELECT cluster, p.pos AS pos, CAST(SUM(p.fx) AS BIGINT) AS sm,
                       COUNT(*) AS n
                FROM p{s}f{t} GROUP BY 1, 2)
@@ -1915,6 +1921,10 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        "ann_pq_sampled": c
+        + _pq_sql(
+            fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"
+        ),
         # clean_text: synthesized dirt (ctrl chars / curly quotes / em
         # dash), ctrl-strip + translate + whitespace collapse
         "clean_text": c

@@ -601,3 +601,32 @@ def test_pq_adc_topk_separable_and_table_sum_semantics(spark):
                 # is banker's and would diverge on exact .5 boundaries)
                 fx += int(float(((qsub - cent) ** 2).sum()) * 1_000_000 + 0.5)
             assert abs(adc - fx / 1_000_000.0) < 1e-9, (q, vid)
+
+
+def test_pq_fit_sampled_trains_on_subset_encodes_all(spark):
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.sampling import hash_bucket
+    from fluent_bit_spark.operators.similarity import pq_fit
+
+    rows = [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 0.85 keeps the seed ids in the hash sample (md5_32("0")/2^32 =
+    # 0.81, md5_32("1")/2^32 = 0.77), so refitting on the explicit
+    # sample is a true equivalence: same seeds, same training rows
+    frac = 0.85
+    codes, books, _, sd = pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=frac)
+    # EVERY row is encoded, not just the training sample
+    assert codes.select("vec_id").distinct().count() == 40
+    assert codes.count() == 80  # 2 codes per vector
+    thr = int(frac * (1 << 32))
+    sample = df.filter(hash_bucket(F.col("vec_id")) < thr)
+    assert sample.count() < 40  # the sample is a strict subset
+    _, books2, _, _ = pq_fit(sample, m=2, k_codes=2, iters=2)
+    b1 = {(r.sub, r.label): tuple(r.centroid) for r in books.collect()}
+    b2 = {(r.sub, r.label): tuple(r.centroid) for r in books2.collect()}
+    assert b1 == b2
+    import pytest
+
+    with pytest.raises(ValueError, match="fit_fraction"):
+        pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=0.0)
