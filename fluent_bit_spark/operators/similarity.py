@@ -221,21 +221,28 @@ def _assign_l2(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, F.col("_best.cluster").alias("cluster"))
 
 
-def _fit_codebook(prepped, cents, assign_fn, vec_col, id_col, iters):
+def _fit_codebook(prepped, cents, assign_fn, vec_col, id_col, iters,
+                  assign_final: bool = True):
     """The shared fixed-iteration fitting loop (kmeans / PQ subspaces):
     assign -> exact fixed-point centroid recompute, per-round persists.
     `assign_fn(frame, cents)` supplies the metric (cosine argmax or
     round-6 squared-L2 argmin) and must return at least (id, cluster).
     Returns (assigned, cents): the final assignment and the centroids
-    that produced it."""
+    that produced it. With assign_final=False the last round's
+    assignment is skipped (assigned is None) — for callers that encode
+    a DIFFERENT frame against the fitted centroids (sampled PQ), so no
+    dead persisted assignment lingers."""
     from fluent_bit_spark.operators.dedup import _persist
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1 (got {iters})")
     assigned = None
     for t in range(iters):
+        last = t == iters - 1
+        if last and not assign_final:
+            break
         assigned = _persist(assign_fn(prepped, cents))
-        if t < iters - 1:
+        if not last:
             members = prepped.join(
                 assigned.select(F.col(id_col), F.col("cluster").alias("label")),
                 id_col,
@@ -309,15 +316,19 @@ def pq_fit(
             (F.size("_v") == dim) & ~F.exists("_v", lambda x: x.isNull())
         )
     )
-    train_pred = None
-    if fit_fraction is not None:
+    sampled = fit_fraction is not None
+    if sampled:
         if not 0.0 < fit_fraction <= 1.0:
             raise ValueError(f"fit_fraction must be in (0, 1] (got {fit_fraction})")
-        from fluent_bit_spark.operators.sampling import hash_bucket
+        from fluent_bit_spark.operators.sampling import hash_sample
 
-        train_pred = hash_bucket(F.col(id_col), salt=fit_salt) < F.lit(
-            int(fit_fraction * (1 << 32))
-        )
+        # one cheap emptiness probe up front: an empty sample would
+        # otherwise fit empty codebooks and encode zero rows silently
+        if hash_sample(prepped, id_col, fit_fraction, fit_salt).isEmpty():
+            raise ValueError(
+                f"fit_fraction={fit_fraction} selects no training rows — "
+                "raise it (or pass fit_fraction=None to fit on everything)"
+            )
     codes_parts, book_parts = [], []
     for s in range(m):
         sub = _persist(
@@ -330,11 +341,17 @@ def pq_fit(
                 F.col(id_col).alias("label"), F.col("sv").alias("centroid")
             )
         )
-        train = sub if train_pred is None else sub.filter(train_pred)
+        if sampled:
+            from fluent_bit_spark.operators.sampling import hash_sample
+
+            train = hash_sample(sub, id_col, fit_fraction, fit_salt)
+        else:
+            train = sub
         assigned, cents = _fit_codebook(
-            train, cents, lambda p, c: _assign_l2(p, c, id_col), "sv", id_col, iters
+            train, cents, lambda p, c: _assign_l2(p, c, id_col), "sv", id_col,
+            iters, assign_final=not sampled,
         )
-        if train is not sub:
+        if sampled:
             # encode the FULL corpus against the sample-fitted books
             assigned = _assign_l2(sub, cents, id_col)
         codes_parts.append(

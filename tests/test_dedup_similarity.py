@@ -615,7 +615,7 @@ def test_pq_fit_sampled_trains_on_subset_encodes_all(spark):
     # 0.81, md5_32("1")/2^32 = 0.77), so refitting on the explicit
     # sample is a true equivalence: same seeds, same training rows
     frac = 0.85
-    codes, books, _, sd = pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=frac)
+    codes, books, _, _ = pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=frac)
     # EVERY row is encoded, not just the training sample
     assert codes.select("vec_id").distinct().count() == 40
     assert codes.count() == 80  # 2 codes per vector
@@ -626,7 +626,9 @@ def test_pq_fit_sampled_trains_on_subset_encodes_all(spark):
     b1 = {(r.sub, r.label): tuple(r.centroid) for r in books.collect()}
     b2 = {(r.sub, r.label): tuple(r.centroid) for r in books2.collect()}
     assert b1 == b2
-    import pytest
-
     with pytest.raises(ValueError, match="fit_fraction"):
         pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=0.0)
+    # a legal fraction that selects nothing must fail loudly, never
+    # fit empty books (threshold ~4 of 2^32: no 40-id sample survives)
+    with pytest.raises(ValueError, match="no training rows"):
+        pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=1e-9)
