@@ -239,3 +239,82 @@ def test_glob_predicate_equals_regex_form(spark, glob, tags):
         ).collect()
     }
     assert fast == slow
+
+
+_words = st.lists(
+    st.from_regex(r"[a-z]{1,6}", fullmatch=True), min_size=0, max_size=60
+)
+
+
+@SET
+@given(_words)
+def test_cdc_chunks_partition_tokens_exactly(spark, words):
+    """CDC invariant: chunks partition the token stream — contiguous,
+    gap-free, full coverage, every chunk non-empty — for ANY text."""
+    from fluent_bit_spark.operators.packing import cdc_chunks
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(cdc_chunks(df, window=3, divisor=8).collect(),
+                  key=lambda r: r.chunk_idx)
+    if not words:
+        assert rows == []
+        return
+    pos = 0
+    for r in rows:
+        assert r.chunk_start == pos and r.n_chunk_tokens > 0
+        pos += r.n_chunk_tokens
+    assert pos == len(words)
+
+
+@SET
+@given(_words, _words)
+def test_echo_overlap_bounds_and_extremes(spark, prompt, response):
+    """overlap is always in [0,1]; identical non-empty texts give 1.0;
+    disjoint vocabularies give 0.0."""
+    from fluent_bit_spark.operators.transcript_qa import echo_overlap
+
+    rows = [
+        ("c1", 0, "user", " ".join(prompt)),
+        ("c1", 1, "assistant", " ".join(response)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    r = echo_overlap(df).collect()[0]
+    assert 0.0 <= r.overlap <= 1.0
+    ps, rs = set(prompt), set(response)
+    if rs and rs == ps:
+        assert r.overlap == 1.0
+    if not (ps & rs):
+        assert r.overlap == 0.0
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda kv: kv[1],
+    ),
+    st.floats(0.05, 1.0),
+)
+def test_stratified_sample_exact_total_and_subset(spark, rows, fraction):
+    """The output size equals round(total * fraction) exactly, every
+    selected key exists in the input, and per-stratum takes never
+    exceed stratum sizes."""
+    from fluent_bit_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_sample(df, "lang", "doc_id", fraction).collect()
+    assert len(out) == int(len(rows) * fraction + 0.5)
+    sizes: dict[str, int] = {}
+    for s, _ in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    got: dict[str, int] = {}
+    ids = {i for _, i in rows}
+    for r in out:
+        got[r.stratum] = got.get(r.stratum, 0) + 1
+        assert r.key in ids
+    for s, n in got.items():
+        assert n <= sizes[s]
