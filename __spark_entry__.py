@@ -1424,6 +1424,20 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_mix_manifest(spark, sf_dir):
+    """Training-mix manifest: temperature-scaled mixture weights drive
+    a largest-remainder allocation of 100 seats across sources, rows
+    picked in content-hash order — the weights -> allocation ->
+    selection composition a curation pipeline ships to the trainer."""
+    from fluent_bit_spark.operators.sampling import mixture_weights, weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    wts = mixture_weights(docs, alpha=0.3).select("source", "weight")
+    return weighted_sample(
+        docs, wts, total=100, stratum_col="source", key_col="doc_id"
+    )
+
+
 def _q_clean_text(spark, sf_dir):
     """Text normalization over documents with injected control chars,
     curly quotes, and unicode dashes (the raw table is already-clean
@@ -1755,6 +1769,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_chain": _q_sp_chain,
         "clean_text": _q_clean_text,
         "ann_pq_sampled": _q_ann_pq_sampled,
+        "mix_manifest": _q_mix_manifest,
     }
 
 

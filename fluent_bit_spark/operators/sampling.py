@@ -147,13 +147,23 @@ def stratified_sample(
         )
         .select("stratum", "_take")
     )
-    staged = (
-        df.select(s.alias("stratum"), k.alias("key"))
-        .withColumn(
-            "_h", md5_32(F.concat(F.col("key").cast("string"), F.lit(salt)))
-        )
-        .join(F.broadcast(alloc), "stratum")
+    return _select_by_hash_rank(
+        df.select(s.alias("stratum"), k.alias("key")), alloc, salt
     )
+
+
+def _select_by_hash_rank(rows: DataFrame, alloc: DataFrame, salt: str) -> DataFrame:
+    """Shared selection stage for the allocation samplers: keep each
+    stratum's first `_take` rows in content-hash order. `rows` carries
+    (stratum, key); `alloc` carries (stratum, _take). Pre-limits per
+    input partition before the per-stratum rank window (the
+    quota_sample/throttle bound), so a hot stratum never lands its
+    full row set on one reducer. Output: (stratum, key, rk)."""
+    from pyspark.sql import Window
+
+    staged = rows.withColumn(
+        "_h", md5_32(F.concat(F.col("key").cast("string"), F.lit(salt)))
+    ).join(F.broadcast(alloc), "stratum")
     pre = Window.partitionBy(F.spark_partition_id(), "stratum").orderBy(
         F.col("_h").asc(), F.col("key").asc()
     )
@@ -167,6 +177,72 @@ def stratified_sample(
         candidates.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("_take"))
         .select("stratum", "key", "rk")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    total: int,
+    stratum_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted-allocation sampling — the training-mix manifest step:
+    given per-stratum target weights (e.g. mixture_weights' temperature
+    -scaled shares), allocate `total` seats by largest remainder
+    (quota = total * weight, base = floor, leftovers to the largest
+    fractional quotas, ties by stratum) and select each stratum's rows
+    in content-hash order. Output (stratum, key, rk).
+
+    Takes are CAPPED at the stratum's row count with NO redistribution
+    — a stratum smaller than its target simply under-fills (the
+    shortfall is a data-availability fact the mix report should
+    surface, not silently paper over by oversampling someone else).
+    Strata present in `weights` but absent from `df` (or vice versa)
+    contribute nothing: the allocation join is inner.
+
+    Scale shape: identical to stratified_sample — tiny allocation
+    table broadcast back, partition pre-limit before the per-stratum
+    rank window.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0 (got {total})")
+    from pyspark.sql import Window
+
+    s, k = F.col(stratum_col), F.col(key_col)
+    df = df.filter(s.isNotNull())
+    counts = df.groupBy(s.alias("stratum")).agg(F.count("*").alias("n"))
+    w = weights.select(F.col(stratum_col).alias("stratum"), F.col("weight"))
+    quota = F.lit(total) * F.col("weight")
+    ranked = (
+        counts.join(w, "stratum")
+        .withColumn("_base", F.floor(quota).cast("long"))
+        .withColumn("_frac", quota - F.col("_base"))
+        .withColumn(
+            "_fr",
+            F.row_number().over(
+                Window.orderBy(F.col("_frac").desc(), F.col("stratum"))
+            ),
+        )
+    )
+    base_sum = ranked.agg(F.sum("_base").alias("_base_sum"))
+    alloc = (
+        ranked.crossJoin(F.broadcast(base_sum))
+        .withColumn(
+            "_take",
+            F.least(
+                F.col("_base")
+                + F.when(
+                    F.col("_fr") <= F.lit(total) - F.col("_base_sum"), 1
+                ).otherwise(0),
+                F.col("n"),
+            ),
+        )
+        .select("stratum", "_take")
+    )
+    return _select_by_hash_rank(
+        df.select(s.alias("stratum"), k.alias("key")), alloc, salt
     )
 
 

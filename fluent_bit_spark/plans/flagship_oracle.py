@@ -436,19 +436,9 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
 FROM rcl GROUP BY conv_id"""
 
     # mixture: share^alpha fixed-pointed (x 1e9) before the normalizing
-    # sum; alpha cast ::DOUBLE (bare literal would be DECIMAL)
-    mixture_sql = """
-, mw1 AS (SELECT source, COUNT(*) AS n_docs,
-                 CAST(SUM(len(list_filter(
-                   regexp_split_to_array(trim(text), '\\s+'),
-                   x -> x <> ''))) AS BIGINT) AS n_tokens
-          FROM documents GROUP BY source)
-, mwt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM mw1)
-, mwp AS (SELECT source, n_docs, n_tokens, tot,
-                 CAST(round(pow(n_tokens / tot, 0.3::DOUBLE)
-                            * 1000000000) AS BIGINT) AS fx
-          FROM mw1 CROSS JOIN mwt)
-, mwz AS (SELECT CAST(SUM(fx) AS BIGINT) AS z FROM mwp)
+    # sum; alpha cast ::DOUBLE (bare literal would be DECIMAL).
+    # _MIX_CTES is shared with the mix_manifest oracle.
+    mixture_sql = _MIX_CTES + """
 SELECT source, n_docs, n_tokens,
        round(n_tokens / tot, 6) AS share,
        round(fx / z, 6) AS weight
@@ -1758,6 +1748,21 @@ _INFLUX_SQL = r"""SELECT conv_id, turn_idx,
 FROM transcripts"""
 
 
+# mixture-weight chain (share^alpha, fixed-point normalizer) shared by
+# the mixture_weights and mix_manifest oracles
+_MIX_CTES = """
+, mw1 AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source)
+, mwt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM mw1)
+, mwp AS (SELECT source, n_docs, n_tokens, tot,
+                 CAST(round(pow(n_tokens / tot, 0.3::DOUBLE)
+                            * 1000000000) AS BIGINT) AS fx
+          FROM mw1 CROSS JOIN mwt)
+, mwz AS (SELECT CAST(SUM(fx) AS BIGINT) AS z FROM mwp)"""
+
 # rate_anomalies chain, ending at ra_v = (event_type, hour, n, mean_n,
 # z, spike) — shared by the rate_anomalies and alert_edges oracles
 _RA_CTES = """, ra_h AS (
@@ -1925,6 +1930,31 @@ def oracle_queries() -> dict[str, str]:
         + _pq_sql(
             fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"
         ),
+        # mix manifest: mixture weights -> largest-remainder allocation
+        # of 100 seats (capped at stratum size) -> hash-ordered pick
+        "mix_manifest": c + _MIX_CTES
+        + f"""
+, mma AS (SELECT c.stratum, c.n, 100 * w.weight AS q
+          FROM (SELECT source AS stratum, COUNT(*) AS n
+                FROM documents GROUP BY source) c
+          JOIN (SELECT source AS stratum, round(fx / z, 6) AS weight
+                FROM mwp CROSS JOIN mwz) w USING (stratum))
+, mmr AS (SELECT stratum, n, CAST(floor(q) AS BIGINT) AS base,
+                 q - floor(q) AS frac,
+                 row_number() OVER (ORDER BY q - floor(q) DESC, stratum) AS fr
+          FROM mma)
+, mms AS (SELECT CAST(SUM(base) AS BIGINT) AS bs FROM mmr)
+, mmt AS (SELECT stratum,
+                 least(base + CASE WHEN fr <= 100 - bs THEN 1 ELSE 0 END, n)
+                   AS take
+          FROM mmr CROSS JOIN mms)
+, mmk AS (SELECT source AS stratum, doc_id AS key,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_md5_32_sql('CAST(doc_id AS VARCHAR)')}, doc_id)
+                   AS rk
+          FROM documents)
+SELECT stratum, key, rk FROM mmk JOIN mmt USING (stratum) WHERE rk <= take""",
         # clean_text: synthesized dirt (ctrl chars / curly quotes / em
         # dash), ctrl-strip + translate + whitespace collapse
         "clean_text": c

@@ -621,3 +621,37 @@ def test_clean_text_in_place_and_counts(spark):
     assert got[2] == ("'x' \"y\" - -", 0, True)
     assert got[3] == ("already clean", 0, False)
     assert got[4] == ("", 0, False)
+
+
+def test_weighted_sample_allocation_caps_and_hash_order(spark):
+    from fluent_bit_spark.operators.sampling import weighted_sample
+
+    rows = (
+        [("big", i) for i in range(50)]
+        + [("small", 100 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    # 'small' is weighted far beyond its 3 rows: take caps at 3, NO
+    # redistribution (big stays at its own allocation)
+    w = spark.createDataFrame(
+        [("big", 0.4), ("small", 0.6)], "src string, weight double"
+    )
+    out = weighted_sample(df, w, total=20, stratum_col="src", key_col="doc_id")
+    got: dict[str, int] = {}
+    for r in out.collect():
+        got[r.stratum] = got.get(r.stratum, 0) + 1
+    # quotas: big 8.0 -> base 8, small 12.0 -> base 12 capped at 3
+    assert got == {"big": 8, "small": 3}
+    # partition invariance of the selected set
+    base = {(r.stratum, r.key) for r in out.collect()}
+    again = {
+        (r.stratum, r.key)
+        for r in weighted_sample(
+            df.repartition(7), w, total=20, stratum_col="src", key_col="doc_id"
+        ).collect()
+    }
+    assert again == base
+    import pytest
+
+    with pytest.raises(ValueError, match="total"):
+        weighted_sample(df, w, total=-1, stratum_col="src", key_col="doc_id")
