@@ -111,24 +111,37 @@ def stratified_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
-    from pyspark.sql import Window
-
     s, k = F.col(stratum_col), F.col(key_col)
     # NULL strata are excluded up front: the allocation join is on the
     # stratum key, so counting NULL rows would reserve seats the join
     # can never fill (silently shrinking the promised total)
     df = df.filter(s.isNotNull())
     counts = df.groupBy(s.alias("stratum")).agg(F.count("*").alias("n"))
-    tot = counts.agg(
-        F.floor(F.sum("n") * F.lit(fraction) + F.lit(0.5))
-        .cast("long")
-        .alias("_take_total"),
-        F.sum(F.floor(F.col("n") * F.lit(fraction)).cast("long")).alias("_base_sum"),
+    quotas = counts.withColumn("_q", F.col("n") * F.lit(fraction))
+    # seat budget = round(total_rows * fraction): integer sum FIRST,
+    # one multiply after (bit-stable; a sum of per-stratum doubles
+    # would be accumulation-order-dependent)
+    take_total = F.floor(F.sum("n") * F.lit(fraction) + F.lit(0.5))
+    alloc = _largest_remainder_alloc(quotas, take_total, cap=False)
+    return _select_by_hash_rank(
+        df.select(s.alias("stratum"), k.alias("key")), alloc, salt
     )
-    quota = F.col("n") * F.lit(fraction)
+
+
+def _largest_remainder_alloc(
+    quotas: DataFrame, take_total: Column, cap: bool
+) -> DataFrame:
+    """Shared largest-remainder seat allocation: `quotas` carries
+    (stratum, n, _q); `take_total` is an aggregate Column over `quotas`
+    yielding the seat budget. base = floor(_q); leftovers (budget -
+    sum(base)) go to the largest fractional quotas, ties by stratum;
+    `cap` bounds each take at the stratum size (no redistribution).
+    Returns (stratum, _take)."""
+    from pyspark.sql import Window
+
     ranked = (
-        counts.withColumn("_base", F.floor(quota).cast("long"))
-        .withColumn("_frac", quota - F.col("_base"))
+        quotas.withColumn("_base", F.floor(F.col("_q")).cast("long"))
+        .withColumn("_frac", F.col("_q") - F.col("_base"))
         .withColumn(
             "_fr",
             F.row_number().over(
@@ -136,19 +149,19 @@ def stratified_sample(
             ),
         )
     )
-    alloc = (
-        ranked.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "_take",
-            F.col("_base")
-            + F.when(
-                F.col("_fr") <= F.col("_take_total") - F.col("_base_sum"), 1
-            ).otherwise(0),
-        )
-        .select("stratum", "_take")
+    sums = quotas.agg(
+        take_total.cast("long").alias("_tt"),
+        F.sum(F.floor(F.col("_q")).cast("long")).alias("_bs"),
     )
-    return _select_by_hash_rank(
-        df.select(s.alias("stratum"), k.alias("key")), alloc, salt
+    take = F.col("_base") + F.when(
+        F.col("_fr") <= F.col("_tt") - F.col("_bs"), 1
+    ).otherwise(0)
+    if cap:
+        take = F.least(take, F.col("n"))
+    return (
+        ranked.crossJoin(F.broadcast(sums))
+        .withColumn("_take", take)
+        .select("stratum", "_take")
     )
 
 
@@ -200,7 +213,18 @@ def weighted_sample(
     shortfall is a data-availability fact the mix report should
     surface, not silently paper over by oversampling someone else).
     Strata present in `weights` but absent from `df` (or vice versa)
-    contribute nothing: the allocation join is inner.
+    contribute nothing — including to the leftover pool: the seat
+    budget is the PARTICIPATING strata's quota sum (fixed-pointed per
+    stratum before summation so the budget is accumulation-order
+    independent), so an absent stratum's seats vanish rather than
+    leaking to everyone else as spurious +1s. With normalized weights
+    and all strata present, the realized budget is round(total);
+    unnormalized weights scale it proportionally.
+
+    `weights` must carry one non-negative weight per stratum —
+    duplicates would fan out the selection join (validated with one
+    tiny aggregate over the weights table, which is #strata rows by
+    contract).
 
     Scale shape: identical to stratified_sample — tiny allocation
     table broadcast back, partition pre-limit before the per-stratum
@@ -208,39 +232,30 @@ def weighted_sample(
     """
     if total < 0:
         raise ValueError(f"total must be >= 0 (got {total})")
-    from pyspark.sql import Window
-
     s, k = F.col(stratum_col), F.col(key_col)
+    w = weights.select(F.col(stratum_col).alias("stratum"), F.col("weight"))
+    chk = w.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("stratum")).alias("d"),
+        F.min("weight").alias("mn"),
+    ).collect()[0]
+    if chk.n != chk.d:
+        raise ValueError("weights must carry one row per stratum (duplicates found)")
+    if chk.mn is not None and chk.mn < 0:
+        raise ValueError(f"weights must be non-negative (min = {chk.mn})")
     df = df.filter(s.isNotNull())
     counts = df.groupBy(s.alias("stratum")).agg(F.count("*").alias("n"))
-    w = weights.select(F.col(stratum_col).alias("stratum"), F.col("weight"))
-    quota = F.lit(total) * F.col("weight")
-    ranked = (
-        counts.join(w, "stratum")
-        .withColumn("_base", F.floor(quota).cast("long"))
-        .withColumn("_frac", quota - F.col("_base"))
-        .withColumn(
-            "_fr",
-            F.row_number().over(
-                Window.orderBy(F.col("_frac").desc(), F.col("stratum"))
-            ),
-        )
+    quotas = counts.join(w, "stratum").withColumn(
+        "_q", F.lit(total) * F.col("weight")
     )
-    base_sum = ranked.agg(F.sum("_base").alias("_base_sum"))
-    alloc = (
-        ranked.crossJoin(F.broadcast(base_sum))
-        .withColumn(
-            "_take",
-            F.least(
-                F.col("_base")
-                + F.when(
-                    F.col("_fr") <= F.lit(total) - F.col("_base_sum"), 1
-                ).otherwise(0),
-                F.col("n"),
-            ),
-        )
-        .select("stratum", "_take")
+    # budget = participating quota sum, fixed-pointed per stratum so
+    # the double summation order can never flip the rounding
+    take_total = F.floor(
+        F.sum(F.round(F.col("_q") * 1_000_000).cast("long"))
+        / F.lit(1_000_000.0)
+        + F.lit(0.5)
     )
+    alloc = _largest_remainder_alloc(quotas, take_total, cap=True)
     return _select_by_hash_rank(
         df.select(s.alias("stratum"), k.alias("key")), alloc, salt
     )

@@ -1934,18 +1934,19 @@ def oracle_queries() -> dict[str, str]:
         # of 100 seats (capped at stratum size) -> hash-ordered pick
         "mix_manifest": c + _MIX_CTES
         + f"""
-, mma AS (SELECT c.stratum, c.n, 100 * w.weight AS q
-          FROM (SELECT source AS stratum, COUNT(*) AS n
-                FROM documents GROUP BY source) c
-          JOIN (SELECT source AS stratum, round(fx / z, 6) AS weight
-                FROM mwp CROSS JOIN mwz) w USING (stratum))
-, mmr AS (SELECT stratum, n, CAST(floor(q) AS BIGINT) AS base,
+, mma AS (SELECT source AS stratum, n_docs AS n,
+                 100 * round(fx / z, 6) AS q
+          FROM mwp CROSS JOIN mwz WHERE source IS NOT NULL)
+, mmr AS (SELECT stratum, n, q, CAST(floor(q) AS BIGINT) AS base,
                  q - floor(q) AS frac,
                  row_number() OVER (ORDER BY q - floor(q) DESC, stratum) AS fr
           FROM mma)
-, mms AS (SELECT CAST(SUM(base) AS BIGINT) AS bs FROM mmr)
+, mms AS (SELECT CAST(SUM(base) AS BIGINT) AS bs,
+                 CAST(floor(SUM(CAST(round(q * 1000000) AS BIGINT))
+                            / 1000000.0 + 0.5) AS BIGINT) AS tt
+          FROM mmr)
 , mmt AS (SELECT stratum,
-                 least(base + CASE WHEN fr <= 100 - bs THEN 1 ELSE 0 END, n)
+                 least(base + CASE WHEN fr <= tt - bs THEN 1 ELSE 0 END, n)
                    AS take
           FROM mmr CROSS JOIN mms)
 , mmk AS (SELECT source AS stratum, doc_id AS key,

@@ -655,3 +655,46 @@ def test_weighted_sample_allocation_caps_and_hash_order(spark):
 
     with pytest.raises(ValueError, match="total"):
         weighted_sample(df, w, total=-1, stratum_col="src", key_col="doc_id")
+    with pytest.raises(ValueError, match="duplicates"):
+        weighted_sample(
+            df,
+            w.unionByName(w.limit(1)),
+            total=10,
+            stratum_col="src",
+            key_col="doc_id",
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_sample(
+            df,
+            spark.createDataFrame([("big", -0.1)], "src string, weight double"),
+            total=10,
+            stratum_col="src",
+            key_col="doc_id",
+        )
+
+
+def test_weighted_sample_fractional_leftovers_and_absent_strata(spark):
+    from fluent_bit_spark.operators.sampling import weighted_sample
+
+    rows = [(s, i) for i, s in enumerate(["x"] * 30 + ["y"] * 30 + ["z"] * 30)]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    # fractional quotas: 10*(0.35, 0.33, 0.32) = 3.5, 3.3, 3.2 ->
+    # bases 3/3/3, budget round(10.0)=10 -> one leftover to the
+    # largest frac ('x')
+    w = spark.createDataFrame(
+        [("x", 0.35), ("y", 0.33), ("z", 0.32)], "src string, weight double"
+    )
+    got: dict[str, int] = {}
+    for r in weighted_sample(df, w, total=10, stratum_col="src", key_col="doc_id").collect():
+        got[r.stratum] = got.get(r.stratum, 0) + 1
+    assert got == {"x": 4, "y": 3, "z": 3}
+    # an absent stratum's seats VANISH — they never leak to the others
+    # as spurious +1s (budget = participating quota sum)
+    w2 = spark.createDataFrame(
+        [("x", 0.5), ("ghost", 0.5)], "src string, weight double"
+    )
+    got2: dict[str, int] = {}
+    for r in weighted_sample(df, w2, total=40, stratum_col="src", key_col="doc_id").collect():
+        got2[r.stratum] = got2.get(r.stratum, 0) + 1
+    # ghost's 20 seats vanish; x gets exactly its own 40*0.5 = 20
+    assert got2 == {"x": 20}
