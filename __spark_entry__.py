@@ -1424,6 +1424,20 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_tool_latency(spark, sf_dir):
+    """Per-tool latency percentiles (p50/p90/p99) over the latencies
+    the parser extracted from the raw text — the operational SLA
+    report composing parse -> enrich -> grouped histogram quantiles."""
+    from fluent_bit_spark.operators.sketch import hist_quantiles_by
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    parsed = parse_stage(_transcripts(spark, sf_dir))
+    lat = parsed.filter(
+        F.col("latency_cents").isNotNull() & F.col("tool").isNotNull()
+    ).select("tool", F.col("latency_cents").alias("lat"))
+    return hist_quantiles_by(lat, "lat", by=("tool",), qs=(0.5, 0.9, 0.99))
+
+
 def _q_mix_manifest(spark, sf_dir):
     """Training-mix manifest: temperature-scaled mixture weights drive
     a largest-remainder allocation of 100 seats across sources, rows
@@ -1770,6 +1784,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": _q_clean_text,
         "ann_pq_sampled": _q_ann_pq_sampled,
         "mix_manifest": _q_mix_manifest,
+        "tool_latency": _q_tool_latency,
     }
 
 

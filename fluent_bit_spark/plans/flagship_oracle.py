@@ -1930,6 +1930,26 @@ def oracle_queries() -> dict[str, str]:
         + _pq_sql(
             fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"
         ),
+        # per-tool latency percentiles: the grouped histogram-quantile
+        # recipe (role_len_quantiles) over the parser's latency_cents
+        "tool_latency": c
+        + """
+, tlb AS (SELECT tool, latency_cents // 64 AS bucket, COUNT(*) AS n
+          FROM unified
+          WHERE latency_cents IS NOT NULL AND tool IS NOT NULL
+          GROUP BY tool, latency_cents // 64)
+, tlc AS (SELECT tool, bucket,
+                 CAST(SUM(n) OVER (PARTITION BY tool ORDER BY bucket)
+                      AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER (PARTITION BY tool) AS BIGINT) AS n_total
+          FROM tlb)
+, tlq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+, tlh AS (SELECT tool, q, bucket, cum_n, n_total,
+                 row_number() OVER (PARTITION BY tool, q ORDER BY bucket) AS rn
+          FROM tlq JOIN tlc ON cum_n >= ceil(q * n_total))
+SELECT tool, q, bucket, bucket * 64 AS lo, bucket * 64 + 63 AS hi,
+       cum_n, n_total
+FROM tlh WHERE rn = 1 ORDER BY tool, q""",
         # mix manifest: mixture weights -> largest-remainder allocation
         # of 100 seats (capped at stratum size) -> hash-ordered pick
         "mix_manifest": c + _MIX_CTES
