@@ -1427,7 +1427,7 @@ def _q_alert_edges(spark, sf_dir):
 def _q_tool_latency(spark, sf_dir):
     """Per-tool latency percentiles (p50/p90/p99) over the latencies
     the parser extracted from the raw text — the operational SLA
-    report composing parse -> enrich -> grouped histogram quantiles."""
+    report composing parse -> grouped histogram quantiles."""
     from fluent_bit_spark.operators.sketch import hist_quantiles_by
     from fluent_bit_spark.plans.flagship import parse_stage
 

@@ -1390,6 +1390,39 @@ SELECT query_id, vec_id, round(fx / 1000000.0, 6) AS adc_dist, rank FROM (
     return "".join(parts)
 
 
+def _hist_quantiles_sql(
+    rows_sql: str,
+    group: str | None,
+    prefix: str,
+    width: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """The sketch.hist_quantiles(_by) mirror: fixed-width bucket
+    counts -> cumulative window -> first bucket whose cumulative count
+    reaches ceil(q * total). ONE generator for the ungrouped, grouped,
+    and tool-latency oracles — `rows_sql` must yield (group?, v)."""
+    g = f"{group}, " if group else ""
+    part = f"PARTITION BY {group} " if group else ""
+    tot_over = f"PARTITION BY {group}" if group else ""
+    partq = f"PARTITION BY {group}, q" if group else "PARTITION BY q"
+    order = f"{group}, q" if group else "q"
+    qlist = ", ".join(f"{q}::DOUBLE" for q in qs)
+    return f"""
+, {prefix}b AS (SELECT {g}v // {width} AS bucket, COUNT(*) AS n
+          FROM ({rows_sql}) GROUP BY {g}v // {width})
+, {prefix}c AS (SELECT {g}bucket,
+                 CAST(SUM(n) OVER ({part}ORDER BY bucket) AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER ({tot_over}) AS BIGINT) AS n_total
+          FROM {prefix}b)
+, {prefix}q AS (SELECT unnest([{qlist}]) AS q)
+, {prefix}h AS (SELECT {g}q, bucket, cum_n, n_total,
+                 row_number() OVER ({partq} ORDER BY bucket) AS rn
+          FROM {prefix}q JOIN {prefix}c ON cum_n >= ceil(q * n_total))
+SELECT {g}q, bucket, bucket * {width} AS lo,
+       bucket * {width} + {width - 1} AS hi, cum_n, n_total
+FROM {prefix}h WHERE rn = 1 ORDER BY {order}"""
+
+
 def _sketch_sql() -> dict[str, str]:
     """operators/sketch.py mirrors: every sketch hashes via md5 hex
     slices, so DuckDB reproduces the bloom verdicts (incl. false
@@ -1471,36 +1504,18 @@ SELECT hour, bucket,
                 ELSE {rest_bits} - length(bin(rest)) + 1 END) AS max_rho
 FROM hgr GROUP BY hour, bucket"""
 
-    width = 64
-    hist_sql = f"""
-, hqv AS (SELECT length(text) AS v FROM documents WHERE text IS NOT NULL)
-, hqb AS (SELECT v // {width} AS bucket, COUNT(*) AS n FROM hqv GROUP BY 1)
-, hqc AS (SELECT bucket,
-                 CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
-                 CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM hqb)
-, hqq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-, hqh AS (SELECT q, bucket, cum_n, n_total,
-                 row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
-          FROM hqq JOIN hqc ON cum_n >= ceil(q * n_total))
-SELECT q, bucket, bucket * {width} AS lo, bucket * {width} + {width - 1} AS hi,
-       cum_n, n_total
-FROM hqh WHERE rn = 1 ORDER BY q"""
+    hist_sql = _hist_quantiles_sql(
+        "SELECT length(text) AS v FROM documents WHERE text IS NOT NULL",
+        group=None,
+        prefix="hq",
+    )
 
-    grouped_hist_sql = f"""
-, rqb AS (SELECT role, length(text) // {width} AS bucket, COUNT(*) AS n
-          FROM transcripts WHERE length(text) IS NOT NULL GROUP BY 1, 2)
-, rqc AS (SELECT role, bucket,
-                 CAST(SUM(n) OVER (PARTITION BY role ORDER BY bucket)
-                      AS BIGINT) AS cum_n,
-                 CAST(SUM(n) OVER (PARTITION BY role) AS BIGINT) AS n_total
-          FROM rqb)
-, rqq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-, rqh AS (SELECT role, q, bucket, cum_n, n_total,
-                 row_number() OVER (PARTITION BY role, q ORDER BY bucket) AS rn
-          FROM rqq JOIN rqc ON cum_n >= ceil(q * n_total))
-SELECT role, q, bucket, bucket * {width} AS lo,
-       bucket * {width} + {width - 1} AS hi, cum_n, n_total
-FROM rqh WHERE rn = 1 ORDER BY role, q"""
+    grouped_hist_sql = _hist_quantiles_sql(
+        "SELECT role, length(text) AS v FROM transcripts "
+        "WHERE length(text) IS NOT NULL",
+        group="role",
+        prefix="rq",
+    )
 
     return {
         "bloom_contam": bloom_sql,
@@ -1930,26 +1945,15 @@ def oracle_queries() -> dict[str, str]:
         + _pq_sql(
             fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"
         ),
-        # per-tool latency percentiles: the grouped histogram-quantile
-        # recipe (role_len_quantiles) over the parser's latency_cents
+        # per-tool latency percentiles: the shared grouped
+        # histogram-quantile generator over the parser's latency_cents
         "tool_latency": c
-        + """
-, tlb AS (SELECT tool, latency_cents // 64 AS bucket, COUNT(*) AS n
-          FROM unified
-          WHERE latency_cents IS NOT NULL AND tool IS NOT NULL
-          GROUP BY tool, latency_cents // 64)
-, tlc AS (SELECT tool, bucket,
-                 CAST(SUM(n) OVER (PARTITION BY tool ORDER BY bucket)
-                      AS BIGINT) AS cum_n,
-                 CAST(SUM(n) OVER (PARTITION BY tool) AS BIGINT) AS n_total
-          FROM tlb)
-, tlq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-, tlh AS (SELECT tool, q, bucket, cum_n, n_total,
-                 row_number() OVER (PARTITION BY tool, q ORDER BY bucket) AS rn
-          FROM tlq JOIN tlc ON cum_n >= ceil(q * n_total))
-SELECT tool, q, bucket, bucket * 64 AS lo, bucket * 64 + 63 AS hi,
-       cum_n, n_total
-FROM tlh WHERE rn = 1 ORDER BY tool, q""",
+        + _hist_quantiles_sql(
+            "SELECT tool, latency_cents AS v FROM unified "
+            "WHERE latency_cents IS NOT NULL AND tool IS NOT NULL",
+            group="tool",
+            prefix="tl",
+        ),
         # mix manifest: mixture weights -> largest-remainder allocation
         # of 100 seats (capped at stratum size) -> hash-ordered pick
         "mix_manifest": c + _MIX_CTES
