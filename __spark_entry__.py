@@ -1424,6 +1424,15 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_postings(spark, sf_dir):
+    """Inverted-index posting lists: top-5 docs by tf for every term
+    with document frequency >= 10 (hot terms pre-limited per
+    partition before the rank window)."""
+    from fluent_bit_spark.operators.text_analysis import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir), k=5, min_df=10)
+
+
 def _q_tool_latency(spark, sf_dir):
     """Per-tool latency percentiles (p50/p90/p99) over the latencies
     the parser extracted from the raw text — the operational SLA
@@ -1785,6 +1794,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_sampled": _q_ann_pq_sampled,
         "mix_manifest": _q_mix_manifest,
         "tool_latency": _q_tool_latency,
+        "postings_topk": _q_postings,
     }
 
 

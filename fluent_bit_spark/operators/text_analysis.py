@@ -907,3 +907,51 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_md5(t),
         }
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index posting lists: for every term appearing in at
+    least `min_df` documents, the top-`k` documents by term frequency
+    (ties: doc id asc). Output (term, doc_id, tf, rank) — the
+    materialized index a sparse-retrieval serving tier loads, built
+    with the same trim/lower/whitespace tokenization as the BM25 path.
+
+    Scale shape: explode -> one (term, doc) partial-agg shuffle for tf
+    -> per-term df counts (tiny, broadcast back) -> per-term top-k.
+    Hot terms (stopwords) are pre-limited per input partition before
+    the global rank window (a partition can only contribute its own
+    top k per term — the quota_sample/throttle bound), so a term in
+    every document never lands its full posting list on one reducer.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    qualified = tf.join(
+        F.broadcast(dfreq.filter(F.col("_df") >= min_df)), "term"
+    )
+    pre = Window.partitionBy(F.spark_partition_id(), "term").orderBy(
+        F.col("tf").desc(), F.col(id_col).asc()
+    )
+    candidates = (
+        qualified.withColumn("_pre", F.row_number().over(pre))
+        .filter(F.col("_pre") <= k)
+        .drop("_pre")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col).asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", id_col, "tf", "rank")
+    )

@@ -1945,6 +1945,23 @@ def oracle_queries() -> dict[str, str]:
         + _pq_sql(
             fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"
         ),
+        # inverted-index postings: per-term top-5 docs by tf, terms
+        # with df >= 10, BM25-convention tokenization
+        "postings_topk": c
+        + """
+, ip1 AS (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+          FROM documents)
+, ip2 AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM ip1 GROUP BY term, doc_id)
+, ip3 AS (SELECT term, COUNT(*) AS df FROM ip2 GROUP BY term)
+SELECT term, doc_id, tf, rank FROM (
+  SELECT i.term, i.doc_id, i.tf,
+         row_number() OVER (PARTITION BY i.term
+                            ORDER BY i.tf DESC, i.doc_id) AS rank
+  FROM ip2 i JOIN ip3 USING (term) WHERE df >= 10)
+WHERE rank <= 5""",
         # per-tool latency percentiles: the shared grouped
         # histogram-quantile generator over the parser's latency_cents
         "tool_latency": c

@@ -698,3 +698,31 @@ def test_weighted_sample_fractional_leftovers_and_absent_strata(spark):
         got2[r.stratum] = got2.get(r.stratum, 0) + 1
     # ghost's 20 seats vanish; x gets exactly its own 40*0.5 = 20
     assert got2 == {"x": 20}
+
+
+def test_inverted_postings_topk_and_df_floor(spark):
+    from fluent_bit_spark.operators.text_analysis import inverted_postings
+
+    rows = (
+        # "hot" appears in all 6 docs; "cold" in 2 (below min_df=3);
+        # doc 0 repeats hot 3x, doc 1 repeats it 2x
+        [(0, "hot hot hot cold"), (1, "hot hot")]
+        + [(i, "hot filler") for i in range(2, 6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_postings(df, k=2, min_df=3).collect()
+    got = {(r.term, r.rank): (r.doc_id, r.tf) for r in out}
+    # only 'hot' and 'filler' qualify (df 6 and 4); top-2 by tf, id ties
+    assert got == {
+        ("hot", 1): (0, 3),
+        ("hot", 2): (1, 2),
+        ("filler", 1): (2, 1),
+        ("filler", 2): (3, 1),
+    }
+    # partition invariance (the pre-limit must not change the answer)
+    for n in (1, 7):
+        again = {
+            (r.term, r.rank): (r.doc_id, r.tf)
+            for r in inverted_postings(df.repartition(n), k=2, min_df=3).collect()
+        }
+        assert again == got
