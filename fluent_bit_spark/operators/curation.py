@@ -265,29 +265,18 @@ def quota_sample(
 
     One shuffle on `group_col`. Hot groups are pre-limited per input
     partition first (a partition can only contribute its own first `n`
-    per group), so a skewed domain never lands >n*partitions rows on
-    one reducer — the same bound filters.throttle uses.
+    per group) via skew.topk_per_group, so a skewed domain never lands
+    >n*partitions rows on one reducer.
     """
-    from pyspark.sql import Window
+    from fluent_bit_spark.operators.skew import topk_per_group
 
     h = md5_32(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
-    pre = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(
-        h.asc(), F.col(key_col).asc()
-    )
-    candidates = (
-        df.withColumn("_qh", h)
-        .withColumn("_pre", F.row_number().over(pre))
-        .filter(F.col("_pre") <= n)
-        .drop("_pre")
-    )
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("_qh").asc(), F.col(key_col).asc()
-    )
-    return (
-        candidates.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .drop("_rk", "_qh")
-    )
+    return topk_per_group(
+        df.withColumn("_qh", h),
+        [group_col],
+        [F.col("_qh").asc(), F.col(key_col).asc()],
+        n,
+    ).drop("_qh")
 
 
 # ---------------------------------------------------------------------------

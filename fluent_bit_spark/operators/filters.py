@@ -336,21 +336,12 @@ def throttle(
     true global top-budget is also in its own partition's top-budget),
     so the global rank only ever sees <= budget * num_partitions rows
     per window — bounded task size at any input scale."""
+    from fluent_bit_spark.operators.skew import topk_per_group
+
     budget = int(rate * window_seconds)
     bucket = F.window(F.col(ts), f"{window_seconds} seconds")
     order = [F.col(ts)] + [F.col(c) for c in (order_cols or [])]
-    pre = Window.partitionBy(F.spark_partition_id(), bucket).orderBy(*order)
-    df = (
-        df.withColumn("_prn", F.row_number().over(pre))
-        .filter(F.col("_prn") <= budget)
-        .drop("_prn")
-    )
-    w = Window.partitionBy(bucket).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= budget)
-        .drop("_rn")
-    )
+    return topk_per_group(df, [bucket], order, budget)
 
 
 def throttle_size(

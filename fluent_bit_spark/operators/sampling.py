@@ -167,30 +167,22 @@ def _largest_remainder_alloc(
 
 def _select_by_hash_rank(rows: DataFrame, alloc: DataFrame, salt: str) -> DataFrame:
     """Shared selection stage for the allocation samplers: keep each
-    stratum's first `_take` rows in content-hash order. `rows` carries
-    (stratum, key); `alloc` carries (stratum, _take). Pre-limits per
-    input partition before the per-stratum rank window (the
-    quota_sample/throttle bound), so a hot stratum never lands its
-    full row set on one reducer. Output: (stratum, key, rk)."""
-    from pyspark.sql import Window
+    stratum's first `_take` rows in content-hash order (the
+    skew.topk_per_group bound — a hot stratum never lands its full row
+    set on one reducer). `rows` carries (stratum, key); `alloc`
+    carries (stratum, _take). Output: (stratum, key, rk)."""
+    from fluent_bit_spark.operators.skew import topk_per_group
 
     staged = rows.withColumn(
         "_h", md5_32(F.concat(F.col("key").cast("string"), F.lit(salt)))
     ).join(F.broadcast(alloc), "stratum")
-    pre = Window.partitionBy(F.spark_partition_id(), "stratum").orderBy(
-        F.col("_h").asc(), F.col("key").asc()
-    )
-    candidates = (
-        staged.withColumn("_pre", F.row_number().over(pre))
-        .filter(F.col("_pre") <= F.col("_take"))
-        .drop("_pre")
-    )
-    w = Window.partitionBy("stratum").orderBy(F.col("_h").asc(), F.col("key").asc())
-    return (
-        candidates.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("_take"))
-        .select("stratum", "key", "rk")
-    )
+    return topk_per_group(
+        staged,
+        ["stratum"],
+        [F.col("_h").asc(), F.col("key").asc()],
+        F.col("_take"),
+        rank_col="rk",
+    ).select("stratum", "key", "rk")
 
 
 def weighted_sample(

@@ -25,6 +25,45 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    limit,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Skew-bounded per-group top-k: stage 1 pre-limits per INPUT
+    partition (any row in the true global top-`limit` is also in its
+    own partition's top-`limit` under the same total order), stage 2
+    ranks globally per group — so a hot group never lands its full row
+    set on one reducer; the global window sees at most
+    limit * num_partitions rows per group.
+
+    `limit` may be an int or a per-row Column (e.g. a joined
+    allocation); `order_cols` must be a TOTAL order within each group
+    or the kept set is nondeterministic. With `rank_col` set, the
+    global 1-based rank is kept in the output under that name.
+
+    The single implementation behind quota_sample, filters.throttle,
+    sampling's allocation samplers, and the inverted-index postings.
+    """
+    lim = limit if isinstance(limit, Column) else F.lit(limit)
+    pre = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(
+        *order_cols
+    )
+    staged = (
+        df.withColumn("_tk_pre", F.row_number().over(pre))
+        .filter(F.col("_tk_pre") <= lim)
+        .drop("_tk_pre")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    name = rank_col or "_tk_rn"
+    out = staged.withColumn(name, F.row_number().over(w)).filter(
+        F.col(name) <= lim
+    )
+    return out if rank_col else out.drop(name)
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

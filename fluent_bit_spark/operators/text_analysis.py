@@ -929,29 +929,29 @@ def inverted_postings(
     top k per term — the quota_sample/throttle bound), so a term in
     every document never lands its full posting list on one reducer.
     """
-    from pyspark.sql import Window
+    from fluent_bit_spark.operators.skew import topk_per_group
 
-    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    # tokens() trims internally — this is exactly the BM25 path's
+    # tokenization expression
+    toks = tokens(F.lower(F.col(text_col)))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    # broadcast is vocab-bound, not constant-bound: fine for the
+    # df-floored vocabularies this targets, but a corpus whose
+    # qualifying vocabulary approaches driver memory should shuffle-
+    # join instead (the tfidf/bm25 convention) and accept hot-term
+    # skew handling at the join
     qualified = tf.join(
         F.broadcast(dfreq.filter(F.col("_df") >= min_df)), "term"
     )
-    pre = Window.partitionBy(F.spark_partition_id(), "term").orderBy(
-        F.col("tf").desc(), F.col(id_col).asc()
-    )
-    candidates = (
-        qualified.withColumn("_pre", F.row_number().over(pre))
-        .filter(F.col("_pre") <= k)
-        .drop("_pre")
-    )
-    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col).asc())
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("term", id_col, "tf", "rank")
-    )
+    return topk_per_group(
+        qualified,
+        ["term"],
+        [F.col("tf").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    ).select("term", id_col, "tf", "rank")
