@@ -1424,6 +1424,37 @@ def _q_alert_edges(spark, sf_dir):
     return alert_edges(ev)
 
 
+def _q_conv_scorecard(spark, sf_dir):
+    """Per-conversation quality verdict composing three operators:
+    role-structure QA x funnel conversion x response-echo rate — the
+    keep/drop decision an SFT export applies per conversation."""
+    from fluent_bit_spark.operators.transcript_qa import (
+        echo_overlap,
+        funnel_steps,
+        role_sequence_qa,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    qa = role_sequence_qa(t).select("conv_id", "n_turns", "structure_ok")
+    fn = funnel_steps(t).select("conv_id", "converted")
+    ec = echo_overlap(t, threshold=0.6).groupBy("conv_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("is_echo"), 1).otherwise(0)).alias("n_echo"),
+    )
+    out = qa.join(fn, "conv_id").join(ec, "conv_id", "left")
+    n_pairs = F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+    n_echo = F.coalesce(F.col("n_echo"), F.lit(0)).cast("long")
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "structure_ok",
+        "converted",
+        n_pairs.alias("n_pairs"),
+        n_echo.alias("n_echo"),
+        (F.col("structure_ok") & F.col("converted") & (n_echo == 0)).alias("keep"),
+    )
+
+
 def _q_postings(spark, sf_dir):
     """Inverted-index posting lists: top-5 docs by tf for every term
     with document frequency >= 10 (hot terms pre-limited per
@@ -1795,6 +1826,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_manifest": _q_mix_manifest,
         "tool_latency": _q_tool_latency,
         "postings_topk": _q_postings,
+        "conv_scorecard": _q_conv_scorecard,
     }
 
 
