@@ -396,12 +396,15 @@ FROM sp1 WHERE nrole = 'user' AND next_role = 'assistant'"""
            arg_min(nrole, turn_idx) AS first_role,
            arg_max(nrole, turn_idx) AS last_role,
            SUM(CASE WHEN nrole = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns
-    FROM rq1 GROUP BY conv_id)"""
+    FROM rq1 GROUP BY conv_id)
+, rq3 AS (
+    SELECT *, (n_same_role_adjacent = 0
+               AND first_role IN ('system', 'user')) AS structure_ok
+    FROM rq2)"""
     role_qa_sql = role_qa_core + """
 SELECT conv_id, n_turns, n_same_role_adjacent, first_role, last_role,
-       n_tool_turns,
-       (n_same_role_adjacent = 0 AND first_role IN ('system', 'user')) AS structure_ok
-FROM rq2"""
+       n_tool_turns, structure_ok
+FROM rq3"""
 
     max_ctx = 64
     context_pairs_sql = f"""
@@ -599,11 +602,12 @@ FROM ddoc JOIN dlam USING (b) GROUP BY doc_id"""
 , fns3 AS (SELECT t.conv_id, any_value(f.s1) AS s1, any_value(f.s2) AS s2,
                   CAST(min(t.turn_idx) FILTER (
                     WHERE t.nrole = 'assistant' AND t.turn_idx > f.s2) AS INT) AS s3
-           FROM fn1 t JOIN fns2 f USING (conv_id) GROUP BY t.conv_id)"""
+           FROM fn1 t JOIN fns2 f USING (conv_id) GROUP BY t.conv_id)
+, fnv AS (SELECT *, s3 IS NOT NULL AS converted FROM fns3)"""
     funnel_sql = funnel_core + """
 SELECT conv_id, s1 AS step_user, s2 AS step_tool, s3 AS step_assist,
-       s3 IS NOT NULL AS converted
-FROM fns3"""
+       converted
+FROM fnv"""
 
     echo_thr = 0.6
     echo_core = f"""
@@ -626,28 +630,26 @@ FROM fns3"""
            CASE WHEN len(rtk) > 0
                 THEN round(CAST(len(list_intersect(rtk, ptk)) AS DOUBLE) / len(rtk), 6)
                 ELSE 0.0::DOUBLE END AS overlap
-    FROM ec2)"""
-    echo_sql = echo_core + f"""
-SELECT conv_id, prompt_idx, response_idx, n_resp_tokens, overlap,
-       overlap >= {echo_thr!r}::DOUBLE AS is_echo
-FROM ec3"""
+    FROM ec2)
+, ec4 AS (SELECT *, overlap >= {echo_thr!r}::DOUBLE AS is_echo FROM ec3)"""
+    echo_sql = echo_core + """
+SELECT conv_id, prompt_idx, response_idx, n_resp_tokens, overlap, is_echo
+FROM ec4"""
 
     # conv_scorecard: the role-QA / funnel / echo cores composed into
-    # one per-conversation keep verdict
-    conv_scorecard_sql = role_qa_core + funnel_core + echo_core + f"""
+    # one per-conversation keep verdict — every flag (structure_ok,
+    # converted, is_echo) is defined ONCE, in its core CTE
+    conv_scorecard_sql = role_qa_core + funnel_core + echo_core + """
 , cs_ec AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                   CAST(SUM(CASE WHEN overlap >= {echo_thr!r}::DOUBLE
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_echo
-            FROM ec3 GROUP BY conv_id)
-SELECT r.conv_id, r.n_turns,
-       (r.n_same_role_adjacent = 0
-        AND r.first_role IN ('system', 'user')) AS structure_ok,
-       f.s3 IS NOT NULL AS converted,
+                   CAST(SUM(CASE WHEN is_echo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_echo
+            FROM ec4 GROUP BY conv_id)
+SELECT r.conv_id, r.n_turns, r.structure_ok, f.converted,
        coalesce(e.n_pairs, 0) AS n_pairs,
        coalesce(e.n_echo, 0) AS n_echo,
-       ((r.n_same_role_adjacent = 0 AND r.first_role IN ('system', 'user'))
-        AND f.s3 IS NOT NULL AND coalesce(e.n_echo, 0) = 0) AS keep
-FROM rq2 r JOIN fns3 f USING (conv_id) LEFT JOIN cs_ec e USING (conv_id)"""
+       (r.structure_ok AND f.converted
+        AND coalesce(e.n_echo, 0) = 0) AS keep
+FROM rq3 r JOIN fnv f USING (conv_id) LEFT JOIN cs_ec e USING (conv_id)"""
 
     # interval overlap: sessions (gap 30 min, Spark session_window
     # semantics: end = last ts + gap, break at diff >= gap) x event
