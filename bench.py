@@ -266,12 +266,11 @@ def run_default() -> None:
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
-        if name.startswith(
-            ("dedup", "bloom", "bpe", "bm25", "span", "semantic", "dsir",
-             "ann_pq", "minhash_eval")
-        ):
-            # free the operator-internal signature caches between stages
-            release_persisted()
+        # free operator-internal signature caches after EVERY query:
+        # r2's ann_topk regressed 39% purely from persisted frames of
+        # earlier bench queries crowding the storage pool (no-op when
+        # the query registered nothing)
+        release_persisted()
 
     e2e = timings["pipeline_e2e"]
     print(

@@ -2331,7 +2331,7 @@ FROM lcc""",
              FROM transcripts""",
         "sink_gelf": c
         + """SELECT '1.1' AS version, conv_id AS host, text AS short_message,
-                    CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS timestamp,
+                    CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS timestamp,
                     1 AS level
              FROM transcripts""",
         "sink_datadog": c
@@ -2348,7 +2348,7 @@ FROM lcc""",
              SELECT conv_id, turn_idx, 'audit.errors' AS tag FROM routed
              WHERE tag LIKE 'errors.%'""",
         "sink_splunk": c
-        + """SELECT CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS time,
+        + """SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS time,
                     'unknown' AS host, '_json' AS sourcetype,
                     to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
                                         text := text))::VARCHAR AS event
@@ -2370,7 +2370,7 @@ FROM lcc""",
                     '2024-06-01 12:00:00' AS now_str,
                     CAST(epoch(TIMESTAMP '2024-06-01 12:00:00') AS BIGINT) AS unix_ts,
                     tag AS rtag,
-                    CAST(epoch_ms(ts) AS DOUBLE) / 1000.0 AS rtime
+                    CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS rtime
              FROM routed""",
         "expect_assert": c
         + "SELECT conv_id, turn_idx, role, text FROM transcripts",

@@ -58,10 +58,13 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
-            ok = (
-                (g.isna() & w.isna())
-                | ((g - w).abs() <= 1e-6 + 1e-6 * w.abs())
-            )
+            # Absolute tolerance only: the driver gate hashes values, so a
+            # relative term would hide real drift on large magnitudes (e.g.
+            # epoch seconds ~1.7e9, where 1e-6 relative is ~1,700 s of slack
+            # -- exactly how the r2 sink_gelf/sink_splunk ms-truncation bug
+            # shipped green locally).  1e-6 absolute still admits a few ulps
+            # at epoch-second magnitude (double spacing ~2e-7 there).
+            ok = (g.isna() & w.isna()) | ((g - w).abs() <= 1e-6)
         else:
             ok = (g.isna() & w.isna()) | (g.astype(object) == w.astype(object))
         if not ok.all():
