@@ -676,6 +676,109 @@ def _q_sink_loki(spark, sf_dir):
     return out.select(F.to_json("labels").alias("labels_json"), "line")
 
 
+def _q_sink_loki_k8s(spark, sf_dir):
+    """Loki auto_kubernetes_labels path (plugins/out_loki/loki.c:368):
+    a filter_kubernetes-shaped metadata map (synthesized
+    deterministically per row -- the sandbox has no kube API) is
+    appended to the configured labels with pack_label_key
+    normalization ('0container' -> '_0container',
+    'app.kubernetes.io/name' -> 'app_kubernetes_io_name'), NULL map
+    values and empty record-accessor labels are skipped."""
+    from fluent_bit_spark.sinks import loki_labels_k8s
+
+    df = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    )
+    k8s = F.map_from_arrays(
+        F.array(
+            F.lit("namespace_name"),
+            F.lit("pod_name"),
+            F.lit("0container"),
+            F.lit("app.kubernetes.io/name"),
+        ),
+        F.array(
+            F.coalesce(F.col("role"), F.lit("default")),
+            F.concat(F.lit("pod-"), F.col("conv_id")),
+            F.col("tool"),
+            F.lit("fluent-bit"),
+        ),
+    )
+    return loki_labels_k8s(
+        df, label_cols=["role"], k8s_map=k8s, remove_keys=["tool"]
+    )
+
+
+def _q_sink_gelf_extra(spark, sf_dir):
+    """GELF additional-field mapping (src/flb_pack_gelf.c:608): custom
+    keys prefixed with '_' after key sanitization ('user agent' ->
+    '_user_agent'), 'id' dropped, and the parsed level column run
+    through the reference's keyword table ('info' -> '6'; 'error' is
+    NOT a syslog keyword and is kept verbatim, as the reference
+    does)."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.sinks import gelf_extended_transform
+
+    t = parse_stage(_transcripts(spark, sf_dir)).withColumn(
+        "user agent", F.lit("fluent-bit-spark/3")
+    )
+    return gelf_extended_transform(
+        t,
+        host_col="conv_id",
+        short_message_col="text",
+        ts_col="ts",
+        level_col="level",
+        extra_cols=["role", "tool", "turn_idx", "id", "user agent"],
+    )
+
+
+def _q_syslog_source(spark, sf_dir):
+    """Wire-format roundtrip for the syslog source
+    (plugins/in_syslog/syslog_prot.c:130): raw RFC5424 datagram lines
+    (rendered by the out_syslog writer, itself gate-verified) parsed
+    back through the stock syslog-rfc5424 regex into
+    pri/facility/severity/stamp/host/ident/msg -- the in_syslog
+    datagram path end-to-end, no shortcut through already-structured
+    columns."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.sinks import syslog_rfc5424_transform
+    from fluent_bit_spark.sources import parse_syslog_rfc5424
+
+    lines = syslog_rfc5424_transform(
+        parse_stage(_transcripts(spark, sf_dir))
+    ).select("line")
+    return parse_syslog_rfc5424(lines, line_col="line")
+
+
+def _q_streaming_hll(spark, sf_dir):
+    """Driver-gated STREAMING query: the transcript table is
+    materialized to a temp dir, re-read with readStream, aggregated by
+    streaming.windowed_hll (1-hour tumbling windows of HLL registers),
+    and drained to a memory sink with processAllAvailable -- the Spark
+    side genuinely runs through the Structured Streaming engine; the
+    oracle is the same closed-form register math as hll_hourly."""
+    import tempfile
+
+    from fluent_bit_spark.streaming import streaming_transcripts, windowed_hll
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    tmp = tempfile.mkdtemp(prefix="fbs_streaming_hll_src_")
+    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+    src = streaming_transcripts(spark, tmp, TRANSCRIPT_SCHEMA)
+    spark.catalog.dropTempView("fbs_streaming_hll")
+    q = (
+        windowed_hll(src, "conv_id", window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fbs_streaming_hll")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("fbs_streaming_hll")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: documents become opaque
     binary payloads (deterministic), run through the REAL Arrow-batched
@@ -1712,6 +1815,10 @@ _GATE_PRIORITY: list = [
     "sink_splunk",
     "sp_scalars",
     "sink_loki",
+    "sink_loki_k8s",
+    "sink_gelf_extra",
+    "syslog_source",
+    "streaming_hll",
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -1754,10 +1861,6 @@ _GATE_PRIORITY: list = [
     "dsir_weights",
     "curation_scorecard",
     "clean_text",
-    "role_qa",
-    "conv_dedup",
-    "context_pairs",
-    "render_chat",
 ]
 
 
@@ -1821,6 +1924,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_tag_keep": _q_rewrite_tag_keep,
         "sink_splunk": _q_sink_splunk,
         "sink_loki": _q_sink_loki,
+        "sink_loki_k8s": _q_sink_loki_k8s,
+        "sink_gelf_extra": _q_sink_gelf_extra,
+        "syslog_source": _q_syslog_source,
+        "streaming_hll": _q_streaming_hll,
         "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,

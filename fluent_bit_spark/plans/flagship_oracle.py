@@ -1885,6 +1885,78 @@ _ENTROPY_EXPR = """CASE WHEN n_chars > 0
 
 
 
+def _round3_sql() -> dict[str, str]:
+    """Round-3 gate queries: streaming HLL windows, the RFC5424 wire
+    roundtrip, GELF additional fields, Loki auto-kubernetes labels."""
+    from fluent_bit_spark.sinks import GELF_LEVEL_KEYWORDS
+
+    p = 10
+    rest_bits = 62 - p
+    streaming_hll = f"""
+, shh AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           ((('0x'||substr(md5(conv_id),1,8))::BIGINT & 2147483647) << 31)
+           + (('0x'||substr(md5(conv_id),9,8))::BIGINT & 2147483647) AS h
+    FROM transcripts WHERE conv_id IS NOT NULL)
+, shr AS (SELECT window_start, h >> {rest_bits} AS bucket,
+                 h & ((1::BIGINT << {rest_bits}) - 1) AS rest FROM shh)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, bucket,
+       MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                ELSE {rest_bits} - length(bin(rest)) + 1 END) AS max_rho
+FROM shr GROUP BY window_start, bucket"""
+
+    # sources.SYSLOG_RFC5424_RE, same language in RE2
+    re5 = r"^<([0-9]{1,5})>1 ([^ ]+) ([^ ]+) ([^ ]+) ([-0-9]+) ([^ ]+) (\[.*?\]|-) (.+)$"
+    g = lambda i: f"nullif(regexp_extract(line, '{re5}', {i}), '')"  # noqa: E731
+    syslog_source = f"""
+, rawlines AS ({_syslog_sql()})
+, sysp AS (SELECT CAST({g(1)} AS INTEGER) AS pri, {g(2)} AS stime,
+                  {g(3)} AS host, {g(4)} AS ident, {g(5)} AS pid,
+                  {g(6)} AS msgid, {g(7)} AS extradata, {g(8)} AS message
+           FROM rawlines)
+SELECT pri, CAST(pri // 8 AS INTEGER) AS facility,
+       CAST(pri % 8 AS INTEGER) AS severity, stime,
+       strptime(stime, '%Y-%m-%dT%H:%M:%S.%fZ') AS event_time,
+       host, ident, pid, msgid, extradata, message
+FROM sysp"""
+
+    kw_cases = " ".join(
+        f"WHEN '{kw}' THEN '{i}'" for i, kw in enumerate(GELF_LEVEL_KEYWORDS)
+    )
+    gelf_extra = f"""SELECT '1.1' AS version, conv_id AS host,
+       text AS short_message,
+       CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS timestamp,
+       CASE WHEN regexp_matches(level, '^[0-7]$') THEN level
+            ELSE coalesce(CASE lower(level) {kw_cases} END, level)
+       END AS level,
+       role AS "_role", tool AS "_tool", turn_idx AS "_turn_idx",
+       'fluent-bit-spark/3' AS "_user_agent"
+FROM unified"""
+
+    # label-entry order mirrors the Spark map_concat(base, k8s) order;
+    # keys are pre-normalized literals here, which is exactly what the
+    # gate verifies against the Spark side's RUNTIME loki_label_key
+    loki_k8s = """SELECT to_json(map_from_entries(
+         list_filter([struct_pack(k := 'role', v := role)],
+                     x -> x.v IS NOT NULL AND x.v <> '')
+         || [struct_pack(k := 'namespace_name', v := coalesce(role, 'default')),
+             struct_pack(k := 'pod_name', v := 'pod-' || conv_id)]
+         || list_filter([struct_pack(k := '_0container', v := tool)],
+                        x -> x.v IS NOT NULL)
+         || [struct_pack(k := 'app_kubernetes_io_name', v := 'fluent-bit')]
+       )) AS labels_json,
+       to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                           text := text)) AS line
+FROM transcripts"""
+
+    return {
+        "streaming_hll": streaming_hll,
+        "syslog_source": syslog_source,
+        "sink_gelf_extra": gelf_extra,
+        "sink_loki_k8s": loki_k8s,
+    }
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
@@ -1894,6 +1966,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _bpe_sql().items()},
         **{k: c + v for k, v in _kmeans_sql().items()},
         **{k: c + v for k, v in _bm25_sql().items()},
+        **{k: c + v for k, v in _round3_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

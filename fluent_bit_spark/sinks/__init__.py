@@ -123,6 +123,71 @@ def gelf_transform(
     return out
 
 
+# GELF string-level keyword table (src/flb_pack_gelf.c:574
+# allowed_levels): index IS the syslog severity number.
+GELF_LEVEL_KEYWORDS: tuple[str, ...] = (
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+)
+
+
+def _gelf_sanitize_key(key: str) -> str:
+    """GELF additional-field key sanitization (src/flb_pack_gelf.c:31
+    valid_char table = [A-Za-z0-9_.-]; anything else becomes '_')."""
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", key)
+
+
+def gelf_level_column(raw: Column) -> Column:
+    """GELF level coercion (src/flb_pack_gelf.c:564-592): a single
+    digit '0'..'7' parses as the integer; a case-insensitive syslog
+    keyword maps to its table index; anything else is kept verbatim
+    (the reference warns but still emits the original value).  Output
+    is string-typed -- exactly the token the JSON value would carry."""
+    pairs: list[Column] = []
+    for idx, kw in enumerate(GELF_LEVEL_KEYWORDS):
+        pairs += [F.lit(kw), F.lit(str(idx))]
+    keyword = F.element_at(F.create_map(*pairs), F.lower(raw.cast("string")))
+    return F.when(raw.cast("string").rlike("^[0-7]$"), raw.cast("string")).otherwise(
+        F.coalesce(keyword, raw.cast("string"))
+    )
+
+
+def gelf_extended_transform(
+    df: DataFrame,
+    host_col: str = "host",
+    short_message_col: str = "text",
+    ts_col: str = "ts",
+    level_col: str | None = None,
+    full_message_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """GELF mapping with the additional-field path
+    (src/flb_pack_gelf.c:608 custom_key): every non-reserved key is
+    emitted with a '_' prefix after key sanitization (:64), the key
+    'id' is dropped entirely (:609 '_id key not allowed'), and string
+    levels go through the keyword table (gelf_level_column).  Column
+    renames happen at plan time (keys are schema, not data), so this
+    stays a pure projection."""
+    out = [
+        F.lit("1.1").alias("version"),
+        F.coalesce(F.col(host_col).cast("string"), F.lit("unknown")).alias("host"),
+        F.col(short_message_col).alias("short_message"),
+        _epoch_seconds(F.col(ts_col)).alias("timestamp"),
+    ]
+    if full_message_col:
+        out.append(F.col(full_message_col).alias("full_message"))
+    out.append(
+        (gelf_level_column(F.col(level_col)) if level_col else F.lit("1")).alias(
+            "level"
+        )
+    )
+    reserved = {host_col, short_message_col, ts_col, level_col, full_message_col}
+    for c in extra_cols or []:
+        if c in reserved or c == "id":
+            continue
+        out.append(F.col(c).alias("_" + _gelf_sanitize_key(c)))
+    return df.select(*out)
+
+
 def _contains_timestamp(dt) -> bool:
     from pyspark.sql import types as T
 
@@ -228,6 +293,61 @@ def loki_labels(
     line_cols = [c for c in df.columns if c not in drop]
     return df.select(
         labels.alias("labels"),
+        F.to_json(F.struct(*[F.col(c) for c in line_cols])).alias("line"),
+    )
+
+
+def loki_label_key(key: Column) -> Column:
+    """Loki label-key normalization (plugins/out_loki/loki.c:251
+    pack_label_key): a leading digit gets a '_' prefix, then every
+    non-alphanumeric, non-underscore character becomes '_'.  Runtime
+    expression because auto-kubernetes label keys are data, not
+    schema."""
+    sanitized = F.regexp_replace(key, "[^A-Za-z0-9_]", "_")
+    return F.when(
+        key.rlike("^[0-9]"), F.concat(F.lit("_"), sanitized)
+    ).otherwise(sanitized)
+
+
+def loki_labels_k8s(
+    df: DataFrame,
+    label_cols: list[str],
+    k8s_map: Column | None = None,
+    remove_keys: list[str] | None = None,
+) -> DataFrame:
+    """Loki label map with auto_kubernetes_labels
+    (plugins/out_loki/loki.c:368-397): after the configured
+    record-accessor labels (NULL/empty translations are skipped,
+    loki.c:313 "just skip it"), every string->string entry of the
+    record's kubernetes map is appended with pack_label_key
+    normalization; nil values are skipped by the reference's
+    string-type check (loki.c:377).  An empty label set falls back to
+    the default job=fluent-bit pair (loki.c:399).  All map algebra is
+    JVM higher-order functions; keys stay distinct by construction
+    (map_concat raises on duplicates under ANSI, same as Loki rejects
+    duplicate label names)."""
+    base = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in label_cols]),
+            F.array(*[F.col(c).cast("string") for c in label_cols]),
+        ),
+        lambda k, v: v.isNotNull() & (v != F.lit("")),
+    )
+    labels = base
+    if k8s_map is not None:
+        k8s = F.transform_keys(
+            F.map_filter(k8s_map, lambda k, v: v.isNotNull()),
+            lambda k, v: loki_label_key(k),
+        )
+        labels = F.map_concat(base, k8s)
+    labels = F.when(
+        F.size(labels) == 0,
+        F.create_map(F.lit("job"), F.lit("fluent-bit")),
+    ).otherwise(labels)
+    drop = set(label_cols) | set(remove_keys or [])
+    line_cols = [c for c in df.columns if c not in drop]
+    return df.select(
+        F.to_json(labels).alias("labels_json"),
         F.to_json(F.struct(*[F.col(c) for c in line_cols])).alias("line"),
     )
 

@@ -209,3 +209,58 @@ def read_kafka_stream(
             "kafka connector not available in this runtime; in batch mode "
             "read the landed table instead"
         ) from e
+
+
+# Stock RFC5424 parser regex (conf/parsers.conf:65 `syslog-rfc5424`),
+# named groups dropped for Java numbered extraction; the nested group
+# inside extradata is flattened (same language).  `[^ ]+` is kept as in
+# the reference (NOT \S+: \S also excludes tabs).
+SYSLOG_RFC5424_RE = (
+    r"^<([0-9]{1,5})>1 ([^ ]+) ([^ ]+) ([^ ]+) ([-0-9]+) ([^ ]+) "
+    r"(\[.*?\]|-) (.+)$"
+)
+
+# conf/parsers.conf:73 `syslog-rfc3164-local` (no host field; optional
+# [pid] and ident-colon prefix), flattened the same way.
+SYSLOG_RFC3164_RE = (
+    r"^<([0-9]+)>([^ ]* {1,2}[^ ]* [^ ]*) ([a-zA-Z0-9_/.\-]*)"
+    r"(?:\[([0-9]+)\])?(?:[^:]*:)? *(.*)$"
+)
+
+
+def parse_syslog_rfc5424(
+    df: DataFrame,
+    line_col: str = "line",
+    ts_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+) -> DataFrame:
+    """in_syslog datagram processing (plugins/in_syslog/syslog_prot.c:130
+    syslog_prot_process_udp -> flb_parser_do with the stock
+    syslog-rfc5424 parser): one regex pass over the raw wire line, pri
+    split into facility/severity (RFC5424 section 6.2.1: facility =
+    pri / 8, severity = pri % 8), Time_Keep On (the raw stamp column is
+    retained alongside the parsed event_time).
+
+    Unparseable lines surface as all-NULL field rows rather than being
+    dropped (the reference warns and skips; keeping the row preserves
+    row-count lineage for the gate -- filter on `pri IS NOT NULL` for
+    the reference's drop behavior).  Pure regexp_extract expressions:
+    whole-stage codegen, no Python."""
+    l = F.col(line_col)
+
+    def g(i: int) -> Column:
+        return F.nullif(F.regexp_extract(l, SYSLOG_RFC5424_RE, i), F.lit(""))
+
+    pri = g(1).cast("int")
+    return df.select(
+        pri.alias("pri"),
+        F.floor(pri / F.lit(8)).cast("int").alias("facility"),
+        (pri % F.lit(8)).alias("severity"),
+        g(2).alias("stime"),
+        F.to_timestamp(g(2), ts_format).alias("event_time"),
+        g(3).alias("host"),
+        g(4).alias("ident"),
+        g(5).alias("pid"),
+        g(6).alias("msgid"),
+        g(7).alias("extradata"),
+        g(8).alias("message"),
+    )

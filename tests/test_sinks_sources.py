@@ -273,3 +273,99 @@ def test_influx_line_escaping_and_fields(spark):
     )
     line = influx_line_transform(df).collect()[0].line
     assert line == "transcripts,role=a\\ b\\,c\\=d turn_idx=3i,len=5i 1000000000"
+
+
+def test_gelf_extended_custom_keys_and_level(spark):
+    import datetime
+
+    from fluent_bit_spark.sinks import gelf_extended_transform
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "info", "hi", ts, "x"),
+            ("c", 1, "ERROR", "hi", ts, "x"),   # not a keyword -> verbatim
+            ("c", 2, "Crit", "hi", ts, "x"),    # case-insensitive keyword
+            ("c", 3, "5", "hi", ts, "x"),       # digit 0..7 -> itself
+            ("c", 4, None, "hi", ts, "x"),      # absent -> NULL
+        ],
+        "conv_id string, turn_idx int, level string, text string, "
+        "ts timestamp, `user agent` string",
+    )
+    out = gelf_extended_transform(
+        df,
+        host_col="conv_id",
+        short_message_col="text",
+        ts_col="ts",
+        level_col="level",
+        extra_cols=["turn_idx", "id", "user agent"],
+    )
+    # 'id' is dropped (flb_pack_gelf.c:609); 'user agent' sanitized
+    assert "_id" not in out.columns
+    assert "_user_agent" in out.columns and "_turn_idx" in out.columns
+    rows = {r._turn_idx: r for r in out.collect()}
+    assert rows[0].level == "6"       # info
+    assert rows[1].level == "ERROR"   # kept verbatim with a warn
+    assert rows[2].level == "2"       # crit
+    assert rows[3].level == "5"
+    assert rows[4].level is None
+
+
+def test_loki_k8s_labels_sanitize_skip_and_default(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import loki_labels_k8s
+
+    df = spark.createDataFrame(
+        [("c1", "user", "t1", "x"), ("c2", None, None, "y"), ("c3", "", "t3", "z")],
+        "conv_id string, role string, tool string, text string",
+    )
+    k8s = F.map_from_arrays(
+        F.array(F.lit("0pod"), F.lit("app.kubernetes.io/name")),
+        F.array(F.col("tool"), F.col("tool")),
+    )
+    out = {
+        r.line: json.loads(r.labels_json)
+        for r in loki_labels_k8s(
+            df, label_cols=["role"], k8s_map=k8s, remove_keys=["tool"]
+        ).collect()
+    }
+    l1 = out['{"conv_id":"c1","text":"x"}']
+    # leading digit -> '_' prefix; '.'/'/' -> '_' (loki.c:251 pack_label_key)
+    assert l1 == {"role": "user", "_0pod": "t1", "app_kubernetes_io_name": "t1"}
+    # NULL role label skipped AND NULL k8s values skipped -> empty set
+    # -> default job label (loki.c:399)
+    assert out['{"conv_id":"c2","text":"y"}'] == {"job": "fluent-bit"}
+    # empty-string role is skipped too ("empty record accessor key
+    # translation"), k8s entries survive
+    assert out['{"conv_id":"c3","text":"z"}'] == {
+        "_0pod": "t3", "app_kubernetes_io_name": "t3"
+    }
+
+
+def test_parse_syslog_rfc5424_roundtrip_and_unparseable(spark):
+    from fluent_bit_spark.sources import parse_syslog_rfc5424
+
+    df = spark.createDataFrame(
+        [
+            ("<165>1 2024-03-01T12:30:45.123456Z host-9 app 1234 ID47 "
+             '[exampleSDID@32473 iut="3"] BOM msg with spaces',),
+            ("<14>1 2024-03-01T12:30:45.000001Z - - - - - plain",),
+            ("total garbage",),
+        ],
+        "line string",
+    )
+    rows = parse_syslog_rfc5424(df).collect()
+    r0, r1, r2 = rows
+    assert (r0.pri, r0.facility, r0.severity) == (165, 20, 5)
+    assert r0.host == "host-9" and r0.ident == "app" and r0.pid == "1234"
+    assert r0.msgid == "ID47"
+    assert r0.extradata == '[exampleSDID@32473 iut="3"]'
+    assert r0.message == "BOM msg with spaces"
+    assert r0.event_time.microsecond == 123456
+    assert r1.pid == "-" and r1.extradata == "-" and r1.message == "plain"
+    # unparseable datagram -> all-NULL row kept (reference warns+skips;
+    # we keep lineage, caller filters pri IS NOT NULL for drop behavior)
+    assert r2.pri is None and r2.message is None and r2.event_time is None
