@@ -756,26 +756,33 @@ def _q_streaming_hll(spark, sf_dir):
     and drained to a memory sink with processAllAvailable -- the Spark
     side genuinely runs through the Structured Streaming engine; the
     oracle is the same closed-form register math as hll_hourly."""
+    import shutil
     import tempfile
 
     from fluent_bit_spark.streaming import streaming_transcripts, windowed_hll
     from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
 
     tmp = tempfile.mkdtemp(prefix="fbs_streaming_hll_src_")
-    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-    src = streaming_transcripts(spark, tmp, TRANSCRIPT_SCHEMA)
-    spark.catalog.dropTempView("fbs_streaming_hll")
-    q = (
-        windowed_hll(src, "conv_id", window="1 hour")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("fbs_streaming_hll")
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        _transcripts(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        src = streaming_transcripts(spark, tmp, TRANSCRIPT_SCHEMA)
+        spark.catalog.dropTempView("fbs_streaming_hll")
+        q = (
+            windowed_hll(src, "conv_id", window="1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("fbs_streaming_hll")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # the memory sink holds the drained rows; the parquet staging
+        # copy is dead weight once the stream stops (a leaked copy per
+        # gate/bench invocation would steadily fill /tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.table("fbs_streaming_hll")
 
 

@@ -256,7 +256,11 @@ def parse_syslog_rfc5424(
         F.floor(pri / F.lit(8)).cast("int").alias("facility"),
         (pri % F.lit(8)).alias("severity"),
         g(2).alias("stime"),
-        F.to_timestamp(g(2), ts_format).alias("event_time"),
+        # try_to_timestamp, not to_timestamp: ANSI sessions would
+        # otherwise abort the whole job on a regex-matching line whose
+        # stamp deviates from the format (RFC5424 nil '-' or offset
+        # stamps) -- same convention as operators/parse.py
+        F.try_to_timestamp(g(2), F.lit(ts_format)).alias("event_time"),
         g(3).alias("host"),
         g(4).alias("ident"),
         g(5).alias("pid"),

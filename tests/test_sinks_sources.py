@@ -369,3 +369,21 @@ def test_parse_syslog_rfc5424_roundtrip_and_unparseable(spark):
     # unparseable datagram -> all-NULL row kept (reference warns+skips;
     # we keep lineage, caller filters pri IS NOT NULL for drop behavior)
     assert r2.pri is None and r2.message is None and r2.event_time is None
+
+
+def test_parse_syslog_rfc5424_nil_and_offset_stamps(spark):
+    """ANSI regression guard: RFC5424-legal nil '-' and offset stamps
+    must yield NULL event_time, not abort the job."""
+    from fluent_bit_spark.sources import parse_syslog_rfc5424
+
+    df = spark.createDataFrame(
+        [
+            ("<14>1 - myhost app - - - msg",),
+            ("<14>1 2024-03-01T12:30:45.123456+02:00 h a - - - msg",),
+        ],
+        "line string",
+    )
+    rows = parse_syslog_rfc5424(df).collect()
+    assert rows[0].pri == 14 and rows[0].stime == "-"
+    assert rows[0].event_time is None
+    assert rows[1].event_time is None and rows[1].message == "msg"
