@@ -749,29 +749,30 @@ def _q_syslog_source(spark, sf_dir):
     return parse_syslog_rfc5424(lines, line_col="line")
 
 
-def _q_streaming_hll(spark, sf_dir):
-    """Driver-gated STREAMING query: the transcript table is
-    materialized to a temp dir, re-read with readStream, aggregated by
-    streaming.windowed_hll (1-hour tumbling windows of HLL registers),
-    and drained to a memory sink with processAllAvailable -- the Spark
-    side genuinely runs through the Structured Streaming engine; the
-    oracle is the same closed-form register math as hll_hourly."""
+def _drain_transcript_stream(spark, sf_dir, build, name: str) -> DataFrame:
+    """Run a streaming aggregation over the transcript table through
+    the real Structured Streaming engine: materialize transcripts to a
+    temp dir, readStream it, apply `build(stream_df)`, drain to a
+    memory sink with processAllAvailable, return the sink table.  The
+    staging copy is removed after the drain (the memory sink holds the
+    rows; a leaked parquet copy per gate/bench invocation would
+    steadily fill /tmp)."""
     import shutil
     import tempfile
 
-    from fluent_bit_spark.streaming import streaming_transcripts, windowed_hll
+    from fluent_bit_spark.streaming import streaming_transcripts
     from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
 
-    tmp = tempfile.mkdtemp(prefix="fbs_streaming_hll_src_")
+    tmp = tempfile.mkdtemp(prefix=f"fbs_{name}_src_")
     try:
         _transcripts(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         src = streaming_transcripts(spark, tmp, TRANSCRIPT_SCHEMA)
-        spark.catalog.dropTempView("fbs_streaming_hll")
+        spark.catalog.dropTempView(name)
         q = (
-            windowed_hll(src, "conv_id", window="1 hour")
+            build(src)
             .writeStream.outputMode("complete")
             .format("memory")
-            .queryName("fbs_streaming_hll")
+            .queryName(name)
             .start()
         )
         try:
@@ -779,11 +780,40 @@ def _q_streaming_hll(spark, sf_dir):
         finally:
             q.stop()
     finally:
-        # the memory sink holds the drained rows; the parquet staging
-        # copy is dead weight once the stream stops (a leaked copy per
-        # gate/bench invocation would steadily fill /tmp)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table("fbs_streaming_hll")
+    return spark.table(name)
+
+
+def _q_streaming_hll(spark, sf_dir):
+    """Driver-gated STREAMING query: 1-hour tumbling windows of HLL
+    registers computed by the streaming engine (max-mergeable sketch
+    state, bounded rows per open window); the oracle is the same
+    closed-form register math as hll_hourly."""
+    from fluent_bit_spark.streaming import windowed_hll
+
+    return _drain_transcript_stream(
+        spark,
+        sf_dir,
+        lambda src: windowed_hll(src, "conv_id", window="1 hour"),
+        "fbs_streaming_hll",
+    )
+
+
+def _q_streaming_cms(spark, sf_dir):
+    """Second driver-gated STREAMING query: per-window count-min
+    counter grids over the tool column (sum-mergeable frequency
+    sketch, depth*width state rows per open window regardless of key
+    cardinality -- with windowed_hll this covers both mergeable-sketch
+    shapes a stream needs); oracle is the closed-form md5 probe
+    math."""
+    from fluent_bit_spark.streaming import windowed_cms
+
+    return _drain_transcript_stream(
+        spark,
+        sf_dir,
+        lambda src: windowed_cms(src, "tool", window="1 hour"),
+        "fbs_streaming_cms",
+    )
 
 
 def _q_media_features(spark, sf_dir):
@@ -1516,6 +1546,19 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composition (the 100 TB serving shape): k-means cells
+    bound WHICH candidates each query touches (nprobe=2 of 8 cells),
+    shared PQ codebooks bound WHAT is read per candidate (4 ADC table
+    cells instead of the 64-float vector)."""
+    from fluent_bit_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _embs(spark, sf_dir), F.col("vec_id") < 5, k_clusters=8, km_iters=3,
+        nprobe=2, m=4, k_codes=4, pq_iters=2, k=10,
+    )
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -1826,9 +1869,11 @@ _GATE_PRIORITY: list = [
     "sink_gelf_extra",
     "syslog_source",
     "streaming_hll",
+    "streaming_cms",
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "bm25_topk",
     "pii_redact",
     "gopher_quality",
@@ -1866,8 +1911,6 @@ _GATE_PRIORITY: list = [
     "mix_manifest",
     "mixture_weights",
     "dsir_weights",
-    "curation_scorecard",
-    "clean_text",
 ]
 
 
@@ -1935,6 +1978,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_gelf_extra": _q_sink_gelf_extra,
         "syslog_source": _q_syslog_source,
         "streaming_hll": _q_streaming_hll,
+        "streaming_cms": _q_streaming_cms,
         "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,
@@ -1995,6 +2039,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_eval": _q_minhash_eval,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

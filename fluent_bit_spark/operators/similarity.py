@@ -986,6 +986,126 @@ def _kmeans_fit(
     return assigned, cents, prepped
 
 
+def _ivf_probes(
+    prepped: DataFrame,
+    cents: DataFrame,
+    is_query: Column,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The IVF probe table shared by ivf_topk_fixed and ivfpq_topk:
+    each query's `nprobe` nearest centroids by round-6 cosine with
+    label-asc ties. Output (query_id, cluster, _qv) — tiny (queries x
+    nprobe rows), always the broadcast side of the cell join."""
+    qs = prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_scored = qs.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
+    ).withColumn("_pc", F.round(cosine_col(F.col("_qv"), F.col("centroid")), 6))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_pc").desc(), "cluster")
+    return (
+        probe_scored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cluster", "_qv")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    is_query: Column,
+    k_clusters: int = 8,
+    km_iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 4,
+    pq_iters: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composition that actually serves ANN at 100 TB —
+    IVF cells bound WHICH candidates each query touches
+    (~nprobe/k_clusters of the corpus), PQ codes bound WHAT is read
+    per candidate (m table-lookup cells instead of the float vector).
+    Output (query_id, vec_id, adc_dist, rank), nearest first.
+
+    This is the shared-codebook (non-residual) IVF-PQ variant: one PQ
+    codebook set over the raw vectors serves every cell, rather than
+    Jegou et al.'s per-cell residual encoding. Chosen deliberately:
+    (a) codebooks stay a broadcast-sized global table instead of
+    k_clusters x m codebooks rebuilt per cell, and (b) every step is
+    the deterministic fixed-iteration recipe, so the full path replays
+    as unrolled CTEs in the oracle. The residual refinement buys
+    recall, not a different distributed shape — measure with the
+    dim_trunc_eval/minhash_eval scorecard convention before paying
+    for it.
+
+    Scale shape: coarse fit = kmeans_assign's broadcast rounds; PQ fit
+    = pq_fit (optionally sampled); the probe table (queries x nprobe)
+    and the ADC table (queries x m x k_codes) broadcast; the only
+    corpus-sized work is the cell-restricted candidate join and one
+    partial-agg shuffle summing m cells per (query, candidate).
+    NULL is_query counts as candidate (the IVF convention)."""
+    is_query = F.coalesce(is_query, F.lit(False))
+    assigned, cents, prepped = _kmeans_fit(
+        vectors, k_clusters, km_iters, vec_col, id_col
+    )
+    codes, books, pq_prepped, sd = pq_fit(
+        vectors, m, k_codes, pq_iters, vec_col, id_col
+    )
+    probes = _ivf_probes(prepped, cents, is_query, nprobe, vec_col, id_col)
+    cand_cells = prepped.filter(~is_query).join(
+        assigned.select(F.col(id_col), "cluster"), id_col
+    )
+    pairs = cand_cells.join(
+        F.broadcast(probes.select("query_id", "cluster")), "cluster"
+    ).select("query_id", id_col)
+
+    from functools import reduce
+
+    qs = pq_prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"), F.col("_v")
+    )
+    qsubs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            qs.select(
+                "query_id",
+                F.lit(s).alias("sub"),
+                F.slice("_v", s * sd + 1, sd).alias("qv"),
+            )
+            for s in range(m)
+        ],
+    )
+    dtab = qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("label").alias("code"),
+        F.round(_ssq(F.col("qv"), F.col("centroid")) * 1_000_000)
+        .cast("long")
+        .alias("fx"),
+    )
+    adc = (
+        pairs.join(codes, id_col)
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("fx").alias("_fx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_fx").asc(), F.col(id_col))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("_fx") / 1_000_000.0, 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 def ivf_topk_fixed(
     vectors: DataFrame,
     is_query: Column,
@@ -1022,18 +1142,7 @@ def ivf_topk_fixed(
     assigned, cents, prepped = _kmeans_fit(
         vectors, k_clusters, iters, vec_col, id_col
     )
-    qs = prepped.filter(is_query).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    probe_scored = qs.crossJoin(
-        F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
-    ).withColumn("_pc", F.round(cosine_col(F.col("_qv"), F.col("centroid")), 6))
-    wq = Window.partitionBy("query_id").orderBy(F.col("_pc").desc(), "cluster")
-    probes = (
-        probe_scored.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "cluster", "_qv")
-    )
+    probes = _ivf_probes(prepped, cents, is_query, nprobe, vec_col, id_col)
     cells = prepped.filter(~is_query).join(
         assigned.select(F.col(id_col), "cluster"), id_col
     )

@@ -1324,16 +1324,18 @@ SELECT query_id, vec_id, cosine, rank FROM (
     }
 
 
-def _pq_sql(
+def _pq_ctes(
     m: int = 4, k_codes: int = 4, iters: int = 2, dim: int = 64,
-    nq: int = 5, topk: int = 10, fit_where: str = "TRUE",
+    nq: int = 5, fit_where: str = "TRUE",
 ) -> str:
-    """similarity.pq_adc_topk mirror: per-subspace unrolled L2 k-means
-    codebooks (the _kmeans_ctes pattern with squared-L2 argmin), PQ
-    encoding, and the fixed-point ADC table-lookup sum. Queries =
-    vec_id < nq, candidates = the rest. `fit_where` restricts the
+    """similarity.pq_fit mirror, CTEs only (ends at pqc = candidate
+    codes, pqt = per-query ADC tables): per-subspace unrolled L2
+    k-means codebooks (the _kmeans_ctes pattern with squared-L2
+    argmin), PQ encoding, and the fixed-point distance tables. Queries
+    = vec_id < nq, candidates = the rest. `fit_where` restricts the
     TRAINING rows (pq_fit's fit_fraction hash sample); the final
-    encode always runs over all rows.
+    encode always runs over all rows. Shared by _pq_sql (full ADC
+    ranking) and _ivfpq_sql (cell-restricted ranking).
 
     NOTE: the p{s}a/b/f/s/n/c chain is the same fitting recipe as
     _kmeans_ctes' ka/kb/kf/ks/kn/kc (score expression, sort direction,
@@ -1402,7 +1404,11 @@ def _pq_sql(
     )
     parts.append(f"""
 , pqc AS ({code_union})
-, pqt AS ({dtab_union})
+, pqt AS ({dtab_union})""")
+    return "".join(parts)
+
+
+_PQ_RANK_SELECT = """
 , pqs AS (SELECT t.query_id, c.vec_id, CAST(SUM(t.fx) AS BIGINT) AS fx
           FROM pqc c JOIN pqt t ON t.sub = c.sub AND t.code = c.code
           GROUP BY 1, 2)
@@ -1410,8 +1416,53 @@ SELECT query_id, vec_id, round(fx / 1000000.0, 6) AS adc_dist, rank FROM (
   SELECT query_id, vec_id, fx,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY fx ASC, vec_id) AS rank
-  FROM pqs) WHERE rank <= {topk}""")
-    return "".join(parts)
+  FROM pqs) WHERE rank <= {topk}"""
+
+
+def _pq_sql(
+    m: int = 4, k_codes: int = 4, iters: int = 2, dim: int = 64,
+    nq: int = 5, topk: int = 10, fit_where: str = "TRUE",
+) -> str:
+    """Full ADC ranking over the _pq_ctes chain (ann_pq_topk /
+    ann_pq_sampled)."""
+    return _pq_ctes(m, k_codes, iters, dim, nq, fit_where) + \
+        _PQ_RANK_SELECT.format(topk=topk)
+
+
+def _ivfpq_sql(
+    k_clusters: int = 8, km_iters: int = 3, nprobe: int = 2,
+    m: int = 4, k_codes: int = 4, pq_iters: int = 2, dim: int = 64,
+    nq: int = 5, topk: int = 10,
+) -> str:
+    """similarity.ivfpq_topk mirror: the _kmeans_ctes coarse quantizer
+    chain bounds candidates to probed cells, the _pq_ctes shared
+    codebooks provide the per-(query, candidate) ADC sum -- exactly the
+    two already-gated recipes composed, so every constant and tie rule
+    is pinned by the existing kmeans/pq oracles."""
+    return _kmeans_ctes(k_clusters, km_iters) + \
+        _pq_ctes(m, k_codes, pq_iters, dim, nq, "TRUE") + f"""
+, xq AS (SELECT vec_id AS query_id, v FROM km0 WHERE vec_id < {nq})
+, xp AS (SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.label AS cluster,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.v, c.centroid), 6) DESC,
+                      c.label) AS pr
+    FROM xq q CROSS JOIN kc{km_iters - 1} c) WHERE pr <= {nprobe})
+, xpair AS (SELECT p.query_id, b.vec_id
+            FROM xp p JOIN kb{km_iters} b USING (cluster)
+            WHERE b.vec_id >= {nq})
+, xadc AS (SELECT pr.query_id, pr.vec_id, CAST(SUM(t.fx) AS BIGINT) AS fx
+           FROM xpair pr
+           JOIN pqc c ON c.vec_id = pr.vec_id
+           JOIN pqt t ON t.query_id = pr.query_id
+                     AND t.sub = c.sub AND t.code = c.code
+           GROUP BY 1, 2)
+SELECT query_id, vec_id, round(fx / 1000000.0, 6) AS adc_dist, rank FROM (
+  SELECT query_id, vec_id, fx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fx ASC, vec_id) AS rank
+  FROM xadc) WHERE rank <= {topk}"""
 
 
 def _hist_quantiles_sql(
@@ -1949,8 +2000,20 @@ FROM unified"""
                            text := text)) AS line
 FROM transcripts"""
 
+    depth, width = 4, 512
+    streaming_cms = f"""
+, scp AS (
+    SELECT date_trunc('hour', ts) AS window_start, i AS seed,
+           ('0x'||substr(md5(tool||'#'||i),1,8))::BIGINT % {width} AS pos
+    FROM transcripts CROSS JOIN range({depth}) r(i)
+    WHERE tool IS NOT NULL)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       seed, pos, COUNT(*) AS cnt
+FROM scp GROUP BY window_start, seed, pos"""
+
     return {
         "streaming_hll": streaming_hll,
+        "streaming_cms": streaming_cms,
         "syslog_source": syslog_source,
         "sink_gelf_extra": gelf_extra,
         "sink_loki_k8s": loki_k8s,
@@ -2038,6 +2101,7 @@ def oracle_queries() -> dict[str, str]:
         "dedup_minhash": c + _minhash_pairs_sql(),
         "minhash_eval": c + _minhash_eval_sql(),
         "ann_pq_topk": c + _pq_sql(),
+        "ann_ivfpq_topk": c + _ivfpq_sql(),
         "ann_pq_sampled": c
         + _pq_sql(
             fit_where=f"{_md5_32_sql('CAST(vec_id AS VARCHAR)')} < 2147483648"

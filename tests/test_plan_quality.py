@@ -300,3 +300,25 @@ def test_quantized_topk_broadcast_queries_single_topk_shuffle(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 1
+
+
+def test_ivfpq_no_cartesian_broadcast_tables(spark, sf_dir):
+    """IVF-PQ's corpus-sized work must be hash joins (cell restriction
+    + code/table equi-joins); the only nested-loop shapes allowed are
+    the bounded broadcasts (queries x centroids probe table, queries x
+    books ADC table)."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.similarity import ivfpq_topk
+
+    release_persisted()
+    spark.catalog.clearCache()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(
+        ivfpq_topk(embs, F.col("vec_id") < 5, km_iters=1, pq_iters=1),
+        "simple",
+    )
+    release_persisted()
+    assert "CartesianProduct" not in plan, plan
+    # the ADC sum joins candidate codes to the broadcast distance table
+    # hash-wise on (query_id, sub, code)
+    assert re.search(r"BroadcastHashJoin \[?query_id", plan), plan
