@@ -1546,6 +1546,24 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_sft_loss_mask(spark, sf_dir):
+    """Span-form SFT loss masks: per-turn token spans in the rendered
+    conversation, trainable = assistant turns -- spans, not per-token
+    arrays, are what ships at scale."""
+    from fluent_bit_spark.operators.transcript_qa import sft_loss_mask
+
+    return sft_loss_mask(_transcripts(spark, sf_dir))
+
+
+def _q_shard_manifest(spark, sf_dir):
+    """Token-balanced training shards via the two-level cumsum (group
+    bases broadcast back over within-group running sums -- no global
+    window): one manifest row per ~2048-token shard."""
+    from fluent_bit_spark.operators.packing import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), shard_tokens=2048)
+
+
 def _q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composition (the 100 TB serving shape): k-means cells
     bound WHICH candidates each query touches (nprobe=2 of 8 cells),
@@ -1882,6 +1900,8 @@ _GATE_PRIORITY: list = [
     "bloom_contam",
     "strat_sample",
     "sft_pairs",
+    "sft_loss_mask",
+    "shard_manifest",
     "conv_scorecard",
     "sp_chain",
     "config_pipeline",
@@ -1909,8 +1929,6 @@ _GATE_PRIORITY: list = [
     "dup_ngram_fraction",
     "quota_sample",
     "mix_manifest",
-    "mixture_weights",
-    "dsir_weights",
 ]
 
 
@@ -2040,6 +2058,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "sft_loss_mask": _q_sft_loss_mask,
+        "shard_manifest": _q_shard_manifest,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

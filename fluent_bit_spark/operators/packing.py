@@ -226,3 +226,61 @@ def cdc_chunks(
         F.col("_c.n_toks").cast("long").alias("n_chunk_tokens"),
         F.col("_c.h").alias("chunk_hash"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced training-shard manifest WITHOUT a global window:
+    one row per shard with (shard, n_docs, n_tokens, n_groups).
+
+    The bin-packing order is (group, id); each doc's global exclusive
+    token offset = its group's base offset + the within-group running
+    sum, and shard = offset div shard_tokens -- docs stay whole,
+    shards fill to ~shard_tokens. The two-level cumsum is the piece
+    that scales: within-group running sums parallelize across groups
+    (one conv-style window each), and the cross-group cumsum runs over
+    the per-group TOTALS only (|groups| rows, broadcast back) -- the
+    naive single ORDER BY over the corpus would serialize 100 TB
+    through one task.
+
+    NULL groups are rejected (Spark and SQL engines order NULLs
+    differently, which would silently permute the packing order)."""
+    if not isinstance(shard_tokens, int) or shard_tokens <= 0:
+        raise ValueError(
+            f"shard_tokens must be a positive int, got {shard_tokens!r}"
+        )
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col(group_col).isNotNull())
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_doc.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(wg), F.lit(0)).cast("long")
+    )
+    totals = per_doc.groupBy(group_col).agg(F.sum("n_tokens").alias("_gtot"))
+    # |groups| rows: the unpartitioned window is bounded by group
+    # cardinality, never by corpus size
+    wt = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_gtot").over(wt), F.lit(0)).cast("long")
+    ).select(group_col, "_base")
+    assigned = (
+        local.join(F.broadcast(bases), group_col)
+        .withColumn("_off", F.col("_base") + F.col("_local"))
+        .withColumn("shard", F.expr(f"_off div {shard_tokens}"))
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct(group_col).alias("n_groups"),
+    )

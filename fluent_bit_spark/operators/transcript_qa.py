@@ -371,3 +371,43 @@ def render_chat(df: DataFrame) -> DataFrame:
             ).alias("rendered"),
         )
     )
+
+
+def sft_loss_mask(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-form loss masks for packed SFT sequences: one row per turn
+    with its whitespace-token span in the rendered conversation and
+    whether the span is trainable (assistant turns train; user/system/
+    tool context is masked). Output (conv_id, turn_idx, norm_role,
+    seg_len, seg_start, trainable).
+
+    At 100 TB you ship SPANS, not per-token mask arrays: a packed
+    batch reconstitutes its mask as [trainable] * seg_len per span,
+    and the only shuffle here is the conv_id window every transcript
+    op already pays."""
+    from fluent_bit_spark.operators.text_analysis import token_count
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = df.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        norm_role_col(F.col(role_col)).alias("norm_role"),
+        token_count(F.col(text_col)).cast("long").alias("seg_len"),
+    )
+    return staged.withColumns(
+        {
+            "seg_start": F.coalesce(F.sum("seg_len").over(w), F.lit(0)).cast(
+                "long"
+            ),
+            "trainable": F.col("norm_role") == "assistant",
+        }
+    )

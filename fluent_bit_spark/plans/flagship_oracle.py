@@ -1984,6 +1984,54 @@ FROM sysp"""
        'fluent-bit-spark/3' AS "_user_agent"
 FROM unified"""
 
+    rc = "".join(
+        f" WHEN role = '{raw}' THEN '{norm}'" for raw, norm in ROLE_MAP
+    )
+    loss_mask = f"""
+, lm1 AS (
+    SELECT conv_id, turn_idx, CASE{rc} ELSE 'other' END AS norm_role,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS seg_len
+    FROM transcripts)
+SELECT conv_id, turn_idx, norm_role, seg_len,
+       CAST(COALESCE(SUM(seg_len) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS seg_start,
+       norm_role = 'assistant' AS trainable
+FROM lm1"""
+
+    budget = 2048
+    shard_sql = f"""
+, sm1 AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents WHERE source IS NOT NULL)
+, sm2 AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS loc
+    FROM sm1)
+, sm3 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS gtot
+          FROM sm1 GROUP BY source)
+, sm4 AS (
+    SELECT source,
+           CAST(COALESCE(SUM(gtot) OVER (
+               ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS base
+    FROM sm3)
+, sm5 AS (
+    SELECT s2.doc_id, s2.source, s2.n_tokens,
+           CAST((s4.base + s2.loc) // {budget} AS BIGINT) AS shard
+    FROM sm2 s2 JOIN sm4 s4 USING (source))
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
+FROM sm5 GROUP BY shard"""
+
     # label-entry order mirrors the Spark map_concat(base, k8s) order;
     # keys are pre-normalized literals here, which is exactly what the
     # gate verifies against the Spark side's RUNTIME loki_label_key
@@ -2017,6 +2065,8 @@ FROM scp GROUP BY window_start, seed, pos"""
         "syslog_source": syslog_source,
         "sink_gelf_extra": gelf_extra,
         "sink_loki_k8s": loki_k8s,
+        "sft_loss_mask": loss_mask,
+        "shard_manifest": shard_sql,
     }
 
 
