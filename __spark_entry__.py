@@ -1564,6 +1564,39 @@ def _q_shard_manifest(spark, sf_dir):
     return shard_manifest(_docs(spark, sf_dir), shard_tokens=2048)
 
 
+def _q_url_dedup(spark, sf_dir):
+    """Canonical-URL crawl dedup over deterministically synthesized
+    URL variants (case/port/tracking-param/fragment/trailing-slash
+    noise keyed off doc_id; every 13th row is a non-URL exercising the
+    quarantine drop): one row per canonical URL with the kept min
+    doc_id and the variant count."""
+    from fluent_bit_spark.operators.curation import url_dedup
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://Example-"),
+        (i % 37).cast("string"),
+        F.lit(".COM"),
+        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/page"),
+        (i % 11).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+            F.lit("?b=2&a=1")
+        ),
+        F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(i % 13 == 0, F.lit("not a url")).otherwise(url).alias("url"),
+    )
+    return url_dedup(staged)
+
+
 def _q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composition (the 100 TB serving shape): k-means cells
     bound WHICH candidates each query touches (nprobe=2 of 8 cells),
@@ -1927,8 +1960,8 @@ _GATE_PRIORITY: list = [
     "intra_doc_dedup",
     "span_dedup",
     "dup_ngram_fraction",
+    "url_dedup",
     "quota_sample",
-    "mix_manifest",
 ]
 
 
@@ -2060,6 +2093,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "sft_loss_mask": _q_sft_loss_mask,
         "shard_manifest": _q_shard_manifest,
+        "url_dedup": _q_url_dedup,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

@@ -598,3 +598,90 @@ def clean_text(
             "changed": cleaned != t,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + crawl dedup
+
+# Tracking parameters removed during canonicalization (the published
+# crawl-dedup convention: utm_* plus the big click-id params). Prefix
+# match for utm_, exact match for the rest -- part of the contract.
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_",)
+TRACKING_PARAMS: tuple[str, ...] = ("fbclid", "gclid", "msclkid", "yclid")
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization, entirely in JVM expressions:
+
+    - scheme and host lowercased; default port stripped (:443 for
+      https, :80 for http)
+    - fragment dropped
+    - tracking params removed (TRACKING_PARAM_PREFIXES/_PARAMS),
+      surviving params sorted bytewise, empty query dropped
+    - trailing '/' stripped from non-root paths; empty path -> '/'
+
+    Everything else (path case, percent-encoding, param values) is
+    preserved -- over-normalizing merges distinct pages, which is the
+    worse failure for training data. Non-URL strings (no scheme://)
+    come back NULL so callers can route them to a quarantine sink.
+
+    Scale shape: a pure map stage -- canonicalization itself never
+    shuffles; the dedup that follows groups on the canonical string
+    (16-byte digest at the shuffle via md5 if keys are long)."""
+    scheme = F.lower(F.nullif(F.regexp_extract(url, _URL_RE, 1), F.lit("")))
+    host = F.lower(F.nullif(F.regexp_extract(url, _URL_RE, 2), F.lit("")))
+    host = F.when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).otherwise(host)
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.nullif(F.regexp_extract(url, _URL_RE, 4), F.lit(""))
+    def _is_tracking(p: Column) -> Column:
+        # static prefix list -> plain OR chain at plan time (no fold)
+        cond = F.lit(False)
+        for pre in TRACKING_PARAM_PREFIXES:
+            cond = cond | p.startswith(pre)
+        for name in TRACKING_PARAMS:
+            cond = cond | p.startswith(name + "=") | (p == name)
+        return cond
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~_is_tracking(p),
+        )
+    )
+    canon_query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, path, canon_query),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL crawl dedup: one row per canonical URL with the
+    kept doc (min id -- deterministic, matches the exact-dedup
+    convention) and the variant count. Rows whose URL fails to
+    canonicalize (no scheme://) are dropped here; route them from
+    canonicalize_url's NULL before calling this if they must survive.
+
+    Scale shape: one groupBy shuffle keyed on the canonical URL."""
+    return (
+        df.select(F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_variants"))
+    )

@@ -2032,6 +2032,60 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
 FROM sm5 GROUP BY shard"""
 
+    from fluent_bit_spark.operators.curation import (
+        TRACKING_PARAM_PREFIXES,
+        TRACKING_PARAMS,
+        _URL_RE,
+    )
+
+    trk = " OR ".join(
+        [f"starts_with(p, '{x}')" for x in TRACKING_PARAM_PREFIXES]
+        + [f"starts_with(p, '{x}=') OR p = '{x}'" for x in TRACKING_PARAMS]
+    )
+    url_dedup_sql = f"""
+, ud0 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'not a url' ELSE
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+             || '://Example-' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/' || source || '/page' || CAST(doc_id % 11 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                      ELSE '?b=2&a=1' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+           END AS url
+    FROM documents)
+, ud1 AS (
+    SELECT doc_id,
+           lower(nullif(regexp_extract(url, '{_URL_RE}', 1), '')) AS scheme,
+           lower(nullif(regexp_extract(url, '{_URL_RE}', 2), '')) AS host0,
+           regexp_extract(url, '{_URL_RE}', 3) AS path0,
+           nullif(regexp_extract(url, '{_URL_RE}', 4), '') AS query
+    FROM ud0)
+, ud2 AS (
+    SELECT doc_id, scheme,
+           CASE WHEN scheme = 'https' AND host0 LIKE '%:443'
+                  THEN substr(host0, 1, len(host0) - 4)
+                WHEN scheme = 'http' AND host0 LIKE '%:80'
+                  THEN substr(host0, 1, len(host0) - 3)
+                ELSE host0 END AS host,
+           CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$', '') END AS path,
+           list_sort(list_filter(
+               regexp_split_to_array(coalesce(query, ''), '&'),
+               p -> p <> '' AND NOT ({trk}))) AS kept
+    FROM ud1)
+, ud3 AS (
+    SELECT doc_id,
+           scheme || '://' || host || path
+           || CASE WHEN len(kept) > 0
+                   THEN '?' || array_to_string(kept, '&') ELSE '' END
+             AS canon_url
+    FROM ud2 WHERE scheme IS NOT NULL AND host IS NOT NULL)
+SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_variants
+FROM ud3 GROUP BY canon_url"""
+
     # label-entry order mirrors the Spark map_concat(base, k8s) order;
     # keys are pre-normalized literals here, which is exactly what the
     # gate verifies against the Spark side's RUNTIME loki_label_key
@@ -2067,6 +2121,7 @@ FROM scp GROUP BY window_start, seed, pos"""
         "sink_loki_k8s": loki_k8s,
         "sft_loss_mask": loss_mask,
         "shard_manifest": shard_sql,
+        "url_dedup": url_dedup_sql,
     }
 
 

@@ -726,3 +726,26 @@ def test_inverted_postings_topk_and_df_floor(spark):
             for r in inverted_postings(df.repartition(n), k=2, min_df=3).collect()
         }
         assert again == got
+
+
+def test_canonicalize_url_collapses_variants(spark):
+    from fluent_bit_spark.operators.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.COM:443/a/b?utm_source=x&b=2&a=1#frag"),
+            (2, "HTTPS://example.com/a/b/?a=1&b=2"),
+            (3, "https://example.com/a/b?b=2&utm_campaign=y&a=1&fbclid=z"),
+            (4, "https://example.com/a/b?a=1&b=2"),
+            (5, "http://example.com:80/"),
+            (6, "http://example.com"),
+            (7, "not a url"),
+            (8, "https://example.com/a/b?a=2&b=2"),  # different value: kept apart
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.canon_url: (r.keeper_id, r.n_variants) for r in url_dedup(df).collect()}
+    assert out["https://example.com/a/b?a=1&b=2"] == (1, 4)
+    assert out["http://example.com/"] == (5, 2)
+    assert out["https://example.com/a/b?a=2&b=2"] == (8, 1)
+    assert len(out) == 3  # the non-URL row is dropped
