@@ -1564,6 +1564,24 @@ def _q_shard_manifest(spark, sf_dir):
     return shard_manifest(_docs(spark, sf_dir), shard_tokens=2048)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """BM25 hard-negative mining (DPR recipe): every 25th doc's
+    8-token prefix queries the corpus; positive = the doc itself,
+    hard negatives = top-5 other docs from the production BM25
+    path."""
+    from fluent_bit_spark.operators.text_analysis import hard_negatives
+
+    return hard_negatives(_docs(spark, sf_dir), every=25, qtokens=8, n_neg=5)
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (subwords per whitespace word
+    from two integer sums): where the token budget actually goes."""
+    from fluent_bit_spark.operators.text_analysis import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir), by="lang")
+
+
 def _q_url_dedup(spark, sf_dir):
     """Canonical-URL crawl dedup over deterministically synthesized
     URL variants (case/port/tracking-param/fragment/trailing-slash
@@ -1943,6 +1961,7 @@ _GATE_PRIORITY: list = [
     "ann_int8_topk",
     "hybrid_topk",
     "retrieval_eval",
+    "hard_negatives",
     "postings_topk",
     "tfidf_topk",
     "pmi_topk",
@@ -1954,14 +1973,13 @@ _GATE_PRIORITY: list = [
     "bigram_logprob",
     "ccnet_buckets",
     "langid_eval",
-    "char_entropy",
+    "tokenizer_fertility",
     "winnow_fp",
     "line_dedup",
     "intra_doc_dedup",
     "span_dedup",
     "dup_ngram_fraction",
     "url_dedup",
-    "quota_sample",
 ]
 
 
@@ -2094,6 +2112,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_loss_mask": _q_sft_loss_mask,
         "shard_manifest": _q_shard_manifest,
         "url_dedup": _q_url_dedup,
+        "hard_negatives": _q_hard_negatives,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

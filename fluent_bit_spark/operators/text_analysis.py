@@ -6,7 +6,7 @@ shuffle-free (pure map stage) at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language marker words (tiny demonstration lexicons; the operator
@@ -955,3 +955,98 @@ def inverted_postings(
         k,
         rank_col="rank",
     ).select("term", id_col, "tf", "rank")
+
+
+def hard_negatives(
+    docs: DataFrame,
+    every: int = 25,
+    qtokens: int = 8,
+    n_neg: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 hard-negative mining for dense-retriever training (the
+    DPR-style recipe): every `every`-th doc's first `qtokens` tokens
+    form a query, the positive is the doc itself, and the hard
+    negatives are the top-ranked OTHER docs from the production
+    bm25_topk path (re-ranked after dropping self). Output
+    (query_id, doc_id, kind, neg_rank, score): one positive row
+    (neg_rank 0, NULL score -- the positive is labeled, not retrieved)
+    plus up to n_neg 'hard_negative' rows.
+
+    Scale shape: exactly bm25_topk's (queries are the every-th-doc
+    sample, always the broadcast side) plus one per-query rank window
+    over the already-top-k lists."""
+    q = docs.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.lower(F.col(text_col))), 1, qtokens), " "
+        ).alias("text"),
+    )
+    res = bm25_topk(docs, q, k=n_neg + 1, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    negs = (
+        res.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            "query_id",
+            id_col,
+            F.lit("hard_negative").alias("kind"),
+            "neg_rank",
+            "score",
+        )
+    )
+    pos = q.select(
+        "query_id",
+        F.col("query_id").alias(id_col),
+        F.lit("positive").alias("kind"),
+        F.lit(0).alias("neg_rank"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return pos.unionByName(negs)
+
+
+def subword_count_portable(text: Column) -> Column:
+    """bpe_ish_token_count without lookaround (RE2-safe, so the DuckDB
+    oracle can run the same passes): letter<->digit boundaries are
+    materialized by two regexp_replace passes, then segments split on
+    non-alphanumeric runs. Equals bpe_ish_token_count on every input
+    (the two-pass insertion marks exactly the boundaries the
+    lookaround split cuts at) -- pytest asserts the equivalence over
+    the corpus fixtures."""
+    c = F.regexp_replace(text, r"([a-zA-Z])([0-9])", r"$1 $2")
+    c = F.regexp_replace(c, r"([0-9])([a-zA-Z])", r"$1 $2")
+    return F.size(F.filter(F.split(c, r"[^a-zA-Z0-9]+"), lambda t: t != ""))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility: subword segments per whitespace
+    word -- the metric that tells you which languages (or sources) pay
+    more tokens per word under a BPE-ish tokenizer, i.e. where the
+    token budget actually goes. Output (by, n_docs, n_words,
+    n_subwords, fertility) with fertility = round(subwords/words, 6)
+    computed from the two integer sums (one division at the end -- no
+    per-row float accumulation).
+
+    Scale shape: a map stage producing two longs per doc, then one
+    groupBy shuffle on the group key with map-side partial sums."""
+    t = F.col(text_col)
+    per = df.select(
+        F.col(by),
+        token_count(t).cast("long").alias("_nw"),
+        subword_count_portable(t).cast("long").alias("_ns"),
+    )
+    return per.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nw").alias("n_words"),
+        F.sum("_ns").alias("n_subwords"),
+        F.when(
+            F.sum("_nw") > 0,
+            F.round(F.sum("_ns").cast("double") / F.sum("_nw"), 6),
+        ).alias("fertility"),
+    )

@@ -1231,11 +1231,27 @@ SELECT query_id, doc_id, round(fx / 1000000.0, 6) AS rrf, n_lists, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY fx DESC, doc_id) AS rank
   FROM hyg) WHERE rank <= 10"""
+    # hard negatives: self-retrieval queries, positive = self (labeled,
+    # NULL score), negatives = top-5 others re-ranked after the drop
+    n_neg = 5
+    hard_neg_sql = _bm25_core("TRUE", eval_queries, n_neg + 1) + f"""
+, hnq AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 25 = 0)
+, hnn AS (SELECT query_id, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+                      AS INTEGER) AS neg_rank
+          FROM bmr WHERE doc_id <> query_id)
+SELECT query_id, query_id AS doc_id, 'positive' AS kind,
+       CAST(0 AS INTEGER) AS neg_rank, CAST(NULL AS DOUBLE) AS score
+FROM hnq
+UNION ALL
+SELECT query_id, doc_id, 'hard_negative' AS kind, neg_rank, score
+FROM hnn WHERE neg_rank <= {n_neg}"""
     return {
         "bm25_topk": _bm25_core("doc_id >= 3", topk_queries, k)
         + "\nSELECT query_id, doc_id, score, rank FROM bmr",
         "retrieval_eval": eval_sql,
         "hybrid_topk": hybrid_sql,
+        "hard_negatives": hard_neg_sql,
     }
 
 
@@ -2032,6 +2048,23 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
 FROM sm5 GROUP BY shard"""
 
+    fertility_sql = """
+, tf1 AS (
+    SELECT lang,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS nw,
+           CAST(len(list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(text,
+                       '([a-zA-Z])([0-9])', '\\1 \\2', 'g'),
+                       '([0-9])([a-zA-Z])', '\\1 \\2', 'g'),
+                   '[^a-zA-Z0-9]+'), x -> x <> '')) AS BIGINT) AS ns
+    FROM documents)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       CASE WHEN SUM(nw) > 0
+            THEN round(CAST(SUM(ns) AS DOUBLE) / SUM(nw), 6) END AS fertility
+FROM tf1 GROUP BY lang"""
+
     from fluent_bit_spark.operators.curation import (
         TRACKING_PARAM_PREFIXES,
         TRACKING_PARAMS,
@@ -2122,6 +2155,7 @@ FROM scp GROUP BY window_start, seed, pos"""
         "sft_loss_mask": loss_mask,
         "shard_manifest": shard_sql,
         "url_dedup": url_dedup_sql,
+        "tokenizer_fertility": fertility_sql,
     }
 
 

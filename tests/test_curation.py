@@ -749,3 +749,25 @@ def test_canonicalize_url_collapses_variants(spark):
     assert out["http://example.com/"] == (5, 2)
     assert out["https://example.com/a/b?a=2&b=2"] == (8, 1)
     assert len(out) == 3  # the non-URL row is dropped
+
+
+def test_subword_count_portable_equals_lookaround(spark, sf_dir):
+    """The RE2-safe two-pass subword count must equal the lookaround
+    split on the whole corpus plus adversarial adjacency cases."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        subword_count_portable,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    extra = spark.createDataFrame(
+        [("a1a1b",), ("1a2",), ("x9y8z7",), ("",), ("  ",), ("a_b-c.d 42x",)],
+        "text string",
+    )
+    df = docs.unionByName(extra)
+    bad = df.filter(
+        bpe_ish_token_count(F.col("text")) != subword_count_portable(F.col("text"))
+    ).count()
+    assert bad == 0

@@ -359,3 +359,25 @@ def test_cdc_chunks_empty_and_single_token(spark):
     got = {(r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens) for r in rows}
     # blank and NULL docs emit nothing; a 1-token doc is one chunk
     assert got == {(2, 0): (0, 1)}
+
+
+def test_sft_loss_mask_spans(spark):
+    from fluent_bit_spark.operators.transcript_qa import sft_loss_mask
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hello there"),        # 2 tokens
+            ("c", 1, "assistant", "hi how are you"),  # 4 tokens
+            ("c", 2, "tool_use", "x"),               # 1 token
+            ("c", 3, "assistant", ""),               # 0 tokens
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = {r.turn_idx: r for r in sft_loss_mask(df).collect()}
+    assert (rows[0].seg_start, rows[0].seg_len, rows[0].trainable) == (0, 2, False)
+    assert (rows[1].seg_start, rows[1].seg_len, rows[1].trainable) == (2, 4, True)
+    assert (rows[2].seg_start, rows[2].seg_len, rows[2].trainable) == (6, 1, False)
+    # zero-length assistant span: start advances past turn 2's token
+    assert (rows[3].seg_start, rows[3].seg_len, rows[3].trainable) == (7, 0, True)
+    # spans tile the sequence exactly
+    assert sum(r.seg_len for r in rows.values()) == 7
