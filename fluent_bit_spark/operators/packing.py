@@ -33,6 +33,33 @@ from pyspark.sql import functions as F
 from fluent_bit_spark.operators.text_analysis import token_count, tokens
 
 
+def token_offsets(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """THE concatenate-and-chunk offset convention, defined once:
+    (id, group, n_tokens, start_offset) where start_offset is the
+    exclusive within-group token cumsum in (group, id) order. Shared
+    by pack_offsets (bin/split math) and shard_manifest (global
+    two-level offsets) so the packing order can never drift between
+    them."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     capacity: int,
@@ -46,19 +73,7 @@ def pack_offsets(
         # capacity is spliced into SQL `div` expressions below — a bad
         # value must fail here, not mid-job with DIVIDE_BY_ZERO/parse
         raise ValueError(f"capacity must be a positive int, got {capacity!r}")
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    staged = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
-    ).withColumn(
-        "start_offset",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
-    )
+    staged = token_offsets(df, group_col, id_col, text_col)
     # integer `div`, not float-divide-then-cast: double rounding could
     # misplace a boundary doc once offsets pass 2^53 tokens
     return staged.withColumns(
@@ -254,20 +269,10 @@ def shard_manifest(
         raise ValueError(
             f"shard_tokens must be a positive int, got {shard_tokens!r}"
         )
-    per_doc = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-    ).filter(F.col(group_col).isNotNull())
-    wg = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = per_doc.withColumn(
-        "_local", F.coalesce(F.sum("n_tokens").over(wg), F.lit(0)).cast("long")
-    )
-    totals = per_doc.groupBy(group_col).agg(F.sum("n_tokens").alias("_gtot"))
+    local = token_offsets(
+        df.filter(F.col(group_col).isNotNull()), group_col, id_col, text_col
+    ).withColumnRenamed("start_offset", "_local")
+    totals = local.groupBy(group_col).agg(F.sum("n_tokens").alias("_gtot"))
     # |groups| rows: the unpartitioned window is bounded by group
     # cardinality, never by corpus size
     wt = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)

@@ -398,28 +398,7 @@ def pq_adc_topk(
         vectors, m, k_codes, iters, vec_col, id_col,
         fit_fraction=fit_fraction, fit_salt=fit_salt,
     )
-    qs = prepped.filter(is_query).select(
-        F.col(id_col).alias("query_id"), F.col("_v")
-    )
-    qsubs_parts = [
-        qs.select(
-            "query_id",
-            F.lit(s).alias("sub"),
-            F.slice("_v", s * sd + 1, sd).alias("qv"),
-        )
-        for s in range(m)
-    ]
-    from functools import reduce
-
-    qsubs = reduce(lambda a, b: a.unionByName(b), qsubs_parts)
-    dtab = qsubs.join(F.broadcast(books), "sub").select(
-        "query_id",
-        "sub",
-        F.col("label").alias("code"),
-        F.round(_ssq(F.col("qv"), F.col("centroid")) * 1_000_000)
-        .cast("long")
-        .alias("fx"),
-    )
+    dtab = _adc_query_tables(prepped, books, is_query, m, sd, id_col)
     cand_ids = prepped.filter(~is_query).select(id_col)
     cand_codes = codes.join(cand_ids, id_col, "left_semi")
     adc = (
@@ -427,6 +406,51 @@ def pq_adc_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum("fx").alias("_fx"))
     )
+    return _adc_rank(adc, k, id_col)
+
+
+def _adc_query_tables(
+    pq_prepped: DataFrame,
+    books: DataFrame,
+    is_query: Column,
+    m: int,
+    sd: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-query ADC distance tables (query_id, sub, code, fx) —
+    fixed-point round(ssq * 1e6) cells, queries x m x k_codes rows,
+    always the broadcast side. THE one Spark-side definition of the
+    ADC convention (scale constant, _ssq tree, sub slicing), shared by
+    pq_adc_topk and ivfpq_topk and mirrored by _pq_ctes' pqt."""
+    from functools import reduce
+
+    qs = pq_prepped.filter(is_query).select(
+        F.col(id_col).alias("query_id"), F.col("_v")
+    )
+    qsubs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            qs.select(
+                "query_id",
+                F.lit(s).alias("sub"),
+                F.slice("_v", s * sd + 1, sd).alias("qv"),
+            )
+            for s in range(m)
+        ],
+    )
+    return qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("label").alias("code"),
+        F.round(_ssq(F.col("qv"), F.col("centroid")) * 1_000_000)
+        .cast("long")
+        .alias("fx"),
+    )
+
+
+def _adc_rank(adc: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Final ADC ranking (fx asc, id tie-break) and fixed-point
+    unscaling, shared by pq_adc_topk and ivfpq_topk."""
     w = Window.partitionBy("query_id").orderBy(F.col("_fx").asc(), F.col(id_col))
     return (
         adc.withColumn("rank", F.row_number().over(w))
@@ -1062,48 +1086,14 @@ def ivfpq_topk(
     pairs = cand_cells.join(
         F.broadcast(probes.select("query_id", "cluster")), "cluster"
     ).select("query_id", id_col)
-
-    from functools import reduce
-
-    qs = pq_prepped.filter(is_query).select(
-        F.col(id_col).alias("query_id"), F.col("_v")
-    )
-    qsubs = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            qs.select(
-                "query_id",
-                F.lit(s).alias("sub"),
-                F.slice("_v", s * sd + 1, sd).alias("qv"),
-            )
-            for s in range(m)
-        ],
-    )
-    dtab = qsubs.join(F.broadcast(books), "sub").select(
-        "query_id",
-        "sub",
-        F.col("label").alias("code"),
-        F.round(_ssq(F.col("qv"), F.col("centroid")) * 1_000_000)
-        .cast("long")
-        .alias("fx"),
-    )
+    dtab = _adc_query_tables(pq_prepped, books, is_query, m, sd, id_col)
     adc = (
         pairs.join(codes, id_col)
         .join(F.broadcast(dtab), ["query_id", "sub", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum("fx").alias("_fx"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_fx").asc(), F.col(id_col))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            id_col,
-            F.round(F.col("_fx") / 1_000_000.0, 6).alias("adc_dist"),
-            "rank",
-        )
-    )
+    return _adc_rank(adc, k, id_col)
 
 
 def ivf_topk_fixed(
