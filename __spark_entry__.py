@@ -749,7 +749,9 @@ def _q_syslog_source(spark, sf_dir):
     return parse_syslog_rfc5424(lines, line_col="line")
 
 
-def _drain_transcript_stream(spark, sf_dir, build, name: str) -> DataFrame:
+def _drain_transcript_stream(
+    spark, sf_dir, build, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming aggregation over the transcript table through
     the real Structured Streaming engine: materialize transcripts to a
     temp dir, readStream it, apply `build(stream_df)`, drain to a
@@ -770,7 +772,7 @@ def _drain_transcript_stream(spark, sf_dir, build, name: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         q = (
             build(src)
-            .writeStream.outputMode("complete")
+            .writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .start()
@@ -813,6 +815,27 @@ def _q_streaming_cms(spark, sf_dir):
         sf_dir,
         lambda src: windowed_cms(src, "tool", window="1 hour"),
         "fbs_streaming_cms",
+    )
+
+
+def _q_streaming_sessions(spark, sf_dir):
+    """Third STREAMING-gated query: gap-merged sessionization runs in
+    the streaming state store (native session_window; Spark 4 allows
+    complete or append for session aggregations -- complete here since
+    the memory-sink drain wants every session, append at production
+    scale where the watermark closes sessions incrementally); the
+    per-conversation rollup then runs over the drained session table.
+    Oracle = the sessions_per_conv closed-form gap cumsum."""
+    from fluent_bit_spark.streaming import session_stats
+
+    sessions = _drain_transcript_stream(
+        spark,
+        sf_dir,
+        lambda src: session_stats(src, "conv_id", gap="2 hours"),
+        "fbs_streaming_sessions",
+    )
+    return sessions.groupBy("conv_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_turns").alias("n_turns")
     )
 
 
@@ -1939,6 +1962,7 @@ _GATE_PRIORITY: list = [
     "syslog_source",
     "streaming_hll",
     "streaming_cms",
+    "streaming_sessions",
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -1974,7 +1998,6 @@ _GATE_PRIORITY: list = [
     "ccnet_buckets",
     "langid_eval",
     "tokenizer_fertility",
-    "winnow_fp",
     "line_dedup",
     "intra_doc_dedup",
     "span_dedup",
@@ -2048,6 +2071,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_source": _q_syslog_source,
         "streaming_hll": _q_streaming_hll,
         "streaming_cms": _q_streaming_cms,
+        "streaming_sessions": _q_streaming_sessions,
         "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,

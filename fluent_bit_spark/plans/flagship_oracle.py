@@ -2514,8 +2514,12 @@ FROM lcc""",
                          WHEN regexp_matches(text, '^level=error') THEN 'log_error'
                          ELSE 'other' END AS status_class
              FROM transcripts""",
-        "sessions_per_conv": c
-        + """SELECT conv_id, COUNT(DISTINCT sess) AS n_sessions, COUNT(*) AS n_turns
+        # streaming_sessions runs the SAME semantics through the
+        # streaming engine's session_window state store; the closed-form
+        # gap cumsum is the oracle for both
+        **{
+            k: c
+            + """SELECT conv_id, COUNT(DISTINCT sess) AS n_sessions, COUNT(*) AS n_turns
              FROM (
                SELECT conv_id,
                       SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 2 HOUR
@@ -2524,7 +2528,9 @@ FROM lcc""",
                FROM (SELECT conv_id, turn_idx, ts,
                             lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
                      FROM transcripts))
-             GROUP BY conv_id""",
+             GROUP BY conv_id"""
+            for k in ("sessions_per_conv", "streaming_sessions")
+        },
         "topk_convs_per_tag": c
         + """SELECT tag, conv_id, turns, rank FROM (
                SELECT tag, conv_id, COUNT(*) AS turns,
