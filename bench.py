@@ -216,6 +216,29 @@ def bench_queries(spark, source):
 
         return entry._raw_queries()["minhash_eval"](spark, SF_DIR)
 
+    def ann_ivfpq():
+        from fluent_bit_spark.operators.similarity import ivfpq_topk
+
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return ivfpq_topk(embs, F.col("vec_id") < 20, k=10, dim=64)
+
+    def url_dedup():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["url_dedup"](spark, SF_DIR)
+
+    def hard_negatives():
+        from fluent_bit_spark.operators.text_analysis import hard_negatives as op
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return op(docs, every=25, qtokens=8, n_neg=5)
+
+    def shard_manifest():
+        from fluent_bit_spark.operators.packing import shard_manifest as op
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return op(docs, shard_tokens=2048)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -241,6 +264,10 @@ def bench_queries(spark, source):
         "ann_pq": ann_pq,
         "ann_int8": ann_int8,
         "minhash_eval": minhash_eval,
+        "ann_ivfpq": ann_ivfpq,
+        "url_dedup": url_dedup,
+        "hard_negatives": hard_negatives,
+        "shard_manifest": shard_manifest,
     }
 
 

@@ -1048,6 +1048,7 @@ def ivfpq_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composition that actually serves ANN at 100 TB —
     IVF cells bound WHICH candidates each query touches
@@ -1077,7 +1078,7 @@ def ivfpq_topk(
         vectors, k_clusters, km_iters, vec_col, id_col
     )
     codes, books, pq_prepped, sd = pq_fit(
-        vectors, m, k_codes, pq_iters, vec_col, id_col
+        vectors, m, k_codes, pq_iters, vec_col, id_col, dim=dim
     )
     probes = _ivf_probes(prepped, cents, is_query, nprobe, vec_col, id_col)
     cand_cells = prepped.filter(~is_query).join(
