@@ -1605,6 +1605,50 @@ def _q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(_docs(spark, sf_dir), by="lang")
 
 
+def _q_quality_clf(spark, sf_dir):
+    """fastText-style linear quality classifier compiled into the plan
+    (broadcast fixed weights, md5 bucket hash, fixed-point per-token
+    sums): the model-based keep/drop filter with no model server."""
+    from fluent_bit_spark.operators.curation import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_refusal_rate(spark, sf_dir):
+    """Per-conversation assistant refusal rate; refusal markers are
+    injected deterministically (every 6th turn-in-cycle) since the
+    synthetic logs never refuse on their own."""
+    from fluent_bit_spark.operators.transcript_qa import refusal_rate
+
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 6 == 2,
+            F.lit("I cannot help with that request"),
+        ).otherwise(F.col("text")),
+    )
+    return refusal_rate(t)
+
+
+def _q_loop_detect(spark, sf_dir):
+    """Agent-loop detection over injected repetition (turns 2-4 of
+    every 7-turn cycle collapse to one assistant line): longest
+    same-role identical-text run per conversation."""
+    from fluent_bit_spark.operators.transcript_qa import loop_detect
+
+    stuck = F.col("turn_idx") % 7 >= 2
+    stuck = stuck & (F.col("turn_idx") % 7 <= 4)
+    t = _transcripts(spark, sf_dir).withColumns(
+        {
+            "text": F.when(stuck, F.lit("calling tool again")).otherwise(
+                F.col("text")
+            ),
+            "role": F.when(stuck, F.lit("assistant")).otherwise(F.col("role")),
+        }
+    )
+    return loop_detect(t, min_run=3)
+
+
 def _q_url_dedup(spark, sf_dir):
     """Canonical-URL crawl dedup over deterministically synthesized
     URL variants (case/port/tracking-param/fragment/trailing-slash
@@ -1971,6 +2015,7 @@ _GATE_PRIORITY: list = [
     "pii_redact",
     "gopher_quality",
     "c4_filter",
+    "quality_clf",
     "contamination",
     "bloom_contam",
     "strat_sample",
@@ -1978,6 +2023,8 @@ _GATE_PRIORITY: list = [
     "sft_loss_mask",
     "shard_manifest",
     "conv_scorecard",
+    "refusal_rate",
+    "loop_detect",
     "sp_chain",
     "config_pipeline",
     "minhash_eval",
@@ -1999,9 +2046,6 @@ _GATE_PRIORITY: list = [
     "langid_eval",
     "tokenizer_fertility",
     "line_dedup",
-    "intra_doc_dedup",
-    "span_dedup",
-    "dup_ngram_fraction",
     "url_dedup",
 ]
 
@@ -2138,6 +2182,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "hard_negatives": _q_hard_negatives,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "quality_clf": _q_quality_clf,
+        "refusal_rate": _q_refusal_rate,
+        "loop_detect": _q_loop_detect,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

@@ -685,3 +685,76 @@ def url_dedup(
         .groupBy("canon_url")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_variants"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (fastText-style linear classifier)
+
+QUALITY_CLF_BUCKETS = 64
+
+
+def quality_clf_weights(buckets: int = QUALITY_CLF_BUCKETS) -> list[float]:
+    """The classifier's FIXED weight table: one weight per hash bucket
+    in [-1, 1], derived deterministically from md5 of the bucket index
+    (a stand-in for weights exported from an offline fastText run --
+    the point is the INFERENCE shape, not these particular values).
+    Stable across engines/runs so the oracle interpolates the exact
+    floats via repr()."""
+    import hashlib
+
+    return [
+        ((int(hashlib.md5(f"w{i}".encode()).hexdigest()[:8], 16) % 2001) - 1000)
+        / 1000.0
+        for i in range(buckets)
+    ]
+
+
+def quality_classifier(
+    df: DataFrame,
+    threshold: float = 0.5,
+    buckets: int = QUALITY_CLF_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier as pure JVM
+    expressions: each token hashes to a bucket (md5_32 % buckets), the
+    doc logit is the MEAN bucket weight, score = sigmoid(logit).
+    Output (doc_id, n_tokens, score, keep).
+
+    This is the model-based quality filter shape (CCNet/LLaMA-style
+    fastText keep/drop) with inference compiled into the plan: the
+    weight table ships as a broadcast literal array, scoring is a map
+    stage -- no model server, no Python in the hot path. Per-token
+    weights are fixed-pointed to 1e6 BIGINT before the per-doc sum, so
+    accumulation is order-independent and the oracle replays it
+    exactly. Empty docs score sigmoid(0) = 0.5 with n_tokens = 0.
+
+    Scale shape: one (doc, token-bucket) explode feeding a partial-agg
+    sum -- the same single shuffle every bag-of-words op here pays; at
+    100 TB swap in the real exported weights, nothing else changes."""
+    from fluent_bit_spark.operators.text_analysis import tokens
+
+    w_fx = [int(round(w * 1_000_000)) for w in quality_clf_weights(buckets)]
+    warr = F.array(*[F.lit(x) for x in w_fx])
+    tok = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("_t").isNotNull(),
+            F.element_at(warr, (md5_32(F.col("_t")) % buckets + 1).cast("int")),
+        ).alias("_wfx"),
+    )
+    agg = tok.groupBy(id_col).agg(
+        F.count("_wfx").alias("n_tokens"),
+        F.coalesce(F.sum("_wfx"), F.lit(0)).alias("_sfx"),
+    )
+    logit = F.when(F.col("n_tokens") > 0, F.col("_sfx") / (1_000_000.0 * F.col("n_tokens"))).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )

@@ -411,3 +411,92 @@ def sft_loss_mask(
             "trainable": F.col("norm_role") == "assistant",
         }
     )
+
+
+# Refusal markers (lowercase substring match, the common heuristic
+# battery); list order is part of the contract only in that a turn
+# matching ANY marker counts once.
+REFUSAL_MARKERS: tuple[str, ...] = (
+    "i cannot",
+    "i can't",
+    "i'm sorry",
+    "i am sorry",
+    "i won't",
+    "as an ai",
+)
+
+
+def refusal_rate(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation assistant refusal rate: the fraction of
+    normalized-assistant turns whose lowercased text contains any
+    refusal marker. Output (conv_id, n_assistant, n_refusals,
+    refusal_rate) -- the SFT-data QA signal that tells you which
+    conversations train the model to refuse. One conv_id shuffle,
+    marker matching is a contains() OR-chain in codegen."""
+    low = F.lower(F.col(text_col))
+    hit = F.lit(False)
+    for m in REFUSAL_MARKERS:
+        hit = hit | low.contains(m)
+    is_asst = norm_role_col(F.col(role_col)) == "assistant"
+    per = df.select(
+        F.col(conv_col),
+        is_asst.cast("long").alias("_a"),
+        (is_asst & F.coalesce(hit, F.lit(False))).cast("long").alias("_r"),
+    )
+    agg = per.groupBy(conv_col).agg(
+        F.sum("_a").alias("n_assistant"), F.sum("_r").alias("n_refusals")
+    )
+    return agg.withColumn(
+        "refusal_rate",
+        F.when(
+            F.col("n_assistant") > 0,
+            F.round(F.col("n_refusals") / F.col("n_assistant"), 6),
+        ),
+    )
+
+
+def loop_detect(
+    df: DataFrame,
+    min_run: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Agent-loop detection: the longest run of CONSECUTIVE turns with
+    the same role and identical whitespace-normalized text per
+    conversation. Output (conv_id, max_run, looping = max_run >=
+    min_run) -- the QA gate that catches agents stuck repeating
+    themselves (a real failure mode in tool loops).
+
+    Run segmentation is the lag-compare + cumsum idiom (same as
+    sessionize's gap cumsum): a new run starts when role or normalized
+    text changes. Two conv_id windows + one groupBy, nothing else."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    staged = df.select(
+        F.col(conv_col), F.col(idx_col), F.col(role_col).alias("_role"),
+        norm.alias("_norm"),
+    ).withColumns(
+        {
+            # eqNullSafe: a NULL role/text never silently extends a run
+            "_new_run": F.when(
+                F.lag("_norm").over(w).eqNullSafe(F.col("_norm"))
+                & F.lag("_role").over(w).eqNullSafe(F.col("_role")),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        }
+    )
+    runs = staged.withColumn(
+        "_run", F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy(conv_col, "_run").agg(F.count("*").alias("_len"))
+    return per_run.groupBy(conv_col).agg(
+        F.max("_len").alias("max_run"),
+        (F.max("_len") >= min_run).alias("looping"),
+    )

@@ -2048,6 +2048,91 @@ SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups
 FROM sm5 GROUP BY shard"""
 
+    from fluent_bit_spark.operators.curation import (
+        QUALITY_CLF_BUCKETS,
+        quality_clf_weights,
+    )
+
+    w_fx = [
+        int(round(w * 1_000_000)) for w in quality_clf_weights(QUALITY_CLF_BUCKETS)
+    ]
+    wlist = "[" + ", ".join(str(x) for x in w_fx) + "]"
+    quality_clf_sql = f"""
+, qc0 AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents)
+, qc1 AS (
+    SELECT doc_id,
+           ({wlist})[CAST((('0x'||substr(md5(t),1,8))::BIGINT
+                           % {QUALITY_CLF_BUCKETS}) + 1 AS INTEGER)] AS wfx
+    FROM qc0)
+, qca AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(wfx) AS BIGINT) AS sfx
+          FROM qc1 GROUP BY doc_id)
+, qcs AS (
+    SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(
+               CASE WHEN coalesce(a.n_tokens, 0) > 0
+                    THEN a.sfx / (1000000.0::DOUBLE * a.n_tokens)
+                    ELSE 0.0::DOUBLE END))), 6) AS score
+    FROM documents d LEFT JOIN qca a USING (doc_id))
+SELECT doc_id, n_tokens, score, score >= {0.5!r}::DOUBLE AS keep FROM qcs"""
+
+    from fluent_bit_spark.operators.transcript_qa import REFUSAL_MARKERS
+
+    marker_hits = " OR ".join(
+        f"contains(lower(text2), '{m.replace(chr(39), chr(39) * 2)}')"
+        for m in REFUSAL_MARKERS
+    )
+    refusal_sql = f"""
+, rr0 AS (
+    SELECT conv_id, role,
+           CASE WHEN turn_idx % 6 = 2
+                THEN 'I cannot help with that request' ELSE text END AS text2
+    FROM transcripts)
+, rr1 AS (
+    SELECT conv_id,
+           CASE WHEN CASE{rc} ELSE 'other' END = 'assistant'
+                THEN 1 ELSE 0 END AS a,
+           CASE WHEN CASE{rc} ELSE 'other' END = 'assistant'
+                 AND coalesce({marker_hits}, FALSE)
+                THEN 1 ELSE 0 END AS r
+    FROM rr0)
+SELECT conv_id, CAST(SUM(a) AS BIGINT) AS n_assistant,
+       CAST(SUM(r) AS BIGINT) AS n_refusals,
+       CASE WHEN SUM(a) > 0
+            THEN round(CAST(SUM(r) AS DOUBLE) / SUM(a), 6) END AS refusal_rate
+FROM rr1 GROUP BY conv_id"""
+
+    loop_sql = """
+, lp0 AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx % 7 BETWEEN 2 AND 4
+                THEN 'assistant' ELSE role END AS role2,
+           lower(trim(regexp_replace(
+               CASE WHEN turn_idx % 7 BETWEEN 2 AND 4
+                    THEN 'calling tool again' ELSE text END,
+               '\\s+', ' ', 'g'))) AS norm
+    FROM transcripts)
+, lp1 AS (
+    SELECT conv_id, turn_idx, role2, norm,
+           CASE WHEN lag(norm) OVER w IS NOT DISTINCT FROM norm
+                 AND lag(role2) OVER w IS NOT DISTINCT FROM role2
+                THEN 0 ELSE 1 END AS new_run
+    FROM lp0 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+, lp2 AS (
+    SELECT conv_id,
+           SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run
+    FROM lp1)
+, lp3 AS (SELECT conv_id, run, COUNT(*) AS len FROM lp2 GROUP BY conv_id, run)
+SELECT conv_id, CAST(MAX(len) AS BIGINT) AS max_run,
+       MAX(len) >= 3 AS looping
+FROM lp3 GROUP BY conv_id"""
+
     fertility_sql = """
 , tf1 AS (
     SELECT lang,
@@ -2156,6 +2241,9 @@ FROM scp GROUP BY window_start, seed, pos"""
         "shard_manifest": shard_sql,
         "url_dedup": url_dedup_sql,
         "tokenizer_fertility": fertility_sql,
+        "quality_clf": quality_clf_sql,
+        "refusal_rate": refusal_sql,
+        "loop_detect": loop_sql,
     }
 
 
