@@ -1695,6 +1695,86 @@ def _q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def _q_dpo_pairs(spark, sf_dir):
+    """DPO preference-pair construction: each conversation's assistant
+    turns are the candidate pool (prompt = conv_id), scored by distinct
+    token count (integer -> exact cross-engine); chosen/rejected are
+    the score extremes with deterministic tie-breaks."""
+    from fluent_bit_spark.operators.dedup import tokens_col
+    from fluent_bit_spark.operators.transcript_qa import dpo_pairs, norm_role_col
+
+    t = _transcripts(spark, sf_dir)
+    cands = t.filter(norm_role_col(F.col("role")) == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.size(F.array_distinct(tokens_col(F.col("text")))).alias("score"),
+    )
+    return dpo_pairs(
+        cands, prompt_col="conv_id", cand_col="turn_idx",
+        text_col="text", score_col="score",
+    )
+
+
+#: One schema for every tool in the synthetic transcripts: the point is
+#: the validation shape (required/optional key checks), not per-tool
+#: schema variety.
+TOOL_ARG_SPEC = {
+    t: (["query", "limit"], ["verbose"])
+    for t in ("bash", "browser", "editor", "python", "sql")
+}
+
+
+def _q_tool_args(spark, sf_dir):
+    """Tool-call JSON argument validation: args are injected
+    deterministically per turn (every 7-cycle: slot 1 = truncated JSON,
+    slot 2 = missing required key, slot 3 = unexpected key, rest =
+    valid), then validated against TOOL_ARG_SPEC and rolled up per
+    tool."""
+    from fluent_bit_spark.operators.transcript_qa import (
+        tool_args_qa,
+        tool_args_report,
+    )
+
+    t = _transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    m = F.col("turn_idx") % 7
+    args = (
+        F.when(m == 1, F.lit('{"query": "evt", "limit": '))
+        .when(m == 2, F.lit('{"limit": 3}'))
+        .when(m == 3, F.lit('{"query": "evt", "limit": 3, "debug": true}'))
+        .otherwise(
+            F.concat(
+                F.lit('{"query": "evt", "limit": '),
+                (F.col("turn_idx") % 5).cast("string"),
+                F.lit(', "verbose": false}'),
+            )
+        )
+    )
+    return tool_args_report(tool_args_qa(t.withColumn("args", args), TOOL_ARG_SPEC))
+
+
+def _q_edit_dedup(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs over synthesized edit
+    variants: every 10th doc gains a distance-1 copy (text + '!'),
+    every 20th a distance-3 copy (text + 'xyz') that must be rejected
+    by max_dist=2; the appended edits keep the first-2-token block key
+    intact."""
+    from fluent_bit_spark.operators.dedup import edit_distance_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v1 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit("!")).alias("text"),
+    )
+    v2 = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit("xyz")).alias("text"),
+    )
+    return edit_distance_pairs(
+        d.unionByName(v1).unionByName(v2), max_dist=2, block_tokens=2
+    )
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -2047,6 +2127,7 @@ _GATE_PRIORITY: list = [
     "tokenizer_fertility",
     "line_dedup",
     "url_dedup",
+    "dpo_pairs",
 ]
 
 
@@ -2185,6 +2266,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf": _q_quality_clf,
         "refusal_rate": _q_refusal_rate,
         "loop_detect": _q_loop_detect,
+        "dpo_pairs": _q_dpo_pairs,
+        "tool_args": _q_tool_args,
+        "edit_dedup": _q_edit_dedup,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

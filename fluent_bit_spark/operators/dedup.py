@@ -600,3 +600,55 @@ def jaccard_pairs_blocked(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    block_tokens: int = 2,
+) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs: documents sharing a block
+    key (their first `block_tokens` whitespace tokens) are compared
+    pairwise and kept when edit distance <= max_dist.
+
+    Character-level edit distance catches the near-dups token-set
+    methods miss (single-char typos, punctuation drift, small
+    insertions) and is the standard "fuzzy exact" tier between exact
+    hash dedup and MinHash.
+
+    Scale shape: one shuffle on the block key; pairs are O(block^2)
+    *within* a block only (same contract as jaccard_pairs_blocked) --
+    a prefix block key keeps blocks small on web text, and the
+    comparison uses Spark's bounded levenshtein(l, r, threshold),
+    which early-exits after a diagonal band of width max_dist instead
+    of filling the full O(len_a*len_b) matrix. Pairs that straddle a
+    block boundary (an edit inside the first `block_tokens` tokens)
+    are out of contract, exactly like a differing MinHash band.
+    """
+    if max_dist < 0 or block_tokens < 1:
+        raise ValueError("max_dist must be >= 0 and block_tokens >= 1")
+    # persisted: tokenization feeds both sides of the block self-join
+    docs = _persist(
+        df.select(
+            F.array_join(
+                F.slice(tokens_col(F.col(text_col)), 1, block_tokens), " "
+            ).alias("blk"),
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+        )
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.txt"), F.col("b.txt"), int(max_dist))
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -500,3 +500,149 @@ def loop_detect(
         F.max("_len").alias("max_run"),
         (F.max("_len") >= min_run).alias("looping"),
     )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction (the DPO / best-of-n recipe): per
+    prompt, chosen = the highest-scoring candidate and rejected = the
+    lowest-scoring one, emitted only when the prompt has >= 2
+    candidates and chosen strictly out-scores rejected by at least
+    min_margin. Ties break deterministically: chosen takes the LOWEST
+    candidate id, rejected the HIGHEST (so equal-score prompts still
+    resolve stably, then fall out of the strict-gap filter).
+
+    Scale shape: one groupBy shuffle on the prompt key; both extremes
+    come from a single min/max over the same (negated-score, cand_id,
+    text) struct, so there is no window sort and no second pass.
+    cand_col must be numeric (turn index, sample index); NULL scores /
+    candidate ids are excluded up front.
+    """
+    s, cand = F.col(score_col).cast("double"), F.col(cand_col)
+    staged = df.filter(s.isNotNull() & cand.isNotNull()).select(
+        F.col(prompt_col).alias("prompt_id"),
+        # min(struct) = max score then min cand; max(struct) = min
+        # score then max cand -- one struct serves both extremes.
+        F.struct(
+            (-s).alias("nscore"), cand.alias("cand"), F.col(text_col).alias("text")
+        ).alias("_c"),
+    )
+    agg = staged.groupBy("prompt_id").agg(
+        F.min("_c").alias("_best"),
+        F.max("_c").alias("_worst"),
+        F.count("*").alias("n_cands"),
+    )
+    gap = F.col("_worst.nscore") - F.col("_best.nscore")
+    return (
+        agg.withColumn("score_gap", F.round(gap, 6))
+        .filter(
+            (F.col("n_cands") >= 2)
+            & (F.col("score_gap") > 0)
+            & (F.col("score_gap") >= F.lit(float(min_margin)))
+        )
+        .select(
+            "prompt_id",
+            F.col("_best.cand").alias("chosen_cand"),
+            F.col("_best.text").alias("chosen"),
+            F.col("_worst.cand").alias("rejected_cand"),
+            F.col("_worst.text").alias("rejected"),
+            "n_cands",
+            "score_gap",
+        )
+    )
+
+
+def tool_args_qa(
+    df: DataFrame,
+    spec: dict[str, tuple[list[str], list[str]]],
+    tool_col: str = "tool",
+    args_col: str = "args",
+    keep_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Tool-call argument validation against a per-tool schema:
+    spec maps tool -> (required_keys, optional_keys). Per call, emit
+    is_object (args parse to a JSON object), n_missing (required keys
+    absent), n_unexpected (keys outside required+optional), and
+    valid = all three clean. Calls whose tool has no spec entry are
+    dropped (the validator checks the tools it knows; route unknowns
+    with route_tags upstream if they must be kept).
+
+    Scale shape: the spec is a handful of rows -> broadcast inner
+    join; key checks are JVM json_object_keys + array HOFs, no Python.
+    The key array is let-bound so the JSON document parses once per
+    row, not once per required key."""
+    from fluent_bit_spark.operators.text_analysis import let_bound
+
+    spark = df.sparkSession
+    rows = [
+        (tool, list(req), sorted(set(req) | set(opt)))
+        for tool, (req, opt) in sorted(spec.items())
+    ]
+    spec_df = spark.createDataFrame(
+        rows, "tool_key string, required array<string>, allowed array<string>"
+    )
+    joined = df.join(
+        F.broadcast(spec_df), F.col(tool_col) == F.col("tool_key"), "inner"
+    )
+
+    def _flags(keys: Column) -> Column:
+        is_obj = keys.isNotNull()
+        miss = F.when(
+            is_obj,
+            F.size(
+                F.filter(
+                    F.col("required"),
+                    lambda k: ~F.exists(keys, lambda x: x == k),
+                )
+            ),
+        ).otherwise(F.size(F.col("required")))
+        unexp = F.when(
+            is_obj,
+            F.size(
+                F.filter(
+                    keys, lambda k: ~F.exists(F.col("allowed"), lambda x: x == k)
+                )
+            ),
+        ).otherwise(F.lit(0))
+        return F.struct(
+            is_obj.alias("is_object"),
+            miss.alias("n_missing"),
+            unexp.alias("n_unexpected"),
+        )
+
+    out = joined.withColumn(
+        "_f", let_bound(F.json_object_keys(F.col(args_col)), _flags)
+    )
+    return out.select(
+        *[F.col(c) for c in keep_cols],
+        F.col(tool_col).alias("tool"),
+        F.col("_f.is_object").alias("is_object"),
+        F.col("_f.n_missing").alias("n_missing"),
+        F.col("_f.n_unexpected").alias("n_unexpected"),
+        (
+            F.col("_f.is_object")
+            & (F.col("_f.n_missing") == 0)
+            & (F.col("_f.n_unexpected") == 0)
+        ).alias("valid"),
+    )
+
+
+def tool_args_report(qa: DataFrame) -> DataFrame:
+    """Per-tool roll-up of tool_args_qa: call counts, failure counts
+    by class, and the valid rate. One small groupBy on tool."""
+    return qa.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.sum((~F.col("is_object")).cast("long")).alias("n_bad_json"),
+        F.sum((F.col("n_missing") > 0).cast("long")).alias("n_with_missing"),
+        F.sum((F.col("n_unexpected") > 0).cast("long")).alias("n_with_unexpected"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.round(
+            F.sum(F.col("valid").cast("long")) / F.count("*"), 6
+        ).alias("valid_rate"),
+    )

@@ -2231,6 +2231,92 @@ SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
        seed, pos, COUNT(*) AS cnt
 FROM scp GROUP BY window_start, seed, pos"""
 
+    dpo_sql = f"""
+, dp0 AS (
+    SELECT conv_id AS prompt_id, turn_idx, text,
+           CAST(len(list_distinct(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')))
+             AS DOUBLE) AS score
+    FROM transcripts
+    WHERE CASE{rc} ELSE 'other' END = 'assistant')
+, dp1 AS (
+    SELECT prompt_id, turn_idx, text, score,
+           row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY score DESC, turn_idx ASC) AS rb,
+           row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY score ASC, turn_idx DESC) AS rw,
+           COUNT(*) OVER (PARTITION BY prompt_id) AS nc
+    FROM dp0)
+SELECT b.prompt_id,
+       b.turn_idx AS chosen_cand, b.text AS chosen,
+       w.turn_idx AS rejected_cand, w.text AS rejected,
+       CAST(b.nc AS BIGINT) AS n_cands,
+       round(b.score - w.score, 6) AS score_gap
+FROM dp1 b JOIN dp1 w USING (prompt_id)
+WHERE b.rb = 1 AND w.rw = 1 AND b.nc >= 2
+  AND round(b.score - w.score, 6) > 0"""
+
+    tool_args_sql = """
+, ta0 AS (
+    SELECT tool,
+           CASE WHEN turn_idx % 7 = 1 THEN '{"query": "evt", "limit": '
+                WHEN turn_idx % 7 = 2 THEN '{"limit": 3}'
+                WHEN turn_idx % 7 = 3
+                  THEN '{"query": "evt", "limit": 3, "debug": true}'
+                ELSE '{"query": "evt", "limit": '
+                     || CAST(turn_idx % 5 AS VARCHAR) || ', "verbose": false}'
+           END AS args
+    FROM transcripts
+    WHERE tool IN ('bash', 'browser', 'editor', 'python', 'sql'))
+, ta1 AS (
+    SELECT tool,
+           CASE WHEN json_valid(args) AND json_type(args) = 'OBJECT'
+                THEN json_keys(args) END AS keys
+    FROM ta0)
+, ta2 AS (
+    SELECT tool, keys IS NOT NULL AS is_object,
+           CASE WHEN keys IS NOT NULL
+                THEN len(list_filter(['query', 'limit'],
+                                     k -> NOT list_contains(keys, k)))
+                ELSE 2 END AS n_missing,
+           CASE WHEN keys IS NOT NULL
+                THEN len(list_filter(keys,
+                        k -> NOT list_contains(['limit', 'query', 'verbose'], k)))
+                ELSE 0 END AS n_unexpected
+    FROM ta1)
+SELECT tool, COUNT(*) AS n_calls,
+       CAST(SUM(CASE WHEN NOT is_object THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_json,
+       CAST(SUM(CASE WHEN n_missing > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_missing,
+       CAST(SUM(CASE WHEN n_unexpected > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_unexpected,
+       CAST(SUM(CASE WHEN is_object AND n_missing = 0 AND n_unexpected = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       round(CAST(SUM(CASE WHEN is_object AND n_missing = 0
+                            AND n_unexpected = 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS valid_rate
+FROM ta2 GROUP BY tool"""
+
+    edit_dedup_sql = """
+, ed0 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || '!' FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || 'xyz' FROM documents WHERE doc_id % 20 = 0)
+, ed1 AS (
+    SELECT doc_id, text,
+           coalesce(array_to_string(list_slice(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+               1, 2), ' '), '') AS blk
+    FROM ed0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+FROM ed1 a JOIN ed1 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 2"""
+
     return {
         "streaming_hll": streaming_hll,
         "streaming_cms": streaming_cms,
@@ -2244,6 +2330,9 @@ FROM scp GROUP BY window_start, seed, pos"""
         "quality_clf": quality_clf_sql,
         "refusal_rate": refusal_sql,
         "loop_detect": loop_sql,
+        "dpo_pairs": dpo_sql,
+        "tool_args": tool_args_sql,
+        "edit_dedup": edit_dedup_sql,
     }
 
 

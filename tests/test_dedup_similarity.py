@@ -632,3 +632,39 @@ def test_pq_fit_sampled_trains_on_subset_encodes_all(spark):
     # fit empty books (threshold ~4 of 2^32: no 40-id sample survives)
     with pytest.raises(ValueError, match="no training rows"):
         pq_fit(df, m=2, k_codes=2, iters=2, fit_fraction=1e-9)
+
+
+def test_edit_distance_pairs_threshold_and_blocking(spark):
+    import pytest
+
+    from fluent_bit_spark.operators.dedup import (
+        edit_distance_pairs,
+        release_persisted,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta!"),    # dist 1 -> kept
+            (3, "alpha beta gamma deltaXY"),   # dist 2 vs #1 -> boundary kept
+            (4, "alpha beta gamma deltaXYZ"),  # dist 3 vs #1 -> dropped
+            (5, "zeta beta gamma delta"),      # other block: no pair
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(df, max_dist=2).collect()
+        }
+    finally:
+        release_persisted()
+    # pairs within the 'alpha beta' block at distance <= 2 only; #4 is
+    # distance 3 from #1 (dropped) yet distance 1 from #3 (kept).
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert (1, 4) not in got
+    assert got[(3, 4)] == 1
+    assert not any(5 in p for p in got)
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=-1)

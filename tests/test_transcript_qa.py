@@ -381,3 +381,85 @@ def test_sft_loss_mask_spans(spark):
     assert (rows[3].seg_start, rows[3].seg_len, rows[3].trainable) == (7, 0, True)
     # spans tile the sequence exactly
     assert sum(r.seg_len for r in rows.values()) == 7
+
+
+def test_dpo_pairs_extremes_and_tiebreaks(spark):
+    from fluent_bit_spark.operators.transcript_qa import dpo_pairs
+
+    df = spark.createDataFrame(
+        [
+            # p1: clear best (idx 2, score 9) and worst (idx 0, score 1)
+            ("p1", 0, "worst", 1.0),
+            ("p1", 1, "mid", 5.0),
+            ("p1", 2, "best", 9.0),
+            # p2: chosen ties break to the LOWEST cand, rejected to the
+            # HIGHEST cand
+            ("p2", 0, "a", 7.0),
+            ("p2", 1, "b", 7.0),
+            ("p2", 2, "c", 3.0),
+            ("p2", 3, "d", 3.0),
+            # p3: all scores equal -> no strict gap -> dropped
+            ("p3", 0, "x", 4.0),
+            ("p3", 1, "y", 4.0),
+            # p4: single candidate -> dropped
+            ("p4", 0, "solo", 8.0),
+            # p5: NULL score excluded up front -> single survivor -> dropped
+            ("p5", 0, "ok", 2.0),
+            ("p5", 1, "nul", None),
+        ],
+        "prompt_id string, cand_id int, text string, score double",
+    )
+    out = {
+        r["prompt_id"]: r
+        for r in dpo_pairs(df, cand_col="cand_id").collect()
+    }
+    assert set(out) == {"p1", "p2"}
+    assert (out["p1"]["chosen"], out["p1"]["rejected"]) == ("best", "worst")
+    assert out["p1"]["score_gap"] == 8.0 and out["p1"]["n_cands"] == 3
+    assert out["p2"]["chosen_cand"] == 0 and out["p2"]["rejected_cand"] == 3
+
+
+def test_dpo_pairs_min_margin(spark):
+    from fluent_bit_spark.operators.transcript_qa import dpo_pairs
+
+    df = spark.createDataFrame(
+        [("p", 0, "lo", 1.0), ("p", 1, "hi", 2.0)],
+        "prompt_id string, cand_id int, text string, score double",
+    )
+    assert dpo_pairs(df, cand_col="cand_id", min_margin=1.5).count() == 0
+    assert dpo_pairs(df, cand_col="cand_id", min_margin=1.0).count() == 1
+
+
+def test_tool_args_qa_flag_classes(spark):
+    from fluent_bit_spark.operators.transcript_qa import (
+        tool_args_qa,
+        tool_args_report,
+    )
+
+    spec = {"search": (["query"], ["limit"]), "calc": (["expr"], [])}
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "search", '{"query": "x"}'),            # valid
+            ("c", 1, "search", '{"query": "x", "limit": 3}'),# valid w/ optional
+            ("c", 2, "search", '{"limit": 3}'),              # missing required
+            ("c", 3, "search", '{"query": "x", "oops": 1}'), # unexpected
+            ("c", 4, "search", '{"query": '),                # broken JSON
+            ("c", 5, "search", "[1, 2]"),                    # non-object
+            ("c", 6, "calc", '{"expr": "1+1"}'),             # valid
+            ("c", 7, "unknown", "{}"),                       # no spec -> dropped
+        ],
+        "conv_id string, turn_idx int, tool string, args string",
+    )
+    qa = tool_args_qa(df, spec)
+    rows = {(r["tool"], r["turn_idx"]): r for r in qa.collect()}
+    assert len(rows) == 7  # unknown tool dropped
+    assert rows[("search", 0)]["valid"] and rows[("search", 1)]["valid"]
+    assert rows[("search", 2)]["n_missing"] == 1
+    assert rows[("search", 3)]["n_unexpected"] == 1
+    assert not rows[("search", 4)]["is_object"]
+    assert rows[("search", 4)]["n_missing"] == 1  # all required count as missing
+    assert not rows[("search", 5)]["is_object"]
+    rep = {r["tool"]: r for r in tool_args_report(qa).collect()}
+    assert rep["search"]["n_calls"] == 6 and rep["search"]["n_valid"] == 2
+    assert rep["search"]["n_bad_json"] == 2
+    assert rep["calc"]["valid_rate"] == 1.0
