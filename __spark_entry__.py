@@ -1736,7 +1736,7 @@ def _q_tool_args(spark, sf_dir):
         tool_args_report,
     )
 
-    t = _transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    t = _transcripts(spark, sf_dir)
     m = F.col("turn_idx") % 7
     args = (
         F.when(m == 1, F.lit('{"query": "evt", "limit": '))
@@ -1757,17 +1757,19 @@ def _q_edit_dedup(spark, sf_dir):
     """Blocked Levenshtein near-dup pairs over synthesized edit
     variants: every 10th doc gains a distance-1 copy (text + '!'),
     every 20th a distance-3 copy (text + 'xyz') that must be rejected
-    by max_dist=2; the appended edits keep the first-2-token block key
-    intact."""
+    by max_dist=2. The appended edits keep the first-2-token block key
+    intact for any doc with >= 3 tokens (the synthetic docs have >= 10);
+    id offsets follow the _dup_docs +1e6/+2e6 convention so variant ids
+    never collide with real doc_ids."""
     from fluent_bit_spark.operators.dedup import edit_distance_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     v1 = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit("!")).alias("text"),
     )
     v2 = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat("text", F.lit("xyz")).alias("text"),
     )
     return edit_distance_pairs(

@@ -521,11 +521,15 @@ def dpo_pairs(
     Scale shape: one groupBy shuffle on the prompt key; both extremes
     come from a single min/max over the same (negated-score, cand_id,
     text) struct, so there is no window sort and no second pass.
-    cand_col must be numeric (turn index, sample index); NULL scores /
-    candidate ids are excluded up front.
+    cand_col must be numeric (turn index, sample index); NULL and NaN
+    scores / NULL candidate ids are excluded up front (NaN would both
+    sort above every real score and sail through the NaN > 0 gap
+    filter, which Spark evaluates as true).
     """
     s, cand = F.col(score_col).cast("double"), F.col(cand_col)
-    staged = df.filter(s.isNotNull() & cand.isNotNull()).select(
+    staged = df.filter(
+        s.isNotNull() & ~F.isnan(s) & cand.isNotNull()
+    ).select(
         F.col(prompt_col).alias("prompt_id"),
         # min(struct) = max score then min cand; max(struct) = min
         # score then max cand -- one struct serves both extremes.

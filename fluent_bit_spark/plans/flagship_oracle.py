@@ -2238,7 +2238,9 @@ FROM scp GROUP BY window_start, seed, pos"""
                regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')))
              AS DOUBLE) AS score
     FROM transcripts
-    WHERE CASE{rc} ELSE 'other' END = 'assistant')
+    -- text IS NOT NULL pins the Spark side's score-not-null exclusion
+    -- (a NULL text is the only way this score goes NULL)
+    WHERE CASE{rc} ELSE 'other' END = 'assistant' AND text IS NOT NULL)
 , dp1 AS (
     SELECT prompt_id, turn_idx, text, score,
            row_number() OVER (PARTITION BY prompt_id
@@ -2303,9 +2305,9 @@ FROM ta2 GROUP BY tool"""
 , ed0 AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text || '!' FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + 1000000, text || '!' FROM documents WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 200000, text || 'xyz' FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id + 2000000, text || 'xyz' FROM documents WHERE doc_id % 20 = 0)
 , ed1 AS (
     SELECT doc_id, text,
            coalesce(array_to_string(list_slice(list_filter(

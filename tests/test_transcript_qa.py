@@ -419,6 +419,19 @@ def test_dpo_pairs_extremes_and_tiebreaks(spark):
     assert out["p2"]["chosen_cand"] == 0 and out["p2"]["rejected_cand"] == 3
 
 
+def test_dpo_pairs_nan_scores_excluded(spark):
+    from fluent_bit_spark.operators.transcript_qa import dpo_pairs
+
+    df = spark.createDataFrame(
+        [("p", 0, "good", 5.0), ("p", 1, "nan", float("nan"))],
+        "prompt_id string, cand_id int, text string, score double",
+    )
+    # NaN sorts above every real score and NaN > 0 is true in Spark, so
+    # without the isnan exclusion this would emit a NaN-gap pair.
+    assert dpo_pairs(df, cand_col="cand_id", min_margin=100.0).count() == 0
+    assert dpo_pairs(df, cand_col="cand_id").count() == 0
+
+
 def test_dpo_pairs_min_margin(spark):
     from fluent_bit_spark.operators.transcript_qa import dpo_pairs
 
