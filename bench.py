@@ -239,6 +239,21 @@ def bench_queries(spark, source):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return op(docs, shard_tokens=2048)
 
+    def dpo_pairs_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["dpo_pairs"](spark, SF_DIR)
+
+    def tool_args_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["tool_args"](spark, SF_DIR)
+
+    def edit_dedup_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["edit_dedup"](spark, SF_DIR)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -268,6 +283,9 @@ def bench_queries(spark, source):
         "url_dedup": url_dedup,
         "hard_negatives": hard_negatives,
         "shard_manifest": shard_manifest,
+        "dpo_pairs": dpo_pairs_bench,
+        "tool_args": tool_args_bench,
+        "edit_dedup": edit_dedup_bench,
     }
 
 
