@@ -749,26 +749,30 @@ def _q_syslog_source(spark, sf_dir):
     return parse_syslog_rfc5424(lines, line_col="line")
 
 
-def _drain_transcript_stream(
-    spark, sf_dir, build, name: str, output_mode: str = "complete"
+def _drain_stream(
+    spark,
+    frame: DataFrame,
+    build,
+    name: str,
+    output_mode: str = "complete",
+    schema=None,
 ) -> DataFrame:
-    """Run a streaming aggregation over the transcript table through
-    the real Structured Streaming engine: materialize transcripts to a
-    temp dir, readStream it, apply `build(stream_df)`, drain to a
-    memory sink with processAllAvailable, return the sink table.  The
-    staging copy is removed after the drain (the memory sink holds the
-    rows; a leaked parquet copy per gate/bench invocation would
-    steadily fill /tmp)."""
+    """Run a streaming computation over `frame` through the real
+    Structured Streaming engine: materialize the batch frame to a temp
+    dir, readStream it with the same schema, apply `build(stream_df)`,
+    drain to a memory sink with processAllAvailable, return the sink
+    table.  The staging copy is removed after the drain (the memory
+    sink holds the rows; a leaked parquet copy per gate/bench
+    invocation would steadily fill /tmp)."""
     import shutil
     import tempfile
 
     from fluent_bit_spark.streaming import streaming_transcripts
-    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
 
     tmp = tempfile.mkdtemp(prefix=f"fbs_{name}_src_")
     try:
-        _transcripts(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-        src = streaming_transcripts(spark, tmp, TRANSCRIPT_SCHEMA)
+        frame.write.mode("overwrite").parquet(tmp)
+        src = streaming_transcripts(spark, tmp, schema or frame.schema)
         spark.catalog.dropTempView(name)
         q = (
             build(src)
@@ -784,6 +788,25 @@ def _drain_transcript_stream(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
+
+
+def _drain_transcript_stream(
+    spark, sf_dir, build, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """_drain_stream over the derived transcript table. The staged
+    parquet is re-read with TRANSCRIPT_SCHEMA's TIMESTAMP (LTZ) ts so
+    watermarks apply (the derived frame carries TIMESTAMP_NTZ, which
+    the streaming engine rejects as an event-time column)."""
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    return _drain_stream(
+        spark,
+        _transcripts(spark, sf_dir),
+        build,
+        name,
+        output_mode,
+        schema=TRANSCRIPT_SCHEMA,
+    )
 
 
 def _q_streaming_hll(spark, sf_dir):
@@ -837,6 +860,68 @@ def _q_streaming_sessions(spark, sf_dir):
     return sessions.groupBy("conv_id").agg(
         F.count("*").alias("n_sessions"), F.sum("n_turns").alias("n_turns")
     )
+
+
+def _q_streaming_multiline(spark, sf_dir):
+    """Fourth STREAMING-gated query, and the custom-stateful-operator
+    one: the in_tail multiline state machine as applyInPandasWithState
+    (open record lives in the state store keyed by file). Transcript
+    turns are the file lines (file=conv_id, line_no=turn_idx); a
+    trailing sentinel start-line per file flushes the last real record
+    deterministically (the sentinel's own open record stays in state
+    and is never emitted), so the oracle is the closed-form group-by
+    over the REAL lines only."""
+    from fluent_bit_spark.streaming import multiline_stateful
+
+    t = _transcripts(spark, sf_dir)
+    lines = t.select(
+        F.col("conv_id").alias("file"),
+        F.col("turn_idx").cast("long").alias("line_no"),
+        F.col("text").alias("line"),
+    )
+    sentinels = t.groupBy("conv_id").agg(
+        (F.max("turn_idx") + 1).cast("long").alias("line_no")
+    ).select(
+        F.col("conv_id").alias("file"),
+        "line_no",
+        F.lit("10.0.SENTINEL").alias("line"),
+    )
+    return _drain_stream(
+        spark,
+        lines.unionByName(sentinels),
+        lambda src: multiline_stateful(
+            src, key_col="file", start_pattern=r"^10\.0\."
+        ),
+        "fbs_streaming_multiline",
+        output_mode="append",
+    )
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Fifth STREAMING-gated query: exact dedup in the streaming state
+    store (dropDuplicatesWithinWatermark) over injected duplicates —
+    every 5th turn arrives twice as an exact copy, so keeping "the
+    first arrival per (conv_id, turn_idx)" is content-deterministic and
+    the oracle is simply the undupe'd transcript table."""
+    from fluent_bit_spark.streaming import dedup_stateful
+
+    from fluent_bit_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    t = _transcripts(spark, sf_dir)
+    dupes = t.filter(F.col("turn_idx") % 5 == 0)
+    out = _drain_stream(
+        spark,
+        t.unionByName(dupes),
+        lambda src: dedup_stateful(
+            src, key_cols=("conv_id", "turn_idx"), watermark="2 hours"
+        ),
+        "fbs_streaming_dedup",
+        output_mode="append",
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    # the watermark needed an LTZ ts; hand back the pipeline's NTZ
+    # convention (wall-clock identical under the fixed UTC session)
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def _q_media_features(spark, sf_dir):
@@ -2199,6 +2284,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": _q_streaming_hll,
         "streaming_cms": _q_streaming_cms,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_multiline": _q_streaming_multiline,
+        "streaming_dedup": _q_streaming_dedup,
         "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,

@@ -2319,9 +2319,29 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ed1 a JOIN ed1 b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 2"""
 
+    streaming_multiline = """
+, sml AS (
+    SELECT conv_id AS file, turn_idx, text,
+           SUM(CASE WHEN regexp_matches(text, '^10\\.0\\.') THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+    FROM transcripts)
+SELECT file, CAST(MIN(turn_idx) AS BIGINT) AS start_line,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS record
+FROM sml GROUP BY file, grp"""
+
+    # injected duplicates are exact row copies, so "first arrival per
+    # key" is content-deterministic and the expected output is just the
+    # un-duplicated table
+    streaming_dedup = (
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
+    )
+
     return {
         "streaming_hll": streaming_hll,
         "streaming_cms": streaming_cms,
+        "streaming_multiline": streaming_multiline,
+        "streaming_dedup": streaming_dedup,
         "syslog_source": syslog_source,
         "sink_gelf_extra": gelf_extra,
         "sink_loki_k8s": loki_k8s,
