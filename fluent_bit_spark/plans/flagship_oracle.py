@@ -2321,8 +2321,9 @@ WHERE levenshtein(a.text, b.text) <= 2"""
 
     streaming_multiline = """
 , sml AS (
-    SELECT conv_id AS file, turn_idx, text,
-           SUM(CASE WHEN regexp_matches(text, '^10\\.0\\.') THEN 1 ELSE 0 END)
+    SELECT conv_id AS file, turn_idx, coalesce(text, '') AS text,
+           SUM(CASE WHEN regexp_matches(coalesce(text, ''), '^10\\.0\\.')
+                    THEN 1 ELSE 0 END)
              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
     FROM transcripts)
 SELECT file, CAST(MIN(turn_idx) AS BIGINT) AS start_line,
