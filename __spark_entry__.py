@@ -1866,6 +1866,50 @@ def _q_edit_dedup(spark, sf_dir):
     )
 
 
+def _q_dlq_route(spark, sf_dir):
+    """Dead-letter routing with reason taxonomy: the flagship parser's
+    failure classes quarantined instead of silently dropped (the
+    reference's empty-route-mask drop, src/flb_router.c). Injected
+    malformed rows exercise each class non-vacuously — an apache-
+    prefixed line whose full grok fails, an empty record, and a
+    truncated RFC5424 frame — at non-colliding turn_idx offsets; base
+    rows contribute the natural no_grammar/parse_error population."""
+    import functools
+
+    from fluent_bit_spark.operators.route import DlqCheck, dlq_split
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    inject = [
+        (37, 1000000, "web-1 - alice [corrupt entry"),
+        (41, 2000000, ""),
+        (43, 3000000, "<14>1 incomplete"),
+    ]
+    frames = [t] + [
+        t.filter(F.col("turn_idx") % mod == 0).select(
+            "conv_id",
+            (F.col("turn_idx") + off).alias("turn_idx"),
+            F.lit(txt).alias("text"),
+        )
+        for mod, off, txt in inject
+    ]
+    allrows = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    _, dlq = dlq_split(
+        parse_stage(allrows),
+        [
+            DlqCheck(
+                "empty", F.col("text").isNull() | (F.trim(F.col("text")) == "")
+            ),
+            DlqCheck("no_grammar", F.col("fmt") == "unknown"),
+            DlqCheck("parse_error", ~F.col("parse_ok")),
+        ],
+    )
+    return dlq.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "fmt", "dlq_reason",
+    )
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -2365,6 +2409,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": _q_dpo_pairs,
         "tool_args": _q_tool_args,
         "edit_dedup": _q_edit_dedup,
+        "dlq_route": _q_dlq_route,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

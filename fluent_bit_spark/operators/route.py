@@ -140,3 +140,48 @@ def fanout(df: DataFrame, sinks: list[tuple[str, str]]) -> dict[str, DataFrame]:
     return {
         name: df.filter(F.array_contains("routes", name)) for name, _ in sinks
     }
+
+
+# ---------------------------------------------------------------------------
+# dead-letter routing
+
+@dataclass(frozen=True)
+class DlqCheck:
+    """One ordered quarantine rule: records where `failed` is true are
+    dead-lettered with `reason` (first failing check wins, like the
+    grep/rewrite_tag first-decisive-rule convention)."""
+
+    reason: str
+    failed: Column
+
+
+def dlq_mark(
+    df: DataFrame, checks: list[DlqCheck], out: str = "dlq_reason"
+) -> DataFrame:
+    """Add `out` = reason of the FIRST failing check, NULL when every
+    check passes. One map stage; NULL check results count as passing
+    (`when` is false-on-NULL)."""
+    if not checks:
+        raise ValueError("dlq_mark needs at least one check")
+    return df.withColumn(
+        out, F.coalesce(*[F.when(c.failed, F.lit(c.reason)) for c in checks])
+    )
+
+
+def dlq_split(
+    df: DataFrame, checks: list[DlqCheck], out: str = "dlq_reason"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dead_letter) views of one marked frame — the quarantine
+    analog of the reference's parse-failure handling: filter_parser
+    either drops unparseable records or passes them through untouched
+    (plugins/filter_parser/filter_parser.c Reserve_Data), and the
+    engine silently discards chunks with an empty route mask
+    (src/flb_router.c). At 100 TB silent drops are unacceptable; the
+    scale idiom is a reasoned dead-letter sink: mark once (one
+    whole-stage-codegen pass), persist, filter twice — same
+    single-materialization shape as `fanout`."""
+    marked = dlq_mark(df, checks, out)
+    return (
+        marked.filter(F.col(out).isNull()).drop(out),
+        marked.filter(F.col(out).isNotNull()),
+    )

@@ -2338,6 +2338,49 @@ FROM sml GROUP BY file, grp"""
         "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
     )
 
+    # independent re-derivation of the flagship detection chain +
+    # per-grammar key-field probes over the same injected-corruption
+    # union the Spark side builds (first failing check names the reason)
+    dlq_sql = f"""
+, dl0 AS (
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text FROM transcripts
+    UNION ALL
+    SELECT conv_id, CAST(turn_idx + 1000000 AS BIGINT),
+           'web-1 - alice [corrupt entry'
+    FROM transcripts WHERE turn_idx % 37 = 0
+    UNION ALL
+    SELECT conv_id, CAST(turn_idx + 2000000 AS BIGINT), ''
+    FROM transcripts WHERE turn_idx % 41 = 0
+    UNION ALL
+    SELECT conv_id, CAST(turn_idx + 3000000 AS BIGINT), '<14>1 incomplete'
+    FROM transcripts WHERE turn_idx % 43 = 0)
+, dl1 AS (
+    SELECT conv_id, turn_idx, text,
+      CASE
+        WHEN regexp_matches(text, '^\\S+ - \\S+ \\[') THEN 'apache'
+        WHEN regexp_matches(text, '^level=') THEN 'logfmt'
+        WHEN regexp_matches(text, '^\\{{') THEN 'json'
+        WHEN regexp_matches(text, '^<\\d+>1 ') THEN 'syslog'
+        WHEN regexp_matches(text, '^[A-Za-z0-9_]+:[^\t]*\t') THEN 'ltsv'
+        ELSE 'unknown' END AS fmt
+    FROM dl0)
+, dl2 AS (
+    SELECT conv_id, turn_idx, fmt,
+      (text IS NULL OR trim(text) = '') AS is_empty,
+      coalesce(CASE fmt
+        WHEN 'apache' THEN nullif(regexp_extract(text, '{_APACHE}', 6), '') IS NOT NULL
+        WHEN 'logfmt' THEN nullif(regexp_extract(text, '(^|\\s)level=(\\S+)', 2), '') IS NOT NULL
+        WHEN 'json'   THEN nullif(regexp_extract(text, '"id": (\\d+)', 1), '') IS NOT NULL
+        WHEN 'syslog' THEN nullif(regexp_extract(text, '{_SYSLOG}', 1), '') IS NOT NULL
+        WHEN 'ltsv'   THEN nullif(regexp_extract(text, 'k1:([^\t]*)', 1), '') IS NOT NULL
+        ELSE FALSE END, FALSE) AS parse_ok
+    FROM dl1)
+SELECT conv_id, turn_idx, fmt,
+       CASE WHEN is_empty THEN 'empty'
+            WHEN fmt = 'unknown' THEN 'no_grammar'
+            ELSE 'parse_error' END AS dlq_reason
+FROM dl2 WHERE is_empty OR NOT parse_ok"""
+
     return {
         "streaming_hll": streaming_hll,
         "streaming_cms": streaming_cms,
@@ -2356,6 +2399,7 @@ FROM sml GROUP BY file, grp"""
         "dpo_pairs": dpo_sql,
         "tool_args": tool_args_sql,
         "edit_dedup": edit_dedup_sql,
+        "dlq_route": dlq_sql,
     }
 
 

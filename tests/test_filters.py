@@ -261,3 +261,30 @@ def test_throttle_plan_has_partition_prelimit(spark):
     plan = plan_of(out, "simple")
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_dlq_split_first_match_and_partition(spark):
+    """Ordered first-failing-check reason; clean+dlq partition the
+    input exactly; NULL check results count as passing."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.route import DlqCheck, dlq_split
+
+    df = spark.createDataFrame(
+        [(1, "", "a"), (2, "x", None), (3, "x", "bad"), (4, "x", "ok")],
+        ["i", "txt", "status"],
+    )
+    clean, dlq = dlq_split(
+        df,
+        [
+            DlqCheck("empty", F.col("txt") == ""),
+            # row 2: NULL comparison result must count as passing
+            DlqCheck("bad_status", F.col("status") == "bad"),
+            # row 1 also fails this one, but "empty" was first
+            DlqCheck("late", F.col("i") <= 1),
+        ],
+    )
+    got = sorted((r.i, r.dlq_reason) for r in dlq.collect())
+    assert got == [(1, "empty"), (3, "bad_status")]
+    assert sorted(r.i for r in clean.collect()) == [2, 4]
+    assert "dlq_reason" not in clean.columns
