@@ -1910,6 +1910,58 @@ def _q_dlq_route(spark, sf_dir):
     )
 
 
+def _q_pii_leak(spark, sf_dir):
+    """Cross-turn PII leak detection over synthesized leaks: every
+    conversation gains a user turn uttering a per-conv email
+    (md5-derived, cross-engine identical) and an assistant turn that
+    echoes it verbatim for the md5-even half of conversations — so
+    exactly those conversations must surface a leak row.  Base turns
+    run through the real role-normalization lookup first, and any
+    organic PII (e.g. IPs in log-format turns) participates too."""
+    from fluent_bit_spark.operators.curation import pii_leak
+    from fluent_bit_spark.operators.enrich import lookup_enrich
+    from fluent_bit_spark.plans.flagship import role_map_dim
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    convs = t.select("conv_id").distinct()
+    email = F.concat(
+        F.lit("u"),
+        F.substring(F.md5("conv_id"), 1, 8),
+        F.lit("@mail.example.com"),
+    )
+    parity = (
+        F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("long") % 2
+        == 0
+    )
+    user_turns = convs.select(
+        "conv_id",
+        F.lit(1000000).cast("long").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("my email is "), email, F.lit(" thanks")).alias("text"),
+    )
+    asst_turns = convs.select(
+        "conv_id",
+        F.lit(1000001).cast("long").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.when(parity, F.concat(F.lit("noted "), email, F.lit(" saved")))
+        .otherwise(F.lit("noted and saved"))
+        .alias("text"),
+    )
+    allt = lookup_enrich(
+        t.unionByName(user_turns).unionByName(asst_turns),
+        role_map_dim(spark),
+        key="role",
+        dim_key="raw_role",
+        defaults={"norm_role": "other"},
+    )
+    return pii_leak(allt)
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -2410,6 +2462,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_args": _q_tool_args,
         "edit_dedup": _q_edit_dedup,
         "dlq_route": _q_dlq_route,
+        "pii_leak": _q_pii_leak,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

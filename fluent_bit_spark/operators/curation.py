@@ -61,6 +61,61 @@ def pii_redact(
     return df.withColumns({out: c, **counts})
 
 
+def pii_leak(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]] = PII_RULES,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "norm_role",
+    src_role: str = "user",
+    dst_role: str = "assistant",
+) -> DataFrame:
+    """Cross-turn PII leak detection: PII values first uttered by
+    `src_role` that a later `dst_role` turn repeats verbatim (the
+    training-data failure where an assistant echoes a user's email).
+
+    Scale shape: span extraction is one whole-stage-codegen map pass
+    (all rules folded into one flatten/explode — no per-rule scan);
+    candidate values aggregate to their first utterance per
+    (conversation, type, value); the leak probe is an equi-join on the
+    conversation key with a contains() residual — never wider than a
+    conversation, so it shuffles on conv_id exactly once and survives
+    100 TB the same way every per-conversation operator here does."""
+    def _tagged(name: str):
+        # NB: a second lambda parameter would be interpreted by Spark
+        # as the array-index argument, not a Python default — close
+        # over the rule name instead
+        return lambda v: F.struct(
+            F.lit(name).alias("pii_type"), v.alias("value")
+        )
+
+    spans = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pat), 0),
+                    _tagged(name),
+                )
+                for name, pat, _ in rules
+            ]
+        )
+    )
+    src = (
+        df.filter(F.col(role_col) == src_role)
+        .select(conv_col, order_col, F.explode(spans).alias("s"))
+        .groupBy(conv_col, "s.pii_type", "s.value")
+        .agg(F.min(order_col).alias("first_seen"))
+    )
+    dst = df.filter(F.col(role_col) == dst_role).select(
+        conv_col, F.col(order_col).alias("leak_turn_idx"), text_col
+    )
+    return dst.join(src, on=conv_col).filter(
+        (F.col("leak_turn_idx") > F.col("first_seen"))
+        & F.col(text_col).contains(F.col("value"))
+    ).select(conv_col, "leak_turn_idx", "pii_type", "value", "first_seen")
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality rules (Rae et al. 2021, table A1 flavor)
 

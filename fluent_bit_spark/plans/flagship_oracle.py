@@ -2381,6 +2381,44 @@ SELECT conv_id, turn_idx, fmt,
             ELSE 'parse_error' END AS dlq_reason
 FROM dl2 WHERE is_empty OR NOT parse_ok"""
 
+    # one SELECT per PII rule (literal pattern -- DuckDB regexp wants
+    # constants); the Spark side folds all rules into one map pass
+    from fluent_bit_spark.operators.curation import PII_RULES
+
+    pii_spans = "\n    UNION ALL\n".join(
+        f"""    SELECT conv_id, turn_idx, '{name}' AS pii_type,
+           unnest(regexp_extract_all(text, '{pat}')) AS value
+    FROM pl0 WHERE norm_role = 'user'"""
+        for name, pat, _ in PII_RULES
+    )
+    pii_leak_sql = f"""
+, plc AS (SELECT DISTINCT conv_id FROM transcripts)
+, pl0 AS (
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, norm_role, text
+    FROM enriched
+    UNION ALL
+    SELECT conv_id, 1000000, 'user',
+           'my email is u' || substr(md5(conv_id), 1, 8)
+           || '@mail.example.com thanks'
+    FROM plc
+    UNION ALL
+    SELECT conv_id, 1000001, 'assistant',
+           CASE WHEN ('0x' || substr(md5(conv_id), 1, 2))::BIGINT % 2 = 0
+                THEN 'noted u' || substr(md5(conv_id), 1, 8)
+                     || '@mail.example.com saved'
+                ELSE 'noted and saved' END
+    FROM plc)
+, plv AS (
+    SELECT conv_id, pii_type, value, MIN(turn_idx) AS first_seen
+    FROM (
+{pii_spans}
+    ) GROUP BY conv_id, pii_type, value)
+SELECT a.conv_id, a.turn_idx AS leak_turn_idx, v.pii_type, v.value,
+       v.first_seen
+FROM pl0 a JOIN plv v ON a.conv_id = v.conv_id
+WHERE a.norm_role = 'assistant' AND a.turn_idx > v.first_seen
+      AND contains(a.text, v.value)"""
+
     return {
         "streaming_hll": streaming_hll,
         "streaming_cms": streaming_cms,
@@ -2400,6 +2438,7 @@ FROM dl2 WHERE is_empty OR NOT parse_ok"""
         "tool_args": tool_args_sql,
         "edit_dedup": edit_dedup_sql,
         "dlq_route": dlq_sql,
+        "pii_leak": pii_leak_sql,
     }
 
 

@@ -771,3 +771,30 @@ def test_subword_count_portable_equals_lookaround(spark, sf_dir):
         bpe_ish_token_count(F.col("text")) != subword_count_portable(F.col("text"))
     ).count()
     assert bad == 0
+
+
+def test_pii_leak_detects_echo_only_after_first_seen(spark):
+    """A value echoed by a LATER assistant turn is a leak; the same
+    value appearing before the user uttered it, in a non-assistant
+    role, or never echoed, is not."""
+    from fluent_bit_spark.operators.curation import pii_leak
+
+    rows = [
+        # c1: user utters email at 2, assistant echoes at 5 -> leak
+        ("c1", 1, "assistant", "early a@b.com mention is not a leak"),
+        ("c1", 2, "user", "reach me at a@b.com please"),
+        ("c1", 5, "assistant", "ok, emailing a@b.com now"),
+        # c1: tool role echo is not a dst role
+        ("c1", 6, "tool", "sent to a@b.com"),
+        # c2: user PII never echoed
+        ("c2", 1, "user", "my ip is 10.0.0.7"),
+        ("c2", 2, "assistant", "noted"),
+        # c3: assistant PII not uttered by a user first
+        ("c3", 1, "assistant", "server 10.1.1.1 is fine"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "norm_role", "text"])
+    got = sorted(
+        (r.conv_id, r.leak_turn_idx, r.pii_type, r.value, r.first_seen)
+        for r in pii_leak(df).collect()
+    )
+    assert got == [("c1", 5, "email", "a@b.com", 2)]
