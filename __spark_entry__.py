@@ -1962,6 +1962,17 @@ def _q_pii_leak(spark, sf_dir):
     return pii_leak(allt)
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order: 3 independent global
+    shuffles of the corpus, each row's exact epoch position computed
+    without any global window (bucketed rank + 256-row base cumsum).
+    The oracle IS the naive global row_number — proving the scalable
+    two-level plan reproduces it exactly."""
+    from fluent_bit_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epochs=3)
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -2463,6 +2474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dedup": _q_edit_dedup,
         "dlq_route": _q_dlq_route,
         "pii_leak": _q_pii_leak,
+        "epoch_shuffle": _q_epoch_shuffle,
         "langid_eval": _q_langid_eval,
         "flow_rollup": _q_flow_rollup,
         "cdc_chunks": _q_cdc_chunks,

@@ -369,3 +369,72 @@ def mixture_weights(
         )
         .orderBy("source")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int,
+    id_col: str = "doc_id",
+    out: str = "pos",
+    prefix_buckets_hex: int = 2,
+) -> DataFrame:
+    """Deterministic per-epoch global training order WITHOUT a global
+    window: every epoch gets an independent full shuffle of the corpus
+    (order key = md5(epoch:id)), and each row's exact global position
+    in its epoch comes from a two-level rank — within-bucket
+    row_number + the cumulative size of all lower buckets.
+
+    The bucket is the order key's own hex prefix, so bucket order IS
+    key order: sorting (bucket, key) equals sorting (key).  The
+    within-bucket windows parallelize across 256 buckets per epoch,
+    and the base cumsum runs over bucket COUNTS only (256 rows per
+    epoch, broadcast back) — the naive row_number() OVER (ORDER BY
+    key) would serialize the corpus through one task at 100 TB.
+
+    Epoch count is a small constant (a training run's passes), so the
+    epochs×corpus explode is the intended output size, not blow-up.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(epochs, int) or epochs <= 0:
+        raise ValueError(f"epochs must be a positive int, got {epochs!r}")
+    hexlen = prefix_buckets_hex
+    keyed = (
+        df.select(id_col)
+        .withColumn(
+            "epoch", F.explode(F.array(*[F.lit(i) for i in range(epochs)]))
+        )
+        .withColumn(
+            "_key",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "_bucket",
+            F.conv(F.substring("_key", 1, hexlen), 16, 10).cast("int"),
+        )
+    )
+    win = Window.partitionBy("epoch", "_bucket").orderBy("_key", id_col)
+    ranked = keyed.withColumn(
+        "_r", (F.row_number().over(win) - 1).cast("long")
+    )
+    counts = keyed.groupBy("epoch", "_bucket").count()
+    wb = (
+        Window.partitionBy("epoch")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.withColumn(
+        "_base", F.coalesce(F.sum("count").over(wb), F.lit(0)).cast("long")
+    ).select("epoch", "_bucket", "_base")
+    return (
+        ranked.join(F.broadcast(bases), ["epoch", "_bucket"])
+        .select(
+            "epoch", id_col, (F.col("_base") + F.col("_r")).alias(out)
+        )
+    )

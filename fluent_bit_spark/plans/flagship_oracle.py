@@ -2419,6 +2419,18 @@ FROM pl0 a JOIN plv v ON a.conv_id = v.conv_id
 WHERE a.norm_role = 'assistant' AND a.turn_idx > v.first_seen
       AND contains(a.text, v.value)"""
 
+    # the oracle is the naive global row_number the scalable two-level
+    # plan must reproduce exactly
+    epoch_shuffle_sql = """
+, es0 AS (SELECT doc_id, epoch FROM documents, (VALUES (0),(1),(2)) e(epoch))
+, es1 AS (SELECT epoch, doc_id,
+          md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+          FROM es0)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1
+            AS BIGINT) AS pos
+FROM es1"""
+
     return {
         "streaming_hll": streaming_hll,
         "streaming_cms": streaming_cms,
@@ -2439,6 +2451,7 @@ WHERE a.norm_role = 'assistant' AND a.turn_idx > v.first_seen
         "edit_dedup": edit_dedup_sql,
         "dlq_route": dlq_sql,
         "pii_leak": pii_leak_sql,
+        "epoch_shuffle": epoch_shuffle_sql,
     }
 
 

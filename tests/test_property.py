@@ -318,3 +318,24 @@ def test_stratified_sample_exact_total_and_subset(spark, rows, fraction):
         assert r.key in ids
     for s, n in got.items():
         assert n <= sizes[s]
+
+
+def test_epoch_shuffle_exact_permutation_and_partition_invariance(spark):
+    """Each epoch's positions are exactly 0..n-1, epochs order the
+    corpus differently, and the assignment is identical under a
+    different input partitioning."""
+    from fluent_bit_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], ["doc_id"])
+    out = epoch_shuffle(df, epochs=2).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert set(by_epoch) == {0, 1}
+    for ep, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(97)), ep
+    assert by_epoch[0] != by_epoch[1]  # epochs really reshuffle
+    re = epoch_shuffle(df.repartition(7), epochs=2).collect()
+    assert {(r.epoch, r.doc_id, r.pos) for r in re} == {
+        (r.epoch, r.doc_id, r.pos) for r in out
+    }
