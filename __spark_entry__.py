@@ -1973,6 +1973,50 @@ def _q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(_docs(spark, sf_dir), epochs=3)
 
 
+def _q_statsd_source(spark, sf_dir):
+    """Wire-format roundtrip for the statsd source
+    (plugins/in_statsd/statsd.c:142 statsd_process_line): raw
+    `bucket:value|type|@rate` datagram lines (rendered from the
+    transcript table, including malformed and |@0 edge shapes) parsed
+    back through the reference's first-':'/'|' splitter and per-type
+    field packing — counter/gauge/timer/set with atof fallbacks,
+    default sample_rate, and the gauge incremental flag."""
+    from fluent_bit_spark.sources import (
+        parse_statsd,
+        statsd_lines_from_transcripts,
+    )
+
+    lines = statsd_lines_from_transcripts(_transcripts(spark, sf_dir))
+    return parse_statsd(lines, keep=("conv_id", "turn_idx"))
+
+
+def _q_statsd_agg(spark, sf_dir):
+    """statsd-server flush over the parsed datagrams: rate-corrected
+    counter sums, timer min/max/sum, last-write-plus-deltas gauges
+    (one window pass — a row contributes iff no absolute write
+    follows it), distinct-count sets."""
+    from fluent_bit_spark.operators.aggregate import statsd_flush
+    from fluent_bit_spark.sources import (
+        parse_statsd,
+        statsd_lines_from_transcripts,
+    )
+
+    lines = statsd_lines_from_transcripts(_transcripts(spark, sf_dir))
+    okey = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lit("#"),
+        F.col("conv_id"),
+        F.lit("#"),
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+    )
+    parsed = parse_statsd(lines.withColumn("okey", okey), keep=("okey",))
+    return statsd_flush(parsed)
+
+
 def _q_m4_downsample(spark, sf_dir):
     """M4 chart downsampling: min/max/first/last per (event_type,
     6h bucket) — the out_plot analog that survives 100 TB."""
@@ -2488,6 +2532,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_sampled": _q_ann_pq_sampled,
         "mix_manifest": _q_mix_manifest,
         "tool_latency": _q_tool_latency,
+        "statsd_source": _q_statsd_source,
+        "statsd_agg": _q_statsd_agg,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

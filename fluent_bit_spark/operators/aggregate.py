@@ -332,3 +332,66 @@ def ewma_hourly(
         "n",
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     )
+
+
+def statsd_flush(
+    df: DataFrame, order_key_col: str = "okey"
+) -> DataFrame:
+    """statsd-server flush semantics over records parsed by
+    sources.parse_statsd (the aggregation a statsd daemon applies
+    between the wire format the reference ingests at
+    plugins/in_statsd/statsd.c:142 and its downstream emit):
+
+    - counter: sum of value/sample_rate (rate-corrected count);
+    - timer:   sum + min + max of the raw values;
+    - gauge:   last non-incremental value plus every '+/-' delta
+               recorded AFTER it (or the bare delta sum when no
+               absolute value was ever set), in `order_key_col` order;
+    - set:     distinct raw-string count.
+
+    The gauge rule is one window pass: a row contributes iff NO
+    non-incremental gauge row follows it — that keeps the final
+    absolute write and exactly the deltas after it, with no join-back.
+    Output: (mtype, bucket, n, value, v_min, v_max); v_min/v_max are
+    timer-only (NULL elsewhere), matching the per-type field presence
+    of the packed records.
+
+    Scale shape: one window partitioned by (mtype, bucket) ordered by
+    the caller's total-order key, then one partial-agg shuffle on the
+    same key — no self-joins, no collects.  All summed values must be
+    exactly representable (integers / halves here), so the sums are
+    order-independent across partitions.
+    """
+    from pyspark.sql import Window
+
+    okey = F.col(order_key_col)
+    w_after = (
+        Window.partitionBy("mtype", "bucket")
+        .orderBy(order_key_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_gauge = F.col("mtype") == "gauge"
+    nonincr_after = F.max(
+        F.when(is_gauge & (F.col("incremental") == 0), okey)
+    ).over(w_after)
+    gauge_contrib = F.when(
+        is_gauge & nonincr_after.isNull(), F.col("value_num")
+    )
+    contrib = (
+        F.when(F.col("mtype") == "counter", F.col("value_num") / F.col("sample_rate"))
+        .when(F.col("mtype") == "timer", F.col("value_num"))
+        .otherwise(gauge_contrib)
+    )
+    staged = df.withColumn("_contrib", contrib)
+    return staged.groupBy("mtype", "bucket").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.coalesce(
+                F.sum("_contrib"),
+                F.count_distinct(F.col("value_str")).cast("double"),
+            ),
+            6,
+        ).alias("value"),
+        F.min(F.when(F.col("mtype") == "timer", F.col("value_num"))).alias("v_min"),
+        F.max(F.when(F.col("mtype") == "timer", F.col("value_num"))).alias("v_max"),
+    )

@@ -2455,9 +2455,105 @@ FROM es1"""
     }
 
 
+def _statsd_sql() -> dict[str, str]:
+    """sources.statsd_lines_from_transcripts / parse_statsd /
+    aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
+    grammar; the renderer, splitter, and flush windows are
+    dialect-parallel expression for expression)."""
+    re = r"^([^:]+):([^|]*)\|(.*)$"
+    lines = r"""
+, sd0 AS (
+    SELECT conv_id, turn_idx, ts,
+           'turns.' || coalesce(role, 'none') || '.'
+                    || coalesce(tool, 'none') AS bucket,
+           CASE turn_idx % 4 WHEN 0 THEN 'c' WHEN 1 THEN 'g'
+                             WHEN 2 THEN 'ms' ELSE 's' END AS mt,
+           CASE turn_idx % 4
+             WHEN 0 THEN CAST(length(text) AS VARCHAR)
+             WHEN 1 THEN CASE WHEN turn_idx % 3 = 0
+                              THEN '+' || CAST(length(text) AS VARCHAR)
+                              WHEN turn_idx % 3 = 1
+                              THEN '-' || CAST(length(text) AS VARCHAR)
+                              ELSE CAST(length(text) AS VARCHAR) END
+             WHEN 2 THEN CAST(length(text) AS VARCHAR) || '.5'
+             ELSE conv_id END AS val
+    FROM transcripts)
+, sdl AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN turn_idx % 11 = 0
+                THEN 'malformed statsd datagram no separators'
+                WHEN turn_idx % 13 = 0 THEN bucket || ':42'
+                ELSE bucket || ':' || val || '|' || mt
+                     || CASE WHEN turn_idx % 5 = 0 THEN '|@0.5'
+                             WHEN turn_idx % 7 = 0 THEN '|@0'
+                             ELSE '' END
+           END AS line
+    FROM sd0)"""
+    parse = f"""
+, sdx AS (
+    SELECT conv_id, turn_idx, ts,
+           nullif(regexp_extract(line, '{re}', 1), '') AS bucket,
+           regexp_extract(line, '{re}', 2) AS value_raw,
+           nullif(regexp_extract(line, '{re}', 3), '') AS typepart
+    FROM sdl)
+, sdp AS (
+    SELECT conv_id, turn_idx, ts, bucket, value_raw,
+           CASE WHEN substr(typepart, 1, 1) = 'g' THEN 'gauge'
+                WHEN substr(typepart, 1, 1) = 's' THEN 'set'
+                WHEN substr(typepart, 1, 1) = 'c' THEN 'counter'
+                WHEN substr(typepart, 1, 2) = 'ms' THEN 'timer'
+                ELSE 'counter' END AS mtype,
+           coalesce(TRY_CAST(value_raw AS DOUBLE), 0.0::DOUBLE) AS vnum,
+           CASE WHEN coalesce(TRY_CAST(
+                    nullif(regexp_extract(typepart, '\\|@(.*)$', 1), '')
+                    AS DOUBLE), 0.0::DOUBLE) = 0.0::DOUBLE
+                THEN 1.0::DOUBLE
+                ELSE TRY_CAST(
+                    nullif(regexp_extract(typepart, '\\|@(.*)$', 1), '')
+                    AS DOUBLE) END AS srate,
+           CASE WHEN substr(value_raw, 1, 1) IN ('+', '-')
+                THEN 1 ELSE 0 END AS incr
+    FROM sdx WHERE bucket IS NOT NULL)"""
+    source = f"""{lines}{parse}
+SELECT conv_id, turn_idx, bucket, mtype,
+       CASE WHEN mtype <> 'set' THEN vnum END AS value_num,
+       CASE WHEN mtype = 'set' THEN value_raw END AS value_str,
+       CASE WHEN mtype IN ('counter', 'timer') THEN srate END AS sample_rate,
+       CASE WHEN mtype = 'gauge' THEN incr END AS incremental
+FROM sdp"""
+    agg = f"""{lines}{parse}
+, sds AS (
+    SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#'
+              || conv_id || '#'
+              || lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS okey
+    FROM sdp)
+, sdg AS (
+    SELECT *, MAX(CASE WHEN mtype = 'gauge' AND incr = 0 THEN okey END)
+              OVER (PARTITION BY mtype, bucket ORDER BY okey
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              AS nonincr_after
+    FROM sds)
+, sdc AS (
+    SELECT mtype, bucket, value_raw,
+           CASE WHEN mtype = 'counter' THEN vnum / srate
+                WHEN mtype = 'timer' THEN vnum
+                WHEN mtype = 'gauge' AND nonincr_after IS NULL THEN vnum
+           END AS contrib,
+           CASE WHEN mtype = 'timer' THEN vnum END AS tval,
+           CASE WHEN mtype = 'set' THEN value_raw END AS sval
+    FROM sdg)
+SELECT mtype, bucket, COUNT(*) AS n,
+       round(coalesce(SUM(contrib),
+                      CAST(COUNT(DISTINCT sval) AS DOUBLE)), 6) AS value,
+       MIN(tval) AS v_min, MAX(tval) AS v_max
+FROM sdc GROUP BY mtype, bucket"""
+    return {"statsd_source": source, "statsd_agg": agg}
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
+        **{k: c + v for k, v in _statsd_sql().items()},
         **{k: c + v for k, v in _sample_split_sql().items()},
         **{k: c + v for k, v in _curation_sql().items()},
         **{k: c + v for k, v in _sketch_sql().items()},

@@ -211,6 +211,111 @@ def read_kafka_stream(
         ) from e
 
 
+# statsd line grammar (plugins/in_statsd/statsd.c:142-190
+# statsd_process_line): `bucket:value|type[|@sample_rate]`.  The
+# reference splits on the FIRST ':' and the FIRST '|' (strchr), which
+# is exactly what the anchored `[^:]` / `[^|]` classes encode; a line
+# missing either separator is dropped with an error (the regex then
+# fails to match and every group extracts '').
+STATSD_SPLIT_RE = r"^([^:]+):([^|]*)\|(.*)$"
+
+
+def statsd_lines_from_transcripts(df: DataFrame) -> DataFrame:
+    """Deterministic statsd wire fixture: render each transcript turn
+    as one UDP line `bucket:value|type[|@rate]`, cycling through the
+    four metric types (counter/gauge/timer/set) by turn_idx, with
+    signed gauge deltas, fractional timer values, sampled rates
+    (including the `|@0` -> default-1.0 edge the reference's atof
+    handles at statsd.c:181), and two malformed shapes (no colon / no
+    bar) that exercise the drop paths at statsd.c:151,163.
+
+    Pure JVM expressions so the DuckDB oracle can render the identical
+    strings (_statsd_lines_sql in flagship_oracle.py)."""
+    ln = F.length("text").cast("string")
+    t = F.col("turn_idx")
+    bucket = F.concat(
+        F.lit("turns."),
+        F.coalesce(F.col("role"), F.lit("none")),
+        F.lit("."),
+        F.coalesce(F.col("tool"), F.lit("none")),
+    )
+    m = t % 4
+    gauge_val = (
+        F.when(t % 3 == 0, F.concat(F.lit("+"), ln))
+        .when(t % 3 == 1, F.concat(F.lit("-"), ln))
+        .otherwise(ln)
+    )
+    value = (
+        F.when(m == 0, ln)
+        .when(m == 1, gauge_val)
+        .when(m == 2, F.concat(ln, F.lit(".5")))
+        .otherwise(F.col("conv_id"))
+    )
+    mtype = (
+        F.when(m == 0, "c").when(m == 1, "g").when(m == 2, "ms").otherwise("s")
+    )
+    rate = (
+        F.when(t % 5 == 0, F.lit("|@0.5"))
+        .when(t % 7 == 0, F.lit("|@0"))
+        .otherwise(F.lit(""))
+    )
+    line = (
+        F.when(t % 11 == 0, F.lit("malformed statsd datagram no separators"))
+        .when(t % 13 == 0, F.concat(bucket, F.lit(":42")))
+        .otherwise(F.concat(bucket, F.lit(":"), value, F.lit("|"), mtype, rate))
+    )
+    return df.select("conv_id", "turn_idx", "ts", line.alias("line"))
+
+
+def parse_statsd(df: DataFrame, line_col: str = "line", keep: tuple = ()) -> DataFrame:
+    """in_statsd datagram parsing (plugins/in_statsd/statsd.c:142
+    statsd_process_line + :87 statsd_process_message), per-line:
+
+    - bucket = text before the first ':', value = between ':' and the
+      first '|', type token = after the '|';
+    - type by the token's FIRST character (statsd.c:68 get_statsd_type):
+      'g' gauge, 's' set, 'c' counter, 'm' followed by 's' timer,
+      anything else counter;
+    - sample_rate parsed from a `|@` suffix with atof semantics
+      (missing, unparseable, or 0 -> 1.0; statsd.c:181);
+    - per-type field presence mirrors the packed maps (statsd.c:95-137):
+      value is numeric (atof -> 0.0 fallback) for counter/gauge/timer
+      and the raw string for set; sample_rate only counter/timer;
+      incremental (leading '+'/'-', statsd.c:84) only gauge;
+    - lines missing a separator are dropped (reference logs and skips).
+
+    Whole-stage-codegen regexp splits, no Python."""
+    l = F.col(line_col)
+    bucket = F.nullif(F.regexp_extract(l, STATSD_SPLIT_RE, 1), F.lit(""))
+    value_raw = F.regexp_extract(l, STATSD_SPLIT_RE, 2)
+    typepart = F.nullif(F.regexp_extract(l, STATSD_SPLIT_RE, 3), F.lit(""))
+    t0 = F.substring(typepart, 1, 1)
+    mtype = (
+        F.when(t0 == "g", "gauge")
+        .when(t0 == "s", "set")
+        .when(t0 == "c", "counter")
+        .when((t0 == "m") & (F.substring(typepart, 2, 1) == "s"), "timer")
+        .otherwise("counter")
+    )
+    rate_tok = F.nullif(F.regexp_extract(typepart, r"\|@(.*)$", 1), F.lit(""))
+    rate_num = F.coalesce(rate_tok.try_cast("double"), F.lit(0.0))
+    sample_rate = F.when(rate_num == 0.0, F.lit(1.0)).otherwise(rate_num)
+    value_num = F.coalesce(value_raw.try_cast("double"), F.lit(0.0))
+    incremental = (
+        F.substring(value_raw, 1, 1).isin("+", "-").cast("int")
+    )
+    out = df.select(
+        *[F.col(k) for k in keep],
+        bucket.alias("bucket"),
+        mtype.alias("mtype"),
+        F.when(mtype != "set", value_num).alias("value_num"),
+        F.when(mtype == "set", value_raw).alias("value_str"),
+        F.when(mtype.isin("counter", "timer"), sample_rate).alias("sample_rate"),
+        F.when(mtype == "gauge", incremental).alias("incremental"),
+    )
+    return out.where(F.col("bucket").isNotNull())
+
+
 # Stock RFC5424 parser regex (conf/parsers.conf:65 `syslog-rfc5424`),
 # named groups dropped for Java numbered extraction; the nested group
 # inside extradata is flattened (same language).  `[^ ]+` is kept as in

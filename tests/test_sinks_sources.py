@@ -387,3 +387,70 @@ def test_parse_syslog_rfc5424_nil_and_offset_stamps(spark):
     assert rows[0].pri == 14 and rows[0].stime == "-"
     assert rows[0].event_time is None
     assert rows[1].event_time is None and rows[1].message == "msg"
+
+
+def test_parse_statsd_grammar_and_types(spark):
+    from fluent_bit_spark.sources import parse_statsd
+
+    lines = [
+        ("a", "cpu.load:12|c"),                 # plain counter
+        ("b", "cpu.load:3|c|@0.5"),             # sampled counter
+        ("c", "mem.free:+5|g"),                 # incremental gauge
+        ("d", "mem.free:-2|g"),                 # negative delta gauge
+        ("e", "req.time:42.5|ms|@0"),           # timer, @0 -> rate 1.0
+        ("f", "users:alice|s"),                 # set keeps raw string
+        ("g", "weird:7|x"),                     # unknown type -> counter
+        ("h", "weird:7|m"),                     # 'm' without 's' -> counter
+        ("i", "no-colon-line"),                 # dropped: no bucket
+        ("j", "bucket:42"),                     # dropped: no type bar
+        ("k", "junk:abc|c"),                    # atof fallback -> 0.0
+    ]
+    df = spark.createDataFrame(lines, ["id", "line"])
+    rows = {r.id: r for r in parse_statsd(df, keep=("id",)).collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e", "f", "g", "h", "k"}
+    assert rows["a"].mtype == "counter" and rows["a"].value_num == 12.0
+    assert rows["a"].sample_rate == 1.0 and rows["a"].incremental is None
+    assert rows["b"].sample_rate == 0.5
+    assert rows["c"].mtype == "gauge" and rows["c"].incremental == 1
+    assert rows["c"].value_num == 5.0 and rows["c"].sample_rate is None
+    assert rows["d"].incremental == 1 and rows["d"].value_num == -2.0
+    assert rows["e"].mtype == "timer" and rows["e"].sample_rate == 1.0
+    assert rows["e"].value_num == 42.5
+    assert rows["f"].mtype == "set" and rows["f"].value_str == "alice"
+    assert rows["f"].value_num is None and rows["f"].sample_rate is None
+    assert rows["g"].mtype == "counter"
+    assert rows["h"].mtype == "counter"
+    assert rows["k"].value_num == 0.0
+
+
+def test_statsd_flush_semantics(spark):
+    from fluent_bit_spark.operators.aggregate import statsd_flush
+    from fluent_bit_spark.sources import parse_statsd
+
+    # gauge story: delta before the last absolute write is discarded,
+    # deltas after it accumulate: +10 (dead), =100, +5, -3 -> 102
+    lines = [
+        ("01", "g.a:+10|g"),
+        ("02", "g.a:100|g"),
+        ("03", "g.a:+5|g"),
+        ("04", "g.a:-3|g"),
+        ("05", "g.b:+4|g"),   # no absolute write ever: bare delta sum
+        ("06", "g.b:-1|g"),
+        ("07", "c.a:10|c|@0.5"),  # rate-corrected: 20
+        ("08", "c.a:1|c"),        # +1 -> 21
+        ("09", "t.a:10.5|ms"),
+        ("10", "t.a:2|ms"),
+        ("11", "s.a:x|s"),
+        ("12", "s.a:y|s"),
+        ("13", "s.a:x|s"),
+    ]
+    df = spark.createDataFrame(lines, ["okey", "line"])
+    out = statsd_flush(parse_statsd(df, keep=("okey",)))
+    got = {(r.mtype, r.bucket): r for r in out.collect()}
+    assert got[("gauge", "g.a")].value == 102.0
+    assert got[("gauge", "g.b")].value == 3.0
+    assert got[("counter", "c.a")].value == 21.0
+    t = got[("timer", "t.a")]
+    assert (t.value, t.v_min, t.v_max, t.n) == (12.5, 2.0, 10.5, 2)
+    s = got[("set", "s.a")]
+    assert s.value == 2.0 and s.v_min is None and s.n == 3
