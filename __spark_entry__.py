@@ -2284,6 +2284,33 @@ def _q_strat_sample(spark, sf_dir):
     )
 
 
+def _q_template_mine(spark, sf_dir):
+    from fluent_bit_spark.operators.parse import template_mine
+
+    return template_mine(_transcripts(spark, sf_dir), min_groups=3)
+
+
+def _q_retention_budget(spark, sf_dir):
+    from fluent_bit_spark.operators.route import explode_routes
+    from fluent_bit_spark.sinks import retention_by_budget
+
+    return retention_by_budget(
+        explode_routes(_routed(spark, sf_dir)), budget_bytes=30_000
+    )
+
+
+def _q_watermark_report(spark, sf_dir):
+    from fluent_bit_spark.metrics import partition_watermarks
+
+    return partition_watermarks(_transcripts(spark, sf_dir), n_buckets=16)
+
+
+def _q_skew_report(spark, sf_dir):
+    from fluent_bit_spark.operators.skew import skew_report
+
+    return skew_report(_transcripts(spark, sf_dir), topk=20)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2534,6 +2561,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": _q_tool_latency,
         "statsd_source": _q_statsd_source,
         "statsd_agg": _q_statsd_agg,
+        "template_mine": _q_template_mine,
+        "retention_budget": _q_retention_budget,
+        "watermark_report": _q_watermark_report,
+        "skew_report": _q_skew_report,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

@@ -104,3 +104,38 @@ def summarize_counts(df: DataFrame, keys: list[str], bytes_col: str | None = "te
     if bytes_col and bytes_col in df.columns:
         aggs.append(F.sum(F.length(bytes_col)).alias("bytes"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def partition_watermarks(
+    df: DataFrame,
+    n_buckets: int = 16,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-partition watermark + lineage metrics: bucket rows by a
+    portable hash of the conversation key (md5-slice — the same
+    engine-agnostic convention the dedup/sketch family uses) and report
+    each bucket's high/low watermark, row count, and distinct-key
+    count. This is the table `ResumableBatchJob` checkpoints per
+    partition (checkpoint.py): a killed run replays only buckets whose
+    recorded watermark trails the source's, never reprocessing finished
+    ones — the north rule's "per-partition watermarks with lineage +
+    metrics" as a queryable frame.
+
+    Scale shape: one groupBy on a 16-way (configurable) bucket id with
+    map-side partial min/max/count; distinct keys per bucket are exact
+    but bucket-local, so no global distinct shuffle.
+    """
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    bucket = (md5_32(F.col(key_col)) % F.lit(n_buckets)).cast("int")
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.max(F.col(ts_col)).alias("watermark"),
+            F.min(F.col(ts_col)).alias("low_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(key_col)).alias("n_keys"),
+        )
+    )

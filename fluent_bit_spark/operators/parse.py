@@ -317,3 +317,41 @@ def decode_field_escaped(df: DataFrame, field: str, out: str | None = None) -> D
         c = F.regexp_replace(c, esc, rep)
     c = F.regexp_replace(c, sentinel, "\\\\")
     return df.withColumn(out or field, c)
+
+
+def template_mine(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "conv_id",
+    min_groups: int = 3,
+) -> DataFrame:
+    """Log-template mining: collapse the variable tokens of each line —
+    IPv4 dotted quads, then any digit run — to typed placeholders and
+    group the resulting templates, keeping those that recur across at
+    least `min_groups` distinct conversations. The masking pass is the
+    core of Drain/Spell-style template extraction; the recurring
+    templates are the "log schema" a fleet emits (the discovery step
+    the reference leaves to the operator who hand-writes
+    parsers.conf regexes — conf/parsers.conf — automated).
+
+    Output: (template, n_turns, n_groups, sample) where sample is the
+    lexicographically-least raw line (deterministic exemplar).
+
+    Scale shape: masking is a shuffle-free map; the groupBy moves only
+    (template, group) pairs with map-side partial aggregation, and
+    templated log text collapses to a tiny distinct set by design.
+    """
+    tpl = F.regexp_replace(
+        F.col(text_col), r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"
+    )
+    tpl = F.regexp_replace(tpl, r"\d+", "<N>")
+    return (
+        df.withColumn("template", tpl)
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_distinct(F.col(group_col)).alias("n_groups"),
+            F.min(F.col(text_col)).alias("sample"),
+        )
+        .filter(F.col("n_groups") >= min_groups)
+    )

@@ -124,3 +124,45 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    topk: int = 20,
+) -> DataFrame:
+    """Heavy-hitter skew diagnostic: the top-`topk` keys by row count
+    with each key's exact share of the table in parts-per-million
+    (integer floor division — engine-exact, no float rounding). This is
+    the report that decides the salting/AQE-skew-split parameters for
+    the conv_id repartition (the north rule's "explicit skew handling"
+    made measurable): any key whose share_ppm exceeds
+    1e6/shuffle-partitions by a wide margin needs salting.
+
+    Scale shape: per-key counts get map-side partial aggregation; the
+    total is a scalar aggregate broadcast back; the top-k is a
+    TakeOrdered (per-partition pre-limit, never a global sort
+    materialization).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_sk_total"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            # integer DIV, not float /: exact rational floor in both
+            # engines (double division can land at 4999.999... and
+            # truncate differently than DuckDB's //)
+            "share_ppm",
+            F.expr("n_rows * CAST(1000000 AS BIGINT) div _sk_total"),
+        )
+        .orderBy(F.desc("n_rows"), F.col(key_col))
+        .limit(topk)
+    )
+    # unpartitioned window is safe here: it runs AFTER the limit, over
+    # at most `topk` rows (the WindowExec single-partition warning is
+    # about this bounded frame, not the table)
+    w = Window.orderBy(F.desc("n_rows"), F.col(key_col))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .select(key_col, "n_rows", "share_ppm", "rnk")
+    )

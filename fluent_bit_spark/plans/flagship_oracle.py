@@ -2455,6 +2455,71 @@ FROM es1"""
     }
 
 
+def _round3b_sql() -> dict[str, str]:
+    """Round-3 additions: log-template mining, per-sink byte-budget
+    retention (storage.total_limit_size), per-partition watermark
+    lineage, and the conv_id heavy-hitter skew report."""
+    template_mine = r"""
+, tm AS (SELECT conv_id, text,
+           regexp_replace(regexp_replace(text,
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+             '\d+', '<N>', 'g') AS template
+         FROM transcripts)
+SELECT template, COUNT(*) AS n_turns,
+       COUNT(DISTINCT conv_id) AS n_groups, MIN(text) AS sample
+FROM tm GROUP BY template HAVING COUNT(DISTINCT conv_id) >= 3"""
+
+    budget = 30_000
+    retention_budget = f"""
+, rb0 AS (SELECT sink, conv_id, turn_idx, ts,
+                 CAST(length(text) AS BIGINT) AS nbytes,
+                 date_trunc('day', ts) AS bkt FROM per_sink)
+, rb1 AS (SELECT sink, bkt, CAST(SUM(nbytes) AS BIGINT) AS btotal
+          FROM rb0 GROUP BY sink, bkt)
+, rb2 AS (SELECT sink, bkt, btotal,
+                 CAST(COALESCE(SUM(btotal) OVER (
+                     PARTITION BY sink ORDER BY bkt DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prior
+          FROM rb1)
+, rb3 AS (SELECT r.sink, r.conv_id, r.turn_idx, r.ts, r.nbytes, r.bkt,
+                 b.prior, b.btotal
+          FROM rb0 r JOIN rb2 b ON r.sink = b.sink AND r.bkt = b.bkt)
+SELECT sink, conv_id, turn_idx, ts, nbytes FROM rb3
+WHERE prior + btotal <= {budget}
+UNION ALL
+SELECT sink, conv_id, turn_idx, ts, nbytes FROM (
+  SELECT rb3.*, CAST(SUM(nbytes) OVER (PARTITION BY sink, bkt
+             ORDER BY ts DESC, conv_id, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM rb3 WHERE prior < {budget} AND prior + btotal > {budget})
+WHERE prior + cum <= {budget}"""
+
+    watermark_report = """
+, wm AS (SELECT (('0x'||substr(md5(conv_id),1,8))::BIGINT) % 16 AS bucket,
+                ts, conv_id FROM transcripts)
+SELECT CAST(bucket AS INT) AS bucket, MAX(ts) AS watermark,
+       MIN(ts) AS low_ts, COUNT(*) AS n_rows,
+       COUNT(DISTINCT conv_id) AS n_keys
+FROM wm GROUP BY bucket"""
+
+    skew_report = """
+, skc AS (SELECT conv_id, COUNT(*) AS n_rows FROM transcripts GROUP BY conv_id)
+, skt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM skc)
+, skr AS (SELECT conv_id, n_rows, n_rows * 1000000 // tot AS share_ppm,
+                 row_number() OVER (ORDER BY n_rows DESC, conv_id) AS rnk
+          FROM skc, skt)
+SELECT conv_id, n_rows, share_ppm, rnk FROM skr WHERE rnk <= 20"""
+
+    return {
+        "template_mine": template_mine,
+        "retention_budget": retention_budget,
+        "watermark_report": watermark_report,
+        "skew_report": skew_report,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -2561,6 +2626,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _kmeans_sql().items()},
         **{k: c + v for k, v in _bm25_sql().items()},
         **{k: c + v for k, v in _round3_sql().items()},
+        **{k: c + v for k, v in _round3b_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

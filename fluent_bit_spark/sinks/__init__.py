@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.aggregate import counter, flowcounter
@@ -656,3 +656,71 @@ def fanout_write(
         return results
     finally:
         routed.unpersist()
+
+
+def retention_by_budget(
+    per_sink: DataFrame,
+    budget_bytes: int,
+    sink_col: str = "sink",
+    ts_col: str = "ts",
+    bytes_col: Column | None = None,
+    order_cols: tuple = ("conv_id", "turn_idx"),
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-sink byte-budget retention — the reference's
+    `storage.total_limit_size` (plugins enforce it per output: oldest
+    chunks are destroyed until the output's stored bytes fit the limit,
+    src/flb_storage.c / flb_output.h `total_limit_size`), re-expressed
+    declaratively: keep the NEWEST rows of each sink whose running byte
+    total stays within `budget_bytes`; everything older is dropped.
+
+    Two-phase cutoff so no sink ever needs a global row-ordered window
+    (a per-sink full-table cumsum would serialize a 100 TB sink onto
+    one reducer):
+
+      1. bucket totals: sum bytes per (sink, time bucket) — a tiny
+         frame (sinks x buckets) — and a newest-first cumulative sum
+         over it picks, per sink, the buckets kept in full and the ONE
+         boundary bucket that straddles the budget.
+      2. only boundary-bucket rows (bounded by bucket width) get the
+         row-level newest-first cumsum; full buckets pass through with
+         no window at all.
+
+    Row order within the budget is total and deterministic:
+    (ts DESC, *order_cols) — never arrival order.
+    """
+    nbytes = bytes_col if bytes_col is not None else F.length("text")
+    b = per_sink.withColumn("_rb_bytes", nbytes.cast("bigint")).withColumn(
+        "_rb_bkt", F.date_trunc(bucket, F.col(ts_col))
+    )
+    btot = b.groupBy(sink_col, "_rb_bkt").agg(
+        F.sum("_rb_bytes").alias("_rb_btotal")
+    )
+    wb = (
+        Window.partitionBy(sink_col)
+        .orderBy(F.desc("_rb_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = btot.withColumn(
+        "_rb_prior", F.coalesce(F.sum("_rb_btotal").over(wb), F.lit(0))
+    )
+    joined = b.join(F.broadcast(bcum), [sink_col, "_rb_bkt"])
+    keep_cols = [sink_col, *order_cols, ts_col, F.col("_rb_bytes").alias("nbytes")]
+    full = joined.filter(
+        F.col("_rb_prior") + F.col("_rb_btotal") <= F.lit(budget_bytes)
+    ).select(*keep_cols)
+    wr = (
+        Window.partitionBy(sink_col, "_rb_bkt")
+        .orderBy(F.desc(ts_col), *[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        joined.filter(
+            (F.col("_rb_prior") < F.lit(budget_bytes))
+            & (F.col("_rb_prior") + F.col("_rb_btotal") > F.lit(budget_bytes))
+        )
+        .withColumn("_rb_cum", F.sum("_rb_bytes").over(wr))
+        .filter(F.col("_rb_prior") + F.col("_rb_cum") <= F.lit(budget_bytes))
+        .select(*keep_cols)
+    )
+    return full.unionByName(boundary)

@@ -1,0 +1,90 @@
+"""Unit tests for the round-3 batch-1 operators: template mining,
+byte-budget retention, partition watermarks, skew report."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_template_mine_masks_and_thresholds(spark):
+    from fluent_bit_spark.operators.parse import template_mine
+
+    rows = [
+        ("c1", "GET /api/users/17 from 10.0.3.1 took 250ms"),
+        ("c2", "GET /api/users/99 from 10.9.0.250 took 3ms"),
+        ("c3", "GET /api/users/5 from 172.16.0.9 took 77ms"),
+        ("c1", "unique line no repeats 1"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "text"])
+    out = {r["template"]: r for r in template_mine(df, min_groups=3).collect()}
+    assert list(out) == ["GET /api/users/<N> from <IP> took <N>ms"]
+    row = out["GET /api/users/<N> from <IP> took <N>ms"]
+    assert row["n_turns"] == 3 and row["n_groups"] == 3
+    # deterministic exemplar: lexicographic min of the raw lines
+    assert row["sample"] == "GET /api/users/17 from 10.0.3.1 took 250ms"
+
+
+def test_retention_by_budget_exact_cutoff(spark):
+    from fluent_bit_spark.sinks import retention_by_budget
+
+    # one sink, 3 day-buckets, 10 bytes per row; budget 45 bytes keeps
+    # the newest full day (30b), then 1 row of the boundary day (40b);
+    # the next boundary row would hit 50 > 45.
+    rows = [
+        ("s", f"c{i}", 0, _ts(day, hour), "x" * 10)
+        for day, nrows in ((3, 3), (2, 4), (1, 5))
+        for hour, i in zip(range(nrows), range(nrows))
+    ]
+    df = spark.createDataFrame(rows, ["sink", "conv_id", "turn_idx", "ts", "text"])
+    kept = retention_by_budget(df, budget_bytes=45).collect()
+    by_day = {}
+    for r in kept:
+        by_day.setdefault(r["ts"].day, []).append(r)
+    assert sorted(by_day) == [2, 3]
+    assert len(by_day[3]) == 3  # newest day fully kept
+    assert len(by_day[2]) == 1  # boundary day partially kept
+    # within the boundary day the NEWEST row wins (ts DESC order)
+    assert by_day[2][0]["ts"].hour == 3
+    assert all(r["nbytes"] == 10 for r in kept)
+
+
+def test_retention_keeps_everything_under_budget(spark):
+    from fluent_bit_spark.sinks import retention_by_budget
+
+    rows = [("s", "c", i, _ts(1, i), "abc") for i in range(4)]
+    df = spark.createDataFrame(rows, ["sink", "conv_id", "turn_idx", "ts", "text"])
+    assert retention_by_budget(df, budget_bytes=1000).count() == 4
+
+
+def test_partition_watermarks_cover_all_rows(spark, sf_dir):
+    from fluent_bit_spark.metrics import partition_watermarks
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, sf_dir)
+    wm = partition_watermarks(t, n_buckets=16).collect()
+    assert sum(r["n_rows"] for r in wm) == t.count()
+    assert all(0 <= r["bucket"] < 16 for r in wm)
+    assert all(r["low_ts"] <= r["watermark"] for r in wm)
+    # distinct conv keys partition cleanly across buckets
+    assert sum(r["n_keys"] for r in wm) == t.select("conv_id").distinct().count()
+
+
+def test_skew_report_orders_and_shares(spark):
+    from fluent_bit_spark.operators.skew import skew_report
+
+    rows = [("hot", i) for i in range(60)] + [
+        (f"cold{j}", i) for j in range(4) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx"])
+    rep = skew_report(df, topk=3).collect()
+    assert [r["conv_id"] for r in rep] == ["hot", "cold0", "cold1"]
+    assert [r["rnk"] for r in rep] == [1, 2, 3]
+    assert rep[0]["n_rows"] == 60
+    assert rep[0]["share_ppm"] == 600_000  # 60/100 exactly
+    assert rep[1]["share_ppm"] == 100_000
