@@ -2311,6 +2311,51 @@ def _q_skew_report(spark, sf_dir):
     return skew_report(_transcripts(spark, sf_dir), topk=20)
 
 
+def _q_conv_branching(spark, sf_dir):
+    """Branch canonicalization over synthesized regenerations: every
+    (conv, turn) slot whose md5 lands on 0 mod 7 gains a 'regen: '
+    variant one hour later — exactly those slots must resolve to the
+    regenerated text with n_branches=2, everything else passes through
+    with n_branches=1."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.transcript_qa import canonical_branch
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text", "ts")
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    forks = t.filter(md5_32(key) % 7 == 0).select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit("regen: "), F.col("text")).alias("text"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    return canonical_branch(t.unionByName(forks))
+
+
+def _q_tool_reliability(spark, sf_dir):
+    """Wilson lower-bound reliability ranking per tool (error = parsed
+    event name 'error')."""
+    from fluent_bit_spark.operators.aggregate import reliability_report
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    p = parse_stage(_transcripts(spark, sf_dir))
+    err = F.coalesce(F.col("evt_name") == "error", F.lit(False))
+    return reliability_report(p, key_col="tool", err_col=err)
+
+
+def _q_fuzzy_contam(spark, sf_dir):
+    """MinHash near-dup decontamination vs a synthesized benchmark:
+    every 25th doc plus a 5-token suffix — long docs stay above
+    Jaccard 0.8 and must flag, short ones fall below and must not."""
+    from fluent_bit_spark.operators.curation import minhash_contam
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.concat("text", F.lit(" held out eval set 2024")).alias("text"),
+    )
+    return minhash_contam(d, bench, threshold=0.8, num_perm=64, bands=32)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2565,6 +2610,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_budget": _q_retention_budget,
         "watermark_report": _q_watermark_report,
         "skew_report": _q_skew_report,
+        "conv_branching": _q_conv_branching,
+        "tool_reliability": _q_tool_reliability,
+        "fuzzy_contam": _q_fuzzy_contam,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

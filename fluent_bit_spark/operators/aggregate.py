@@ -395,3 +395,48 @@ def statsd_flush(
         F.min(F.when(F.col("mtype") == "timer", F.col("value_num"))).alias("v_min"),
         F.max(F.when(F.col("mtype") == "timer", F.col("value_num"))).alias("v_max"),
     )
+
+
+def reliability_report(
+    df: DataFrame,
+    key_col: str = "tool",
+    err_col=None,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-key reliability ranking with a Wilson score lower bound:
+    the raw error rate over-ranks keys with tiny samples (1 error in 1
+    call looks worse than 90 in 100), so SLO dashboards rank by the
+    95% lower confidence bound instead. Output per non-null key:
+    (key, n_turns, n_errs, err_rate, wilson_lb). All math is +,*,/ and
+    one sqrt — every step IEEE-correctly-rounded, so Spark and DuckDB
+    produce bit-identical doubles from the same expression tree.
+
+    Scale shape: one low-cardinality groupBy (map-side combine); the
+    Wilson expression is a shuffle-free scalar pass over the aggregate.
+    """
+    err = err_col if err_col is not None else F.col("is_err")
+    agg = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(err.cast("long")).alias("n_errs"),
+        )
+    )
+    n = F.col("n_turns").cast("double")
+    e = F.col("n_errs").cast("double")
+    zl = F.lit(z)
+    z2 = F.lit(z) * F.lit(z)
+    phat = e / n
+    lb = (
+        phat
+        + z2 / (F.lit(2.0) * n)
+        - zl * F.sqrt((phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        key_col,
+        "n_turns",
+        "n_errs",
+        F.round(phat, 6).alias("err_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )

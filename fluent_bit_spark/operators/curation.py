@@ -813,3 +813,60 @@ def quality_classifier(
         score.alias("score"),
         (score >= threshold).alias("keep"),
     )
+
+
+def minhash_contam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    bench_offset: int = 5_000_000,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: `contamination_flags` catches
+    verbatim n-gram overlap, but a training doc that paraphrases or
+    lightly edits an eval item slips through exact matching. This runs
+    ONE banded MinHash-LSH pass over corpus ∪ benchmark (benchmark ids
+    offset so pairs orient corpus→bench), keeps the exact-Jaccard-
+    verified pairs that cross the corpus/benchmark boundary, and
+    reports per contaminated corpus doc: how many benchmark items it
+    near-duplicates and the worst (max) Jaccard.
+
+    Scale shape: identical to dedup_minhash — banded equi-join, never
+    corpus × benchmark; the benchmark side rides the same signature
+    pipeline instead of a second bespoke one.
+    """
+    from fluent_bit_spark.operators.dedup import minhash_dedup_pairs
+
+    u = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        benchmark.select(
+            (F.col(id_col) + F.lit(bench_offset)).alias(id_col),
+            F.col(text_col),
+        )
+    )
+    pairs = minhash_dedup_pairs(
+        u,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    # candidate pairs are emitted id_a < id_b, so the boundary filter is
+    # exactly "a in corpus, b in benchmark"
+    cross = pairs.filter(
+        (F.col("id_a") < F.lit(bench_offset))
+        & (F.col("id_b") >= F.lit(bench_offset))
+    )
+    return (
+        cross.select(F.col("id_a").alias(id_col), "jaccard")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bench"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -650,3 +650,36 @@ def tool_args_report(qa: DataFrame) -> DataFrame:
             F.sum(F.col("valid").cast("long")) / F.count("*"), 6
         ).alias("valid_rate"),
     )
+
+
+def canonical_branch(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Branch / regeneration canonicalization: real transcript stores
+    accumulate multiple rows for the same (conv, turn) slot — a user
+    regenerated the response, a retry double-wrote, a fork landed on
+    the same index. Keep the LATEST variant per slot (max event ts,
+    text as the deterministic tiebreak) and report how many branches
+    the slot had, so downstream training only ever sees one timeline.
+
+    Scale shape: a single groupBy on (conv, turn) with `max(struct)` —
+    map-side partial aggregation collapses branches before the shuffle
+    (a window row_number would shuffle every branch row).
+    """
+    agg = df.groupBy(conv_col, turn_col).agg(
+        F.max(
+            F.struct(F.col(ts_col).alias("ts"), F.col(text_col).alias("text"))
+        ).alias("_br"),
+        F.count(F.lit(1)).alias("n_branches"),
+    )
+    return agg.select(
+        conv_col,
+        turn_col,
+        F.col("_br.text").alias(text_col),
+        F.col("_br.ts").alias(ts_col),
+        "n_branches",
+    )

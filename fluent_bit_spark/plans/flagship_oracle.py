@@ -2512,11 +2512,73 @@ FROM wm GROUP BY bucket"""
           FROM skc, skt)
 SELECT conv_id, n_rows, share_ppm, rnk FROM skr WHERE rnk <= 20"""
 
+    conv_branching = """
+, cb0 AS (SELECT conv_id, turn_idx, text, ts FROM transcripts
+          UNION ALL
+          SELECT conv_id, turn_idx, 'regen: ' || text AS text,
+                 ts + INTERVAL 1 HOUR AS ts
+          FROM transcripts
+          WHERE (('0x'||substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),1,8))::BIGINT) % 7 = 0)
+, cb1 AS (SELECT conv_id, turn_idx, text, ts,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY ts DESC, text DESC) AS rk,
+                 COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS n_branches
+          FROM cb0)
+SELECT conv_id, turn_idx, text, ts, n_branches FROM cb1 WHERE rk = 1"""
+
+    # expression tree mirrors operators/aggregate.reliability_report
+    # term-for-term: +,*,/ and sqrt are IEEE-correctly-rounded, so the
+    # doubles agree bitwise, not just within tolerance
+    wilson = (
+        "(e/n + (1.96*1.96)/(2.0*n) - "
+        "1.96*sqrt(((e/n)*(1.0 - (e/n)) + (1.96*1.96)/(4.0*n))/n)) "
+        "/ (1.0 + (1.96*1.96)/n)"
+    )
+    tool_reliability = f"""
+, tr1 AS (SELECT tool, COUNT(*) AS n_turns,
+                 CAST(SUM(CASE WHEN coalesce(evt_name = 'error', FALSE)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_errs
+          FROM unified WHERE tool IS NOT NULL GROUP BY tool)
+, tr2 AS (SELECT tool, n_turns, n_errs,
+                 CAST(n_turns AS DOUBLE) AS n, CAST(n_errs AS DOUBLE) AS e
+          FROM tr1)
+SELECT tool, n_turns, n_errs, round(e/n, 6) AS err_rate,
+       round({wilson}, 6) AS wilson_lb
+FROM tr2"""
+
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    fuzzy_contam = (
+        """
+, contam_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id,
+           text || ' held out eval set 2024' AS text
+    FROM documents WHERE doc_id % 25 = 0)"""
+        + _minhash_ctes(64, 32, 3, "contam_docs")
+        + f"""
+, fcp AS (
+    SELECT id_a, id_b, round({jac}, 6) AS jaccard
+    FROM mh_cand
+    JOIN mh_sig sa ON sa.id = id_a
+    JOIN mh_sig sb ON sb.id = id_b
+    WHERE {jac} >= 0.8 AND id_a < 5000000 AND id_b >= 5000000)
+SELECT id_a AS doc_id, COUNT(*) AS n_bench, MAX(jaccard) AS max_jaccard
+FROM fcp GROUP BY id_a"""
+    )
+
     return {
         "template_mine": template_mine,
         "retention_budget": retention_budget,
         "watermark_report": watermark_report,
         "skew_report": skew_report,
+        "conv_branching": conv_branching,
+        "tool_reliability": tool_reliability,
+        "fuzzy_contam": fuzzy_contam,
     }
 
 

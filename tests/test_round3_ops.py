@@ -88,3 +88,57 @@ def test_skew_report_orders_and_shares(spark):
     assert rep[0]["n_rows"] == 60
     assert rep[0]["share_ppm"] == 600_000  # 60/100 exactly
     assert rep[1]["share_ppm"] == 100_000
+
+
+def test_canonical_branch_keeps_latest(spark):
+    from fluent_bit_spark.operators.transcript_qa import canonical_branch
+
+    rows = [
+        ("c1", 0, "first try", _ts(1, 0)),
+        ("c1", 0, "regenerated", _ts(1, 2)),
+        ("c1", 1, "only", _ts(1, 3)),
+        ("c2", 0, "tie-a", _ts(2, 0)),
+        ("c2", 0, "tie-b", _ts(2, 0)),  # same ts: text DESC breaks the tie
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text", "ts"])
+    out = {(r["conv_id"], r["turn_idx"]): r for r in canonical_branch(df).collect()}
+    assert out[("c1", 0)]["text"] == "regenerated"
+    assert out[("c1", 0)]["n_branches"] == 2
+    assert out[("c1", 1)]["n_branches"] == 1
+    assert out[("c2", 0)]["text"] == "tie-b"
+
+
+def test_reliability_report_wilson_math(spark):
+    from fluent_bit_spark.operators.aggregate import reliability_report
+    import math
+
+    # 1/1 errors vs 90/100: raw rate ranks t1 worse, Wilson ranks t2 worse
+    rows = [("t1", True)] + [("t2", i < 90) for i in range(100)]
+    df = spark.createDataFrame(rows, ["tool", "is_err"])
+    out = {r["tool"]: r for r in reliability_report(df).collect()}
+    assert out["t1"]["err_rate"] == 1.0 and out["t2"]["err_rate"] == 0.9
+    assert out["t1"]["wilson_lb"] < out["t2"]["wilson_lb"]
+
+    def wilson(e, n, z=1.96):
+        p = e / n
+        return (p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+            1 + z * z / n
+        )
+
+    assert abs(out["t2"]["wilson_lb"] - wilson(90, 100)) < 1e-6
+
+
+def test_minhash_contam_boundary_only(spark):
+    from fluent_bit_spark.operators.curation import minhash_contam
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(7, base + " x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in minhash_contam(corpus, bench, threshold=0.7).collect()}
+    # docs 1 and 2 near-duplicate the bench item; doc 3 does not; the
+    # corpus-corpus pair (1,2) must NOT appear (boundary filter)
+    assert set(out) == {1, 2}
+    assert all(r["n_bench"] == 1 for r in out.values())
