@@ -2356,6 +2356,48 @@ def _q_fuzzy_contam(spark, sf_dir):
     return minhash_contam(d, bench, threshold=0.8, num_perm=64, bands=32)
 
 
+def _q_reply_latency(spark, sf_dir):
+    from fluent_bit_spark.operators.transcript_qa import reply_latency
+
+    return reply_latency(_transcripts(spark, sf_dir))
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier screen over logfmt latencies with injected
+    50x spikes (md5 mod 37) — exactly the spikes must flag."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.sketch import mad_outliers
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    p = parse_stage(_transcripts(spark, sf_dir)).filter(
+        F.col("latency_cents").isNotNull()
+    )
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    spiked = p.select(
+        "conv_id",
+        "turn_idx",
+        F.when(md5_32(key) % 37 == 0, F.col("latency_cents") * 50)
+        .otherwise(F.col("latency_cents"))
+        .alias("latency_cents"),
+    )
+    return mad_outliers(spiked, "latency_cents", width=16)
+
+
+def _q_zonemap_prune(spark, sf_dir):
+    """Day-partition zone maps + prune verdicts for a mid-month
+    ts-range predicate: the scan-planning table itself."""
+    import datetime as _dtm
+
+    from fluent_bit_spark.sources import prune_flags, zone_maps
+
+    zm = zone_maps(
+        _transcripts(spark, sf_dir), F.date_trunc("day", F.col("ts"))
+    )
+    return prune_flags(
+        zm, _dtm.datetime(2024, 1, 10), _dtm.datetime(2024, 1, 20)
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2613,6 +2655,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_branching": _q_conv_branching,
         "tool_reliability": _q_tool_reliability,
         "fuzzy_contam": _q_fuzzy_contam,
+        "reply_latency": _q_reply_latency,
+        "mad_outliers": _q_mad_outliers,
+        "zonemap_prune": _q_zonemap_prune,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

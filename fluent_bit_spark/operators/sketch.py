@@ -437,3 +437,56 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    width: int = 16,
+    z_thresh: float = 3.5,
+    consistency: float = 0.6745,
+) -> DataFrame:
+    """Robust outlier detection with the modified z-score
+    (Iglewicz–Hoaglin): robust_z = 0.6745 * (x - median) / MAD, flag
+    |robust_z| > 3.5. Mean/stddev z-scores move with the outliers they
+    hunt; median/MAD don't — this is the screen that survives a burst
+    of pathological latencies.
+
+    Median and MAD come from the bounded-memory `hist_quantiles`
+    estimate (exact-on-grid, within `width` of the true value — see
+    hist_quantiles), NOT an exact percentile that would shuffle every
+    value to rank at 100 TB. `value_col` must be integral so both
+    estimates are integers and robust_z is the same IEEE double in
+    every engine.
+
+    Scale shape: two bounded bucket-count passes (#buckets keys each)
+    plus two 1-row broadcasts back onto the row stream; no row-level
+    sort anywhere.
+    """
+    vals = df.filter(F.col(value_col).isNotNull())
+    med = hist_quantiles(vals, value_col, qs=(0.5,), width=width).select(
+        F.col("hi").alias("_med")
+    )
+    staged = vals.crossJoin(F.broadcast(med)).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = hist_quantiles(staged, "_dev", qs=(0.5,), width=width).select(
+        F.col("hi").alias("_mad")
+    )
+    scored = staged.crossJoin(F.broadcast(mad)).withColumn(
+        "robust_z",
+        F.round(
+            F.lit(consistency)
+            * (F.col(value_col) - F.col("_med")).cast("double")
+            / F.col("_mad").cast("double"),
+            6,
+        ),
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > z_thresh).select(
+        *id_cols,
+        value_col,
+        F.col("_med").alias("med_est"),
+        F.col("_mad").alias("mad_est"),
+        "robust_z",
+    )

@@ -683,3 +683,44 @@ def canonical_branch(
         F.col("_br.ts").alias(ts_col),
         "n_branches",
     )
+
+
+def reply_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assistant response-time extraction: for every assistant turn
+    that directly follows a user turn (normalized roles), emit the
+    wait in exact integer microseconds. The latency distribution per
+    model/fleet is the first SLO chart any serving dashboard wants,
+    and the per-reply rows feed percentile/outlier ops downstream.
+
+    Scale shape: one conv-partitioned window (bounded by conversation
+    length, the same co-location every sequence op here uses); the
+    output is integer µs, so any downstream aggregate is
+    summation-order independent.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    staged = df.withColumns(
+        {
+            "_nrole": norm_role_col(F.col(role_col)),
+            "_prev_role": norm_role_col(F.lag(role_col).over(w)),
+            "_prev_ts": F.lag(ts_col).over(w),
+        }
+    )
+    return staged.filter(
+        (F.col("_nrole") == "assistant") & (F.col("_prev_role") == "user")
+    ).select(
+        conv_col,
+        idx_col,
+        (
+            # transcripts carry TIMESTAMP_NTZ; unix_micros wants LTZ.
+            # The session TZ is pinned UTC, and this is a difference,
+            # so the conversion cancels exactly either way.
+            F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+            - F.unix_micros(F.col("_prev_ts").cast("timestamp_ltz"))
+        ).alias("wait_us"),
+    )

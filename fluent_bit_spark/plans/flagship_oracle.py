@@ -2571,6 +2571,53 @@ SELECT id_a AS doc_id, COUNT(*) AS n_bench, MAX(jaccard) AS max_jaccard
 FROM fcp GROUP BY id_a"""
     )
 
+    rc = "".join(f" WHEN '{raw}' THEN '{norm}'" for raw, norm in ROLE_MAP)
+    reply_latency = f"""
+, rl0 AS (SELECT conv_id, turn_idx, ts,
+                 coalesce(CASE role{rc} END, 'other') AS nrole
+          FROM transcripts)
+, rl1 AS (SELECT conv_id, turn_idx, nrole, ts,
+                 lag(nrole) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole,
+                 lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts
+          FROM rl0)
+SELECT conv_id, turn_idx, epoch_us(ts) - epoch_us(pts) AS wait_us
+FROM rl1 WHERE nrole = 'assistant' AND prole = 'user'"""
+
+    # mirrors sketch.mad_outliers: hist-median (width 16) of the spiked
+    # latencies, hist-median of |v - med|, modified z-score filter
+    mad_outliers = """
+, mo0 AS (SELECT conv_id, turn_idx,
+    CASE WHEN (('0x'||substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),1,8))::BIGINT) % 37 = 0
+         THEN latency_cents * 50 ELSE latency_cents END AS v
+  FROM unified WHERE latency_cents IS NOT NULL)
+, mob AS (SELECT v // 16 AS bucket, COUNT(*) AS n FROM mo0 GROUP BY 1)
+, moc AS (SELECT bucket, CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM mob)
+, mom AS (SELECT bucket*16 + 15 AS med FROM moc
+          WHERE cum_n >= ceil(0.5 * n_total) ORDER BY bucket LIMIT 1)
+, mod0 AS (SELECT mo0.*, med, abs(v - med) AS dev FROM mo0, mom)
+, modb AS (SELECT dev // 16 AS bucket, COUNT(*) AS n FROM mod0 GROUP BY 1)
+, modc AS (SELECT bucket, CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+                 CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM modb)
+, modm AS (SELECT bucket*16 + 15 AS mad FROM modc
+           WHERE cum_n >= ceil(0.5 * n_total) ORDER BY bucket LIMIT 1)
+, moz AS (SELECT conv_id, turn_idx, v, med, mad,
+                 round(0.6745 * CAST(v - med AS DOUBLE) / CAST(mad AS DOUBLE), 6) AS robust_z
+          FROM mod0, modm)
+SELECT conv_id, turn_idx, v AS latency_cents, med AS med_est,
+       mad AS mad_est, robust_z
+FROM moz WHERE abs(robust_z) > 3.5"""
+
+    zonemap_prune = """
+, zm AS (SELECT date_trunc('day', ts) AS part, COUNT(*) AS n_rows,
+                MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                MIN(conv_id) AS min_key, MAX(conv_id) AS max_key
+         FROM transcripts GROUP BY date_trunc('day', ts))
+SELECT part, n_rows, min_ts, max_ts, min_key, max_key,
+       (max_ts < TIMESTAMP '2024-01-10 00:00:00'
+        OR min_ts >= TIMESTAMP '2024-01-20 00:00:00') AS pruned
+FROM zm"""
+
     return {
         "template_mine": template_mine,
         "retention_budget": retention_budget,
@@ -2579,6 +2626,9 @@ FROM fcp GROUP BY id_a"""
         "conv_branching": conv_branching,
         "tool_reliability": tool_reliability,
         "fuzzy_contam": fuzzy_contam,
+        "reply_latency": reply_latency,
+        "mad_outliers": mad_outliers,
+        "zonemap_prune": zonemap_prune,
     }
 
 

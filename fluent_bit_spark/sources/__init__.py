@@ -373,3 +373,37 @@ def parse_syslog_rfc5424(
         g(7).alias("extradata"),
         g(8).alias("message"),
     )
+
+
+def zone_maps(
+    df: DataFrame,
+    part_col: Column,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Partition zone maps — per-partition min/max statistics over the
+    clustering columns, the scan-planning table an Iceberg/parquet
+    layout keeps in its manifests. `prune_flags` then answers "which
+    partitions can a predicate skip entirely" WITHOUT touching data —
+    the planning step that makes a ts-range query over a 10^12-turn
+    table read days, not the whole table.
+
+    Scale shape: one groupBy on the partition expression (map-side
+    min/max combine); output is #partitions rows.
+    """
+    return df.groupBy(part_col.alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    )
+
+
+def prune_flags(zmaps: DataFrame, lo, hi, ts_lo: str = "min_ts", ts_hi: str = "max_ts") -> DataFrame:
+    """Mark each zone-map partition prunable for the half-open
+    timestamp predicate [lo, hi): disjoint iff the partition's range
+    ends before `lo` or starts at/after `hi`."""
+    return zmaps.withColumn(
+        "pruned", (F.col(ts_hi) < F.lit(lo)) | (F.col(ts_lo) >= F.lit(hi))
+    )

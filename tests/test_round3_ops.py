@@ -142,3 +142,49 @@ def test_minhash_contam_boundary_only(spark):
     # corpus-corpus pair (1,2) must NOT appear (boundary filter)
     assert set(out) == {1, 2}
     assert all(r["n_bench"] == 1 for r in out.values())
+
+
+def test_reply_latency_pairs_only(spark):
+    from fluent_bit_spark.operators.transcript_qa import reply_latency
+
+    rows = [
+        ("c1", 0, "human", _ts(1, 0)),       # user (normalized)
+        ("c1", 1, "ai", _ts(1, 2)),          # assistant after user -> 2h wait
+        ("c1", 2, "assistant", _ts(1, 3)),   # assistant after assistant -> no row
+        ("c1", 3, "system", _ts(1, 4)),
+        ("c1", 4, "assistant", _ts(1, 5)),   # after system -> no row
+        ("c2", 0, "assistant", _ts(2, 0)),   # first turn -> no row
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+    out = reply_latency(df).collect()
+    assert len(out) == 1
+    assert out[0]["turn_idx"] == 1
+    assert out[0]["wait_us"] == 2 * 3600 * 1_000_000
+
+
+def test_mad_outliers_flags_spikes_only(spark):
+    from fluent_bit_spark.operators.sketch import mad_outliers
+
+    rows = [("c", i, 100 + (i % 7)) for i in range(50)] + [("c", 99, 50_000)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "latency_cents"])
+    out = mad_outliers(df, "latency_cents", width=16).collect()
+    assert [r["turn_idx"] for r in out] == [99]
+    assert abs(out[0]["robust_z"]) > 3.5
+    # estimates are grid-quantized integers (hist hi edges)
+    assert out[0]["med_est"] % 16 == 15 and out[0]["mad_est"] % 16 == 15
+
+
+def test_zone_maps_prune(spark):
+    import datetime as dt
+
+    from fluent_bit_spark.sources import prune_flags, zone_maps
+
+    rows = [("c1", dt.datetime(2024, 1, d, 12)) for d in (1, 2, 10, 25)]
+    df = spark.createDataFrame(rows, ["conv_id", "ts"])
+    zm = prune_flags(
+        zone_maps(df, F.date_trunc("day", F.col("ts"))),
+        dt.datetime(2024, 1, 10),
+        dt.datetime(2024, 1, 20),
+    ).collect()
+    verdict = {r["part"].day: r["pruned"] for r in zm}
+    assert verdict == {1: True, 2: True, 10: False, 25: True}
