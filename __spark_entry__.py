@@ -2398,6 +2398,83 @@ def _q_zonemap_prune(spark, sf_dir):
     )
 
 
+def _q_retry_schedule(spark, sf_dir):
+    """Capped-exponential retry plan for every unparsed record
+    (base 2 s, cap 30 s, 5 attempts — the deterministic envelope of
+    the reference's full-jitter scheduler)."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.retry import retry_schedule_frame
+
+    failed = (
+        parse_stage(_transcripts(spark, sf_dir))
+        .filter(~F.col("parse_ok"))
+        .select("conv_id", "turn_idx", "ts")
+    )
+    return retry_schedule_frame(failed)
+
+
+def _q_burn_alerts(spark, sf_dir):
+    """Multi-window SLO burn alerting on the parsed error stream
+    (slo 0.8 so the synthetic ~16% error rate straddles burn=1)."""
+    from fluent_bit_spark.operators.aggregate import burn_rate_alerts
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    p = parse_stage(_transcripts(spark, sf_dir))
+    err = F.coalesce(F.col("evt_name") == "error", F.lit(False))
+    return burn_rate_alerts(p, err, slo=0.8, long_hours=6)
+
+
+def _q_ttr_by_source(spark, sf_dir):
+    from fluent_bit_spark.operators.text_analysis import ttr_by_group
+
+    return ttr_by_group(_docs(spark, sf_dir))
+
+
+def _q_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the LSH path vs exact brute force, same operating
+    point as the gated ann_lsh_topk query."""
+    from fluent_bit_spark.operators.similarity import ann_recall_eval
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cands = embs.filter(F.col("vec_id") >= 5)
+    return ann_recall_eval(cands, queries_df, k=10, nbits=4, probe_bits=1)
+
+
+def _q_mtbf_report(spark, sf_dir):
+    """Per-tool mean time between failures over the parsed error
+    stream — one min/max/count groupBy, exact integer µs."""
+    from fluent_bit_spark.operators.aggregate import mtbf_report
+    from fluent_bit_spark.plans.flagship import parse_stage
+
+    fails = parse_stage(_transcripts(spark, sf_dir)).filter(
+        F.coalesce(F.col("evt_name") == "error", F.lit(False))
+    )
+    return mtbf_report(fails)
+
+
+def _q_scd2_history(spark, sf_dir):
+    """SCD-2 validity intervals of each conversation's active tool
+    (NULL tools exercise the null-safe change detection)."""
+    from fluent_bit_spark.operators.enrich import scd2_history
+
+    return scd2_history(_transcripts(spark, sf_dir))
+
+
+def _q_late_data(spark, sf_dir):
+    """Watermark lateness accounting under a simulated 0-20 min
+    transport delay (md5-derived, cross-engine identical): per
+    processing hour, how many rows a 10-minute watermark would drop."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.streaming import late_data_report
+
+    t = _transcripts(spark, sf_dir)
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    return late_data_report(t, md5_32(key) % 1200, watermark_s=600)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2658,6 +2735,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_latency": _q_reply_latency,
         "mad_outliers": _q_mad_outliers,
         "zonemap_prune": _q_zonemap_prune,
+        "retry_schedule": _q_retry_schedule,
+        "burn_alerts": _q_burn_alerts,
+        "ttr_by_source": _q_ttr_by_source,
+        "ann_recall_eval": _q_ann_recall_eval,
+        "mtbf_report": _q_mtbf_report,
+        "scd2_history": _q_scd2_history,
+        "late_data": _q_late_data,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

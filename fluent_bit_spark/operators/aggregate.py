@@ -440,3 +440,105 @@ def reliability_report(
         F.round(phat, 6).alias("err_rate"),
         F.round(lb, 6).alias("wilson_lb"),
     )
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    err_col,
+    ts_col: str = "ts",
+    slo: float = 0.95,
+    long_hours: int = 6,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    burn = error_rate / error_budget, where budget = 1 - slo. A page
+    fires only when BOTH the short (1 h) and the long (`long_hours`)
+    aligned window burn above `threshold` — the long window filters
+    blips, the short window ends the page quickly once the burn stops.
+    Output one row per hour: (window_start, n, n_err, short_burn,
+    long_burn, alert).
+
+    Scale shape: one hourly groupBy (map-side combine) produces the
+    bounded per-hour table; the long window is a second tiny aggregate
+    over hour rows joined back by bucket — no row-level window at all.
+    """
+    budget = 1.0 - slo
+    hourly = (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+            err_col.cast("long").alias("_e"),
+        )
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("n_err"))
+    )
+    # align long windows on epoch buckets (integral µs math — DuckDB's
+    # epoch_us // N is the exact mirror)
+    bucket = F.expr(
+        f"unix_micros(CAST(window_start AS TIMESTAMP))"
+        f" div {3600 * long_hours * 1_000_000}"
+    )
+    hb = hourly.withColumn("_b", bucket)
+    longw = hb.groupBy("_b").agg(
+        F.sum("n").alias("_ln"), F.sum("n_err").alias("_le")
+    )
+    out = hb.join(F.broadcast(longw), "_b").select(
+        "window_start",
+        "n",
+        "n_err",
+        F.round(
+            (F.col("n_err").cast("double") / F.col("n").cast("double"))
+            / F.lit(budget),
+            6,
+        ).alias("short_burn"),
+        F.round(
+            (F.col("_le").cast("double") / F.col("_ln").cast("double"))
+            / F.lit(budget),
+            6,
+        ).alias("long_burn"),
+    )
+    return out.withColumn(
+        "alert",
+        (F.col("short_burn") > F.lit(threshold))
+        & (F.col("long_burn") > F.lit(threshold)),
+    )
+
+
+def mtbf_report(
+    df: DataFrame,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mean time between failures per key over an already-filtered
+    failure stream: MTBF = observed span / (n-1) — algebraically equal
+    to the mean of consecutive gaps, but computed from ONE min/max/count
+    groupBy (map-side combine) instead of a per-key ordered window over
+    every failure row. Integer µs division (div), so the report is
+    exact in any engine. Keys with a single failure have no gap and
+    report NULL mtbf.
+    """
+    agg = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_failures"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    span_us = F.unix_micros(
+        F.col("last_ts").cast("timestamp_ltz")
+    ) - F.unix_micros(F.col("first_ts").cast("timestamp_ltz"))
+    return agg.select(
+        key_col,
+        "n_failures",
+        "first_ts",
+        "last_ts",
+        F.when(
+            F.col("n_failures") > 1,
+            F.expr(
+                "(unix_micros(CAST(last_ts AS TIMESTAMP))"
+                " - unix_micros(CAST(first_ts AS TIMESTAMP)))"
+                " div (n_failures - 1)"
+            ),
+        ).alias("mtbf_us"),
+    )

@@ -260,3 +260,39 @@ def regex_table_enrich(
             expr = expr.otherwise(F.lit(defaults[name]))
         out_cols[name] = expr
     return df.withColumns(out_cols)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: tuple = ("conv_id",),
+    attr_col: str = "tool",
+    ts_col: str = "ts",
+    order_cols: tuple = ("turn_idx",),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an update stream: collapse
+    consecutive identical attribute values per key, then emit one
+    validity interval per change — (key, attr, valid_from, valid_to,
+    is_current), half-open [valid_from, valid_to). The lakehouse
+    pattern for "what was this conversation's active tool AT time t":
+    a point-in-time join lands on exactly one interval.
+
+    Change detection is null-safe (NULL -> value and value -> NULL are
+    both changes). Scale shape: two key-partitioned windows bounded by
+    per-key update counts — the same conv co-location every sequence
+    op in this engine uses.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    chg = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_first", F.lag(ts_col).over(w).isNull())
+        .filter(F.col("_first") | ~F.col(attr_col).eqNullSafe(F.col("_prev")))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return chg.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1146,3 +1146,54 @@ def ivf_topk_fixed(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def ann_recall_eval(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 4,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Measure, don't guess — for the ANN axis: recall@k of the
+    hyperplane-LSH path (`lsh_topk`, the 100 TB serving plan) against
+    the exact brute-force cosine top-k (`cosine_topk`, the truth) for
+    the same queries and operating point. One row per query:
+    (query_id, n_common, recall_at_k). The minhash_eval /
+    dim_trunc_eval convention completed for the bucketed-ANN family:
+    this is the number that says whether (nbits, probe_bits) clears
+    the recall bar BEFORE a full-corpus rollout.
+
+    Scale shape: both rankings are the existing operators' plans
+    (broadcast queries, bucket equi-join); the overlap join runs over
+    two #queries×k top-k lists, never the corpus.
+    """
+    exact = cosine_topk(
+        candidates, queries, k=k,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+    )
+    approx = lsh_topk(
+        candidates, queries, k=k, nbits=nbits, probe_bits=probe_bits,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+    )
+    common = (
+        approx.select(query_id_col, id_col)
+        .join(exact.select(query_id_col, id_col), [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        queries.select(query_id_col)
+        .distinct()
+        .join(F.broadcast(common), query_id_col, "left")
+        .select(
+            query_id_col,
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )

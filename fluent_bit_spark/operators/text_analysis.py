@@ -1050,3 +1050,46 @@ def tokenizer_fertility(
             F.round(F.sum("_ns").cast("double") / F.sum("_nw"), 6),
         ).alias("fertility"),
     )
+
+
+def ttr_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level lexical diversity per group: total tokens, distinct
+    token types, and the type-token ratio (the Heaps-law operating
+    point). A collapsing TTR across crawl snapshots is the classic
+    early-warning that a source started repeating itself — checked per
+    source BEFORE the mixture weights are set.
+
+    Scale shape: tokens explode map-side; types are a (group, token)
+    distinct with map-side partial dedup (token vocabulary is sublinear
+    in corpus size by Heaps' law); totals ride the same exploded pass.
+    """
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    totals = toks.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    types = (
+        toks.select(group_col, "_tok")
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return totals.join(types, group_col).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+    )

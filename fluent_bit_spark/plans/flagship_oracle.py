@@ -2618,6 +2618,83 @@ SELECT part, n_rows, min_ts, max_ts, min_key, max_key,
         OR min_ts >= TIMESTAMP '2024-01-20 00:00:00') AS pruned
 FROM zm"""
 
+    retry_schedule = """
+, rs0 AS (SELECT conv_id, turn_idx, ts FROM unified WHERE NOT parse_ok)
+, rs1 AS (SELECT conv_id, turn_idx, ts, CAST(a.attempt AS INT) AS attempt,
+                 least(CAST(30 AS BIGINT),
+                       2 * CAST(pow(2.0, a.attempt - 1) AS BIGINT)) AS delay_s
+          FROM rs0 CROSS JOIN (SELECT unnest(range(1, 6)) AS attempt) a)
+SELECT conv_id, turn_idx, ts, attempt, delay_s,
+       ts + to_seconds(CAST(SUM(delay_s) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY attempt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+         AS retry_at
+FROM rs1"""
+
+    budget_lit = repr(1.0 - 0.8)
+    burn_alerts = f"""
+, ba0 AS (SELECT date_trunc('hour', ts) AS window_start,
+                 CASE WHEN coalesce(evt_name = 'error', FALSE)
+                      THEN 1 ELSE 0 END AS e
+          FROM unified)
+, ba1 AS (SELECT window_start, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS n_err
+          FROM ba0 GROUP BY window_start)
+, ba2 AS (SELECT *, epoch_us(window_start) // 21600000000 AS b FROM ba1)
+, ba3 AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ln, CAST(SUM(n_err) AS BIGINT) AS le
+          FROM ba2 GROUP BY b)
+, ba4 AS (SELECT window_start, n, n_err,
+                 round((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / {budget_lit}, 6) AS short_burn,
+                 round((CAST(le AS DOUBLE) / CAST(ln AS DOUBLE)) / {budget_lit}, 6) AS long_burn
+          FROM ba2 JOIN ba3 USING (b))
+SELECT window_start, n, n_err, short_burn, long_burn,
+       short_burn > 1.0 AND long_burn > 1.0 AS alert
+FROM ba4"""
+
+    ttr_by_source = r"""
+, tt0 AS (SELECT source, doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents WHERE source IS NOT NULL)
+, tt1 AS (SELECT source, COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT doc_id) AS n_docs
+          FROM tt0 GROUP BY source)
+, tt2 AS (SELECT source, COUNT(*) AS n_types
+          FROM (SELECT DISTINCT source, tok FROM tt0) GROUP BY source)
+SELECT source, n_docs, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
+FROM tt1 JOIN tt2 USING (source)"""
+
+    ann_recall_eval = (
+        _hyperplane_sig_sql(64, 4)
+        + """,
+ar_q AS (SELECT vec_id AS query_id, v AS qv, sig FROM hp_sigs WHERE vec_id < 5),
+ar_probe AS (
+    SELECT query_id, qv, sig FROM ar_q
+    UNION SELECT query_id, qv, xor(sig, 1::BIGINT << i)
+    FROM ar_q CROSS JOIN range(4) r(i)),
+ar_lsh AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM (SELECT DISTINCT p.query_id, c.vec_id,
+                 list_cosine_similarity(c.v, p.qv) AS cos
+          FROM ar_probe p JOIN hp_sigs c ON c.sig = p.sig
+          WHERE c.vec_id >= 5))
+    WHERE rank <= 10),
+ar_exact AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rank
+    FROM ar_q q JOIN hp_sigs c ON c.vec_id >= 5)
+    WHERE rank <= 10),
+ar_common AS (SELECT query_id, COUNT(*) AS n_common
+              FROM ar_lsh JOIN ar_exact USING (query_id, vec_id)
+              GROUP BY query_id)
+SELECT query_id, CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       round(COALESCE(n_common, 0) / 10.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM ar_q) LEFT JOIN ar_common USING (query_id)"""
+    )
+
     return {
         "template_mine": template_mine,
         "retention_budget": retention_budget,
@@ -2629,6 +2706,40 @@ FROM zm"""
         "reply_latency": reply_latency,
         "mad_outliers": mad_outliers,
         "zonemap_prune": zonemap_prune,
+        "retry_schedule": retry_schedule,
+        "burn_alerts": burn_alerts,
+        "ttr_by_source": ttr_by_source,
+        "ann_recall_eval": ann_recall_eval,
+        "mtbf_report": """
+, mt0 AS (SELECT tool, ts FROM unified
+          WHERE coalesce(evt_name = 'error', FALSE) AND tool IS NOT NULL)
+SELECT tool, COUNT(*) AS n_failures, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CASE WHEN COUNT(*) > 1
+            THEN (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // (COUNT(*) - 1)
+       END AS mtbf_us
+FROM mt0 GROUP BY tool""",
+        "scd2_history": """
+, sc0 AS (SELECT conv_id, tool, ts, turn_idx,
+                 lag(tool) OVER w AS prev_tool,
+                 lag(ts) OVER w AS prev_ts
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+, sc1 AS (SELECT conv_id, tool, ts, turn_idx FROM sc0
+          WHERE prev_ts IS NULL OR tool IS DISTINCT FROM prev_tool)
+SELECT conv_id, tool, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM sc1 WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx)""",
+        "late_data": """
+, ld0 AS (SELECT ts,
+                 (('0x'||substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),1,8))::BIGINT) % 1200 AS delay_s
+          FROM transcripts)
+, ld1 AS (SELECT date_trunc('hour', ts + to_seconds(delay_s)) AS proc_hour,
+                 CASE WHEN delay_s > 600 THEN 1 ELSE 0 END AS late
+          FROM ld0)
+SELECT proc_hour, COUNT(*) AS n_total, CAST(SUM(late) AS BIGINT) AS n_late,
+       CAST(SUM(late) AS BIGINT) * 1000000 // COUNT(*) AS late_ppm
+FROM ld1 GROUP BY proc_hour""",
     }
 
 

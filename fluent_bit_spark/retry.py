@@ -60,3 +60,47 @@ def retry_write(
                 log.warning("sink write failed (attempt %d): %s; backoff %.2fs", attempt + 1, e, d)
                 sleep(d)
     raise RetryError(retries + 1, last)
+
+
+def retry_schedule_frame(
+    failed,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    base_s: int = 2,
+    cap_s: int = 30,
+    max_retries: int = 5,
+    ts_col: str = "ts",
+):
+    """The retry *plan* as a DataFrame: for every failed record, the
+    deterministic capped-exponential schedule (no jitter — this is the
+    queryable upper-envelope of the reference's full-jitter draw, whose
+    per-attempt ceiling is exactly min(cap, base*2^(n-1));
+    src/flb_scheduler.c:255-301). Emits one row per (record, attempt)
+    with the per-attempt delay and the absolute retry time from the
+    cumulative delay — the table a delivery dashboard joins against
+    "has it been delivered yet".
+
+    Scale shape: explode to max_retries rows per failed record (a
+    bounded fan-out over the small failed set), one record-partitioned
+    cumsum window bounded by max_retries rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    staged = failed.withColumn(
+        "attempt", F.explode(F.sequence(F.lit(1), F.lit(max_retries)))
+    ).withColumn(
+        "delay_s",
+        F.least(
+            F.lit(cap_s).cast("long"),
+            F.lit(base_s) * F.pow(F.lit(2.0), F.col("attempt") - 1).cast("long"),
+        ),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("attempt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return staged.withColumn(
+        "retry_at",
+        F.timestamp_add("SECOND", F.sum("delay_s").over(w), F.col(ts_col)),
+    )

@@ -429,3 +429,36 @@ def throttle_stateful(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def late_data_report(
+    df,
+    delay_s,
+    watermark_s: int = 600,
+    ts_col: str = "ts",
+):
+    """Watermark lateness accounting: given the event time and a
+    transport-delay column (arrival = event + delay), report per
+    processing-hour how many rows a `watermark_s` watermark would have
+    treated as late (dropped from in-flight windowed state). This is
+    the measurement that SIZES the watermark before a streaming
+    deploy: pick the smallest watermark whose late_ppm is acceptable,
+    instead of guessing.
+
+    Exact integer ppm (no float division). One hourly groupBy.
+    """
+    from pyspark.sql import functions as F
+
+    arrival = F.timestamp_add("SECOND", delay_s.cast("long"), F.col(ts_col))
+    staged = df.select(
+        F.date_trunc("hour", arrival).alias("proc_hour"),
+        (delay_s.cast("long") > F.lit(watermark_s)).cast("long").alias("_late"),
+    )
+    return (
+        staged.groupBy("proc_hour")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum("_late").alias("n_late"))
+        .withColumn(
+            "late_ppm",
+            F.expr("n_late * CAST(1000000 AS BIGINT) div n_total"),
+        )
+    )

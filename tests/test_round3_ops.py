@@ -188,3 +188,123 @@ def test_zone_maps_prune(spark):
     ).collect()
     verdict = {r["part"].day: r["pruned"] for r in zm}
     assert verdict == {1: True, 2: True, 10: False, 25: True}
+
+
+def test_retry_schedule_capped_exponential(spark):
+    from fluent_bit_spark.retry import retry_schedule_frame
+
+    df = spark.createDataFrame([("c", 0, _ts(1, 0))], ["conv_id", "turn_idx", "ts"])
+    out = sorted(retry_schedule_frame(df).collect(), key=lambda r: r["attempt"])
+    assert [r["delay_s"] for r in out] == [2, 4, 8, 16, 30]  # 32 capped at 30
+    # retry_at is the CUMULATIVE schedule
+    offsets = [(r["retry_at"] - _ts(1, 0)).total_seconds() for r in out]
+    assert offsets == [2, 6, 14, 30, 60]
+
+
+def test_burn_rate_alerts_multiwindow(spark):
+    from fluent_bit_spark.operators.aggregate import burn_rate_alerts
+
+    # hour 0: 5/10 errors (short burn 2.5); hours 1-5: 0/10 each ->
+    # long burn over the 6h block = 5/60/0.2 ~ 0.417 -> NO alert.
+    # hour 6: 10/10 errors, alone in its block -> both burns 5.0 -> alert.
+    rows = (
+        [("e" if i < 5 else "ok", _ts(1, 0)) for i in range(10)]
+        + [("ok", _ts(1, h)) for h in range(1, 6) for _ in range(10)]
+        + [("e", _ts(1, 6)) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["kind", "ts"])
+    out = {
+        r["window_start"].hour: r
+        for r in burn_rate_alerts(df, F.col("kind") == "e", slo=0.8).collect()
+    }
+    assert out[0]["short_burn"] == 2.5 and not out[0]["alert"]
+    assert out[6]["alert"] and out[6]["short_burn"] == 5.0
+    assert not out[3]["alert"]
+
+
+def test_ttr_by_group(spark):
+    from fluent_bit_spark.operators.text_analysis import ttr_by_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "x x x x", "s2"),
+            (4, "y", None),  # NULL group excluded
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in ttr_by_group(df).collect()}
+    assert set(out) == {"s1", "s2"}
+    assert out["s1"]["n_tokens"] == 6 and out["s1"]["n_types"] == 3
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["ttr"] == 0.5
+    assert out["s2"]["n_types"] == 1
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    from fluent_bit_spark.operators.similarity import ann_recall_eval
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    cands = embs.filter(F.col("vec_id") >= 5)
+    out = ann_recall_eval(cands, qs, k=10, nbits=4, probe_bits=1).collect()
+    assert len(out) == 5  # every query present, even at zero recall
+    assert all(0 <= r["n_common"] <= 10 for r in out)
+    assert all(abs(r["recall_at_k"] - r["n_common"] / 10.0) < 1e-9 for r in out)
+    # multi-probe at 4 bits probes 5 of 16 buckets; recall must be
+    # nonzero overall or the operating point is broken
+    assert sum(r["n_common"] for r in out) > 0
+
+
+def test_mtbf_report_span_math(spark):
+    from fluent_bit_spark.operators.aggregate import mtbf_report
+
+    rows = [
+        ("bash", _ts(1, 0)),
+        ("bash", _ts(1, 2)),
+        ("bash", _ts(1, 6)),   # span 6h over 2 gaps -> 3h
+        ("sql", _ts(2, 0)),    # single failure -> NULL mtbf
+        (None, _ts(3, 0)),     # NULL key excluded
+    ]
+    df = spark.createDataFrame(rows, ["tool", "ts"])
+    out = {r["tool"]: r for r in mtbf_report(df).collect()}
+    assert set(out) == {"bash", "sql"}
+    assert out["bash"]["mtbf_us"] == 3 * 3600 * 1_000_000
+    assert out["sql"]["mtbf_us"] is None
+
+
+def test_scd2_history_intervals(spark):
+    from fluent_bit_spark.operators.enrich import scd2_history
+
+    rows = [
+        ("c", 0, "bash", _ts(1, 0)),
+        ("c", 1, "bash", _ts(1, 1)),   # no change -> collapsed
+        ("c", 2, None, _ts(1, 2)),     # bash -> NULL is a change
+        ("c", 3, None, _ts(1, 3)),     # still NULL -> collapsed
+        ("c", 4, "sql", _ts(1, 4)),    # NULL -> sql is a change
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool", "ts"])
+    out = sorted(scd2_history(df).collect(), key=lambda r: r["valid_from"])
+    assert [(r["tool"], r["valid_from"].hour) for r in out] == [
+        ("bash", 0), (None, 2), ("sql", 4),
+    ]
+    # half-open chaining: each valid_to is the next valid_from
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert [r["is_current"] for r in out] == [False, False, True]
+
+
+def test_late_data_report_ppm(spark):
+    from fluent_bit_spark.streaming import late_data_report
+
+    df = spark.createDataFrame(
+        [("a", _ts(1, 0)), ("b", _ts(1, 0)), ("c", _ts(1, 0)), ("d", _ts(1, 0))],
+        ["k", "ts"],
+    )
+    delay = F.when(F.col("k") == "a", 1200).otherwise(10)  # one late row
+    out = late_data_report(df, delay, watermark_s=600).collect()
+    by_hour = {r["proc_hour"].hour: r for r in out}
+    # the late row ARRIVES in hour 0+20min -> same hour bucket here
+    assert by_hour[0]["n_total"] == 4 and by_hour[0]["n_late"] == 1
+    assert by_hour[0]["late_ppm"] == 250_000
