@@ -2475,6 +2475,67 @@ def _q_late_data(spark, sf_dir):
     return late_data_report(t, md5_32(key) % 1200, watermark_s=600)
 
 
+def _q_cdc_apply(spark, sf_dir):
+    """MERGE a synthesized CDC feed into the transcript table: md5
+    slot 0 gets two conflicting updates (seq 2 must win), slot 1 a
+    delete, slot 2 an insert under a fresh key — everything else
+    passes through."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.enrich import cdc_apply
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text", "role")
+    h = md5_32(
+        F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    ) % 11
+
+    def change(cond, op, seq, text, role):
+        return t.filter(cond).select(
+            "conv_id",
+            F.col("turn_idx"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            text.alias("text"),
+            role.alias("role"),
+        )
+
+    u1 = change(h == 0, "U", 1, F.concat(F.lit("edit1: "), F.col("text")), F.col("role"))
+    u2 = change(h == 0, "U", 2, F.concat(F.lit("edit2: "), F.col("text")), F.col("role"))
+    d = change(h == 1, "D", 1, F.col("text"), F.col("role"))
+    i = (
+        t.filter(h == 2)
+        .select(
+            "conv_id",
+            (F.col("turn_idx") + 100000).alias("turn_idx"),
+            F.lit("I").alias("op"),
+            F.lit(1).alias("seq"),
+            F.lit("inserted row").alias("text"),
+            F.lit("assistant").alias("role"),
+        )
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(i)
+    return cdc_apply(t, changes)
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over (day, fmt) partition stats."""
+    from fluent_bit_spark.plans.flagship import parse_stage
+    from fluent_bit_spark.sources import compaction_plan
+
+    p = parse_stage(_transcripts(spark, sf_dir))
+    stats = p.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("part"), F.col("fmt")
+    ).agg(F.sum(F.length("text")).cast("bigint").alias("n_bytes"))
+    return compaction_plan(
+        stats, part_cols=("part", "fmt"), target_bytes=50_000, small_bytes=25_000
+    )
+
+
+def _q_kfold_assign(spark, sf_dir):
+    from fluent_bit_spark.operators.sampling import kfold_assign
+
+    return kfold_assign(_docs(spark, sf_dir), k=5)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2742,6 +2803,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtbf_report": _q_mtbf_report,
         "scd2_history": _q_scd2_history,
         "late_data": _q_late_data,
+        "cdc_apply": _q_cdc_apply,
+        "compaction_plan": _q_compaction_plan,
+        "kfold_assign": _q_kfold_assign,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
     }

@@ -296,3 +296,61 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE/upsert semantics over a CDC change stream: per key, the
+    change with the highest `seq` wins; a winning D(elete) removes the
+    row, a winning I/U upserts the change's payload columns; keys the
+    stream never touched pass through from `base`. This is the
+    batch-materialization of an Iceberg/Delta MERGE INTO — how a
+    transcript table absorbs regeneration/correction/redaction feeds.
+
+    Payload = every non-key, non-op, non-seq column of `changes`
+    (must match base's non-key columns).
+
+    Scale shape: winners come from one groupBy-max(struct) over the
+    change stream (map-side combine collapses per-key change bursts);
+    the apply is a single left join of base against the winner set
+    plus the insert anti-join — both on the same key, so AQE can plan
+    one co-partitioned exchange.
+    """
+    keys = list(key_cols)
+    payload = [c for c in changes.columns if c not in (*keys, op_col, seq_col)]
+    winners = (
+        changes.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(op_col).alias("op"),
+                    *[F.col(c).alias(c) for c in payload],
+                )
+            ).alias("_w")
+        )
+        .select(*keys, "_w.op", *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+    survivors = base.join(
+        winners.select(*keys, "op", *[F.col(c).alias(f"_n_{c}") for c in payload]),
+        keys,
+        "left",
+    ).filter(F.coalesce(F.col("op") != "D", F.lit(True)))
+    merged = survivors.select(
+        *keys,
+        *[
+            F.when(F.col("op").isNotNull(), F.col(f"_n_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+    )
+    inserts = winners.filter(F.col("op") != "D").join(
+        base.select(*keys), keys, "left_anti"
+    ).select(*keys, *payload)
+    return merged.unionByName(inserts)

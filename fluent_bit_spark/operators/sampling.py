@@ -438,3 +438,54 @@ def epoch_shuffle(
             "epoch", id_col, (F.col("_base") + F.col("_r")).alias(out)
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    prefix_buckets_hex: int = 2,
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    rows take their md5-order rank and fold = rank % k — so fold sizes
+    within every stratum differ by at most 1 (exact balance, unlike
+    hash%k whose folds fluctuate binomially), and the assignment is
+    reproducible from ids alone.
+
+    Rank uses the epoch_shuffle two-level scheme — within-bucket
+    row_number (bucket = the order key's own hex prefix, so bucket
+    order IS key order) plus the broadcast cumsum of bucket counts —
+    never a per-stratum global window that would serialize a hot
+    stratum through one task.
+    """
+    from pyspark.sql import Window
+
+    hexlen = prefix_buckets_hex
+    keyed = df.select(stratum_col, id_col).withColumn(
+        "_key", F.md5(F.col(id_col).cast("string"))
+    ).withColumn(
+        "_bucket", F.conv(F.substring("_key", 1, hexlen), 16, 10).cast("int")
+    )
+    win = Window.partitionBy(stratum_col, "_bucket").orderBy("_key", id_col)
+    ranked = keyed.withColumn("_r", (F.row_number().over(win) - 1).cast("long"))
+    counts = keyed.groupBy(stratum_col, "_bucket").count()
+    wb = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.withColumn(
+        "_base", F.coalesce(F.sum("count").over(wb), F.lit(0)).cast("long")
+    )
+    return (
+        ranked.join(
+            F.broadcast(base.select(stratum_col, "_bucket", "_base")),
+            [stratum_col, "_bucket"],
+        )
+        .select(
+            id_col,
+            stratum_col,
+            ((F.col("_base") + F.col("_r")) % F.lit(k)).cast("int").alias("fold"),
+        )
+    )

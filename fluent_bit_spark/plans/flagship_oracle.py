@@ -2740,6 +2740,56 @@ FROM sc1 WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx)""",
 SELECT proc_hour, COUNT(*) AS n_total, CAST(SUM(late) AS BIGINT) AS n_late,
        CAST(SUM(late) AS BIGINT) * 1000000 // COUNT(*) AS late_ppm
 FROM ld1 GROUP BY proc_hour""",
+        # winner pick mirrors enrich.cdc_apply's max(struct(seq,op,text,
+        # role)): lexicographic max == first row under all-DESC ordering
+        "cdc_apply": """
+, cd0 AS (SELECT conv_id, turn_idx, role, text,
+                 (('0x'||substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),1,8))::BIGINT) % 11 AS h
+          FROM transcripts)
+, cdch AS (
+    SELECT conv_id, turn_idx, 'U' AS op, 1 AS seq,
+           'edit1: ' || text AS text, role FROM cd0 WHERE h = 0
+    UNION ALL SELECT conv_id, turn_idx, 'U', 2, 'edit2: ' || text, role
+    FROM cd0 WHERE h = 0
+    UNION ALL SELECT conv_id, turn_idx, 'D', 1, text, role
+    FROM cd0 WHERE h = 1
+    UNION ALL SELECT conv_id, turn_idx + 100000, 'I', 1, 'inserted row', 'assistant'
+    FROM cd0 WHERE h = 2)
+, cdw AS (SELECT conv_id, turn_idx, op, text, role FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+              ORDER BY seq DESC, op DESC, text DESC, role DESC) AS rk
+    FROM cdch) WHERE rk = 1)
+, cdm AS (SELECT b.conv_id, b.turn_idx,
+                 CASE WHEN w.op IS NOT NULL THEN w.text ELSE b.text END AS text,
+                 CASE WHEN w.op IS NOT NULL THEN w.role ELSE b.role END AS role,
+                 w.op
+          FROM cd0 b LEFT JOIN cdw w USING (conv_id, turn_idx))
+SELECT conv_id, turn_idx, text, role FROM cdm
+WHERE op IS NULL OR op <> 'D'
+UNION ALL
+SELECT w.conv_id, w.turn_idx, w.text, w.role
+FROM cdw w LEFT JOIN cd0 b USING (conv_id, turn_idx)
+WHERE b.conv_id IS NULL AND w.op <> 'D'""",
+        "compaction_plan": """
+, cp0 AS (SELECT date_trunc('day', ts) AS part, fmt,
+                 CAST(SUM(length(text)) AS BIGINT) AS n_bytes
+          FROM unified GROUP BY date_trunc('day', ts), fmt)
+, cp1 AS (SELECT part, fmt, n_bytes FROM cp0 WHERE n_bytes < 25000)
+SELECT part, fmt, n_bytes,
+       CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY part, fmt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         // 50000 AS task_id
+FROM cp1""",
+        # two-level bucketed rank == one rank over (key, id): the bucket
+        # is the key's own hex prefix, so the flat window is the exact
+        # oracle of sampling.kfold_assign's parallel scheme
+        "kfold_assign": """
+, kf0 AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+          FROM documents)
+SELECT doc_id, lang,
+       CAST((row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) - 1)
+            % 5 AS INT) AS fold
+FROM kf0""",
     }
 
 

@@ -407,3 +407,36 @@ def prune_flags(zmaps: DataFrame, lo, hi, ts_lo: str = "min_ts", ts_hi: str = "m
     return zmaps.withColumn(
         "pruned", (F.col(ts_hi) < F.lit(lo)) | (F.col(ts_lo) >= F.lit(hi))
     )
+
+
+def compaction_plan(
+    stats: DataFrame,
+    part_cols: tuple = ("part",),
+    bytes_col: str = "n_bytes",
+    target_bytes: int = 50_000,
+    small_bytes: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planner over a partition-stats frame (e.g.
+    `zone_maps` output): partitions below `small_bytes` are grouped, in
+    partition order, into compaction tasks of ~`target_bytes` each
+    (task id = running-bytes-before div target — the shard_manifest
+    cumsum convention). This is the Iceberg `rewrite_data_files`
+    planning step: at 10^12 turns the table tail is thousands of
+    trickle-partitions whose per-file overhead dominates scans until
+    they are coalesced.
+
+    Scale shape: runs entirely over the stats frame (one row per
+    partition — thousands of rows for years of days), so the ordered
+    window is bounded by partition count, never row count.
+    """
+    small = small_bytes if small_bytes is not None else target_bytes // 2
+    cand = stats.filter(F.col(bytes_col) < F.lit(small))
+    return cand.select(
+        *part_cols,
+        F.col(bytes_col),
+        F.expr(
+            f"CAST(coalesce(sum({bytes_col}) OVER (ORDER BY "
+            f"{', '.join(part_cols)} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            f" 1 PRECEDING), 0) AS BIGINT) div {target_bytes}"
+        ).alias("task_id"),
+    )

@@ -308,3 +308,54 @@ def test_late_data_report_ppm(spark):
     # the late row ARRIVES in hour 0+20min -> same hour bucket here
     assert by_hour[0]["n_total"] == 4 and by_hour[0]["n_late"] == 1
     assert by_hour[0]["late_ppm"] == 250_000
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from fluent_bit_spark.operators.enrich import cdc_apply
+
+    base = spark.createDataFrame(
+        [("c", 0, "keep me"), ("c", 1, "update me"), ("c", 2, "delete me")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    changes = spark.createDataFrame(
+        [
+            ("c", 1, "U", 1, "v1"),
+            ("c", 1, "U", 2, "v2"),      # higher seq wins
+            ("c", 2, "D", 1, "x"),
+            ("c", 9, "I", 1, "brand new"),
+            ("c", 8, "D", 1, "delete of absent key -> no row"),
+        ],
+        ["conv_id", "turn_idx", "op", "seq", "text"],
+    )
+    out = {r["turn_idx"]: r["text"] for r in cdc_apply(base, changes).collect()}
+    assert out == {0: "keep me", 1: "v2", 9: "brand new"}
+
+
+def test_compaction_plan_groups_small_parts(spark):
+    from fluent_bit_spark.sources import compaction_plan
+
+    rows = [(f"p{i:02d}", 10) for i in range(10)] + [("p99", 500)]
+    df = spark.createDataFrame(rows, ["part", "n_bytes"])
+    out = {r["part"]: r["task_id"] for r in
+           compaction_plan(df, target_bytes=40, small_bytes=100).collect()}
+    assert "p99" not in out          # big partition excluded
+    # 10-byte parts, 40-byte target: 4 parts per task in part order
+    assert [out[f"p{i:02d}"] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+
+
+def test_kfold_assign_exact_balance(spark, sf_dir):
+    from fluent_bit_spark.operators.sampling import kfold_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = kfold_assign(docs, k=5).collect()
+    assert len(out) == docs.count()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r["lang"], {}).setdefault(r["fold"], 0)
+        sizes[r["lang"]][r["fold"]] += 1
+    for lang, folds in sizes.items():
+        # exact balance: fold sizes within a stratum differ by <= 1
+        assert max(folds.values()) - min(folds.values()) <= 1, (lang, folds)
+    # deterministic: same input -> same assignment
+    again = {(r["doc_id"]): r["fold"] for r in kfold_assign(docs, k=5).collect()}
+    assert all(again[r["doc_id"]] == r["fold"] for r in out)
