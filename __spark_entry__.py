@@ -2536,6 +2536,101 @@ def _q_kfold_assign(spark, sf_dir):
     return kfold_assign(_docs(spark, sf_dir), k=5)
 
 
+def _q_data_diff(spark, sf_dir):
+    """Blue/green pipeline regression diff: the 'new build' rewrites
+    md5 slot 0's text, flips slot 2's role, rewrites BOTH on slot 3,
+    drops slot 1, and emits fresh rows from slot 4 — the diff must
+    report exactly those keys with the right verdicts."""
+    from fluent_bit_spark.operators.dataquality import data_diff
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    old = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    h = md5_32(
+        F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    ) % 17
+    flipped = F.when(F.col("role") == "user", F.lit("assistant")).otherwise(
+        F.lit("user")
+    )
+    new = (
+        old.withColumn("_h", h)
+        .filter(F.col("_h") != 1)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.col("_h").isin(2, 3), flipped).otherwise(F.col("role")).alias(
+                "role"
+            ),
+            F.when(
+                F.col("_h").isin(0, 3), F.concat(F.lit("v2: "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            old.withColumn("_h", h)
+            .filter(F.col("_h") == 4)
+            .select(
+                "conv_id",
+                (F.col("turn_idx") + 200000).alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                F.lit("added by v2").alias("text"),
+            )
+        )
+    )
+    return data_diff(old, new, key_cols=("conv_id", "turn_idx"),
+                     compare_cols=("role", "text"))
+
+
+def _q_schema_drift(spark, sf_dir):
+    """Upstream payload-format-change monitor: the synthesized props
+    stream keeps `k` for the whole month (stable), carries `legacy`
+    only through day 20 (dropped), grows `newfld` from day 15 (new),
+    and err_detail only exists for error events on days 25-28
+    (transient) — one fixture row per lifecycle status."""
+    from fluent_bit_spark.operators.dataquality import schema_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dd = F.dayofmonth("ts")
+    props2 = F.concat(
+        F.lit('{"k": 1'),
+        F.when(dd <= 20, F.lit(', "legacy": 1')).otherwise(F.lit("")),
+        F.when(dd >= 15, F.lit(', "newfld": 2')).otherwise(F.lit("")),
+        F.when(
+            (F.col("event_type") == "error") & (dd >= 25) & (dd <= 28),
+            F.lit(', "err_detail": 3'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    df = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), props2.alias("props2")
+    )
+    return schema_drift(df, json_col="props2", day_col="day")
+
+
+def _q_tvd_drift(spark, sf_dir):
+    """Distribution-drift alarm: days 16+ of the error stream get a
+    synthesized +40 value shift.  Bins are 40 value-units wide
+    (cents div 4000, capped at 7), so the shift moves the error
+    group's mass exactly one bin while the unshifted groups see only
+    sampling noise well under the 100k-ppm threshold."""
+    from fluent_bit_spark.operators.dataquality import tvd_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_cur = (F.dayofmonth("ts") > 15).cast("int")
+    shifted = F.col("value") + F.when(
+        (F.col("event_type") == "error") & (is_cur == 1), F.lit(40.0)
+    ).otherwise(F.lit(0.0))
+    cents = F.floor(shifted * 100 + 0.5).cast("long")
+    df = ev.select(
+        "event_type", cents.alias("_cents"), is_cur.alias("is_cur")
+    ).select(
+        "event_type",
+        F.least(F.lit(7).cast("long"), F.expr("_cents div 4000")).alias("bin"),
+        "is_cur",
+    )
+    return tvd_drift(df, threshold_ppm=100_000)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2808,6 +2903,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": _q_kfold_assign,
         "postings_topk": _q_postings,
         "conv_scorecard": _q_conv_scorecard,
+        "data_diff": _q_data_diff,
+        "schema_drift": _q_schema_drift,
+        "tvd_drift": _q_tvd_drift,
     }
 
 

@@ -1,0 +1,203 @@
+"""Data-quality / pipeline-governance operators.
+
+Fluent Bit's job ends when the record is delivered; a 10^12-turn
+lakehouse also has to prove the delivered data is *right* over time.
+These operators cover the governance layer a pipeline owner runs
+between the reference's output stage and a training run:
+
+- `data_diff` — regression diff of two pipeline versions' outputs
+  (the blue/green deploy check: re-run the parse→enrich plan on a
+  candidate build and report exactly which keys changed and how).
+- `schema_drift` — per-JSON-key first-seen / last-seen monitor over
+  event days (the upstream-format-change alarm: a producer adding,
+  renaming, or dropping a payload field shows up here before it
+  breaks a parser — the batch analog of the reference re-compiling
+  parsers on config reload, src/flb_parser.c).
+- `tvd_drift` — distribution drift between a reference window and
+  the current window as exact integer total-variation distance in
+  ppm (the data-drift alarm behind retraining/backfill decisions;
+  chosen over PSI because TVD is closed under integer ppm shares,
+  so both engines agree bit-for-bit — no `ln` ulp roulette).
+
+All three are governance ops: their working sets are key sets,
+JSON-key vocabularies, and bin histograms — orders of magnitude
+smaller than the data they audit — so every output here is safe to
+collect/alert on even when the input is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def data_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    compare_cols: tuple | None = None,
+) -> DataFrame:
+    """Per-key regression diff between two versions of the same table:
+    one row per key that is not identical in both, with
+
+    - ``verdict``: ``only_old`` (key vanished in the new build),
+      ``only_new`` (key appeared), or ``changed`` (present in both
+      but at least one compared column differs under null-safe
+      equality);
+    - ``changed_cols``: comma-joined sorted list of differing columns
+      (empty for ``only_old`` / ``only_new``).
+
+    ``compare_cols`` defaults to every shared non-key column.
+
+    Scale shape: ONE full-outer sort-merge join on the key — both
+    sides shuffle once on the same key so AQE plans one co-partitioned
+    exchange; all column compares are null-safe JVM expressions inside
+    whole-stage codegen, and the output is bounded by the diff size,
+    not the table size. For incremental audits, pre-filter both sides
+    with `sources.zone_maps` pruning so only partitions whose stats
+    changed are ever read.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = tuple(
+            c for c in old.columns if c not in keys and c in new.columns
+        )
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.withColumn("_in_old", F.lit(1)).join(n, keys, "full_outer")
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+            )
+            for c in sorted(compare_cols)
+        ],
+    )
+    verdict = (
+        F.when(F.col("_in_old").isNull(), F.lit("only_new"))
+        .when(F.col("_in_new").isNull(), F.lit("only_old"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            *keys,
+            verdict.alias("verdict"),
+            F.when(
+                F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(),
+                changed,
+            )
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+        .filter((F.col("verdict") != "changed") | (F.col("changed_cols") != ""))
+    )
+
+
+def schema_drift(
+    df: DataFrame,
+    json_col: str = "props",
+    day_col: str = "day",
+) -> DataFrame:
+    """Per-JSON-key lifecycle report over event days: for every key
+    that ever appears in ``json_col``, the first/last day it was seen,
+    how many distinct days it appeared, how many records carried it,
+    and a status relative to the observed day span:
+
+    - ``stable``   — present from the first day through the last;
+    - ``new``      — first appeared after the span started;
+    - ``dropped``  — last seen before the span ended;
+    - ``transient``— both (appeared late AND vanished early).
+
+    Scale shape: `json_object_keys` + explode is a shuffle-free map
+    stage; the groupBy key is the JSON key vocabulary (tens to
+    thousands of rows at any corpus size) with map-side combine, and
+    the span bounds arrive as a broadcast 1-row cross join — the
+    report is alert-sized no matter how big the input is.
+    """
+    keyed = df.select(
+        F.col(day_col).alias("_day"),
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+    )
+    per_key = keyed.groupBy("key").agg(
+        F.min("_day").alias("first_seen"),
+        F.max("_day").alias("last_seen"),
+        F.countDistinct("_day").alias("n_days"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    bounds = df.agg(
+        F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi")
+    )
+    late = F.col("first_seen") > F.col("_lo")
+    early = F.col("last_seen") < F.col("_hi")
+    return per_key.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        "first_seen",
+        "last_seen",
+        "n_days",
+        "n_records",
+        F.when(late & early, F.lit("transient"))
+        .when(late, F.lit("new"))
+        .when(early, F.lit("dropped"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )
+
+
+def tvd_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    bin_col: str = "bin",
+    cur_col: str = "is_cur",
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """Distribution drift per group between a reference window
+    (``cur_col`` = 0) and the current window (``cur_col`` = 1), as
+    exact integer total-variation distance in ppm:
+
+        tvd_ppm = sum_bins |p_ppm(bin) - q_ppm(bin)| // 2
+
+    where each side's per-bin share is ``count * 1_000_000 //
+    side_total`` (integer floor division, so both engines agree
+    bit-for-bit — TVD was chosen over PSI precisely because it stays
+    closed under integer arithmetic). ``drifted`` flags groups whose
+    TVD exceeds ``threshold_ppm``; 100_000 ppm = 10 % of probability
+    mass moved.
+
+    Input is pre-binned: callers map the raw value to an integer
+    ``bin_col`` (fixed-width cents-bucketing keeps that exact too)
+    and a 0/1 ``cur_col`` window indicator.
+
+    Scale shape: one groupBy over (group, bin) counts BOTH sides in a
+    single pass (no self-join of the two windows); per-group totals
+    come back as a broadcast join over the group vocabulary; the
+    final reduce is over #groups × #bins rows. Nothing after the
+    first aggregate ever touches row-scale data.
+    """
+    b = df.groupBy(group_col, bin_col).agg(
+        F.sum(1 - F.col(cur_col)).cast("long").alias("_ref"),
+        F.sum(cur_col).cast("long").alias("_cur"),
+    )
+    totals = b.groupBy(group_col).agg(
+        F.sum("_ref").alias("n_ref"), F.sum("_cur").alias("n_cur")
+    )
+    shares = b.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.expr("_ref * 1000000 div n_ref").alias("_p"),
+        F.expr("_cur * 1000000 div n_cur").alias("_q"),
+    )
+    return (
+        shares.groupBy(group_col)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.expr("CAST(sum(abs(_p - _q)) div 2 AS BIGINT)").alias("tvd_ppm"),
+        )
+        .withColumn("drifted", F.col("tvd_ppm") > F.lit(threshold_ppm))
+    )

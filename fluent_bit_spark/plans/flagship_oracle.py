@@ -2793,6 +2793,81 @@ FROM kf0""",
     }
 
 
+def _dataquality_sql() -> dict[str, str]:
+    """operators/dataquality.py mirrors: blue/green output diff,
+    JSON-key lifecycle drift, and integer-ppm TVD distribution drift.
+    Each oracle re-derives the entry's synthesized 'new build' /
+    'props stream' / 'shifted window' in closed form, then states the
+    expected report directly — an independent second derivation, not
+    a replay of the Spark plan."""
+    h = _md5_32_sql("conv_id || ':' || CAST(turn_idx AS VARCHAR)")
+    data_diff = f"""
+, ddh AS (SELECT conv_id, turn_idx, ({h}) % 17 AS h FROM transcripts)
+SELECT conv_id, turn_idx, 'only_old' AS verdict, '' AS changed_cols
+FROM ddh WHERE h = 1
+UNION ALL
+SELECT conv_id, turn_idx, 'changed' AS verdict,
+       CASE h WHEN 0 THEN 'text' WHEN 2 THEN 'role'
+              ELSE 'role,text' END AS changed_cols
+FROM ddh WHERE h IN (0, 2, 3)
+UNION ALL
+SELECT conv_id, CAST(turn_idx + 200000 AS INT) AS turn_idx,
+       'only_new' AS verdict, '' AS changed_cols
+FROM ddh WHERE h = 4"""
+
+    schema_drift = """
+, sd0 AS (SELECT date_trunc('day', ts) AS day, date_part('day', ts) AS dd,
+                 event_type FROM events)
+, sd1 AS (SELECT day, 'k' AS key FROM sd0
+          UNION ALL SELECT day, 'legacy' FROM sd0 WHERE dd <= 20
+          UNION ALL SELECT day, 'newfld' FROM sd0 WHERE dd >= 15
+          UNION ALL SELECT day, 'err_detail' FROM sd0
+            WHERE event_type = 'error' AND dd BETWEEN 25 AND 28)
+, sd2 AS (SELECT key, MIN(day) AS first_seen, MAX(day) AS last_seen,
+                 CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+                 CAST(COUNT(*) AS BIGINT) AS n_records
+          FROM sd1 GROUP BY key)
+, sdb AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM sd0)
+SELECT key, first_seen, last_seen, n_days, n_records,
+       CASE WHEN first_seen > lo AND last_seen < hi THEN 'transient'
+            WHEN first_seen > lo THEN 'new'
+            WHEN last_seen < hi THEN 'dropped'
+            ELSE 'stable' END AS status
+FROM sd2 CROSS JOIN sdb"""
+
+    tvd_drift = """
+, tv0 AS (SELECT event_type,
+            CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END AS is_cur,
+            value + CASE WHEN event_type = 'error'
+                          AND date_part('day', ts) > 15
+                         THEN 40.0 ELSE 0.0 END AS v
+          FROM events)
+, tv1 AS (SELECT event_type, is_cur,
+                 least(CAST(7 AS BIGINT),
+                       CAST(floor(v * 100 + 0.5) AS BIGINT) // 4000) AS bin
+          FROM tv0)
+, tv2 AS (SELECT event_type, bin,
+                 CAST(SUM(1 - is_cur) AS BIGINT) AS r,
+                 CAST(SUM(is_cur) AS BIGINT) AS c
+          FROM tv1 GROUP BY event_type, bin)
+, tv3 AS (SELECT event_type, CAST(SUM(r) AS BIGINT) AS n_ref,
+                 CAST(SUM(c) AS BIGINT) AS n_cur
+          FROM tv2 GROUP BY event_type)
+, tv4 AS (SELECT tv2.event_type, n_ref, n_cur,
+                 r * 1000000 // n_ref AS p, c * 1000000 // n_cur AS q
+          FROM tv2 JOIN tv3 ON tv2.event_type = tv3.event_type)
+SELECT event_type, n_ref, n_cur,
+       CAST(SUM(abs(p - q)) // 2 AS BIGINT) AS tvd_ppm,
+       CAST(SUM(abs(p - q)) // 2 AS BIGINT) > 100000 AS drifted
+FROM tv4 GROUP BY event_type, n_ref, n_cur"""
+
+    return {
+        "data_diff": data_diff,
+        "schema_drift": schema_drift,
+        "tvd_drift": tvd_drift,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -2900,6 +2975,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _bm25_sql().items()},
         **{k: c + v for k, v in _round3_sql().items()},
         **{k: c + v for k, v in _round3b_sql().items()},
+        **{k: c + v for k, v in _dataquality_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c
