@@ -2631,6 +2631,78 @@ def _q_tvd_drift(spark, sf_dir):
     return tvd_drift(df, threshold_ppm=100_000)
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """Privacy census: group sizes over the (role, tool, day)
+    quasi-identifier triple with the k=5 at-risk flag — rare
+    combinations (an uncommon tool on a quiet day) must surface."""
+    from fluent_bit_spark.operators.governance import k_anonymity
+
+    t = _transcripts(spark, sf_dir).select(
+        "role", "tool", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    return k_anonymity(t, qi_cols=("role", "tool", "day"), k=5)
+
+
+def _q_canary_leak(spark, sf_dir):
+    """Secret-sharer canary census: turns in the md5 slot get a
+    per-tool-domain canary token appended; the census must recover
+    each canary with its exact conversation and occurrence counts."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.governance import canary_extract
+
+    t = _transcripts(spark, sf_dir)
+    slot = (
+        md5_32(
+            F.concat(
+                F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+            )
+        )
+        % 13
+    )
+    canary = F.concat(
+        F.lit("CANARY-"),
+        F.substring(F.md5(F.coalesce(F.col("tool"), F.lit("none"))), 1, 8),
+    )
+    planted = t.withColumn(
+        "text",
+        F.when(
+            slot == 5, F.concat(F.col("text"), F.lit(" "), canary)
+        ).otherwise(F.col("text")),
+    )
+    return canary_extract(planted)
+
+
+def _q_template_novelty(spark, sf_dir):
+    """New-log-schema alarm: per-day count of first-ever-seen masked
+    templates — day one reports everything new, later days only the
+    long tail, and a format change would spike the curve."""
+    from fluent_bit_spark.operators.governance import template_novelty
+    from fluent_bit_spark.operators.parse import template_expr
+
+    t = _transcripts(spark, sf_dir).select(
+        template_expr(F.col("text")).alias("template"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    return template_novelty(t)
+
+
+def _q_gdpr_manifest(spark, sf_dir):
+    """Right-to-erasure audit: conversations in md5 slot 3 are
+    tombstoned; the manifest reports per-day deleted/kept rows and
+    distinct deleted keys (the record an auditor signs)."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.governance import tombstone_delete
+
+    t = _transcripts(spark, sf_dir)
+    tomb = (
+        t.select("conv_id")
+        .distinct()
+        .filter(md5_32(F.col("conv_id")) % 10 == 3)
+    )
+    _survivors, manifest = tombstone_delete(t, tomb)
+    return manifest
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2906,6 +2978,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_diff": _q_data_diff,
         "schema_drift": _q_schema_drift,
         "tvd_drift": _q_tvd_drift,
+        "k_anonymity": _q_k_anonymity,
+        "canary_leak": _q_canary_leak,
+        "template_novelty": _q_template_novelty,
+        "gdpr_manifest": _q_gdpr_manifest,
     }
 
 

@@ -319,6 +319,14 @@ def decode_field_escaped(df: DataFrame, field: str, out: str | None = None) -> D
     return df.withColumn(out or field, c)
 
 
+def template_expr(col: Column) -> Column:
+    """Mask a log line's variable tokens (IPv4 quads, then digit runs)
+    to typed placeholders — the shared masking pass behind
+    `template_mine` and `governance.template_novelty`."""
+    t = F.regexp_replace(col, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>")
+    return F.regexp_replace(t, r"\d+", "<N>")
+
+
 def template_mine(
     df: DataFrame,
     text_col: str = "text",
@@ -341,12 +349,8 @@ def template_mine(
     (template, group) pairs with map-side partial aggregation, and
     templated log text collapses to a tiny distinct set by design.
     """
-    tpl = F.regexp_replace(
-        F.col(text_col), r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"
-    )
-    tpl = F.regexp_replace(tpl, r"\d+", "<N>")
     return (
-        df.withColumn("template", tpl)
+        df.withColumn("template", template_expr(F.col(text_col)))
         .groupBy("template")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),

@@ -2868,6 +2868,67 @@ FROM tv4 GROUP BY event_type, n_ref, n_cur"""
     }
 
 
+def _governance_sql() -> dict[str, str]:
+    """operators/governance.py mirrors: k-anonymity census, canary
+    token census (with the entry's md5-slot planting re-derived),
+    per-day template novelty, and the right-to-erasure manifest."""
+    k_anonymity = """
+, ka AS (SELECT role, tool, date_trunc('day', ts) AS day FROM transcripts)
+SELECT role, tool, day, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) < 5 AS at_risk
+FROM ka GROUP BY role, tool, day"""
+
+    slot = _md5_32_sql("conv_id || ':' || CAST(turn_idx AS VARCHAR)")
+    canary_leak = f"""
+, cl0 AS (SELECT conv_id,
+            CASE WHEN ({slot}) % 13 = 5
+                 THEN text || ' CANARY-'
+                      || substr(md5(coalesce(tool, 'none')), 1, 8)
+                 ELSE text END AS text
+          FROM transcripts)
+, cl1 AS (SELECT conv_id,
+            unnest(regexp_extract_all(text, 'CANARY-[0-9a-f]{{8}}'))
+              AS canary
+          FROM cl0)
+SELECT canary, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM cl1 GROUP BY canary"""
+
+    template_novelty = r"""
+, tn0 AS (SELECT DISTINCT
+            regexp_replace(regexp_replace(text,
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+              '\d+', '<N>', 'g') AS template,
+            date_trunc('day', ts) AS day
+          FROM transcripts)
+, tn1 AS (SELECT template, MIN(day) AS first FROM tn0 GROUP BY template)
+, tn2 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN first = day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new
+          FROM tn0 JOIN tn1 USING (template) GROUP BY day)
+SELECT day, n_active, n_new, n_new * 1000000 // n_active AS new_ppm
+FROM tn2"""
+
+    h = _md5_32_sql("conv_id")
+    gdpr_manifest = f"""
+, gd0 AS (SELECT date_trunc('day', ts) AS day, conv_id,
+                 ({h}) % 10 = 3 AS dead
+          FROM transcripts)
+SELECT day,
+       CAST(SUM(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(DISTINCT CASE WHEN dead THEN conv_id END) AS BIGINT)
+         AS n_keys_deleted
+FROM gd0 GROUP BY day"""
+
+    return {
+        "k_anonymity": k_anonymity,
+        "canary_leak": canary_leak,
+        "template_novelty": template_novelty,
+        "gdpr_manifest": gdpr_manifest,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -2976,6 +3037,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _round3_sql().items()},
         **{k: c + v for k, v in _round3b_sql().items()},
         **{k: c + v for k, v in _dataquality_sql().items()},
+        **{k: c + v for k, v in _governance_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c
