@@ -2703,6 +2703,82 @@ def _q_gdpr_manifest(spark, sf_dir):
     return manifest
 
 
+def _q_kappa_agreement(spark, sf_dir):
+    """Inter-annotator agreement per role: annotator A buckets each
+    turn by md5(text) into 3 quality labels; annotator B agrees on
+    3/4 of md5-slotted turns and rotates the label on the rest —
+    kappa must land between the po/pe extremes, integer-exact."""
+    from fluent_bit_spark.operators.dataquality import kappa_agreement
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    t = _transcripts(spark, sf_dir)
+    a = F.concat(F.lit("q"), (md5_32(F.col("text")) % 3).cast("string"))
+    rot = F.concat(
+        F.lit("q"), ((md5_32(F.col("text")) + 1) % 3).cast("string")
+    )
+    slot = (
+        md5_32(
+            F.concat(
+                F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+            ),
+            offset=9,
+        )
+        % 4
+    )
+    labeled = t.select(
+        "role",
+        a.alias("label_a"),
+        F.when(slot != 0, a).otherwise(rot).alias("label_b"),
+    )
+    return kappa_agreement(labeled, "label_a", "label_b", group_col="role")
+
+
+def _q_backpressure(spark, sf_dir):
+    """Mem_Buf_Limit pause/resume audit over the routed per-sink
+    stream: a dense hourly spine per sink is drained at the corpus'
+    mean hourly rate; hours where the Lindley queue depth exceeds
+    3x the drain rate are flagged paused — the hours where the
+    reference would have paused the input plugin."""
+    from fluent_bit_spark.operators.aggregate import backpressure_sim, hour_spine
+    from fluent_bit_spark.operators.route import explode_routes
+
+    per_sink = explode_routes(_routed(spark, sf_dir))
+    lo, hi, total = per_sink.agg(
+        F.date_trunc("hour", F.min("ts")),
+        F.date_trunc("hour", F.max("ts")),
+        F.count(F.lit(1)),
+    ).first()
+    n_hours = int((hi - lo).total_seconds()) // 3600 + 1
+    drain = max(1, total // n_hours)
+    spine = hour_spine(per_sink, sink_col="sink", ts_col="ts")
+    return backpressure_sim(
+        spine, drain_per_hour=drain, mem_buf_limit=3 * drain
+    )
+
+
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-day seasonal baseline screen: md5-slotted (type, day,
+    hour) cells get their rows replicated 4x, so exactly the spiked
+    current-window cells must flag high against the first-half
+    baseline (cross-multiplied integer verdicts, no division)."""
+    from fluent_bit_spark.operators.aggregate import seasonal_anomaly
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.dayofmonth("ts").cast("string"),
+        F.lit(":"),
+        F.hour("ts").cast("string"),
+    )
+    mult = F.when(md5_32(cell) % 40 == 7, F.lit(4)).otherwise(F.lit(1))
+    spiked = ev.withColumn("_m", mult).withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.col("_m")))
+    )
+    return seasonal_anomaly(spiked, split_day=15, factor=2)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -2982,6 +3058,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_leak": _q_canary_leak,
         "template_novelty": _q_template_novelty,
         "gdpr_manifest": _q_gdpr_manifest,
+        "kappa_agreement": _q_kappa_agreement,
+        "backpressure": _q_backpressure,
+        "seasonal_anomaly": _q_seasonal_anomaly,
     }
 
 

@@ -542,3 +542,169 @@ def mtbf_report(
             ),
         ).alias("mtbf_us"),
     )
+
+
+def backpressure_sim(
+    df: DataFrame,
+    drain_per_hour: int,
+    mem_buf_limit: int,
+    sink_col: str = "sink",
+    hour_col: str = "hour",
+    n_col: str = "n_in",
+) -> DataFrame:
+    """Per-sink buffer-occupancy simulation under a constant drain
+    rate — the batch analog of the reference's backpressure loop
+    (Mem_Buf_Limit pause/resume, src/flb_input_chunk.c): given hourly
+    arrival counts, replay the queue
+
+        q_t = max(0, q_{t-1} + arrivals_t - drain)
+
+    via its Lindley closed form ``q_t = S_t - min(0, min_{s<=t} S_s)``
+    with ``S`` the running sum of (arrivals - drain), and flag hours
+    where the depth exceeds ``mem_buf_limit`` as ``paused`` (the
+    reference would stop the input plugin there).
+
+    Input must be a DENSE hourly spine per sink (missing hours =
+    zero arrivals still drain); `hour_spine` below builds one.
+
+    Output: (sink, hour, n_in, queue_depth, paused).
+
+    Scale shape: all work happens after aggregation to
+    (#sinks x #hours) rows — the two windows (cumsum + running min)
+    partition by sink, so no single-task global window; integer math
+    end to end, so both engines agree bit-for-bit.
+
+    Caveat vs the real thing: the closed form models an unbounded
+    buffer and flags the overflow; it does not model the *feedback*
+    (a paused input stops arriving), which is path-dependent and
+    belongs to the streaming variant, not a closed-form audit.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(sink_col)
+        .orderBy(hour_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(F.col(n_col) - F.lit(drain_per_hour)).over(w)
+    staged = df.withColumn("_s", s).withColumn(
+        "queue_depth", F.col("_s") - F.least(F.lit(0), F.min("_s").over(w))
+    )
+    return staged.select(
+        sink_col,
+        hour_col,
+        n_col,
+        F.col("queue_depth").cast("long").alias("queue_depth"),
+        (F.col("queue_depth") > F.lit(mem_buf_limit)).alias("paused"),
+    )
+
+
+def hour_spine(
+    df: DataFrame,
+    sink_col: str = "sink",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dense (sink, hour, n_in) frame over the corpus' full hour
+    range: every sink gets every hour between the global min and max,
+    with zero-filled arrival counts — the input `backpressure_sim`
+    needs so empty hours still drain.
+
+    Scale shape: the spine is #sinks x #hours rows built from a
+    1-row aggregate exploded with `sequence()` (never row-scale), and
+    the counts arrive by left join from a map-side-combined groupBy.
+    """
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    sinks = df.select(F.col(sink_col).alias(sink_col)).distinct()
+    counts = df.groupBy(
+        F.col(sink_col), F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    return (
+        sinks.crossJoin(hours)
+        .join(counts, [sink_col, "hour"], "left")
+        .select(
+            sink_col,
+            "hour",
+            F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias("n_in"),
+        )
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    split_day: int = 15,
+    factor: int = 2,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day seasonal baseline anomaly screen: days <= split_day
+    build a per-(group, hour-of-day) baseline (total count and number
+    of distinct baseline days); each later (group, day, hour-of-day)
+    cell is compared against the baseline MEAN by exact cross
+    multiplication — no division anywhere, so both engines agree
+    bit-for-bit:
+
+        high : n * base_days >  factor * base_total
+        low  : n * base_days * factor <  base_total
+        ok   : otherwise
+
+    This is the seasonal complement of `rate_anomalies` (rolling z):
+    a fleet whose traffic is hour-of-day periodic needs the baseline
+    keyed by hour-of-day, not a trailing window.
+
+    Output: (group, day, hod, n, base_total, base_days, verdict) for
+    current-window cells only.
+
+    Scale shape: one groupBy to (group, day, hod) cells, a broadcast
+    join of the (group, hod) baseline (at most 24 x groups rows),
+    and a map-side verdict. Nothing row-scale survives stage one.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.hour(F.col(ts_col)).alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dd = F.dayofmonth(F.col("day"))
+    base = (
+        cells.filter(dd <= split_day)
+        .groupBy("grp", "hod")
+        .agg(
+            F.sum("n").alias("base_total"),
+            F.count(F.lit(1)).alias("base_days"),
+        )
+    )
+    cur = cells.filter(dd > split_day)
+    j = cur.join(F.broadcast(base), ["grp", "hod"], "left")
+    verdict = (
+        F.when(F.col("base_total").isNull(), F.lit("no_baseline"))
+        .when(
+            F.col("n") * F.col("base_days")
+            > F.lit(factor) * F.col("base_total"),
+            F.lit("high"),
+        )
+        .when(
+            F.col("n") * F.col("base_days") * F.lit(factor)
+            < F.col("base_total"),
+            F.lit("low"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    # baseline-less cells keep verdict 'no_baseline'; their totals are
+    # zero-filled so the output carries no nullable integral columns
+    # (nullable int64 promotes to float64 in Arrow/pandas comparators)
+    return j.select(
+        F.col("grp").alias(group_col),
+        "day",
+        "hod",
+        "n",
+        F.coalesce("base_total", F.lit(0)).cast("long").alias("base_total"),
+        F.coalesce("base_days", F.lit(0)).cast("long").alias("base_days"),
+        verdict.alias("verdict"),
+    )

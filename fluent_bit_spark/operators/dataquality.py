@@ -201,3 +201,82 @@ def tvd_drift(
         )
         .withColumn("drifted", F.col("tvd_ppm") > F.lit(threshold_ppm))
     )
+
+
+def kappa_agreement(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa between two annotators' labels, in exact integer
+    ppm (share-quantized): per group —
+
+        po_ppm    = agreements * 1_000_000 div n
+        pe_ppm    = sum_l (share_a(l) * share_b(l)) div 1_000_000
+                    where share_x(l) = n_x(l) * 1_000_000 div n
+        kappa_ppm = floor((po_ppm - pe_ppm) * 1_000_000
+                          / (1_000_000 - pe_ppm))   [NULL if pe = 1]
+
+    Shares are floored to ppm BEFORE the chance-agreement product, so
+    every intermediate fits a 64-bit integer even at 10^12 rows (the
+    textbook formula needs n^2) and both engines agree bit-for-bit.
+    kappa may be negative (worse than chance); the final division is
+    an explicit FLOOR division via pmod because Spark's `div`
+    truncates toward zero while DuckDB's `//` floors — on negative
+    numerators they disagree by 1 otherwise.
+
+    Agreement is null-safe: both-null counts as agreement, null-vs-
+    value does not.
+
+    Scale shape: one groupBy to per-(group, label-pair) marginals
+    (label vocabulary sized), then arithmetic on alert-sized frames.
+    """
+    g = [group_col] if group_col else []
+    gc = [F.col(c) for c in g]
+    n_agree = F.sum(
+        F.col(label_a).eqNullSafe(F.col(label_b)).cast("long")
+    ).alias("_agree")
+    totals = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"), n_agree
+    )
+    ml = df.groupBy(*g, F.col(label_a).alias("_l")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    mr = df.groupBy(*g, F.col(label_b).alias("_l")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    marg = ml.join(mr, [*g, "_l"], "full_outer").select(
+        *g,
+        F.coalesce("_na", F.lit(0)).alias("_na"),
+        F.coalesce("_nb", F.lit(0)).alias("_nb"),
+    )
+    pe = (
+        marg.join(F.broadcast(totals), g) if g else marg.crossJoin(F.broadcast(totals))
+    )
+    pe = pe.groupBy(*g).agg(
+        F.first("n").alias("n"),
+        F.first("_agree").alias("_agree"),
+        F.sum(
+            F.expr("(_na * 1000000 div n) * (_nb * 1000000 div n)")
+        ).alias("_pesum"),
+    )
+    po_ppm = F.expr("_agree * 1000000 div n")
+    pe_ppm = F.expr("_pesum div 1000000")
+    staged = pe.select(
+        *g,
+        F.col("n"),
+        po_ppm.alias("po_ppm"),
+        pe_ppm.alias("pe_ppm"),
+    )
+    return staged.withColumn(
+        "_num", (F.col("po_ppm") - F.col("pe_ppm")) * F.lit(1_000_000)
+    ).withColumn("_den", F.lit(1_000_000) - F.col("pe_ppm")).withColumn(
+        "kappa_ppm",
+        F.when(
+            F.col("_den") > 0,
+            # exact floor division: subtract the (always non-negative)
+            # pmod first, then `div` — num - pmod is exactly divisible
+            F.expr("(_num - pmod(_num, _den)) div _den"),
+        ).otherwise(F.lit(None).cast("long")),
+    ).drop("_num", "_den")

@@ -2929,6 +2929,107 @@ FROM gd0 GROUP BY day"""
     }
 
 
+def _opsaudit_sql() -> dict[str, str]:
+    """Round-3 ops-audit mirrors: share-quantized Cohen's kappa,
+    the Lindley backpressure replay (Mem_Buf_Limit pause analog),
+    and the hour-of-day seasonal anomaly screen.  All integer math;
+    DuckDB's `//` floors exactly like the Spark side's pmod-adjusted
+    `div`."""
+    ha = _md5_32_sql("text")
+    hs = _md5_32_sql("conv_id || ':' || CAST(turn_idx AS VARCHAR)", offset=9)
+    kappa = f"""
+, kp0 AS (SELECT role,
+            'q' || CAST(({ha}) % 3 AS VARCHAR) AS a,
+            CASE WHEN ({hs}) % 4 <> 0
+                 THEN 'q' || CAST(({ha}) % 3 AS VARCHAR)
+                 ELSE 'q' || CAST((({ha}) + 1) % 3 AS VARCHAR) END AS b
+          FROM transcripts)
+, kpt AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM kp0 GROUP BY role)
+, kpa AS (SELECT role, a AS l, CAST(COUNT(*) AS BIGINT) AS na
+          FROM kp0 GROUP BY role, a)
+, kpb AS (SELECT role, b AS l, CAST(COUNT(*) AS BIGINT) AS nb
+          FROM kp0 GROUP BY role, b)
+, kpm AS (SELECT COALESCE(kpa.role, kpb.role) AS role,
+                 COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM kpa FULL OUTER JOIN kpb
+            ON kpa.role = kpb.role AND kpa.l = kpb.l)
+, kpp AS (SELECT m.role, t.n, t.agree,
+                 CAST(SUM((na * 1000000 // t.n) * (nb * 1000000 // t.n))
+                      AS BIGINT) AS pesum
+          FROM kpm m JOIN kpt t ON m.role = t.role
+          GROUP BY m.role, t.n, t.agree)
+SELECT role, n, agree * 1000000 // n AS po_ppm,
+       pesum // 1000000 AS pe_ppm,
+       CASE WHEN 1000000 - pesum // 1000000 > 0
+            THEN ((agree * 1000000 // n) - (pesum // 1000000)) * 1000000
+                 // (1000000 - pesum // 1000000) END AS kappa_ppm
+FROM kpp"""
+
+    backpressure = """
+, bp0 AS (SELECT sink, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_in
+          FROM per_sink GROUP BY 1, 2)
+, bpb AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi,
+                 CAST(COUNT(*) AS BIGINT) AS total FROM per_sink)
+, bpr AS (SELECT lo, hi,
+                 GREATEST(1, total //
+                   ((epoch_us(hi) - epoch_us(lo)) // 3600000000 + 1))
+                   AS drain
+          FROM bpb)
+, bph AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM bpr)
+, bpsk AS (SELECT DISTINCT sink FROM per_sink)
+, bpd AS (SELECT s.sink, h.hour, COALESCE(c.n_in, 0) AS n_in
+          FROM bpsk s CROSS JOIN bph h
+          LEFT JOIN bp0 c ON c.sink = s.sink AND c.hour = h.hour)
+, bpw AS (SELECT sink, hour, n_in, r.drain,
+            SUM(n_in - r.drain) OVER (PARTITION BY sink ORDER BY hour
+              ROWS UNBOUNDED PRECEDING) AS s
+          FROM bpd CROSS JOIN bpr r)
+, bpq AS (SELECT sink, hour, n_in, drain,
+            s - LEAST(0, MIN(s) OVER (PARTITION BY sink ORDER BY hour
+              ROWS UNBOUNDED PRECEDING)) AS q
+          FROM bpw)
+SELECT sink, hour, n_in, CAST(q AS BIGINT) AS queue_depth,
+       q > 3 * drain AS paused
+FROM bpq"""
+
+    cell = _md5_32_sql(
+        "event_type || ':' || CAST(date_part('day', ts) AS VARCHAR)"
+        " || ':' || CAST(date_part('hour', ts) AS VARCHAR)"
+    )
+    seasonal = f"""
+, sa0 AS (SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(date_part('hour', ts) AS INT) AS hod,
+                 CAST(SUM(CASE WHEN ({cell}) % 40 = 7 THEN 4 ELSE 1 END)
+                      AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3)
+, sab AS (SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS base_total,
+                 CAST(COUNT(*) AS BIGINT) AS base_days
+          FROM sa0 WHERE date_part('day', day) <= 15
+          GROUP BY event_type, hod)
+, sac AS (SELECT * FROM sa0 WHERE date_part('day', day) > 15)
+SELECT c.event_type, c.day, c.hod, c.n,
+       CAST(COALESCE(b.base_total, 0) AS BIGINT) AS base_total,
+       CAST(COALESCE(b.base_days, 0) AS BIGINT) AS base_days,
+       CASE WHEN b.base_total IS NULL THEN 'no_baseline'
+            WHEN c.n * b.base_days > 2 * b.base_total THEN 'high'
+            WHEN c.n * b.base_days * 2 < b.base_total THEN 'low'
+            ELSE 'ok' END AS verdict
+FROM sac c LEFT JOIN sab b
+  ON c.event_type = b.event_type AND c.hod = b.hod"""
+
+    return {
+        "kappa_agreement": kappa,
+        "backpressure": backpressure,
+        "seasonal_anomaly": seasonal,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -3038,6 +3139,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _round3b_sql().items()},
         **{k: c + v for k, v in _dataquality_sql().items()},
         **{k: c + v for k, v in _governance_sql().items()},
+        **{k: c + v for k, v in _opsaudit_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

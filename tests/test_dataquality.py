@@ -141,3 +141,133 @@ class TestTvdDrift:
             for r in tvd_drift(self._frame(spark, rows)).collect()
         }
         assert got == {"shifted": True, "calm": False}
+
+
+class TestKappaAgreement:
+    def _kappa(self, spark, rows):
+        from fluent_bit_spark.operators.dataquality import kappa_agreement
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = kappa_agreement(df, "a", "b").collect()
+        return r
+
+    def test_perfect_agreement(self, spark):
+        r = self._kappa(spark, [("x", "x")] * 3 + [("y", "y")] * 3)
+        # po = 1, pe = 0.5 -> kappa = 1 exactly
+        assert (r["po_ppm"], r["pe_ppm"], r["kappa_ppm"]) == (
+            1_000_000, 500_000, 1_000_000,
+        )
+
+    def test_worse_than_chance_is_negative_and_floored(self, spark):
+        # systematic disagreement: po = 0, pe = 0.5 -> kappa = -1.
+        r = self._kappa(spark, [("x", "y")] * 2 + [("y", "x")] * 2)
+        assert r["po_ppm"] == 0
+        assert r["kappa_ppm"] == -1_000_000
+
+    def test_null_safe_agreement(self, spark):
+        from fluent_bit_spark.operators.dataquality import kappa_agreement
+
+        df = spark.createDataFrame(
+            [("x", "x"), (None, None), (None, "x"), ("x", None)],
+            "a string, b string",
+        )
+        [r] = kappa_agreement(df, "a", "b").collect()
+        assert r["po_ppm"] == 500_000  # both-null agrees, null-vs-x doesn't
+
+    def test_degenerate_single_label_null_kappa(self, spark):
+        # pe = 1 -> kappa undefined -> NULL
+        r = self._kappa(spark, [("x", "x")] * 4)
+        assert r["pe_ppm"] == 1_000_000 and r["kappa_ppm"] is None
+
+
+class TestBackpressure:
+    def test_lindley_replay(self, spark):
+        from fluent_bit_spark.operators.aggregate import backpressure_sim
+
+        # drain 10/hr: arrivals 30,0,0,25,0 -> q = 20,10,0,15,5
+        rows = [("s", h, n) for h, n in enumerate([30, 0, 0, 25, 0])]
+        df = spark.createDataFrame(rows, "sink string, hour int, n_in long")
+        got = {
+            r["hour"]: (r["queue_depth"], r["paused"])
+            for r in backpressure_sim(
+                df, drain_per_hour=10, mem_buf_limit=12
+            ).collect()
+        }
+        assert got == {
+            0: (20, True),
+            1: (10, False),
+            2: (0, False),
+            3: (15, True),
+            4: (5, False),
+        }
+
+    def test_queue_never_negative(self, spark):
+        from fluent_bit_spark.operators.aggregate import backpressure_sim
+
+        rows = [("s", h, 0) for h in range(4)]
+        df = spark.createDataFrame(rows, "sink string, hour int, n_in long")
+        depths = [
+            r["queue_depth"]
+            for r in backpressure_sim(df, 5, 100).collect()
+        ]
+        assert depths == [0, 0, 0, 0]
+
+    def test_hour_spine_dense_and_zero_filled(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import hour_spine
+
+        df = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:10:00"),
+                ("a", "2024-01-01 03:20:00"),
+                ("b", "2024-01-01 01:00:00"),
+            ],
+            "sink string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        spine = hour_spine(df)
+        # 2 sinks x 4 hours, zero-filled where no arrivals
+        assert spine.count() == 8
+        got = {
+            (r["sink"], r["hour"].hour): r["n_in"] for r in spine.collect()
+        }
+        assert got[("a", 0)] == 1 and got[("a", 1)] == 0
+        assert got[("b", 1)] == 1 and got[("b", 3)] == 0
+
+
+class TestSeasonalAnomaly:
+    def test_spike_flags_high(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import seasonal_anomaly
+
+        rows = []
+        # baseline: days 1..15, hod 0, 10 rows each; current day 16: 30 rows
+        for d in range(1, 16):
+            rows += [(f"2024-01-{d:02d} 00:30:00",)] * 10
+        rows += [("2024-01-16 00:30:00",)] * 30
+        rows += [("2024-01-17 00:30:00",)] * 10  # normal day
+        rows += [("2024-01-18 00:30:00",)] * 4   # low day (4*1*2 < 10... no)
+        df = (
+            spark.createDataFrame(rows, "ts string")
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withColumn("event_type", F.lit("e"))
+        )
+        got = {
+            r["day"].day: r["verdict"]
+            for r in seasonal_anomaly(df, split_day=15, factor=2).collect()
+        }
+        # baseline mean = 10/day: 30 > 2*10 high; 10 ok; 4*2 < 10 low
+        assert got == {16: "high", 17: "ok", 18: "low"}
+
+    def test_unseen_hod_no_baseline(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import seasonal_anomaly
+
+        df = (
+            spark.createDataFrame(
+                [("2024-01-01 00:00:00",), ("2024-01-20 05:00:00",)], "ts string"
+            )
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withColumn("event_type", F.lit("e"))
+        )
+        [r] = seasonal_anomaly(df).collect()
+        assert r["verdict"] == "no_baseline" and r["hod"] == 5
