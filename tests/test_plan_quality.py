@@ -322,3 +322,77 @@ def test_ivfpq_no_cartesian_broadcast_tables(spark, sf_dir):
     # the ADC sum joins candidate codes to the broadcast distance table
     # hash-wise on (query_id, sub, code)
     assert re.search(r"BroadcastHashJoin \[?query_id", plan), plan
+
+
+def test_data_diff_single_copartitioned_join(spark):
+    """The blue/green diff is ONE full-outer sort-merge join: both
+    sides exchange once on the key, nothing is broadcast (both sides
+    are corpus-scale), and no further shuffle follows the join."""
+    from fluent_bit_spark.operators.dataquality import data_diff
+
+    old = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("a").alias("v")
+    )
+    new = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("b").alias("v")
+    )
+    plan = plan_of(data_diff(old, new, key_cols=("k",)), "simple")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2, plan
+
+
+def test_tvd_drift_totals_join_is_broadcast(spark):
+    """After the (group, bin) aggregate, per-group totals come back
+    as a broadcast join — bin-level rows never re-shuffle for it."""
+    from fluent_bit_spark.operators.dataquality import tvd_drift
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        (F.col("id") % 7).alias("bin"),
+        (F.col("id") % 2).cast("int").alias("is_cur"),
+    )
+    plan = plan_of(tvd_drift(df), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_backpressure_windows_partition_by_sink(spark):
+    """The Lindley windows must partition by sink — a global
+    single-partition window would serialize the whole spine."""
+    from fluent_bit_spark.operators.aggregate import backpressure_sim
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("string").alias("sink"),
+        (F.col("id") / 4).cast("long").alias("hour"),
+        F.lit(1).cast("long").alias("n_in"),
+    )
+    plan = plan_of(backpressure_sim(df, 1, 10), "simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_seasonal_baseline_is_broadcast(spark, sf_dir):
+    """The (group, hod) baseline joins back by broadcast; the cell
+    frame (already aggregated) never sort-merge-joins."""
+    from fluent_bit_spark.operators.aggregate import seasonal_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(seasonal_anomaly(ev), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kappa_marginals_stay_label_sized(spark):
+    """kappa's totals come back via broadcast; the only sort-merge
+    join allowed is the label-vocabulary marginal full-outer (both
+    sides are label-sized, not row-sized)."""
+    from fluent_bit_spark.operators.dataquality import kappa_agreement
+
+    df = spark.range(500).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 5).cast("string").alias("b"),
+    )
+    plan = plan_of(kappa_agreement(df, "a", "b", group_col="g"), "simple")
+    assert "BroadcastHashJoin" in plan, plan
