@@ -2779,6 +2779,52 @@ def _q_seasonal_anomaly(spark, sf_dir):
     return seasonal_anomaly(spiked, split_day=15, factor=2)
 
 
+def _q_route_diff(spark, sf_dir):
+    """Config-reload preview: config B narrows the catch-all sink to
+    chat traffic and quarantines unparsed.user — tag families must
+    land in the right verdict (rerouted / unchanged / newly_dropped)
+    with exact added/removed sink deltas.  (newly_routed needs an
+    A-empty tag, impossible while A carries the '*' catch-all.)"""
+    from fluent_bit_spark.operators.route import route_diff
+    from fluent_bit_spark.plans.flagship import SINKS
+
+    sinks_b = [
+        ("sink_errors", "errors.*"),
+        ("sink_alerts", "alerts.*"),
+        ("sink_tools", "tools.*"),
+        ("sink_all", "chat.*"),
+        ("sink_quarantine", "unparsed.user"),
+    ]
+    return route_diff(_routed(spark, sf_dir), SINKS, sinks_b)
+
+
+def _q_heartbeat_gaps(spark, sf_dir):
+    """Dead-man-switch report: per event_type, silent runs of more
+    than 6 consecutive heartbeat hours over the month."""
+    from fluent_bit_spark.operators.aggregate import heartbeat_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"), "ts"
+    )
+    return heartbeat_gaps(ev, threshold_hours=6)
+
+
+def _q_cardinality_guard(spark, sf_dir):
+    """Label-cardinality explosion alarm: from day 25 the synthesized
+    label switches from whole-unit to cent buckets (a uuid-in-a-tag
+    style incident) — exactly the switch day must alarm; the negative
+    deltas afterwards exercise the exact floor division."""
+    from fluent_bit_spark.operators.aggregate import cardinality_guard
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lab = F.when(
+        F.dayofmonth("ts") >= 25, F.floor(F.col("value") * 100)
+    ).otherwise(F.floor(F.col("value")))
+    return cardinality_guard(
+        ev.select("ts", lab.alias("lab")), "lab", growth_ppm=200_000
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3061,6 +3107,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_agreement": _q_kappa_agreement,
         "backpressure": _q_backpressure,
         "seasonal_anomaly": _q_seasonal_anomaly,
+        "route_diff": _q_route_diff,
+        "heartbeat_gaps": _q_heartbeat_gaps,
+        "cardinality_guard": _q_cardinality_guard,
     }
 
 

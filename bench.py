@@ -299,15 +299,18 @@ def run_default() -> None:
     from fluent_bit_spark.operators.dedup import release_persisted
 
     queries = bench_queries(spark, source)
-    # warmup pass: codegen, broadcast build, python-worker pool spin-up
-    for fn in queries.values():
-        _force(fn())
-    # drop warmup's operator-internal caches so timed dedup runs pay
-    # their real signature cost (cache reuse would flatter them)
-    release_persisted()
-
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        # warm THIS query immediately before timing it (codegen,
+        # broadcast build, python-worker pool, re-pin the source
+        # cache): a single global warmup pass decays — 30 intervening
+        # queries evict python workers and storage, which made early
+        # timed queries pay cold costs (parse_arrow read 7.2s where
+        # its warm cost is 1.3s)
+        _force(fn())
+        # drop warmup's operator-internal caches so the timed run pays
+        # its real signature cost (cache reuse would flatter dedup)
+        release_persisted()
         t0 = time.perf_counter()
         _force(fn())
         timings[name] = round(time.perf_counter() - t0, 3)

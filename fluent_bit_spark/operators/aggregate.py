@@ -708,3 +708,99 @@ def seasonal_anomaly(
         F.coalesce("base_days", F.lit(0)).cast("long").alias("base_days"),
         verdict.alias("verdict"),
     )
+
+
+def heartbeat_gaps(
+    df: DataFrame,
+    threshold_hours: int = 6,
+    group_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dead-man-switch report: per source, the silent intervals — runs
+    of consecutive heartbeat HOURS with no events — longer than
+    ``threshold_hours``. The classic "host X stopped logging" alert,
+    which the reference cannot express at all (it only sees records
+    that DO arrive; absence is a query over time, not a record).
+
+    Works on hourly presence, not raw rows: the corpus collapses to
+    the distinct (source, hour) spine first, then a per-source lag
+    finds interior gaps. Output: (source, gap_start, gap_end,
+    gap_hours) where gap_start/gap_end are the last hour seen before
+    and first hour seen after the silence.
+
+    Scale shape: one distinct aggregate to #sources x #hours rows
+    (map-side combined); the lag window partitions by source over
+    that bounded spine — never over raw records.
+    """
+    from pyspark.sql import Window
+
+    hours = df.select(
+        F.col(group_col).alias("source"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("hour")
+    staged = hours.withColumn("_prev", F.lag("hour").over(w)).withColumn(
+        "gap_hours",
+        (
+            (F.unix_timestamp("hour") - F.unix_timestamp("_prev"))
+            / F.lit(3600)
+        ).cast("long"),
+    )
+    return staged.filter(
+        F.col("gap_hours") > F.lit(threshold_hours)
+    ).select(
+        "source",
+        F.col("_prev").alias("gap_start"),
+        F.col("hour").alias("gap_end"),
+        "gap_hours",
+    )
+
+
+def cardinality_guard(
+    df: DataFrame,
+    label_col: str,
+    growth_ppm: int = 200_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Label-cardinality explosion alarm: per day, the EXACT distinct
+    count of ``label_col`` values, the previous day's count, the
+    day-over-day growth in integer ppm, and an alarm when growth
+    exceeds ``growth_ppm`` (default +20%). This is the guard that
+    catches an upstream change turning a bounded label (service,
+    tool, status) into an unbounded one (uuid, timestamp-in-a-tag) —
+    the classic metrics-cardinality incident.
+
+    Output: (day, n_distinct, n_prev, delta_ppm, alarm); the first
+    day has no baseline → NULL delta, alarm false.
+
+    Scale shape: one distinct aggregate over (day, label) with
+    map-side combine, one count per day, then a lag over the #days
+    spine. Exact integer division keeps both engines bit-identical.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(label_col).alias("_l"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    w = Window.orderBy("day")
+    staged = days.withColumn("n_prev", F.lag("n_distinct").over(w))
+    # shrinking days give a negative numerator; Spark's `div` and
+    # DuckDB's `//` both truncate toward zero on integers, so the
+    # plain integral division is already cross-engine exact
+    delta = F.expr("_num div n_prev")
+    staged = staged.withColumn(
+        "_num", (F.col("n_distinct") - F.col("n_prev")) * F.lit(1_000_000)
+    )
+    return staged.select(
+        "day",
+        "n_distinct",
+        F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+        F.coalesce(delta, F.lit(0)).alias("delta_ppm"),
+        F.coalesce(delta > F.lit(growth_ppm), F.lit(False)).alias("alarm"),
+    )

@@ -221,10 +221,9 @@ def kappa_agreement(
     Shares are floored to ppm BEFORE the chance-agreement product, so
     every intermediate fits a 64-bit integer even at 10^12 rows (the
     textbook formula needs n^2) and both engines agree bit-for-bit.
-    kappa may be negative (worse than chance); the final division is
-    an explicit FLOOR division via pmod because Spark's `div`
-    truncates toward zero while DuckDB's `//` floors — on negative
-    numerators they disagree by 1 otherwise.
+    kappa may be negative (worse than chance); Spark's `div` and
+    DuckDB's `//` both truncate toward zero on integers (verified),
+    so the integral division stays cross-engine exact there too.
 
     Agreement is null-safe: both-null counts as agreement, null-vs-
     value does not.
@@ -274,9 +273,10 @@ def kappa_agreement(
     ).withColumn("_den", F.lit(1_000_000) - F.col("pe_ppm")).withColumn(
         "kappa_ppm",
         F.when(
+            # Spark `div` and DuckDB `//` both truncate toward zero on
+            # integers, so the negative-kappa branch stays cross-engine
+            # exact with the plain integral division
             F.col("_den") > 0,
-            # exact floor division: subtract the (always non-negative)
-            # pmod first, then `div` — num - pmod is exactly divisible
-            F.expr("(_num - pmod(_num, _den)) div _den"),
+            F.expr("_num div _den"),
         ).otherwise(F.lit(None).cast("long")),
     ).drop("_num", "_den")

@@ -185,3 +185,62 @@ def dlq_split(
         marked.filter(F.col(out).isNull()).drop(out),
         marked.filter(F.col(out).isNotNull()),
     )
+
+
+def route_diff(
+    df: DataFrame,
+    sinks_old: list[tuple[str, str]],
+    sinks_new: list[tuple[str, str]],
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Config-reload impact preview: before swapping router configs
+    (the reference re-builds the router on SIGHUP/hot-reload,
+    src/flb_router.c — with no way to ask "what will change?"),
+    evaluate BOTH Match-glob rule sets against the observed tag
+    vocabulary and report, per tag:
+
+    - ``n_rows``: how many records currently carry the tag;
+    - ``routes_old`` / ``routes_new``: comma-joined sorted sink sets;
+    - ``added`` / ``removed``: the sink-set delta;
+    - ``verdict``: ``unchanged`` | ``rerouted`` | ``newly_dropped``
+      (was routed, now matches nothing → the reference would DROP
+      these records) | ``newly_routed``.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to its tag vocabulary; every glob evaluation and set diff runs
+    over #tags rows (closed-form per tag, rows never re-read). The
+    preview of a config change against 100 TB costs one count pass.
+    """
+    tags = df.groupBy(tag_col).agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def routes(sinks) -> Column:
+        matches = F.array(
+            *[
+                F.when(glob_predicate(F.col(tag_col), glob), F.lit(name))
+                for name, glob in sinks
+            ]
+        )
+        return F.array_sort(F.filter(matches, lambda x: x.isNotNull()))
+
+    staged = tags.withColumn("_ra", routes(sinks_old)).withColumn(
+        "_rb", routes(sinks_new)
+    )
+    verdict = (
+        F.when(F.col("_ra") == F.col("_rb"), F.lit("unchanged"))
+        .when(F.size("_rb") == 0, F.lit("newly_dropped"))
+        .when(F.size("_ra") == 0, F.lit("newly_routed"))
+        .otherwise(F.lit("rerouted"))
+    )
+    return staged.select(
+        tag_col,
+        "n_rows",
+        F.array_join("_ra", ",").alias("routes_old"),
+        F.array_join("_rb", ",").alias("routes_new"),
+        F.array_join(F.array_sort(F.array_except("_rb", "_ra")), ",").alias(
+            "added"
+        ),
+        F.array_join(F.array_sort(F.array_except("_ra", "_rb")), ",").alias(
+            "removed"
+        ),
+        verdict.alias("verdict"),
+    )

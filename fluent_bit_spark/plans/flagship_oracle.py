@@ -3023,10 +3023,74 @@ SELECT c.event_type, c.day, c.hod, c.n,
 FROM sac c LEFT JOIN sab b
   ON c.event_type = b.event_type AND c.hod = b.hod"""
 
+    route_diff = """
+, rdt AS (SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM routed GROUP BY tag)
+, rda AS (SELECT tag, n_rows,
+            list_sort(list_filter([
+              CASE WHEN tag LIKE 'errors.%' THEN 'sink_errors' END,
+              CASE WHEN tag LIKE 'alerts.%' THEN 'sink_alerts' END,
+              CASE WHEN tag LIKE 'tools.%' THEN 'sink_tools' END,
+              'sink_all'
+            ], x -> x IS NOT NULL)) AS ra,
+            list_sort(list_filter([
+              CASE WHEN tag LIKE 'errors.%' THEN 'sink_errors' END,
+              CASE WHEN tag LIKE 'alerts.%' THEN 'sink_alerts' END,
+              CASE WHEN tag LIKE 'tools.%' THEN 'sink_tools' END,
+              CASE WHEN tag LIKE 'chat.%' THEN 'sink_all' END,
+              CASE WHEN tag = 'unparsed.user' THEN 'sink_quarantine' END
+            ], x -> x IS NOT NULL)) AS rb
+          FROM rdt)
+SELECT tag, n_rows,
+       COALESCE(array_to_string(ra, ','), '') AS routes_old,
+       COALESCE(array_to_string(rb, ','), '') AS routes_new,
+       COALESCE(array_to_string(list_sort(
+         list_filter(rb, x -> NOT list_contains(ra, x))), ','), '') AS added,
+       COALESCE(array_to_string(list_sort(
+         list_filter(ra, x -> NOT list_contains(rb, x))), ','), '') AS removed,
+       CASE WHEN ra = rb THEN 'unchanged'
+            WHEN len(rb) = 0 THEN 'newly_dropped'
+            WHEN len(ra) = 0 THEN 'newly_routed'
+            ELSE 'rerouted' END AS verdict
+FROM rda"""
+
+    heartbeat = """
+, hb0 AS (SELECT DISTINCT event_type AS source,
+                 date_trunc('hour', ts) AS hour FROM events)
+, hb1 AS (SELECT source, hour,
+                 LAG(hour) OVER (PARTITION BY source ORDER BY hour) AS prev
+          FROM hb0)
+SELECT source, prev AS gap_start, hour AS gap_end,
+       (epoch_us(hour) - epoch_us(prev)) // 3600000000 AS gap_hours
+FROM hb1
+WHERE (epoch_us(hour) - epoch_us(prev)) // 3600000000 > 6"""
+
+    cardinality = """
+, cg0 AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+                 CASE WHEN date_part('day', ts) >= 25
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE CAST(floor(value) AS BIGINT) END AS lab
+          FROM events)
+, cg1 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM cg0 GROUP BY day)
+, cg2 AS (SELECT day, n_distinct,
+                 LAG(n_distinct) OVER (ORDER BY day) AS n_prev
+          FROM cg1)
+SELECT day, n_distinct,
+       CAST(COALESCE(n_prev, 0) AS BIGINT) AS n_prev,
+       CAST(COALESCE((n_distinct - n_prev) * 1000000 // n_prev, 0)
+            AS BIGINT) AS delta_ppm,
+       COALESCE((n_distinct - n_prev) * 1000000 // n_prev > 200000,
+                FALSE) AS alarm
+FROM cg2"""
+
     return {
         "kappa_agreement": kappa,
         "backpressure": backpressure,
         "seasonal_anomaly": seasonal,
+        "route_diff": route_diff,
+        "heartbeat_gaps": heartbeat,
+        "cardinality_guard": cardinality,
     }
 
 

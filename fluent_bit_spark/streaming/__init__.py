@@ -462,3 +462,64 @@ def late_data_report(
             F.expr("n_late * CAST(1000000 AS BIGINT) div n_total"),
         )
     )
+
+
+def backpressure_stateful(
+    df: DataFrame,
+    drain_per_hour: int,
+    mem_buf_limit: int,
+    sink_col: str = "sink",
+    hour_col: str = "hour",
+    n_col: str = "n_in",
+):
+    """Streaming buffer replay WITH pause feedback — the part of the
+    reference's backpressure loop (src/flb_input_chunk.c pause /
+    resume) that `aggregate.backpressure_sim`'s Lindley closed form
+    deliberately leaves out: while a sink is paused, its arrivals are
+    NOT buffered (the input plugin is stopped), and the sink resumes
+    once the queue drains back under the limit.  That feedback makes
+    the trajectory path-dependent, so it lives in the state store
+    (applyInPandasWithState), not in a window expression.
+
+    Per (sink) state: (queue_depth, paused).  Per hour, in event-time
+    order:
+
+        accepted = 0 if paused else arrivals
+        depth    = max(0, depth + accepted - drain)
+        paused   = depth > mem_buf_limit
+
+    Output: (sink, hour, n_in, accepted, queue_depth, paused).
+
+    Ordering caveat: hours must arrive in event-time order per sink
+    (one availableNow batch over an ordered spine, or ordered
+    appends); the state transition is order-sensitive by nature.
+
+    Scale shape: state is two scalars per sink; each micro-batch
+    shuffles only the (sink, hour) spine rows, never raw records.
+    """
+    out_schema = (
+        f"{sink_col} string, {hour_col} timestamp, {n_col} long, "
+        "accepted long, queue_depth long, paused boolean"
+    )
+    state_schema = "q long, paused boolean"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        q, paused = state.get if state.exists else (0, False)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(hour_col)
+            out = {"accepted": [], "queue_depth": [], "paused": []}
+            for n in pdf[n_col]:
+                accepted = 0 if paused else int(n)
+                q = max(0, q + accepted - drain_per_hour)
+                paused = q > mem_buf_limit
+                out["accepted"].append(accepted)
+                out["queue_depth"].append(q)
+                out["paused"].append(paused)
+            yield pdf.assign(**out)[
+                [sink_col, hour_col, n_col, "accepted", "queue_depth", "paused"]
+            ]
+        state.update((q, paused))
+
+    return df.groupBy(sink_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -555,3 +555,96 @@ def test_rate_anomalies_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) > 100
     for k, v in got.items():
         assert want[k] == v, k
+
+
+def test_backpressure_stateful_matches_batch_when_never_paused(
+    spark, sf_dir, tmp_path
+):
+    """With an unreachable limit the feedback never engages, so the
+    stateful replay must equal the Lindley closed form exactly."""
+    from fluent_bit_spark.operators.aggregate import backpressure_sim, hour_spine
+    from fluent_bit_spark.streaming import backpressure_stateful
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS sink", "ts"
+    )
+    spine = hour_spine(ev)
+    spine.coalesce(1).write.parquet(str(tmp_path / "spine"))
+
+    src = (
+        spark.readStream.schema("sink string, hour timestamp, n_in long")
+        .parquet(str(tmp_path / "spine"))
+    )
+    out = backpressure_stateful(src, drain_per_hour=2, mem_buf_limit=10**9)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bp_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.sink, r.hour): (r.n_in, r.accepted, r.queue_depth, r.paused)
+            for r in spark.sql("SELECT * FROM bp_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.sink, r.hour): (r.n_in, r.n_in, r.queue_depth, False)
+        for r in backpressure_sim(
+            spine, drain_per_hour=2, mem_buf_limit=10**9
+        ).collect()
+    }
+    assert got == want
+
+
+def test_backpressure_stateful_pause_feedback(spark, tmp_path):
+    """Hand-traced trajectory: pause drops the NEXT hour's arrivals
+    (the input plugin is stopped), and the sink resumes once the
+    queue drains back under the limit."""
+    import pandas as pd
+    from fluent_bit_spark.streaming import backpressure_stateful
+
+    hours = pd.date_range("2024-01-01", periods=6, freq="h")
+    pdf = pd.DataFrame(
+        {"sink": "s", "hour": hours, "n_in": [30, 20, 0, 0, 5, 5]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "spine")
+    )
+    src = (
+        spark.readStream.schema("sink string, hour timestamp, n_in long")
+        .parquet(str(tmp_path / "spine"))
+    )
+    # drain 10, limit 15:
+    # h0: accept 30 -> q 20 -> paused
+    # h1: paused, drop 20 -> q 10 -> resumed
+    # h2: accept 0 -> q 0
+    # h3: accept 0 -> q 0
+    # h4: accept 5 -> q 0
+    # h5: accept 5 -> q 0
+    out = backpressure_stateful(src, drain_per_hour=10, mem_buf_limit=15)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bp_fb")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("SELECT * FROM bp_fb").collect(), key=lambda r: r.hour
+        )
+    finally:
+        q.stop()
+    got = [(r.accepted, r.queue_depth, r.paused) for r in rows]
+    assert got == [
+        (30, 20, True),
+        (0, 10, False),
+        (0, 0, False),
+        (0, 0, False),
+        (5, 0, False),
+        (5, 0, False),
+    ]

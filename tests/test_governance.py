@@ -112,3 +112,111 @@ class TestTombstoneDelete:
         plan = survivors._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRouteDiff:
+    def test_verdicts_and_deltas(self, spark):
+        from fluent_bit_spark.operators.route import route_diff
+
+        df = spark.createDataFrame(
+            [("errors.a",)] * 3 + [("chat.u",)] * 2 + [("misc.x",)],
+            "tag string",
+        )
+        old = [("s_err", "errors.*"), ("s_all", "*")]
+        new = [("s_err", "errors.*"), ("s_chat", "chat.*")]
+        got = {
+            r["tag"]: (
+                r["n_rows"], r["routes_old"], r["routes_new"],
+                r["added"], r["removed"], r["verdict"],
+            )
+            for r in route_diff(df, old, new).collect()
+        }
+        assert got == {
+            "errors.a": (3, "s_all,s_err", "s_err", "", "s_all", "rerouted"),
+            "chat.u": (2, "s_all", "s_chat", "s_chat", "s_all", "rerouted"),
+            "misc.x": (1, "s_all", "", "", "s_all", "newly_dropped"),
+        }
+
+    def test_unchanged_and_newly_routed(self, spark):
+        from fluent_bit_spark.operators.route import route_diff
+
+        df = spark.createDataFrame([("a.x",), ("b.y",)], "tag string")
+        old = [("sa", "a.*")]
+        new = [("sa", "a.*"), ("sb", "b.*")]
+        got = {r["tag"]: r["verdict"] for r in route_diff(df, old, new).collect()}
+        assert got == {"a.x": "unchanged", "b.y": "newly_routed"}
+
+
+class TestHeartbeatGaps:
+    def test_interior_gap_only(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import heartbeat_gaps
+
+        rows = [
+            ("h", "2024-01-01 00:05:00"),
+            ("h", "2024-01-01 01:10:00"),  # 1h step: fine
+            ("h", "2024-01-01 09:00:00"),  # 8h gap: flagged
+            ("h", "2024-01-01 12:00:00"),  # 3h gap: under threshold
+            ("i", "2024-01-01 00:00:00"),  # single heartbeat: no gap rows
+        ]
+        df = spark.createDataFrame(rows, "source string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = [
+            (r["source"], r["gap_start"].hour, r["gap_end"].hour, r["gap_hours"])
+            for r in heartbeat_gaps(df, threshold_hours=6).collect()
+        ]
+        assert got == [("h", 1, 9, 8)]
+
+    def test_multiple_events_in_hour_collapse(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import heartbeat_gaps
+
+        rows = [("h", f"2024-01-01 00:{m:02d}:00") for m in (1, 2, 3)] + [
+            ("h", "2024-01-01 10:00:00")
+        ]
+        df = spark.createDataFrame(rows, "source string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = heartbeat_gaps(df, threshold_hours=6).collect()
+        assert len(got) == 1 and got[0]["gap_hours"] == 10
+
+
+class TestCardinalityGuard:
+    def test_explosion_shrink_and_first_day(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import cardinality_guard
+
+        rows = []
+        rows += [("2024-01-01", i) for i in range(4)]    # 4 distinct
+        rows += [("2024-01-02", i) for i in range(10)]   # +150% -> alarm
+        rows += [("2024-01-03", i) for i in range(3)]    # -70% -> negative delta
+        df = spark.createDataFrame(rows, "d string, lab int").select(
+            F.to_timestamp("d").alias("ts"), "lab"
+        )
+        got = {
+            r["day"].day: (r["n_distinct"], r["n_prev"], r["delta_ppm"], r["alarm"])
+            for r in cardinality_guard(df, "lab", growth_ppm=200_000).collect()
+        }
+        assert got[1] == (4, 0, 0, False)
+        assert got[2] == (10, 4, 1_500_000, True)
+        # floor(-7/10 * 1e6) = -700000 exactly
+        assert got[3] == (3, 10, -700_000, False)
+
+    def test_exact_negative_floor(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.aggregate import cardinality_guard
+
+        rows = [("2024-01-01", i) for i in range(3)] + [
+            ("2024-01-02", i) for i in range(2)
+        ]
+        df = spark.createDataFrame(rows, "d string, lab int").select(
+            F.to_timestamp("d").alias("ts"), "lab"
+        )
+        got = {
+            r["day"].day: r["delta_ppm"]
+            for r in cardinality_guard(df, "lab").collect()
+        }
+        # (2-3)*1e6 / 3 = -333333.33 -> both engines truncate toward
+        # zero (Spark div == DuckDB //) -> -333333
+        assert got[2] == -333_333
