@@ -2825,6 +2825,27 @@ def _q_cardinality_guard(spark, sf_dir):
     )
 
 
+def _q_msgpack_roundtrip(spark, sf_dir):
+    """Reference wire-format parity: every turn is packed into the
+    engine's msgpack chunk entry ([EventTime ext0, map] —
+    src/flb_pack.c, src/flb_time.c) and decoded back; the oracle
+    checks the decoded fields AND the exact wire size n_bytes against
+    the spec's closed-form header/length arithmetic, so a symmetric-
+    but-wrong codec cannot pass."""
+    from fluent_bit_spark.operators.wireformat import msgpack_roundtrip
+
+    return msgpack_roundtrip(_transcripts(spark, sf_dir))
+
+
+def _q_avro_roundtrip(spark, sf_dir):
+    """Avro binary encoding (src/flb_avro.c path, pure Python — no
+    spark-avro jar in this image) roundtripped per turn; n_bytes is
+    oracle-checked against the spec's zigzag-varint size arithmetic."""
+    from fluent_bit_spark.operators.wireformat import avro_roundtrip
+
+    return avro_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3110,6 +3131,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_diff": _q_route_diff,
         "heartbeat_gaps": _q_heartbeat_gaps,
         "cardinality_guard": _q_cardinality_guard,
+        "msgpack_roundtrip": _q_msgpack_roundtrip,
+        "avro_roundtrip": _q_avro_roundtrip,
     }
 
 

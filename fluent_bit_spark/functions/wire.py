@@ -1,0 +1,297 @@
+"""Pure-Python wire codecs: msgpack (the reference's native chunk
+format) and Avro binary (the reference's out_kafka / flb_avro path).
+
+The reference buffers every event as the msgpack pair
+``[EventTime, map]`` (src/flb_pack.c) where EventTime is msgpack
+ext type 0 carrying 4-byte big-endian seconds + 4-byte big-endian
+nanoseconds (src/flb_time.c:141-181, flb_time_append_to_msgpack).
+`pack_event` / `unpack_event` reproduce that envelope byte-for-byte;
+the scalar packers follow msgpack's canonical smallest-encoding rule
+(what msgpack-c, the reference's bundled library, emits).
+
+The Avro codec implements the binary encoding from the Avro spec
+(zigzag varints, length-prefixed utf8, little-endian doubles, union
+index prefix) for flat record schemas — enough to encode the
+transcript/log record shape src/flb_avro.c handles, without the
+spark-avro jar this image lacks.
+
+Both codecs run inside Arrow-batched `mapInPandas` stages (bytes in,
+bytes out per record — a codec is inherently per-record work; the
+batching amortizes the Python boundary the same way the murmur3 path
+in functions/hashing.py does).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------- msgpack
+
+_EVENTTIME_EXT = 0
+
+
+def _pack_int(v: int) -> bytes:
+    """Canonical smallest msgpack int encoding (msgpack-c behavior)."""
+    if 0 <= v <= 0x7F:
+        return bytes([v])
+    if -32 <= v < 0:
+        return bytes([v & 0xFF])
+    if v >= 0:
+        if v <= 0xFF:
+            return b"\xcc" + v.to_bytes(1, "big")
+        if v <= 0xFFFF:
+            return b"\xcd" + v.to_bytes(2, "big")
+        if v <= 0xFFFFFFFF:
+            return b"\xce" + v.to_bytes(4, "big")
+        return b"\xcf" + v.to_bytes(8, "big")
+    if v >= -0x80:
+        return b"\xd0" + v.to_bytes(1, "big", signed=True)
+    if v >= -0x8000:
+        return b"\xd1" + v.to_bytes(2, "big", signed=True)
+    if v >= -0x80000000:
+        return b"\xd2" + v.to_bytes(4, "big", signed=True)
+    return b"\xd3" + v.to_bytes(8, "big", signed=True)
+
+
+def _pack_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    n = len(b)
+    if n <= 31:
+        return bytes([0xA0 | n]) + b
+    if n <= 0xFF:
+        return b"\xd9" + n.to_bytes(1, "big") + b
+    if n <= 0xFFFF:
+        return b"\xda" + n.to_bytes(2, "big") + b
+    return b"\xdb" + n.to_bytes(4, "big") + b
+
+
+def msgpack_pack(obj) -> bytes:
+    """Pack None/bool/int/float/str/bytes/list/dict canonically."""
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        return _pack_int(obj)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        return _pack_str(obj)
+    if isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n <= 0xFF:
+            return b"\xc4" + n.to_bytes(1, "big") + bytes(obj)
+        if n <= 0xFFFF:
+            return b"\xc5" + n.to_bytes(2, "big") + bytes(obj)
+        return b"\xc6" + n.to_bytes(4, "big") + bytes(obj)
+    if isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n <= 15:
+            head = bytes([0x90 | n])
+        elif n <= 0xFFFF:
+            head = b"\xdc" + n.to_bytes(2, "big")
+        else:
+            head = b"\xdd" + n.to_bytes(4, "big")
+        return head + b"".join(msgpack_pack(x) for x in obj)
+    if isinstance(obj, dict):
+        n = len(obj)
+        if n <= 15:
+            head = bytes([0x80 | n])
+        elif n <= 0xFFFF:
+            head = b"\xde" + n.to_bytes(2, "big")
+        else:
+            head = b"\xdf" + n.to_bytes(4, "big")
+        return head + b"".join(
+            msgpack_pack(k) + msgpack_pack(v) for k, v in obj.items()
+        )
+    raise TypeError(f"cannot msgpack {type(obj)!r}")
+
+
+def pack_eventtime(sec: int, nsec: int) -> bytes:
+    """EventTime = fixext8, type 0, 4B sec BE + 4B nsec BE — exactly
+    flb_time_append_to_msgpack (src/flb_time.c)."""
+    return b"\xd7\x00" + struct.pack(">II", sec, nsec)
+
+
+def pack_event(sec: int, nsec: int, record: dict) -> bytes:
+    """The reference's chunk entry: fixarray2 [EventTime, map]."""
+    return b"\x92" + pack_eventtime(sec, nsec) + msgpack_pack(record)
+
+
+def msgpack_unpack(buf: bytes, pos: int = 0):
+    """Decode one object; returns (obj, next_pos). EventTime ext
+    decodes to the tuple ('eventtime', sec, nsec)."""
+    b0 = buf[pos]
+    pos += 1
+    if b0 <= 0x7F:
+        return b0, pos
+    if b0 >= 0xE0:
+        return b0 - 0x100, pos
+    if 0x80 <= b0 <= 0x8F:
+        return _unpack_map(buf, pos, b0 & 0x0F)
+    if 0x90 <= b0 <= 0x9F:
+        return _unpack_arr(buf, pos, b0 & 0x0F)
+    if 0xA0 <= b0 <= 0xBF:
+        n = b0 & 0x1F
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if b0 == 0xC0:
+        return None, pos
+    if b0 == 0xC2:
+        return False, pos
+    if b0 == 0xC3:
+        return True, pos
+    if b0 in (0xC4, 0xC5, 0xC6):
+        w = 1 << (b0 - 0xC4)
+        n = int.from_bytes(buf[pos : pos + w], "big")
+        pos += w
+        return bytes(buf[pos : pos + n]), pos + n
+    if b0 == 0xCB:
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if b0 in (0xCC, 0xCD, 0xCE, 0xCF):
+        w = 1 << (b0 - 0xCC)
+        return int.from_bytes(buf[pos : pos + w], "big"), pos + w
+    if b0 in (0xD0, 0xD1, 0xD2, 0xD3):
+        w = 1 << (b0 - 0xD0)
+        return (
+            int.from_bytes(buf[pos : pos + w], "big", signed=True),
+            pos + w,
+        )
+    if b0 == 0xD7:  # fixext8
+        ext_type = buf[pos]
+        pos += 1
+        if ext_type == _EVENTTIME_EXT:
+            sec, nsec = struct.unpack_from(">II", buf, pos)
+            return ("eventtime", sec, nsec), pos + 8
+        return ("ext", ext_type, bytes(buf[pos : pos + 8])), pos + 8
+    if b0 in (0xD9, 0xDA, 0xDB):
+        w = 1 << (b0 - 0xD9)
+        n = int.from_bytes(buf[pos : pos + w], "big")
+        pos += w
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if b0 in (0xDC, 0xDD):
+        w = 2 << (b0 - 0xDC)
+        n = int.from_bytes(buf[pos : pos + w], "big")
+        return _unpack_arr(buf, pos + w, n)
+    if b0 in (0xDE, 0xDF):
+        w = 2 << (b0 - 0xDE)
+        n = int.from_bytes(buf[pos : pos + w], "big")
+        return _unpack_map(buf, pos + w, n)
+    raise ValueError(f"unsupported msgpack byte 0x{b0:02x}")
+
+
+def _unpack_arr(buf, pos, n):
+    out = []
+    for _ in range(n):
+        v, pos = msgpack_unpack(buf, pos)
+        out.append(v)
+    return out, pos
+
+
+def _unpack_map(buf, pos, n):
+    out = {}
+    for _ in range(n):
+        k, pos = msgpack_unpack(buf, pos)
+        v, pos = msgpack_unpack(buf, pos)
+        out[k] = v
+    return out, pos
+
+
+def unpack_event(buf: bytes):
+    """Inverse of pack_event: (sec, nsec, record)."""
+    obj, _ = msgpack_unpack(buf, 0)
+    (tag, sec, nsec), record = obj
+    if tag != "eventtime":
+        raise ValueError("event does not start with EventTime ext")
+    return sec, nsec, record
+
+
+# ---------------------------------------------------------------- avro
+
+def _zigzag(v: int) -> bytes:
+    """Avro spec: zigzag then base-128 varint, little groups first."""
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _unzigzag(buf: bytes, pos: int):
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def avro_encode(record: dict, schema: list) -> bytes:
+    """Encode `record` under `schema` = [(name, type)] where type is
+    'string' | 'long' | 'int' | 'double' | 'boolean' | 'bytes' or the
+    nullable union ['null', <type>] (union index varint per the Avro
+    spec's binary encoding, then the branch value)."""
+    out = bytearray()
+    for name, typ in schema:
+        v = record.get(name)
+        if isinstance(typ, list):  # ['null', base]
+            if v is None:
+                out += _zigzag(0)
+                continue
+            out += _zigzag(1)
+            typ = typ[1]
+        if v is None:
+            raise ValueError(f"null in non-nullable field {name!r}")
+        if typ == "string":
+            b = v.encode("utf-8")
+            out += _zigzag(len(b)) + b
+        elif typ in ("long", "int"):
+            out += _zigzag(int(v))
+        elif typ == "double":
+            out += struct.pack("<d", float(v))
+        elif typ == "boolean":
+            out += b"\x01" if v else b"\x00"
+        elif typ == "bytes":
+            out += _zigzag(len(v)) + bytes(v)
+        else:
+            raise TypeError(f"unsupported avro type {typ!r}")
+    return bytes(out)
+
+
+def avro_decode(buf: bytes, schema: list) -> dict:
+    pos, out = 0, {}
+    for name, typ in schema:
+        if isinstance(typ, list):
+            idx, pos = _unzigzag(buf, pos)
+            if idx == 0:
+                out[name] = None
+                continue
+            typ = typ[1]
+        if typ == "string":
+            n, pos = _unzigzag(buf, pos)
+            out[name] = buf[pos : pos + n].decode("utf-8")
+            pos += n
+        elif typ in ("long", "int"):
+            out[name], pos = _unzigzag(buf, pos)
+        elif typ == "double":
+            out[name] = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif typ == "boolean":
+            out[name] = buf[pos] == 1
+            pos += 1
+        elif typ == "bytes":
+            n, pos = _unzigzag(buf, pos)
+            out[name] = bytes(buf[pos : pos + n])
+            pos += n
+        else:
+            raise TypeError(f"unsupported avro type {typ!r}")
+    return out

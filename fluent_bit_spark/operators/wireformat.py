@@ -1,0 +1,141 @@
+"""Wire-format roundtrip operators over the transcript record shape.
+
+`msgpack_roundtrip` re-buffers every turn exactly like the reference
+engine does internally — the msgpack pair [EventTime ext0, map]
+(src/flb_pack.c; src/flb_time.c:141-181) — then decodes its own bytes
+back into columns. `avro_roundtrip` does the same through the Avro
+binary encoding (src/flb_avro.c's output path, here pure Python since
+the image lacks the spark-avro jar).
+
+Both emit the decoded fields plus `n_bytes`, the exact wire size —
+so the oracle can verify not just that decode(encode(x)) == x (which
+a broken-but-symmetric codec would pass) but that the byte-level
+encoding choices (fixstr vs str8 headers, canonical smallest ints,
+zigzag varint widths) match the closed-form sizes the spec dictates.
+
+Scale shape: a codec is inherently per-record work; `mapInPandas`
+keeps it Arrow-batched (one Python crossing per batch, like the
+murmur3 path in functions/hashing.py), embarrassingly parallel, and
+shuffle-free — the 100 TB cost is one map pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from fluent_bit_spark.functions.wire import (
+    avro_decode,
+    avro_encode,
+    pack_event,
+    unpack_event,
+)
+
+_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, n_bytes long"
+)
+
+AVRO_TRANSCRIPT_SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "long"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", ["null", "string"]),
+    ("ts_us", "long"),
+]
+
+
+def _ts_to_us(ts) -> int:
+    return ts.value // 1000  # pandas ns -> µs
+
+
+def msgpack_roundtrip(df: DataFrame) -> DataFrame:
+    """transcripts -> reference msgpack event bytes -> decoded columns
+    (+ exact wire size). EventTime carries (sec, nsec); µs precision
+    survives the nsec field exactly."""
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                us = _ts_to_us(r.ts)
+                sec, nsec = divmod(us, 1_000_000)
+                buf = pack_event(
+                    sec,
+                    nsec * 1000,
+                    {
+                        "conv_id": r.conv_id,
+                        "turn_idx": int(r.turn_idx),
+                        "role": r.role,
+                        "text": r.text,
+                        "tool": None if r.tool is None else r.tool,
+                    },
+                )
+                dsec, dnsec, rec = unpack_event(buf)
+                rows.append(
+                    (
+                        rec["conv_id"],
+                        rec["turn_idx"],
+                        rec["role"],
+                        rec["text"],
+                        rec["tool"],
+                        pd.Timestamp((dsec * 1_000_000_000) + dnsec),
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "role", "text", "tool",
+                    "ts", "n_bytes",
+                ],
+            )
+
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).mapInPandas(fn, _OUT_SCHEMA)
+
+
+def avro_roundtrip(df: DataFrame) -> DataFrame:
+    """transcripts -> Avro binary bytes (zigzag varints, union-index
+    nullable tool, µs-epoch long timestamp) -> decoded columns."""
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = {
+                    "conv_id": r.conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "role": r.role,
+                    "text": r.text,
+                    "tool": None if r.tool is None else r.tool,
+                    "ts_us": _ts_to_us(r.ts),
+                }
+                buf = avro_encode(rec, AVRO_TRANSCRIPT_SCHEMA)
+                d = avro_decode(buf, AVRO_TRANSCRIPT_SCHEMA)
+                rows.append(
+                    (
+                        d["conv_id"],
+                        d["turn_idx"],
+                        d["role"],
+                        d["text"],
+                        d["tool"],
+                        pd.Timestamp(d["ts_us"] * 1000),
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "role", "text", "tool",
+                    "ts", "n_bytes",
+                ],
+            )
+
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).mapInPandas(fn, _OUT_SCHEMA)

@@ -3094,6 +3094,78 @@ FROM cg2"""
     }
 
 
+def _msgpack_strsz(blen: str) -> str:
+    """msgpack str: payload + 1-byte fixstr (<=31) / 2-byte str8
+    (<=255) / 3-byte str16 / 5-byte str32 header."""
+    return (
+        f"({blen}) + CASE WHEN ({blen}) <= 31 THEN 1"
+        f" WHEN ({blen}) <= 255 THEN 2"
+        f" WHEN ({blen}) <= 65535 THEN 3 ELSE 5 END"
+    )
+
+
+def _varint_sz(z: str) -> str:
+    """Base-128 varint byte count of the (already zigzagged,
+    non-negative) value."""
+    cases = " ".join(
+        f"WHEN ({z}) <= {(1 << (7 * k)) - 1} THEN {k}" for k in range(1, 9)
+    )
+    return f"CASE {cases} ELSE 9 END"
+
+
+def _wireformat_sql() -> dict[str, str]:
+    """operators/wireformat.py mirrors: the decoded fields must equal
+    the source row (roundtrip identity) and `n_bytes` must equal the
+    spec-dictated wire size, derived here in closed form from the
+    UTF-8 byte lengths — an independent second derivation of the
+    codec's every header/width choice (msgpack spec; Avro spec binary
+    encoding; EventTime ext0 per src/flb_time.c)."""
+    bl = "octet_length(encode({c}))"
+    msg_fixed = (
+        # fixarray2 + fixext8 EventTime(2+8) + fixmap5 + the five
+        # fixstr keys: conv_id(1+7) turn_idx(1+8) role(1+4) text(1+4)
+        # tool(1+4)
+        1 + 10 + 1 + 8 + 9 + 5 + 5 + 5
+    )
+    turn_sz = (
+        "CASE WHEN turn_idx <= 127 THEN 1 WHEN turn_idx <= 255 THEN 2"
+        " WHEN turn_idx <= 65535 THEN 3"
+        " WHEN turn_idx <= 4294967295 THEN 5 ELSE 9 END"
+    )
+    msgpack = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST({msg_fixed}
+            + {_msgpack_strsz(bl.format(c='conv_id'))}
+            + {turn_sz}
+            + {_msgpack_strsz(bl.format(c='role'))}
+            + {_msgpack_strsz(bl.format(c='text'))}
+            + CASE WHEN tool IS NULL THEN 1
+                   ELSE {_msgpack_strsz(bl.format(c='tool'))} END
+         AS BIGINT) AS n_bytes
+FROM transcripts"""
+
+    def astr(c: str) -> str:
+        b = bl.format(c=c)
+        return f"({_varint_sz(f'2 * ({b})')} + ({b}))"
+
+    avro = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST({astr('conv_id')}
+            + {_varint_sz('2 * turn_idx')}
+            + {astr('role')}
+            + {astr('text')}
+            + 1
+            + CASE WHEN tool IS NULL THEN 0 ELSE {astr('tool')} END
+            + {_varint_sz('2 * epoch_us(ts)')}
+         AS BIGINT) AS n_bytes
+FROM transcripts"""
+
+    return {
+        "msgpack_roundtrip": msgpack,
+        "avro_roundtrip": avro,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -3204,6 +3276,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _dataquality_sql().items()},
         **{k: c + v for k, v in _governance_sql().items()},
         **{k: c + v for k, v in _opsaudit_sql().items()},
+        **{k: c + v for k, v in _wireformat_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c
