@@ -2846,6 +2846,38 @@ def _q_avro_roundtrip(spark, sf_dir):
     return avro_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_tf_inference(spark, sf_dir):
+    """filter_tensorflow analog under the gate: an int8-style
+    quantized 2-layer MLP (integer matmul + ReLU + power-of-two
+    requantize — the math path quantized TFLite models execute) over
+    per-turn features; the oracle restates every integer sum in
+    closed form, so inference is verified bit-for-bit."""
+    from fluent_bit_spark.operators.tensorflow_filter import (
+        QuantizedMLP,
+        tensorflow_filter,
+    )
+
+    model = QuantizedMLP(
+        w1=[[2, -1, 5], [1, 3, -2], [-1, 2, 4]],
+        b1=[10, -20, 5],
+        shift1=4,
+        w2=[[3, -2, 6]],
+        b2=[-40],
+        shift2=2,
+    )
+    t = _transcripts(spark, sf_dir).select(
+        F.length("text").cast("long").alias("x_len"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x_words"),
+        F.col("tool").isNotNull().cast("long").alias("x_tool"),
+        "conv_id",
+        "turn_idx",
+    )
+    scored = tensorflow_filter(
+        t, model, ["x_len", "x_words", "x_tool"], threshold=0
+    )
+    return scored
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3133,6 +3165,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_guard": _q_cardinality_guard,
         "msgpack_roundtrip": _q_msgpack_roundtrip,
         "avro_roundtrip": _q_avro_roundtrip,
+        "tf_inference": _q_tf_inference,
     }
 
 

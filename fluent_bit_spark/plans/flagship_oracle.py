@@ -3160,9 +3160,28 @@ SELECT conv_id, turn_idx, role, text, tool, ts,
          AS BIGINT) AS n_bytes
 FROM transcripts"""
 
+    tf_inference = """
+, tf0 AS (SELECT CAST(length(text) AS BIGINT) AS x_len,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x_words,
+                 CAST(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END
+                      AS BIGINT) AS x_tool
+          FROM transcripts)
+, tf1 AS (SELECT x_len, x_words, x_tool,
+            GREATEST(0, 2*x_len - x_words + 5*x_tool + 10) // 16 AS h0,
+            GREATEST(0, x_len + 3*x_words - 2*x_tool - 20) // 16 AS h1,
+            GREATEST(0, -x_len + 2*x_words + 4*x_tool + 5) // 16 AS h2
+          FROM tf0)
+, tf2 AS (SELECT x_len, x_words, x_tool,
+                 3*h0 - 2*h1 + 6*h2 - 40 AS yraw FROM tf1)
+SELECT x_len, x_words, x_tool,
+       CAST(floor(yraw / 4.0) AS BIGINT) AS score,
+       CAST(floor(yraw / 4.0) AS BIGINT) >= 0 AS keep
+FROM tf2"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
+        "tf_inference": tf_inference,
     }
 
 

@@ -150,3 +150,66 @@ class TestSparkRoundtrips:
         [r] = avro_roundtrip(df).collect()
         assert r["text"] == "héllo" and r["tool"] == "grep"
         assert r["ts"].microsecond == 789012
+
+
+class TestTensorflowFilter:
+    def _model(self):
+        from fluent_bit_spark.operators.tensorflow_filter import QuantizedMLP
+
+        return QuantizedMLP(
+            w1=[[2, -1, 5], [1, 3, -2], [-1, 2, 4]],
+            b1=[10, -20, 5], shift1=4,
+            w2=[[3, -2, 6]], b2=[-40], shift2=2,
+        )
+
+    def test_hand_traced_inference(self):
+        import numpy as np
+
+        m = self._model()
+        # x = (100, 20, 1): h = relu([200-20+5+10, 100+60-2-20,
+        # -100+40+4+5]) >> 4 = [12, 8, 0]; y = (36-16+0-40) >> 2 = -5
+        assert m.infer(np.array([[100, 20, 1]]))[0, 0] == -5
+        # negative logit floor: (3*24-2*14-40) = 4 -> 1
+        assert m.infer(np.array([[200, 20, 1]]))[0, 0] == 1
+
+    def test_negative_logit_floors(self):
+        import numpy as np
+        from fluent_bit_spark.operators.tensorflow_filter import QuantizedMLP
+
+        m = QuantizedMLP(w1=[[1]], b1=[0], shift1=0,
+                         w2=[[1]], b2=[-3], shift2=1)
+        # y = x - 3 >> 1: x=0 -> floor(-3/2) = -2 (not trunc -1)
+        assert m.infer(np.array([[0]]))[0, 0] == -2
+
+    def test_shape_validation(self):
+        import pytest as _pytest
+        from fluent_bit_spark.operators.tensorflow_filter import QuantizedMLP
+
+        with _pytest.raises(ValueError):
+            QuantizedMLP(w1=[[1, 2]], b1=[0, 0], shift1=0,
+                         w2=[[1]], b2=[0], shift2=0)
+
+    def test_tflite_loader_gated(self):
+        import pytest as _pytest
+        from fluent_bit_spark.operators.tensorflow_filter import (
+            load_tflite_model,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            load_tflite_model("/tmp/model.tflite")
+
+    def test_spark_filter_appends_score_and_keep(self, spark):
+        from fluent_bit_spark.operators.tensorflow_filter import (
+            tensorflow_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(100, 20, 1), (200, 20, 1)], "x_len long, x_words long, x_tool long"
+        )
+        got = {
+            r["x_len"]: (r["score"], r["keep"])
+            for r in tensorflow_filter(
+                df, self._model(), ["x_len", "x_words", "x_tool"], threshold=0
+            ).collect()
+        }
+        assert got == {100: (-5, False), 200: (1, True)}
