@@ -2878,6 +2878,17 @@ def _q_tf_inference(spark, sf_dir):
     return scored
 
 
+def _q_forward_roundtrip(spark, sf_dir):
+    """Forward-protocol framing under the gate: the routed stream is
+    packed into per-(tag, conv) Forward-mode messages ([tag,
+    [[EventTime, record], ...]] — plugins/in_forward/fw_prot.c) and
+    unpacked back; fields, per-message event counts, AND exact
+    message wire sizes are all oracle-checked."""
+    from fluent_bit_spark.operators.wireformat import forward_roundtrip
+
+    return forward_roundtrip(_routed(spark, sf_dir))
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3166,6 +3177,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msgpack_roundtrip": _q_msgpack_roundtrip,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
+        "forward_roundtrip": _q_forward_roundtrip,
     }
 
 

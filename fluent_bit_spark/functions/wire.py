@@ -295,3 +295,33 @@ def avro_decode(buf: bytes, schema: list) -> dict:
         else:
             raise TypeError(f"unsupported avro type {typ!r}")
     return out
+
+
+# ------------------------------------------------------- forward protocol
+
+def pack_forward_message(tag: str, events: list) -> bytes:
+    """Fluent Forward-protocol "Forward mode" message
+    (plugins/in_forward/fw_prot.c; out_forward sends the same shape):
+    the msgpack array ``[tag, [[EventTime, record], ...]]``. `events`
+    is a list of (sec, nsec, record) triples."""
+    inner = b"".join(pack_event(s, n, r) for s, n, r in events)
+    n = len(events)
+    if n <= 15:
+        head = bytes([0x90 | n])
+    elif n <= 0xFFFF:
+        head = b"\xdc" + n.to_bytes(2, "big")
+    else:
+        head = b"\xdd" + n.to_bytes(4, "big")
+    return b"\x92" + _pack_str(tag) + head + inner
+
+
+def unpack_forward_message(buf: bytes):
+    """Inverse: (tag, [(sec, nsec, record), ...])."""
+    obj, _ = msgpack_unpack(buf, 0)
+    tag, entries = obj
+    out = []
+    for (etag, sec, nsec), rec in entries:
+        if etag != "eventtime":
+            raise ValueError("entry does not start with EventTime ext")
+        out.append((sec, nsec, rec))
+    return tag, out

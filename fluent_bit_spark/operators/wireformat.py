@@ -139,3 +139,78 @@ def avro_roundtrip(df: DataFrame) -> DataFrame:
     return df.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     ).mapInPandas(fn, _OUT_SCHEMA)
+
+
+_FWD_SCHEMA = (
+    "tag string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, n_events long, "
+    "msg_bytes long"
+)
+
+
+def forward_roundtrip(df: DataFrame) -> DataFrame:
+    """Forward-protocol framing parity: each (tag, conv_id) group is
+    packed into ONE Forward-mode message — the msgpack array
+    ``[tag, [[EventTime, record], ...]]`` out_forward sends and
+    in_forward's fw_prot.c parses — then unpacked back into rows,
+    carrying the event count and the exact message wire size.
+
+    Scale shape: `applyInPandas` groups on (tag, conv_id), so a
+    message is conversation-bounded (the shuffle key is the same
+    conv_id salt/repartition key the rest of the pipeline uses) —
+    never one group per tag, which would serialize a whole route at
+    100 TB.
+    """
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tag, conv = key
+        pdf = pdf.sort_values("turn_idx")
+        events = []
+        for r in pdf.itertuples(index=False):
+            us = _ts_to_us(r.ts)
+            sec, nsec = divmod(us, 1_000_000)
+            events.append(
+                (
+                    sec,
+                    nsec * 1000,
+                    {
+                        "conv_id": r.conv_id,
+                        "turn_idx": int(r.turn_idx),
+                        "role": r.role,
+                        "text": r.text,
+                        "tool": None if r.tool is None else r.tool,
+                    },
+                )
+            )
+        from fluent_bit_spark.functions.wire import (
+            pack_forward_message,
+            unpack_forward_message,
+        )
+
+        buf = pack_forward_message(tag, events)
+        tag2, back = unpack_forward_message(buf)
+        rows = [
+            (
+                tag2,
+                rec["conv_id"],
+                rec["turn_idx"],
+                rec["role"],
+                rec["text"],
+                rec["tool"],
+                pd.Timestamp(sec * 1_000_000_000 + nsec),
+                len(back),
+                len(buf),
+            )
+            for sec, nsec, rec in back
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "tag", "conv_id", "turn_idx", "role", "text", "tool",
+                "ts", "n_events", "msg_bytes",
+            ],
+        )
+
+    return df.select(
+        "tag", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).groupBy("tag", "conv_id").applyInPandas(fn, _FWD_SCHEMA)

@@ -3178,10 +3178,32 @@ SELECT x_len, x_words, x_tool,
        CAST(floor(yraw / 4.0) AS BIGINT) >= 0 AS keep
 FROM tf2"""
 
+    esz = (
+        f"{msg_fixed} + {_msgpack_strsz(bl.format(c='conv_id'))}"
+        f" + {turn_sz}"
+        f" + {_msgpack_strsz(bl.format(c='role'))}"
+        f" + {_msgpack_strsz(bl.format(c='text'))}"
+        f" + CASE WHEN tool IS NULL THEN 1"
+        f"        ELSE {_msgpack_strsz(bl.format(c='tool'))} END"
+    )
+    forward = f"""
+, fw0 AS (SELECT tag, conv_id, turn_idx, role, text, tool, ts,
+                 {esz} AS esz
+          FROM routed)
+, fw1 AS (SELECT tag, conv_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(2 + octet_length(encode(tag))
+                      + CASE WHEN COUNT(*) <= 15 THEN 1 ELSE 3 END
+                      + SUM(esz) AS BIGINT) AS msg_bytes
+          FROM fw0 GROUP BY tag, conv_id)
+SELECT f.tag, f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts,
+       g.n_events, g.msg_bytes
+FROM fw0 f JOIN fw1 g ON f.tag = g.tag AND f.conv_id = g.conv_id"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "tf_inference": tf_inference,
+        "forward_roundtrip": forward,
     }
 
 

@@ -213,3 +213,49 @@ class TestTensorflowFilter:
             ).collect()
         }
         assert got == {100: (-5, False), 200: (1, True)}
+
+
+class TestForwardProtocol:
+    def test_framing_vector(self):
+        from fluent_bit_spark.functions.wire import pack_forward_message
+
+        buf = pack_forward_message("t", [(1, 0, {"k": 0})])
+        # 92 (outer pair) a1 74 (tag "t") 91 (1 entry)
+        # 92 d7 00 00000001 00000000 (EventTime) 81 a1 6b 00 (map)
+        assert buf.hex() == "92a1749192d700000000010000000081a16b00"
+
+    def test_multi_event_roundtrip(self):
+        from fluent_bit_spark.functions.wire import (
+            pack_forward_message,
+            unpack_forward_message,
+        )
+
+        events = [(i, i * 10, {"n": i}) for i in range(20)]  # > fixarray
+        tag, back = unpack_forward_message(
+            pack_forward_message("app.log", events)
+        )
+        assert tag == "app.log" and back == events
+
+    def test_spark_forward_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.wireformat import forward_roundtrip
+
+        df = spark.createDataFrame(
+            [
+                ("t.a", "c1", 1, "user", "hi", None, "2024-01-01 00:00:00"),
+                ("t.a", "c1", 2, "assistant", "yo", "bash", "2024-01-01 00:01:00"),
+                ("t.b", "c1", 1, "user", "hi", None, "2024-01-01 00:00:00"),
+            ],
+            "tag string, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = forward_roundtrip(df).collect()
+        by_tag = {}
+        for r in rows:
+            by_tag.setdefault(r["tag"], []).append(r)
+        assert len(by_tag["t.a"]) == 2 and len(by_tag["t.b"]) == 1
+        a = sorted(by_tag["t.a"], key=lambda r: r["turn_idx"])
+        assert a[0]["n_events"] == 2 and a[0]["msg_bytes"] == a[1]["msg_bytes"]
+        assert a[1]["tool"] == "bash" and a[1]["text"] == "yo"
+        # single-event message is strictly smaller than the pair
+        assert by_tag["t.b"][0]["msg_bytes"] < a[0]["msg_bytes"]
