@@ -2878,6 +2878,32 @@ def _q_tf_inference(spark, sf_dir):
     return scored
 
 
+def _q_streaming_backpressure(spark, sf_dir):
+    """Sixth STREAMING-gated query: the stateful Mem_Buf_Limit replay
+    (applyInPandasWithState queue per sink) run through the real
+    streaming engine over the dense hour spine.  With the limit set
+    above any reachable depth the pause feedback never engages, so
+    the state trajectory must equal the Lindley closed form — which
+    is exactly what the DuckDB oracle states."""
+    from fluent_bit_spark.operators.aggregate import hour_spine
+    from fluent_bit_spark.streaming import backpressure_stateful
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("sink"), "ts"
+    )
+    spine = hour_spine(ev)
+    out = _drain_stream(
+        spark,
+        spine,
+        lambda src: backpressure_stateful(
+            src, drain_per_hour=2, mem_buf_limit=10**12
+        ),
+        "fbs_streaming_backpressure",
+        output_mode="append",
+    )
+    return out.select("sink", "hour", "n_in", "accepted", "queue_depth")
+
+
 def _q_forward_roundtrip(spark, sf_dir):
     """Forward-protocol framing under the gate: the routed stream is
     packed into per-(tag, conv) Forward-mode messages ([tag,
@@ -3178,6 +3204,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,
+        "streaming_backpressure": _q_streaming_backpressure,
     }
 
 

@@ -254,6 +254,21 @@ def bench_queries(spark, source):
 
         return entry._raw_queries()["edit_dedup"](spark, SF_DIR)
 
+    def msgpack_pack_bench():
+        # the reference's core job: buffer every event as the msgpack
+        # [EventTime, map] chunk entry — head-to-head with its
+        # single-node pack path (src/flb_pack.c)
+        from fluent_bit_spark.operators.wireformat import msgpack_roundtrip
+
+        return msgpack_roundtrip(source).select(
+            F.sum("n_bytes").alias("total_bytes"), F.count("*").alias("n")
+        )
+
+    def tf_inference_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["tf_inference"](spark, SF_DIR)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -286,6 +301,8 @@ def bench_queries(spark, source):
         "dpo_pairs": dpo_pairs_bench,
         "tool_args": tool_args_bench,
         "edit_dedup": edit_dedup_bench,
+        "msgpack_pack": msgpack_pack_bench,
+        "tf_inference": tf_inference_bench,
     }
 
 

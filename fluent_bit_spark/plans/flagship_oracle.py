@@ -3199,11 +3199,34 @@ SELECT f.tag, f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts,
        g.n_events, g.msg_bytes
 FROM fw0 f JOIN fw1 g ON f.tag = g.tag AND f.conv_id = g.conv_id"""
 
+    streaming_backpressure = """
+, sb0 AS (SELECT event_type AS sink, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_in
+          FROM events GROUP BY 1, 2)
+, sbb AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi FROM events)
+, sbh AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM sbb)
+, sbs AS (SELECT DISTINCT event_type AS sink FROM events)
+, sbd AS (SELECT s.sink, h.hour, COALESCE(c.n_in, 0) AS n_in
+          FROM sbs s CROSS JOIN sbh h
+          LEFT JOIN sb0 c ON c.sink = s.sink AND c.hour = h.hour)
+, sbw AS (SELECT sink, hour, n_in,
+            SUM(n_in - 2) OVER (PARTITION BY sink ORDER BY hour
+              ROWS UNBOUNDED PRECEDING) AS s
+          FROM sbd)
+SELECT sink, hour, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_in AS BIGINT) AS accepted,
+       CAST(s - LEAST(0, MIN(s) OVER (PARTITION BY sink ORDER BY hour
+            ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS queue_depth
+FROM sbw"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
+        "streaming_backpressure": streaming_backpressure,
     }
 
 
