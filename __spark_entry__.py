@@ -2915,6 +2915,71 @@ def _q_forward_roundtrip(spark, sf_dir):
     return forward_roundtrip(_routed(spark, sf_dir))
 
 
+def _q_priority_sample(spark, sf_dir):
+    """Severity-tiered log sampling: every error survives, purchases
+    at 50%, signups 25%, clicks 10%, views 1% — content-keyed md5
+    decisions with inverse-probability weights, so reweighted counts
+    stay unbiased."""
+    from fluent_bit_spark.operators.sampling import priority_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = priority_sample(
+        ev,
+        {
+            "error": 1_000_000,
+            "purchase": 500_000,
+            "signup": 250_000,
+            "click": 100_000,
+            "view": 10_000,
+        },
+        level_col="event_type",
+        id_col="event_id",
+    )
+    return kept.select("event_id", "event_type", "weight_milli")
+
+
+def _q_flap_suppress(spark, sf_dir):
+    """Alert-manager flap suppression on top of the rolling-z edge
+    detector: key-days with more than 2 alert/resolve transitions are
+    silenced into a digest."""
+    from fluent_bit_spark.operators.aggregate import flap_suppress
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return flap_suppress(ev, max_edges_per_day=2)
+
+
+def _q_schema_compat(spark, sf_dir):
+    """Avro-rules backward-compatibility check over a synthesized
+    schema evolution: promotions, additions with/without defaults,
+    removals, and a genuine type break — one field per verdict."""
+    from fluent_bit_spark.operators.dataquality import schema_compat
+
+    old = spark.createDataFrame(
+        [
+            ("conv_id", "string", True),
+            ("turn_idx", "int", False),
+            ("score", "float", False),
+            ("tool", "string", False),
+            ("legacy", "string", False),
+            ("flags", "int", False),
+        ],
+        "field string, type string, has_default boolean",
+    )
+    new = spark.createDataFrame(
+        [
+            ("conv_id", "string", True),     # ok
+            ("turn_idx", "long", False),     # promoted
+            ("score", "double", False),      # promoted
+            ("tool", "boolean", False),      # breaking_type
+            ("added_d", "string", True),     # added_ok
+            ("added_nd", "string", False),   # breaking_no_default
+            ("flags", "int", False),         # ok (legacy -> removed_ok)
+        ],
+        "field string, type string, has_default boolean",
+    )
+    return schema_compat(old, new)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3205,6 +3270,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,
         "streaming_backpressure": _q_streaming_backpressure,
+        "priority_sample": _q_priority_sample,
+        "flap_suppress": _q_flap_suppress,
+        "schema_compat": _q_schema_compat,
     }
 
 

@@ -804,3 +804,35 @@ def cardinality_guard(
         F.coalesce(delta, F.lit(0)).alias("delta_ppm"),
         F.coalesce(delta > F.lit(growth_ppm), F.lit(False)).alias("alarm"),
     )
+
+
+def flap_suppress(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    max_edges_per_day: int = 4,
+    window_hours: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flap-suppression report over `alert_edges`: per (key, day),
+    how many alert/resolve transitions fired and whether the pager
+    should be SILENCED for that key-day (more than
+    ``max_edges_per_day`` edges = the detector is flapping, paging
+    adds noise, route to a digest instead — standard alert-manager
+    semantics layered on the reference's alert math).
+
+    Output: (key, day, n_edges, n_alerts, suppressed).
+
+    Scale shape: groups the already-tiny edge table by (key, day);
+    nothing row-scale is touched beyond rate_anomalies' one hourly
+    aggregate.
+    """
+    edges = alert_edges(df, key, ts_col, window_hours, z_threshold)
+    return (
+        edges.groupBy(key, F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("kind") == "alert").cast("long")).alias("n_alerts"),
+        )
+        .withColumn("suppressed", F.col("n_edges") > F.lit(max_edges_per_day))
+    )

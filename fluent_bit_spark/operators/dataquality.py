@@ -280,3 +280,71 @@ def kappa_agreement(
             F.expr("_num div _den"),
         ).otherwise(F.lit(None).cast("long")),
     ).drop("_num", "_den")
+
+
+# Avro spec type promotions a READER may apply to a WRITER's value
+_PROMOTABLE = [
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+]
+
+
+def schema_compat(
+    old_schema: DataFrame,
+    new_schema: DataFrame,
+) -> DataFrame:
+    """Schema-registry style backward-compatibility check between a
+    WRITER (old) and READER (new) flat record schema, per the Avro
+    spec's resolution rules — the check a pipeline owner runs before
+    deploying the schema a `schema_drift` alarm surfaced:
+
+    Inputs: frames of (field, type, has_default). Per field:
+
+    - both, same type                         -> ``ok``
+    - both, writer->reader promotable          -> ``promoted``
+    - both, otherwise                          -> ``breaking_type``
+    - writer-only (reader dropped it)          -> ``removed_ok``
+      (resolution skips writer fields the reader lacks)
+    - reader-only with a default               -> ``added_ok``
+    - reader-only without a default            -> ``breaking_no_default``
+
+    Plus ``compatible`` = the field-level verdict is non-breaking.
+    The schema's overall verdict is ``bool_and(compatible)``.
+
+    Scale shape: schemas are field-vocabulary sized; one full-outer
+    join + a broadcast promotion table. Nothing here ever touches the
+    data the schemas describe.
+    """
+    spark = old_schema.sparkSession
+    o = old_schema.select(
+        "field", F.col("type").alias("_ot"),
+    )
+    n = new_schema.select(
+        "field",
+        F.col("type").alias("_nt"),
+        F.col("has_default").alias("_nd"),
+    )
+    promo = F.broadcast(
+        spark.createDataFrame(_PROMOTABLE, "_ot string, _nt string")
+        .withColumn("_promo", F.lit(True))
+    )
+    j = o.join(n, "field", "full_outer").join(
+        promo, ["_ot", "_nt"], "left"
+    )
+    verdict = (
+        F.when(F.col("_ot").isNull() & F.col("_nd"), F.lit("added_ok"))
+        .when(F.col("_ot").isNull(), F.lit("breaking_no_default"))
+        .when(F.col("_nt").isNull(), F.lit("removed_ok"))
+        .when(F.col("_ot") == F.col("_nt"), F.lit("ok"))
+        .when(F.col("_promo"), F.lit("promoted"))
+        .otherwise(F.lit("breaking_type"))
+    )
+    return j.select(
+        "field",
+        F.col("_ot").alias("old_type"),
+        F.col("_nt").alias("new_type"),
+        verdict.alias("verdict"),
+        (~verdict.startswith("breaking")).alias("compatible"),
+    )

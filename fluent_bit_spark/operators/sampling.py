@@ -489,3 +489,40 @@ def kfold_assign(
             ((F.col("_base") + F.col("_r")) % F.lit(k)).cast("int").alias("fold"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    rates_ppm: dict,
+    level_col: str = "level",
+    id_col: str = "event_id",
+    default_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Severity-tiered deterministic log sampling — the observability
+    cost-control standard (keep every error, 1% of debug): a record
+    survives when ``md5(id) % 1_000_000 < rate_ppm[level]``, so the
+    decision is content-keyed (replay-stable, partition-invariant) and
+    per-tier rates are exact in expectation. Each kept row carries
+    ``weight_milli = 1_000_000_000 // rate_ppm`` — the inverse-
+    probability weight (x1000) that makes downstream counts unbiased:
+    sum(weight_milli)/1000 estimates the pre-sample count.
+
+    Scale shape: a pure filter — no shuffle, no state; the rate table
+    is a literal CASE chain (tiers are enum-sized).
+    """
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    rate = F.lit(default_ppm)
+    for lvl, ppm in sorted(rates_ppm.items()):
+        if not 0 <= ppm <= 1_000_000:
+            raise ValueError(f"rate for {lvl!r} must be 0..1e6 ppm, got {ppm}")
+        rate = F.when(F.col(level_col) == lvl, F.lit(ppm)).otherwise(rate)
+    h = md5_32(F.col(id_col).cast("string")) % 1_000_000
+    return (
+        df.withColumn("_rate", rate)
+        .filter(h < F.col("_rate"))
+        .withColumn(
+            "weight_milli", F.expr("1000000000 div _rate").cast("long")
+        )
+        .drop("_rate")
+    )

@@ -3221,12 +3221,72 @@ SELECT sink, hour, CAST(n_in AS BIGINT) AS n_in,
             ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS queue_depth
 FROM sbw"""
 
+    h_eid = _md5_32_sql("CAST(event_id AS VARCHAR)")
+    priority_sample = f"""
+, ps0 AS (SELECT event_id, event_type,
+            ({h_eid}) % 1000000 AS h,
+            CASE event_type WHEN 'error' THEN 1000000
+                 WHEN 'purchase' THEN 500000 WHEN 'signup' THEN 250000
+                 WHEN 'click' THEN 100000 WHEN 'view' THEN 10000
+                 ELSE 1000000 END AS rate
+          FROM events)
+SELECT event_id, event_type,
+       CAST(1000000000 // rate AS BIGINT) AS weight_milli
+FROM ps0 WHERE h < rate"""
+
+    flap_suppress = _RA_CTES + """
+, fl0 AS (SELECT event_type, hour,
+                 coalesce(spike, FALSE) AS sp,
+                 coalesce(lag(coalesce(spike, FALSE))
+                            OVER (PARTITION BY event_type ORDER BY hour),
+                          FALSE) AS prev
+          FROM ra_v)
+, fl1 AS (SELECT event_type, date_trunc('day', hour) AS day,
+                 CASE WHEN sp THEN 1 ELSE 0 END AS is_alert
+          FROM fl0 WHERE sp <> prev)
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(is_alert) AS BIGINT) AS n_alerts,
+       COUNT(*) > 2 AS suppressed
+FROM fl1 GROUP BY event_type, day"""
+
+    schema_compat = """
+, sc_o(field, ot) AS (VALUES
+    ('conv_id', 'string'), ('turn_idx', 'int'), ('score', 'float'),
+    ('tool', 'string'), ('legacy', 'string'), ('flags', 'int'))
+, sc_n(field, nt, nd) AS (VALUES
+    ('conv_id', 'string', TRUE), ('turn_idx', 'long', FALSE),
+    ('score', 'double', FALSE), ('tool', 'boolean', FALSE),
+    ('added_d', 'string', TRUE), ('added_nd', 'string', FALSE),
+    ('flags', 'int', FALSE))
+, sc_p(ot, nt) AS (VALUES
+    ('int', 'long'), ('int', 'float'), ('int', 'double'),
+    ('long', 'float'), ('long', 'double'), ('float', 'double'),
+    ('string', 'bytes'), ('bytes', 'string'))
+, sc_j AS (SELECT COALESCE(o.field, n.field) AS field, o.ot, n.nt, n.nd,
+                  p.ot IS NOT NULL AS promo
+           FROM sc_o o FULL OUTER JOIN sc_n n ON o.field = n.field
+           LEFT JOIN sc_p p ON p.ot = o.ot AND p.nt = n.nt)
+, sc_v AS (SELECT field, ot AS old_type, nt AS new_type,
+             CASE WHEN ot IS NULL AND nd THEN 'added_ok'
+                  WHEN ot IS NULL THEN 'breaking_no_default'
+                  WHEN nt IS NULL THEN 'removed_ok'
+                  WHEN ot = nt THEN 'ok'
+                  WHEN promo THEN 'promoted'
+                  ELSE 'breaking_type' END AS verdict
+           FROM sc_j)
+SELECT field, old_type, new_type, verdict,
+       NOT (verdict LIKE 'breaking%') AS compatible
+FROM sc_v"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "streaming_backpressure": streaming_backpressure,
+        "priority_sample": priority_sample,
+        "flap_suppress": flap_suppress,
+        "schema_compat": schema_compat,
     }
 
 

@@ -271,3 +271,80 @@ class TestSeasonalAnomaly:
         )
         [r] = seasonal_anomaly(df).collect()
         assert r["verdict"] == "no_baseline" and r["hod"] == 5
+
+
+class TestSchemaCompat:
+    def _frames(self, spark, old_rows, new_rows):
+        s = "field string, type string, has_default boolean"
+        return spark.createDataFrame(old_rows, s), spark.createDataFrame(new_rows, s)
+
+    def test_all_verdicts(self, spark):
+        from fluent_bit_spark.operators.dataquality import schema_compat
+
+        old, new = self._frames(
+            spark,
+            [("a", "string", False), ("b", "int", False),
+             ("c", "string", False), ("gone", "int", False)],
+            [("a", "string", False), ("b", "long", False),
+             ("c", "int", False), ("d", "int", True),
+             ("e", "int", False)],
+        )
+        got = {
+            r["field"]: (r["verdict"], r["compatible"])
+            for r in schema_compat(old, new).collect()
+        }
+        assert got == {
+            "a": ("ok", True),
+            "b": ("promoted", True),
+            "c": ("breaking_type", False),
+            "d": ("added_ok", True),
+            "e": ("breaking_no_default", False),
+            "gone": ("removed_ok", True),
+        }
+
+    def test_string_bytes_promotes_both_ways(self, spark):
+        from fluent_bit_spark.operators.dataquality import schema_compat
+
+        old, new = self._frames(
+            spark, [("x", "bytes", False)], [("x", "string", False)]
+        )
+        [r] = schema_compat(old, new).collect()
+        assert r["verdict"] == "promoted"
+
+
+class TestPrioritySample:
+    def test_rates_and_weights(self, spark):
+        from fluent_bit_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(i, "keep_all" if i % 2 else "drop_all") for i in range(200)],
+            "event_id long, event_type string",
+        )
+        kept = priority_sample(
+            df, {"keep_all": 1_000_000, "drop_all": 0},
+            level_col="event_type", id_col="event_id",
+        ).collect()
+        assert len(kept) == 100
+        assert all(r["event_type"] == "keep_all" for r in kept)
+        assert all(r["weight_milli"] == 1000 for r in kept)
+
+    def test_partial_rate_weight(self, spark):
+        from fluent_bit_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(i, "t") for i in range(2000)], "event_id long, event_type string"
+        )
+        kept = priority_sample(
+            df, {"t": 250_000}, level_col="event_type", id_col="event_id"
+        ).collect()
+        # md5 is uniform: expect ~500 of 2000, deterministic exact count
+        assert 400 < len(kept) < 600
+        assert kept[0]["weight_milli"] == 4000
+
+    def test_bad_rate_rejected(self, spark):
+        import pytest as _pytest
+        from fluent_bit_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame([(1, "t")], "event_id long, event_type string")
+        with _pytest.raises(ValueError):
+            priority_sample(df, {"t": 2_000_000}, "event_type", "event_id")
