@@ -2980,6 +2980,66 @@ def _q_schema_compat(spark, sf_dir):
     return schema_compat(old, new)
 
 
+def _q_dq_profile(spark, sf_dir):
+    """Deequ-style column profile over the event stream: the
+    order-independent statistics only (no float means), so the
+    profile itself is engine-reproducible."""
+    from fluent_bit_spark.operators.dataquality import profile_columns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(ev, ["event_id", "event_type", "value", "user_id"])
+
+
+def _q_dq_checks(spark, sf_dir):
+    """Constraint suite over the event stream (exact integer-ppm
+    metrics): completeness, uniqueness, two range rules (one meant to
+    fail), and an enum-membership regex."""
+    from fluent_bit_spark.operators.dataquality import check_constraints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return check_constraints(
+        ev,
+        [
+            ("completeness", "event_type", 1_000_000),
+            ("uniqueness", "event_id", 1_000_000),
+            ("in_range", "value", 0, 400, 1_000_000),
+            ("in_range", "value", 0, 100, 600_000),
+            ("matches", "event_type", "^(click|view|error|purchase|signup)$",
+             1_000_000),
+        ],
+    )
+
+
+def _q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit with an injected partial load: the
+    md5 slot of orders is withheld from the parent side, so exactly
+    its lineitems must report as orphans."""
+    from fluent_bit_spark.operators.dataquality import fk_integrity
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        md5_32(F.col("o_orderkey").cast("string")) % 20 != 4
+    )
+    return fk_integrity(li, orders, "l_orderkey", "o_orderkey",
+                        name="lineitem->orders")
+
+
+def _q_legal_hold(spark, sf_dir):
+    """Right-to-erasure with litigation holds: conversations in md5
+    slot 3 are tombstoned, the md5%30 sub-slot is ALSO under legal
+    hold — held rows must survive and be reported separately."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.operators.governance import tombstone_delete
+
+    t = _transcripts(spark, sf_dir)
+    convs = t.select("conv_id").distinct()
+    tomb = convs.filter(md5_32(F.col("conv_id")) % 10 == 3)
+    holds = convs.filter(md5_32(F.col("conv_id")) % 30 == 3)
+    _survivors, manifest = tombstone_delete(t, tomb, holds=holds)
+    return manifest
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3273,6 +3333,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "flap_suppress": _q_flap_suppress,
         "schema_compat": _q_schema_compat,
+        "dq_profile": _q_dq_profile,
+        "dq_checks": _q_dq_checks,
+        "fk_orphans": _q_fk_orphans,
+        "legal_hold": _q_legal_hold,
     }
 
 

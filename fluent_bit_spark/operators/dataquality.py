@@ -348,3 +348,123 @@ def schema_compat(
         verdict.alias("verdict"),
         (~verdict.startswith("breaking")).alias("compatible"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list) -> DataFrame:
+    """Deequ-style column profile: one row per profiled column with
+    the ORDER-INDEPENDENT statistics (n, n_null, n_distinct, min,
+    max as strings) — deliberately no float mean/stddev, whose
+    accumulation order differs per engine/partitioning and would make
+    the profile itself non-reproducible.
+
+    Scale shape: one aggregate pass per column batched into a single
+    job via unioned per-column aggregates over vocabulary-sized
+    results; each per-column aggregate is map-side combinable.
+    """
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def check_constraints(df: DataFrame, rules: list) -> DataFrame:
+    """Deequ/Great-Expectations-style constraint suite: evaluate each
+    rule against the frame and emit (rule, metric_ppm, threshold_ppm,
+    passed). Rules are tuples:
+
+    - ``('completeness', col, min_ppm)`` — non-null share >= bound;
+    - ``('uniqueness', col, min_ppm)`` — distinct/total >= bound;
+    - ``('in_range', col, lo, hi, min_ppm)`` — share inside [lo, hi]
+      (nulls count as outside) >= bound;
+    - ``('matches', col, regex, min_ppm)`` — share matching >= bound.
+
+    Shares are exact integer ppm (count * 1_000_000 div n), so the
+    verdict is engine-reproducible. Scale shape: ONE aggregate pass
+    computes every rule's counters simultaneously (conditional sums);
+    the output is rule-sized.
+    """
+    n = F.count(F.lit(1))
+    aggs, meta = [], []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if kind == "completeness":
+            cnt, thr = F.sum(F.col(col).isNotNull().cast("long")), rule[2]
+            name = f"completeness({col})"
+        elif kind == "uniqueness":
+            cnt, thr = F.count_distinct(F.col(col)), rule[2]
+            name = f"uniqueness({col})"
+        elif kind == "in_range":
+            lo, hi, thr = rule[2], rule[3], rule[4]
+            cnt = F.sum(
+                (F.col(col).isNotNull() & F.col(col).between(lo, hi)).cast("long")
+            )
+            name = f"in_range({col},{lo},{hi})"
+        elif kind == "matches":
+            rx, thr = rule[2], rule[3]
+            cnt = F.sum(
+                F.coalesce(F.col(col).rlike(rx), F.lit(False)).cast("long")
+            )
+            name = f"matches({col})"
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        aggs.append(cnt.alias(f"_c{i}"))
+        meta.append((name, thr))
+    wide = df.agg(n.alias("_n"), *aggs)
+    rows = None
+    for i, (name, thr) in enumerate(meta):
+        r = wide.select(
+            F.lit(name).alias("rule"),
+            F.expr(f"_c{i} * 1000000 div _n").alias("metric_ppm"),
+            F.lit(thr).cast("long").alias("threshold_ppm"),
+            (F.expr(f"_c{i} * 1000000 div _n") >= F.lit(thr)).alias("passed"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def fk_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str = "fk",
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows reference a
+    key absent from the parent (orphans), as count and exact ppm —
+    the join-health check a lakehouse runs after every ingest batch
+    (a nonzero orphan rate means a partial load or an out-of-order
+    CDC apply).
+
+    Scale shape: one left join against the parent's distinct key set
+    (broadcast when it fits) feeding one aggregate — a single
+    declarative plan, no driver-side counting.
+    """
+    marked = child.select(F.col(child_key).alias("_k")).join(
+        parent.select(F.col(parent_key).alias("_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1)),
+        "_k",
+        "left",
+    )
+    return marked.agg(
+        F.lit(name).alias("relation"),
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("n_orphans"),
+    ).select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        F.expr("n_orphans * 1000000 div n_child").alias("orphan_ppm"),
+    )

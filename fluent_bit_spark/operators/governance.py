@@ -145,26 +145,45 @@ def tombstone_delete(
     tombstones: DataFrame,
     key_col: str = "conv_id",
     day_col: Column | None = None,
+    holds: DataFrame | None = None,
 ):
     """Right-to-erasure propagation: drop every row whose ``key_col``
     appears in ``tombstones`` (single column, same name) and return
     ``(survivors, manifest)`` where the manifest is the per-day audit
     record: rows deleted, rows kept, and distinct keys deleted.
 
-    Scale shape: the tombstone list is small by nature (deletion
-    requests), so both the anti-join and the semi-join broadcast it —
-    the corpus never shuffles; the manifest aggregation groups by
-    day with map-side combine.
+    ``holds`` (optional, same single-column shape) is the LEGAL-HOLD
+    exception list: a held key is exempt from deletion even when
+    tombstoned (litigation/regulatory hold outranks the erasure
+    request — the row survives, and the manifest reports it
+    separately as ``n_held_rows`` so the auditor sees WHY the
+    deletion did not happen).
+
+    Scale shape: tombstone and hold lists are small by nature
+    (requests), so every join broadcasts — the corpus never shuffles;
+    the manifest aggregation groups by day with map-side combine.
     """
     day = day_col if day_col is not None else F.date_trunc("day", F.col("ts"))
-    keys = F.broadcast(tombstones.select(key_col).distinct())
+    tomb = tombstones.select(key_col).distinct()
+    with_held = holds is not None
+    if with_held:
+        held = holds.select(key_col).distinct()
+        effective = tomb.join(F.broadcast(held), key_col, "left_anti")
+        held_tomb = F.broadcast(
+            tomb.join(F.broadcast(held), key_col, "left_semi")
+            .withColumnRenamed(key_col, "_k")
+            .withColumn("_h", F.lit(1))
+        )
+    keys = F.broadcast(effective if with_held else tomb)
     survivors = df.join(keys, key_col, "left_anti")
     tagged = df.select(
         day.alias("day"),
         F.col(key_col).alias("_k"),
     ).join(keys.withColumnRenamed(key_col, "_k").withColumn("_t", F.lit(1)),
            "_k", "left")
-    manifest = tagged.groupBy("day").agg(
+    if with_held:
+        tagged = tagged.join(held_tomb, "_k", "left")
+    aggs = [
         F.sum(F.when(F.col("_t").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_deleted"),
@@ -174,5 +193,12 @@ def tombstone_delete(
         F.count_distinct(
             F.when(F.col("_t").isNotNull(), F.col("_k"))
         ).alias("n_keys_deleted"),
-    )
+    ]
+    if with_held:
+        aggs.append(
+            F.sum(F.when(F.col("_h").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_held_rows")
+        )
+    manifest = tagged.groupBy("day").agg(*aggs)
     return survivors, manifest

@@ -3290,6 +3290,87 @@ FROM sc_v"""
     }
 
 
+def _dqsuite_sql() -> dict[str, str]:
+    """profile_columns / check_constraints / fk_integrity /
+    legal-hold tombstone mirrors."""
+
+    def prof(col: str) -> str:
+        return f"""SELECT '{col}' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(MIN({col}) AS VARCHAR) AS min_value,
+       CAST(MAX({col}) AS VARCHAR) AS max_value
+FROM events"""
+
+    dq_profile = "\n" + "\nUNION ALL\n".join(
+        prof(c) for c in ["event_id", "event_type", "value", "user_id"]
+    )
+
+    dq_checks = """
+, dqw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN value IS NOT NULL AND value BETWEEN 0 AND 400
+             THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN value IS NOT NULL AND value BETWEEN 0 AND 100
+             THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(SUM(CASE WHEN coalesce(regexp_matches(event_type,
+             '^(click|view|error|purchase|signup)$'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM events)
+SELECT 'completeness(event_type)' AS rule, c0 * 1000000 // n AS metric_ppm,
+       CAST(1000000 AS BIGINT) AS threshold_ppm,
+       c0 * 1000000 // n >= 1000000 AS passed FROM dqw
+UNION ALL
+SELECT 'uniqueness(event_id)', c1 * 1000000 // n, 1000000,
+       c1 * 1000000 // n >= 1000000 FROM dqw
+UNION ALL
+SELECT 'in_range(value,0,400)', c2 * 1000000 // n, 1000000,
+       c2 * 1000000 // n >= 1000000 FROM dqw
+UNION ALL
+SELECT 'in_range(value,0,100)', c3 * 1000000 // n, 600000,
+       c3 * 1000000 // n >= 600000 FROM dqw
+UNION ALL
+SELECT 'matches(event_type)', c4 * 1000000 // n, 1000000,
+       c4 * 1000000 // n >= 1000000 FROM dqw"""
+
+    hk = _md5_32_sql("CAST(o_orderkey AS VARCHAR)")
+    fk_orphans = f"""
+, fko AS (SELECT DISTINCT o_orderkey FROM orders
+          WHERE ({hk}) % 20 <> 4)
+, fkj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+                 CAST(SUM(CASE WHEN f.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_orphans
+          FROM lineitem l LEFT JOIN fko f ON l.l_orderkey = f.o_orderkey)
+SELECT 'lineitem->orders' AS relation, n_child, n_orphans,
+       n_orphans * 1000000 // n_child AS orphan_ppm
+FROM fkj"""
+
+    hc = _md5_32_sql("conv_id")
+    legal_hold = f"""
+, lh0 AS (SELECT date_trunc('day', ts) AS day, conv_id,
+                 ({hc}) % 10 = 3 AS tomb, ({hc}) % 30 = 3 AS held
+          FROM transcripts)
+SELECT day,
+       CAST(SUM(CASE WHEN tomb AND NOT held THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(SUM(CASE WHEN NOT tomb OR held THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(DISTINCT CASE WHEN tomb AND NOT held THEN conv_id END)
+            AS BIGINT) AS n_keys_deleted,
+       CAST(SUM(CASE WHEN tomb AND held THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_held_rows
+FROM lh0 GROUP BY day"""
+
+    return {
+        "dq_profile": dq_profile,
+        "dq_checks": dq_checks,
+        "fk_orphans": fk_orphans,
+        "legal_hold": legal_hold,
+    }
+
+
 def _statsd_sql() -> dict[str, str]:
     """sources.statsd_lines_from_transcripts / parse_statsd /
     aggregate.statsd_flush mirrors (plugins/in_statsd/statsd.c
@@ -3401,6 +3482,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _governance_sql().items()},
         **{k: c + v for k, v in _opsaudit_sql().items()},
         **{k: c + v for k, v in _wireformat_sql().items()},
+        **{k: c + v for k, v in _dqsuite_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

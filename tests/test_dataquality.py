@@ -348,3 +348,70 @@ class TestPrioritySample:
         df = spark.createDataFrame([(1, "t")], "event_id long, event_type string")
         with _pytest.raises(ValueError):
             priority_sample(df, {"t": 2_000_000}, "event_type", "event_id")
+
+
+class TestProfileAndConstraints:
+    def test_profile_stats(self, spark):
+        from fluent_bit_spark.operators.dataquality import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (3, "b")], "k long, s string"
+        )
+        got = {
+            r["column"]: (r["n"], r["n_null"], r["n_distinct"],
+                          r["min_value"], r["max_value"])
+            for r in profile_columns(df, ["k", "s"]).collect()
+        }
+        assert got["k"] == (4, 0, 3, "1", "3")
+        assert got["s"] == (4, 1, 2, "a", "b")
+
+    def test_constraints_exact_ppm(self, spark):
+        from fluent_bit_spark.operators.dataquality import check_constraints
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (2, None), (9, "y")], "v long, s string"
+        )
+        got = {
+            r["rule"]: (r["metric_ppm"], r["passed"])
+            for r in check_constraints(
+                df,
+                [
+                    ("completeness", "s", 1_000_000),
+                    ("uniqueness", "v", 800_000),
+                    ("in_range", "v", 1, 5, 700_000),
+                    ("matches", "s", "^x$", 500_000),
+                ],
+            ).collect()
+        }
+        assert got["completeness(s)"] == (750_000, False)
+        assert got["uniqueness(v)"] == (750_000, False)  # 3 distinct / 4
+        assert got["in_range(v,1,5)"] == (750_000, True)
+        assert got["matches(s)"] == (500_000, True)
+
+    def test_unknown_rule_rejected(self, spark):
+        import pytest as _pytest
+        from fluent_bit_spark.operators.dataquality import check_constraints
+
+        df = spark.createDataFrame([(1,)], "v long")
+        with _pytest.raises(ValueError):
+            check_constraints(df, [("nonsense", "v", 1)])
+
+
+class TestFkIntegrity:
+    def test_orphans_exact(self, spark):
+        from fluent_bit_spark.operators.dataquality import fk_integrity
+
+        child = spark.createDataFrame([(1,), (1,), (2,), (3,)], "fk long")
+        parent = spark.createDataFrame([(1,), (3,), (3,)], "pk long")
+        [r] = fk_integrity(child, parent, "fk", "pk", name="c->p").collect()
+        assert (r["relation"], r["n_child"], r["n_orphans"], r["orphan_ppm"]) == (
+            "c->p", 4, 1, 250_000,
+        )
+
+    def test_clean_relation(self, spark):
+        from fluent_bit_spark.operators.dataquality import fk_integrity
+
+        child = spark.createDataFrame([(1,)], "fk long")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        [r] = fk_integrity(child, parent, "fk", "pk").collect()
+        assert r["n_orphans"] == 0 and r["orphan_ppm"] == 0

@@ -220,3 +220,24 @@ class TestCardinalityGuard:
         # (2-3)*1e6 / 3 = -333333.33 -> both engines truncate toward
         # zero (Spark div == DuckDB //) -> -333333
         assert got[2] == -333_333
+
+
+class TestLegalHold:
+    def test_hold_overrides_tombstone(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.governance import tombstone_delete
+
+        df = spark.createDataFrame(
+            [("c1", "2024-01-01 00:00:00"), ("c1", "2024-01-01 01:00:00"),
+             ("c2", "2024-01-01 02:00:00"), ("c3", "2024-01-01 03:00:00")],
+            "conv_id string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        tomb = spark.createDataFrame([("c1",), ("c2",)], "conv_id string")
+        hold = spark.createDataFrame([("c1",)], "conv_id string")
+        survivors, manifest = tombstone_delete(df, tomb, holds=hold)
+        assert sorted(r["conv_id"] for r in survivors.collect()) == [
+            "c1", "c1", "c3",
+        ]
+        [m] = manifest.collect()
+        assert (m["n_deleted"], m["n_kept"], m["n_keys_deleted"],
+                m["n_held_rows"]) == (1, 3, 1, 2)
