@@ -3040,6 +3040,38 @@ def _q_legal_hold(spark, sf_dir):
     return manifest
 
 
+def _q_ndcg_eval(spark, sf_dir):
+    """Graded nDCG@10 over the production BM25 path: every 25th doc's
+    prefix is the query; qrels grade the source doc 3 and its
+    successor 1 — integer-exact via the shared discount table."""
+    from fluent_bit_spark.operators.text_analysis import (
+        bm25_topk,
+        ndcg_eval,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.lower(F.col("text"))), 1, 8), " "
+        ).alias("text"),
+    )
+    res = bm25_topk(docs, q, k=10)
+    ids = docs.select(F.col("doc_id").alias("_succ"))
+    qrels = (
+        q.select("query_id", F.col("query_id").alias("doc_id"), F.lit(3).alias("gain"))
+        .unionByName(
+            q.select(
+                "query_id",
+                (F.col("query_id") + 1).alias("doc_id"),
+                F.lit(1).alias("gain"),
+            ).join(ids, F.col("doc_id") == F.col("_succ"), "left_semi")
+        )
+    )
+    return ndcg_eval(res, qrels, k=10)
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3337,6 +3369,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": _q_dq_checks,
         "fk_orphans": _q_fk_orphans,
         "legal_hold": _q_legal_hold,
+        "ndcg_eval": _q_ndcg_eval,
     }
 
 

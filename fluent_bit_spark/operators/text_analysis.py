@@ -6,6 +6,8 @@ shuffle-free (pure map stage) at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1092,4 +1094,63 @@ def ttr_by_group(
             F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
             6,
         ).alias("ttr"),
+    )
+
+
+# integer nDCG discount table: disc_milli(r) = round(1e6 / log2(r+1)).
+# Precomputed once so BOTH engines consume the same literals — the
+# metric stays integer-exact end to end (no runtime float logs).
+NDCG_DISC_MILLI = {
+    r: round(1_000_000 / math.log2(r + 1)) for r in range(1, 101)
+}
+
+
+def ndcg_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Graded-relevance nDCG@k per query, integer-exact:
+
+        dcg_milli  = sum over hits of gain * disc_milli(rank)
+        idcg_milli = same over the ideal ordering of the query's
+                     qrels (gain DESC, doc_id as the tie-break)
+        ndcg_ppm   = dcg_milli * 1_000_000 div idcg_milli
+
+    `results` = (query_id, doc_id, rank); `qrels` = (query_id,
+    doc_id, gain). Discounts come from the shared NDCG_DISC_MILLI
+    literal table, so the fixed-point metric is bit-identical in any
+    engine that consumes the same constants.
+
+    Scale shape: one equi-join of results against the (small) qrel
+    set, one vocabulary-sized window over qrels for the ideal
+    ordering, group-bys on query_id throughout — candidate lists are
+    already top-k-bounded upstream.
+    """
+    from pyspark.sql import Window
+
+    pairs = [x for r in range(1, k + 1) for x in (F.lit(r), F.lit(NDCG_DISC_MILLI[r]))]
+    disc = F.create_map(*pairs)
+    hits = results.filter(F.col("rank") <= k).join(
+        qrels, ["query_id", "doc_id"]
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum(F.col("gain") * disc[F.col("rank")]).alias("dcg_milli")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("doc_id")
+    )
+    ideal = (
+        qrels.withColumn("_ir", F.row_number().over(w))
+        .filter(F.col("_ir") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") * disc[F.col("_ir")]).alias("idcg_milli"))
+    )
+    return ideal.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("dcg_milli", F.lit(0)).cast("long").alias("dcg_milli"),
+        F.col("idcg_milli").cast("long"),
+        F.expr(
+            "coalesce(dcg_milli, 0) * 1000000 div idcg_milli"
+        ).alias("ndcg_ppm"),
     )

@@ -1246,9 +1246,41 @@ FROM hnq
 UNION ALL
 SELECT query_id, doc_id, 'hard_negative' AS kind, neg_rank, score
 FROM hnn WHERE neg_rank <= {n_neg}"""
+    from fluent_bit_spark.operators.text_analysis import NDCG_DISC_MILLI
+
+    ndisc = ", ".join(
+        f"({r}, {NDCG_DISC_MILLI[r]})" for r in range(1, 11)
+    )
+    ndcg_sql = _bm25_core("TRUE", eval_queries, 10) + f"""
+, nq AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 25 = 0)
+, nqr AS (SELECT query_id, query_id AS doc_id, 3 AS gain FROM nq
+          UNION ALL
+          SELECT query_id, query_id + 1 AS doc_id, 1 AS gain FROM nq
+          WHERE EXISTS (SELECT 1 FROM documents d
+                        WHERE d.doc_id = nq.query_id + 1))
+, ndisc(r, dm) AS (VALUES {ndisc})
+, nh AS (SELECT b.query_id, r.gain, d.dm FROM bmr b
+         JOIN nqr r ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+         JOIN ndisc d ON d.r = b.rank
+         WHERE b.rank <= 10)
+, ndc AS (SELECT query_id, CAST(SUM(gain * dm) AS BIGINT) AS dcg
+          FROM nh GROUP BY query_id)
+, nir AS (SELECT query_id, gain,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY gain DESC, doc_id) AS ir
+          FROM nqr)
+, nid AS (SELECT n.query_id, CAST(SUM(n.gain * d.dm) AS BIGINT) AS idcg
+          FROM nir n JOIN ndisc d ON d.r = n.ir
+          WHERE n.ir <= 10 GROUP BY n.query_id)
+SELECT i.query_id, CAST(COALESCE(c.dcg, 0) AS BIGINT) AS dcg_milli,
+       i.idcg AS idcg_milli,
+       COALESCE(c.dcg, 0) * 1000000 // i.idcg AS ndcg_ppm
+FROM nid i LEFT JOIN ndc c USING (query_id)"""
+
     return {
         "bm25_topk": _bm25_core("doc_id >= 3", topk_queries, k)
         + "\nSELECT query_id, doc_id, score, rank FROM bmr",
+        "ndcg_eval": ndcg_sql,
         "retrieval_eval": eval_sql,
         "hybrid_topk": hybrid_sql,
         "hard_negatives": hard_neg_sql,

@@ -415,3 +415,54 @@ class TestFkIntegrity:
         parent = spark.createDataFrame([(1,)], "pk long")
         [r] = fk_integrity(child, parent, "fk", "pk").collect()
         assert r["n_orphans"] == 0 and r["orphan_ppm"] == 0
+
+
+class TestNdcgEval:
+    def test_hand_traced_ndcg(self, spark):
+        from fluent_bit_spark.operators.text_analysis import (
+            NDCG_DISC_MILLI,
+            ndcg_eval,
+        )
+
+        results = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 99, 3),
+             (2, 99, 1)],  # query 2 retrieved nothing relevant
+            "query_id long, doc_id long, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 3), (1, 11, 1), (2, 20, 2)],
+            "query_id long, doc_id long, gain int",
+        )
+        got = {
+            r["query_id"]: (r["dcg_milli"], r["idcg_milli"], r["ndcg_ppm"])
+            for r in ndcg_eval(results, qrels, k=10).collect()
+        }
+        d1, d2 = NDCG_DISC_MILLI[1], NDCG_DISC_MILLI[2]
+        # query 1 retrieved its qrels in ideal order -> ndcg = 1 exactly
+        assert got[1] == (3 * d1 + 1 * d2, 3 * d1 + 1 * d2, 1_000_000)
+        assert got[2] == (0, 2 * d1, 0)
+
+    def test_suboptimal_order_below_one(self, spark):
+        from fluent_bit_spark.operators.text_analysis import ndcg_eval
+
+        results = spark.createDataFrame(
+            [(1, 11, 1), (1, 10, 2)],  # low-gain doc first
+            "query_id long, doc_id long, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 3), (1, 11, 1)], "query_id long, doc_id long, gain int"
+        )
+        [r] = ndcg_eval(results, qrels).collect()
+        assert 0 < r["ndcg_ppm"] < 1_000_000
+
+    def test_rank_beyond_k_ignored(self, spark):
+        from fluent_bit_spark.operators.text_analysis import ndcg_eval
+
+        results = spark.createDataFrame(
+            [(1, 10, 11)], "query_id long, doc_id long, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 3)], "query_id long, doc_id long, gain int"
+        )
+        [r] = ndcg_eval(results, qrels, k=10).collect()
+        assert r["ndcg_ppm"] == 0
