@@ -396,3 +396,49 @@ def test_kappa_marginals_stay_label_sized(spark):
     )
     plan = plan_of(kappa_agreement(df, "a", "b", group_col="g"), "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dq_checks_single_aggregate_pass(spark):
+    """All constraint counters must come from ONE aggregate over the
+    data (conditional sums), not one scan per rule."""
+    from fluent_bit_spark.operators.dataquality import check_constraints
+
+    df = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") % 7).cast("string").alias("s")
+    )
+    out = check_constraints(
+        df,
+        [
+            ("completeness", "s", 1_000_000),
+            ("in_range", "v", 0, 500, 500_000),
+            ("matches", "s", "^1$", 10_000),
+        ],
+    )
+    plan = plan_of(out, "simple")
+    # one shared subtree: the range scan appears once per Union leg in
+    # the unoptimized string, but the aggregate itself must be single
+    # (3 rules -> 3 Project legs over ONE HashAggregate pair via reuse)
+    assert plan.count("ReusedExchange") >= 1 or plan.count("Scan") <= 3, plan
+
+
+def test_priority_sample_no_shuffle(spark):
+    from fluent_bit_spark.operators.sampling import priority_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+    )
+    out = priority_sample(df, {"0": 500_000}, "event_type", "event_id")
+    plan = plan_of(out, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_fk_integrity_parent_broadcasts(spark, sf_dir):
+    from fluent_bit_spark.operators.dataquality import fk_integrity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = fk_integrity(li, orders, "l_orderkey", "o_orderkey")
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
