@@ -3072,6 +3072,46 @@ def _q_ndcg_eval(spark, sf_dir):
     return ndcg_eval(res, qrels, k=10)
 
 
+def _q_dp_clamp(spark, sf_dir):
+    """DP sensitivity bounding (noise-free prep): per (user, day) at
+    most 2 md5-selected events, each value clamped to 50.00 — the
+    per-day report accounts exactly for what bounding cost."""
+    from fluent_bit_spark.operators.governance import contribution_clamp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return contribution_clamp(
+        ev, max_rows_per_user_day=2, value_cap_cents=5_000
+    )
+
+
+def _q_k_anon_repair(spark, sf_dir):
+    """Privacy repair preview: the (role, tool, day) QI census vs the
+    week-generalized one — generalization must cut the at-risk combo
+    and row counts, quantified exactly."""
+    from fluent_bit_spark.operators.governance import k_anonymity
+
+    t = _transcripts(spark, sf_dir)
+
+    def summary(gran: str, expr):
+        ka = k_anonymity(
+            t.select("role", "tool", expr.alias("bucket")),
+            qi_cols=("role", "tool", "bucket"),
+            k=5,
+        )
+        return ka.agg(
+            F.lit(gran).alias("granularity"),
+            F.count(F.lit(1)).alias("n_combos"),
+            F.sum(F.col("at_risk").cast("long")).alias("n_at_risk"),
+            F.sum(F.when(F.col("at_risk"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+
+    return summary("day", F.date_trunc("day", F.col("ts"))).unionByName(
+        summary("week", F.date_trunc("week", F.col("ts")))
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3370,6 +3410,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": _q_fk_orphans,
         "legal_hold": _q_legal_hold,
         "ndcg_eval": _q_ndcg_eval,
+        "dp_clamp": _q_dp_clamp,
+        "k_anon_repair": _q_k_anon_repair,
     }
 
 

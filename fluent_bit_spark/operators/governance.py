@@ -202,3 +202,70 @@ def tombstone_delete(
         )
     manifest = tagged.groupBy("day").agg(*aggs)
     return survivors, manifest
+
+
+def contribution_clamp(
+    df: DataFrame,
+    max_rows_per_user_day: int = 4,
+    value_cap_cents: int = 10_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Differential-privacy sensitivity bounding WITHOUT the noise —
+    the deterministic prep every user-level DP release runs first:
+    per (user, day) keep at most ``max_rows_per_user_day`` events
+    (md5-ranked on the event id, so the selection is content-keyed
+    and replay-stable — never 'first N by arrival') and clamp each
+    kept value to ``value_cap_cents`` (integer cents).  The per-day
+    report shows exactly how much signal bounding cost:
+
+    (day, n_raw, n_kept, users, clipped_users, sum_raw_cents,
+     sum_clamped_cents)
+
+    where clipped_users counts users who lost rows OR had a value
+    clamped.  All integer, so the accounting is engine-exact; the
+    noise mechanism itself is intentionally out of scope (noise is
+    non-deterministic by definition and belongs at release time).
+
+    Scale shape: one window partitioned by (user, day) — groups are
+    per-user-day sized, never corpus-scale — then a per-day groupBy
+    with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    from fluent_bit_spark.operators.dedup import md5_32
+
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    w = Window.partitionBy(user_col, day).orderBy(
+        md5_32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    staged = df.select(
+        day.alias("day"),
+        F.col(user_col).alias("_u"),
+        cents.alias("_raw"),
+        F.row_number().over(w).alias("_rk"),
+    ).withColumn(
+        "_kept", F.col("_rk") <= F.lit(max_rows_per_user_day)
+    ).withColumn(
+        "_clamped",
+        F.least(F.col("_raw"), F.lit(value_cap_cents)),
+    )
+    return staged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.count_distinct("_u").alias("users"),
+        F.count_distinct(
+            F.when(
+                (~F.col("_kept"))
+                | (F.col("_kept") & (F.col("_raw") > value_cap_cents)),
+                F.col("_u"),
+            )
+        ).alias("clipped_users"),
+        F.sum("_raw").alias("sum_raw_cents"),
+        F.sum(F.when(F.col("_kept"), F.col("_clamped")).otherwise(0))
+        .cast("long")
+        .alias("sum_clamped_cents"),
+    )

@@ -3395,11 +3395,50 @@ SELECT day,
          AS n_held_rows
 FROM lh0 GROUP BY day"""
 
+    he = _md5_32_sql("CAST(event_id AS VARCHAR)")
+    dp_clamp = f"""
+, dp0 AS (SELECT date_trunc('day', ts) AS day, user_id AS u,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS raw,
+                 row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ({he}), event_id) AS rk
+          FROM events)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS users,
+       CAST(COUNT(DISTINCT CASE WHEN rk > 2
+                                  OR (rk <= 2 AND raw > 5000)
+                                THEN u END) AS BIGINT) AS clipped_users,
+       CAST(SUM(raw) AS BIGINT) AS sum_raw_cents,
+       CAST(SUM(CASE WHEN rk <= 2 THEN LEAST(raw, 5000) ELSE 0 END)
+            AS BIGINT) AS sum_clamped_cents
+FROM dp0 GROUP BY day"""
+
+    k_anon_repair = """
+, kr0 AS (SELECT role, tool, date_trunc('day', ts) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM transcripts GROUP BY 1, 2, 3)
+, kr1 AS (SELECT role, tool, date_trunc('week', ts) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM transcripts GROUP BY 1, 2, 3)
+SELECT 'day' AS granularity, CAST(COUNT(*) AS BIGINT) AS n_combos,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM kr0
+UNION ALL
+SELECT 'week', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+FROM kr1"""
+
     return {
         "dq_profile": dq_profile,
         "dq_checks": dq_checks,
         "fk_orphans": fk_orphans,
         "legal_hold": legal_hold,
+        "dp_clamp": dp_clamp,
+        "k_anon_repair": k_anon_repair,
     }
 
 

@@ -241,3 +241,46 @@ class TestLegalHold:
         [m] = manifest.collect()
         assert (m["n_deleted"], m["n_kept"], m["n_keys_deleted"],
                 m["n_held_rows"]) == (1, 3, 1, 2)
+
+
+class TestContributionClamp:
+    def test_caps_and_clamps_exactly(self, spark):
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.governance import contribution_clamp
+
+        # user A: 3 events on one day (one over-cap), values 10, 80, 30;
+        # user B: 1 event, value 200 (clamped)
+        rows = [
+            (1, "A", "2024-01-01 00:00:00", 10.0),
+            (2, "A", "2024-01-01 01:00:00", 80.0),
+            (3, "A", "2024-01-01 02:00:00", 30.0),
+            (4, "B", "2024-01-01 03:00:00", 200.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        [r] = contribution_clamp(
+            df, max_rows_per_user_day=2, value_cap_cents=5_000
+        ).collect()
+        assert r["n_raw"] == 4 and r["n_kept"] == 3  # A loses 1 row
+        assert r["users"] == 2
+        # A loses a row (clipped); B's 200.00 > 50.00 cap (clipped)
+        assert r["clipped_users"] == 2
+        assert r["sum_raw_cents"] == 1000 + 8000 + 3000 + 20000
+        # A keeps 2 md5-chosen rows (each <= 5000 after clamp),
+        # B keeps 5000; total is deterministic:
+        assert r["sum_clamped_cents"] <= 2 * 5000 + 5000
+        assert r["sum_clamped_cents"] > 0
+
+    def test_selection_is_content_keyed(self, spark):
+        """Same rows in a different arrival order keep the SAME subset."""
+        from pyspark.sql import functions as F
+        from fluent_bit_spark.operators.governance import contribution_clamp
+
+        rows = [(i, "A", "2024-01-01 00:00:00", float(i)) for i in range(6)]
+        mk = lambda rs: spark.createDataFrame(
+            rs, "event_id long, user_id string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        a = contribution_clamp(mk(rows), 3, 10_000).collect()
+        b = contribution_clamp(mk(rows[::-1]), 3, 10_000).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
