@@ -3112,6 +3112,32 @@ def _q_k_anon_repair(spark, sf_dir):
     )
 
 
+def _q_gelf_chunks(spark, sf_dir):
+    """Chunked-GELF delivery accounting at pckt_size=64: ordinary
+    turns split into a handful of 12-byte-headed datagrams, the md5
+    slot's 60x-repeated payloads blow past 128 chunks and must be
+    dropped — datagram counts and wire bytes are closed-form exact."""
+    from fluent_bit_spark.operators.dedup import md5_32
+    from fluent_bit_spark.sinks import gelf_chunk_plan
+
+    t = _transcripts(spark, sf_dir)
+    slot = (
+        md5_32(
+            F.concat(
+                F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+            )
+        )
+        % 37
+    )
+    payload = F.when(slot == 11, F.repeat(F.col("text"), 60)).otherwise(
+        F.col("text")
+    )
+    staged = t.select("conv_id", "turn_idx", payload.alias("payload"))
+    return gelf_chunk_plan(staged, payload_col="payload", pckt_size=64).drop(
+        "payload"
+    )
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3412,6 +3438,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": _q_ndcg_eval,
         "dp_clamp": _q_dp_clamp,
         "k_anon_repair": _q_k_anon_repair,
+        "gelf_chunks": _q_gelf_chunks,
     }
 
 

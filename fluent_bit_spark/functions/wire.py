@@ -325,3 +325,48 @@ def unpack_forward_message(buf: bytes):
             raise ValueError("entry does not start with EventTime ext")
         out.append((sec, nsec, rec))
     return tag, out
+
+
+# ----------------------------------------------------------- GELF chunking
+
+GELF_MAGIC = b"\x1e\x0f"
+GELF_HEADER_SIZE = 12
+GELF_MAX_CHUNKS = 128
+
+
+def gelf_chunk(payload: bytes, msgid: bytes, pckt_size: int) -> list:
+    """Chunked-GELF datagrams (plugins/out_gelf/gelf.c:100-171):
+    payloads over ``pckt_size`` split into ceil(len/pckt_size) chunks,
+    each prefixed by the 12-byte header MAGIC(2) | MESSAGE ID(8) |
+    SEQ(1) | NUM(1); more than 128 chunks is a protocol error (the
+    reference drops the message). Small payloads go unchunked as one
+    bare datagram."""
+    if len(msgid) != 8:
+        raise ValueError("msgid must be exactly 8 bytes")
+    if len(payload) <= pckt_size:
+        return [payload]
+    n = -(-len(payload) // pckt_size)
+    if n > GELF_MAX_CHUNKS:
+        raise ValueError(f"message too big: {len(payload)} bytes -> {n} chunks")
+    return [
+        GELF_MAGIC + msgid + bytes([i, n])
+        + payload[i * pckt_size : (i + 1) * pckt_size]
+        for i in range(n)
+    ]
+
+
+def gelf_reassemble(chunks: list) -> bytes:
+    """Inverse of gelf_chunk: validate magic/msgid/count, reorder by
+    sequence number, concatenate."""
+    if len(chunks) == 1 and not chunks[0][:2] == GELF_MAGIC:
+        return chunks[0]
+    msgid = chunks[0][2:10]
+    total = chunks[0][11]
+    if len(chunks) != total:
+        raise ValueError(f"expected {total} chunks, got {len(chunks)}")
+    parts = {}
+    for c in chunks:
+        if c[:2] != GELF_MAGIC or c[2:10] != msgid:
+            raise ValueError("magic/msgid mismatch")
+        parts[c[10]] = c[GELF_HEADER_SIZE:]
+    return b"".join(parts[i] for i in range(total))

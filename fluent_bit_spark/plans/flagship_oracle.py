@@ -3432,6 +3432,24 @@ SELECT 'week', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
 FROM kr1"""
 
+    hg = _md5_32_sql("conv_id || ':' || CAST(turn_idx AS VARCHAR)")
+    gelf_chunks = f"""
+, gc0 AS (SELECT conv_id, turn_idx,
+            octet_length(encode(CASE WHEN ({hg}) % 37 = 11
+                                     THEN repeat(text, 60)
+                                     ELSE text END)) AS plen
+          FROM transcripts)
+, gc1 AS (SELECT conv_id, turn_idx, plen,
+                 (plen + 63) // 64 AS chunks, plen > 64 AS chunked
+          FROM gc0)
+SELECT conv_id, turn_idx, CAST(plen AS BIGINT) AS payload_bytes, chunked,
+       CAST(CASE WHEN chunked THEN chunks ELSE 1 END AS BIGINT) AS n_chunks,
+       chunked AND chunks > 128 AS dropped,
+       CAST(CASE WHEN chunked AND chunks > 128 THEN 0
+                 WHEN chunked THEN plen + 12 * chunks
+                 ELSE plen END AS BIGINT) AS wire_bytes
+FROM gc1"""
+
     return {
         "dq_profile": dq_profile,
         "dq_checks": dq_checks,
@@ -3439,6 +3457,7 @@ FROM kr1"""
         "legal_hold": legal_hold,
         "dp_clamp": dp_clamp,
         "k_anon_repair": k_anon_repair,
+        "gelf_chunks": gelf_chunks,
     }
 
 

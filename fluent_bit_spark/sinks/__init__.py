@@ -724,3 +724,41 @@ def retention_by_budget(
         .select(*keep_cols)
     )
     return full.unionByName(boundary)
+
+
+def gelf_chunk_plan(
+    df: DataFrame,
+    payload_col: str = "text",
+    pckt_size: int = 8192,
+) -> DataFrame:
+    """Chunked-GELF delivery accounting (plugins/out_gelf/gelf.c:
+    gelf_send_udp_chunked): per record, the exact number of UDP
+    datagrams and wire bytes the reference would emit —
+
+    - payload <= pckt_size: ONE bare datagram, wire = payload bytes;
+    - else ceil(len/pckt_size) chunks, each + the 12-byte
+      MAGIC|MSGID|SEQ|NUM header;
+    - over 128 chunks: protocol error, message dropped (wire 0).
+
+    Pure JVM column math (closed form), so it prices a sink's UDP
+    budget over 100 TB in one map pass; the byte-level chunker lives
+    in functions/wire.py for tests that reassemble real datagrams.
+    """
+    plen = F.octet_length(F.col(payload_col))
+    chunks = F.expr(
+        f"(octet_length({payload_col}) + {pckt_size} - 1) div {pckt_size}"
+    )
+    chunked = plen > F.lit(pckt_size)
+    dropped = chunked & (chunks > F.lit(128))
+    return df.withColumns(
+        {
+            "payload_bytes": plen.cast("long"),
+            "chunked": chunked,
+            "n_chunks": F.when(chunked, chunks).otherwise(F.lit(1)).cast("long"),
+            "dropped": dropped,
+            "wire_bytes": F.when(dropped, F.lit(0))
+            .when(chunked, plen + F.lit(12) * chunks)
+            .otherwise(plen)
+            .cast("long"),
+        }
+    )

@@ -259,3 +259,57 @@ class TestForwardProtocol:
         assert a[1]["tool"] == "bash" and a[1]["text"] == "yo"
         # single-event message is strictly smaller than the pair
         assert by_tag["t.b"][0]["msg_bytes"] < a[0]["msg_bytes"]
+
+
+class TestGelfChunking:
+    def test_header_layout_and_reassembly(self):
+        from fluent_bit_spark.functions.wire import (
+            GELF_HEADER_SIZE,
+            gelf_chunk,
+            gelf_reassemble,
+        )
+
+        payload = bytes(range(256)) * 2  # 512 bytes
+        msgid = b"\x01\x02\x03\x04\x05\x06\x07\x08"
+        chunks = gelf_chunk(payload, msgid, pckt_size=100)
+        assert len(chunks) == 6  # ceil(512/100)
+        first = chunks[0]
+        assert first[:2] == b"\x1e\x0f" and first[2:10] == msgid
+        assert first[10] == 0 and first[11] == 6
+        assert len(first) == GELF_HEADER_SIZE + 100
+        assert len(chunks[-1]) == GELF_HEADER_SIZE + 12  # 512 - 5*100
+        # reassembly survives shuffling (UDP reordering)
+        assert gelf_reassemble(chunks[::-1]) == payload
+
+    def test_small_payload_unchunked(self):
+        from fluent_bit_spark.functions.wire import gelf_chunk, gelf_reassemble
+
+        [d] = gelf_chunk(b"small", b"\x00" * 8, pckt_size=100)
+        assert d == b"small"
+        assert gelf_reassemble([d]) == b"small"
+
+    def test_over_128_chunks_rejected(self):
+        import pytest as _pytest
+        from fluent_bit_spark.functions.wire import gelf_chunk
+
+        with _pytest.raises(ValueError):
+            gelf_chunk(b"x" * 200, b"\x00" * 8, pckt_size=1)
+
+    def test_plan_matches_real_chunker(self, spark):
+        """The closed-form plan must agree with the byte-level chunker
+        datagram for datagram."""
+        from fluent_bit_spark.functions.wire import gelf_chunk
+        from fluent_bit_spark.sinks import gelf_chunk_plan
+
+        rows = [("a", "x" * 50), ("b", "y" * 64), ("c", "z" * 65),
+                ("d", "w" * 1000)]
+        df = spark.createDataFrame(rows, "id string, payload string")
+        got = {
+            r["id"]: (r["n_chunks"], r["wire_bytes"], r["chunked"])
+            for r in gelf_chunk_plan(df, "payload", pckt_size=64).collect()
+        }
+        for rid, p in rows:
+            real = gelf_chunk(p.encode(), b"\x00" * 8, 64)
+            assert got[rid][0] == len(real)
+            assert got[rid][1] == sum(len(c) for c in real)
+            assert got[rid][2] == (len(p) > 64)
