@@ -554,6 +554,68 @@ class ConfigPipeline:
         if name == "lua":
             fn = self.lua_functions[s.get("Call")]
             return FL.record_function(df, fn)
+        if name == "tensorflow":
+            # plugins/filter_tensorflow analog: quantized-MLP inference
+            # over integer feature columns. `Model_file` (a .tflite
+            # flatbuffer) is the gated loader; inline W1/B1/Shift1/
+            # W2/B2/Shift2 weights are the runnable path ("; " rows,
+            # "," entries — the shape an int8-quantized model exports).
+            from fluent_bit_spark.operators.tensorflow_filter import (
+                QuantizedMLP,
+                load_tflite_model,
+                tensorflow_filter,
+            )
+
+            if s.get("Model_file"):
+                model = load_tflite_model(s.get("Model_file"))
+            else:
+                def mat(v):
+                    return [
+                        [int(x) for x in row.split(",")]
+                        for row in v.split(";")
+                    ]
+
+                def vec(v):
+                    return [int(x) for x in v.split(",")]
+
+                model = QuantizedMLP(
+                    w1=mat(s.get("W1")),
+                    b1=vec(s.get("B1")),
+                    shift1=int(s.get("Shift1", "0")),
+                    w2=mat(s.get("W2")),
+                    b2=vec(s.get("B2")),
+                    shift2=int(s.get("Shift2", "0")),
+                )
+            feats = s.get_all("Feature")
+            if not feats:
+                raise ConfigError("tensorflow filter needs Feature keys")
+            thr = s.get("Threshold")
+            scored = tensorflow_filter(
+                df.select(*[F.col(c).cast("long").alias(c) for c in feats]),
+                model,
+                feats,
+                out_col=s.get("Output", "score"),
+                threshold=int(thr) if thr is not None else None,
+            )
+            return scored
+        if name == "sampling":
+            # severity-tiered content-keyed sampling (sampling.py):
+            #   Rate <level> <ppm>   (repeatable)   Default_rate <ppm>
+            from fluent_bit_spark.operators.sampling import priority_sample
+
+            rates = {}
+            for v in s.get_all("Rate"):
+                lvl, ppm = v.split(None, 1)
+                rates[lvl] = int(ppm)
+            if not rates:
+                raise ConfigError("sampling filter needs Rate keys")
+            return priority_sample(
+                df,
+                rates,
+                level_col=s.get("Level_key", "level"),
+                id_col=s.get("Id_key", "event_id"),
+                default_ppm=int(s.get("Default_rate", "1000000")),
+            )
         raise ConfigError(f"unsupported filter plugin {name!r}")
 
     # -- run ----------------------------------------------------------------

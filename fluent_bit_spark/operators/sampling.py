@@ -518,11 +518,16 @@ def priority_sample(
             raise ValueError(f"rate for {lvl!r} must be 0..1e6 ppm, got {ppm}")
         rate = F.when(F.col(level_col) == lvl, F.lit(ppm)).otherwise(rate)
     h = md5_32(F.col(id_col).cast("string")) % 1_000_000
+    # the rate>0 guard matters beyond semantics: surviving rows always
+    # have a positive rate, but a constant-foldable rate (literal level
+    # column, e.g. from the dummy input) would otherwise constant-fold
+    # `div 0` at PLAN time and fail under ANSI before the filter runs
+    weight = F.when(
+        F.col("_rate") > 0, F.expr("1000000000 div _rate")
+    ).cast("long")
     return (
         df.withColumn("_rate", rate)
         .filter(h < F.col("_rate"))
-        .withColumn(
-            "weight_milli", F.expr("1000000000 div _rate").cast("long")
-        )
+        .withColumn("weight_milli", weight)
         .drop("_rate")
     )

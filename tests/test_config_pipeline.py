@@ -464,3 +464,84 @@ def test_frame_applies_filters_in_order_and_requires_input(spark):
 
     with pytest.raises(ConfigError, match="INPUT"):
         ConfigPipeline("[OUTPUT]\n    Name counter\n    Match *\n").frame(spark)
+
+
+def test_tensorflow_filter_from_config(spark):
+    """[FILTER] Name tensorflow with inline int8-style weights: the
+    hand-traced logits from test_wireformat must come out of the
+    config path too."""
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"x_len": 100, "x_words": 20, "x_tool": 1}
+    Samples 1
+    Tag t.a
+[FILTER]
+    Name tensorflow
+    Match *
+    Feature x_len
+    Feature x_words
+    Feature x_tool
+    W1 2,-1,5;1,3,-2;-1,2,4
+    B1 10,-20,5
+    Shift1 4
+    W2 3,-2,6
+    B2 -40
+    Shift2 2
+    Threshold 0
+[OUTPUT]
+    Name null
+    Match *
+"""
+    frame = ConfigPipeline(parse_config(cfg)).frame(spark)
+    [r] = frame.collect()
+    assert (r["score"], r["keep"]) == (-5, False)
+
+
+def test_tensorflow_model_file_gated(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"x": 1}
+    Samples 1
+    Tag t.a
+[FILTER]
+    Name tensorflow
+    Match *
+    Model_file /tmp/m.tflite
+    Feature x
+[OUTPUT]
+    Name null
+    Match *
+"""
+    with pytest.raises(NotImplementedError):
+        ConfigPipeline(parse_config(cfg)).frame(spark)
+
+
+def test_sampling_filter_from_config(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"level": "debug", "event_id": 1}
+    Samples 40
+    Tag t.a
+[INPUT]
+    Name dummy
+    Dummy {"level": "error", "event_id": 2}
+    Samples 3
+    Tag t.b
+[FILTER]
+    Name sampling
+    Match *
+    Level_key level
+    Id_key event_id
+    Rate error 1000000
+    Rate debug 0
+[OUTPUT]
+    Name null
+    Match *
+"""
+    frame = ConfigPipeline(parse_config(cfg)).frame(spark)
+    rows = frame.collect()
+    assert len(rows) == 3
+    assert all(r["level"] == "error" and r["weight_milli"] == 1000 for r in rows)
