@@ -185,12 +185,19 @@ def tvd_drift(
     totals = b.groupBy(group_col).agg(
         F.sum("_ref").alias("n_ref"), F.sum("_cur").alias("n_cur")
     )
+    # one-sided groups (all rows in a single window) have a zero total
+    # on the other side; their share there is 0 by convention — the
+    # guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
     shares = b.join(F.broadcast(totals), group_col).select(
         group_col,
         "n_ref",
         "n_cur",
-        F.expr("_ref * 1000000 div n_ref").alias("_p"),
-        F.expr("_cur * 1000000 div n_cur").alias("_q"),
+        F.when(F.col("n_ref") > 0, F.expr("_ref * 1000000 div n_ref"))
+        .otherwise(F.lit(0))
+        .alias("_p"),
+        F.when(F.col("n_cur") > 0, F.expr("_cur * 1000000 div n_cur"))
+        .otherwise(F.lit(0))
+        .alias("_q"),
     )
     return (
         shares.groupBy(group_col)
@@ -461,10 +468,18 @@ def fk_integrity(
     return marked.agg(
         F.lit(name).alias("relation"),
         F.count(F.lit(1)).alias("n_child"),
-        F.sum(F.col("_hit").isNull().cast("long")).alias("n_orphans"),
+        F.coalesce(
+            F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)
+        ).alias("n_orphans"),
     ).select(
         "relation",
         "n_child",
         "n_orphans",
-        F.expr("n_orphans * 1000000 div n_child").alias("orphan_ppm"),
+        # empty child table: vacuously 0 orphans (and no ANSI div-0)
+        F.when(
+            F.col("n_child") > 0,
+            F.expr("n_orphans * 1000000 div n_child"),
+        )
+        .otherwise(F.lit(0))
+        .alias("orphan_ppm"),
     )

@@ -1150,7 +1150,10 @@ def ndcg_eval(
         "query_id",
         F.coalesce("dcg_milli", F.lit(0)).cast("long").alias("dcg_milli"),
         F.col("idcg_milli").cast("long"),
-        F.expr(
-            "coalesce(dcg_milli, 0) * 1000000 div idcg_milli"
+        # all-zero-gain qrels make idcg 0: nDCG undefined -> NULL
+        # (also keeps ANSI mode from raising DIVIDE_BY_ZERO)
+        F.when(
+            F.col("idcg_milli") > 0,
+            F.expr("coalesce(dcg_milli, 0) * 1000000 div idcg_milli"),
         ).alias("ndcg_ppm"),
     )
