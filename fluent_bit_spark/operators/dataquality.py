@@ -431,11 +431,17 @@ def check_constraints(df: DataFrame, rules: list) -> DataFrame:
     wide = df.agg(n.alias("_n"), *aggs)
     rows = None
     for i, (name, thr) in enumerate(meta):
+        # a global agg emits one row even for an empty table (_n = 0):
+        # report 0 ppm (failing any positive threshold — no data means
+        # nothing certified) rather than raising ANSI DIVIDE_BY_ZERO
+        ppm = F.when(
+            F.col("_n") > 0, F.expr(f"_c{i} * 1000000 div _n")
+        ).otherwise(F.lit(0))
         r = wide.select(
             F.lit(name).alias("rule"),
-            F.expr(f"_c{i} * 1000000 div _n").alias("metric_ppm"),
+            ppm.alias("metric_ppm"),
             F.lit(thr).cast("long").alias("threshold_ppm"),
-            (F.expr(f"_c{i} * 1000000 div _n") >= F.lit(thr)).alias("passed"),
+            (ppm >= F.lit(thr)).alias("passed"),
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows

@@ -466,3 +466,61 @@ class TestNdcgEval:
         )
         [r] = ndcg_eval(results, qrels, k=10).collect()
         assert r["ndcg_ppm"] == 0
+
+
+class TestDegenerateInputsAnsiSafe:
+    """Zero-divisor edge cases that would raise DIVIDE_BY_ZERO under
+    ANSI mode without the explicit guards: one-sided drift windows,
+    empty child/whole tables, and all-zero-gain qrels."""
+
+    def test_tvd_one_sided_group(self, spark):
+        from fluent_bit_spark.operators.dataquality import tvd_drift
+
+        df = spark.createDataFrame(
+            # 'only_cur' has no reference-window rows at all
+            [("both", 0, 0), ("both", 0, 1), ("only_cur", 1, 1)],
+            "event_type string, bin int, is_cur int",
+        )
+        got = {
+            r["event_type"]: (r["n_ref"], r["n_cur"], r["tvd_ppm"])
+            for r in tvd_drift(df).collect()
+        }
+        assert got["both"] == (1, 1, 0)
+        # missing side contributes share 0 per bin by convention
+        assert got["only_cur"] == (0, 1, 500_000)
+
+    def test_fk_empty_child(self, spark):
+        from fluent_bit_spark.operators.dataquality import fk_integrity
+
+        child = spark.createDataFrame([], "fk long")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        [r] = fk_integrity(child, parent, "fk", "pk").collect()
+        assert (r["n_child"], r["n_orphans"], r["orphan_ppm"]) == (0, 0, 0)
+
+    def test_constraints_empty_table(self, spark):
+        from fluent_bit_spark.operators.dataquality import check_constraints
+
+        df = spark.createDataFrame([], "v long, s string")
+        got = {
+            r["rule"]: (r["metric_ppm"], r["passed"])
+            for r in check_constraints(
+                df,
+                [("completeness", "s", 1_000_000), ("completeness", "v", 0)],
+            ).collect()
+        }
+        # no data certifies nothing: 0 ppm fails any positive threshold
+        assert got["completeness(s)"] == (0, False)
+        assert got["completeness(v)"] == (0, True)
+
+    def test_ndcg_zero_gain_qrels(self, spark):
+        from fluent_bit_spark.operators.text_analysis import ndcg_eval
+
+        results = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, doc_id long, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 0)], "query_id long, doc_id long, gain int"
+        )
+        rows = ndcg_eval(results, qrels, k=10).collect()
+        # idcg == 0 -> nDCG undefined -> NULL (never a div-0 crash)
+        assert all(r["ndcg_ppm"] is None for r in rows)
