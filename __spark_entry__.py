@@ -3138,6 +3138,18 @@ def _q_gelf_chunks(spark, sf_dir):
     )
 
 
+def _q_kafka_batch(spark, sf_dir):
+    """Kafka v2 record-batch parity (plugins/out_kafka/kafka.c produce
+    path): one batch per conversation — key conv_id, value the msgpack
+    event bytes, ms timestamp deltas — packed to real bytes with
+    CRC-32C and zigzag-varint record bodies, decoded back, and
+    field-compared in-task; the oracle re-derives the exact batch wire
+    size, record counts, and base/max timestamps in closed form."""
+    from fluent_bit_spark.operators.wireformat import kafka_batch_roundtrip
+
+    return kafka_batch_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3439,6 +3451,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_clamp": _q_dp_clamp,
         "k_anon_repair": _q_k_anon_repair,
         "gelf_chunks": _q_gelf_chunks,
+        "kafka_batch": _q_kafka_batch,
     }
 
 

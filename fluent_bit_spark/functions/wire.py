@@ -370,3 +370,124 @@ def gelf_reassemble(chunks: list) -> bytes:
             raise ValueError("magic/msgid mismatch")
         parts[c[10]] = c[GELF_HEADER_SIZE:]
     return b"".join(parts[i] for i in range(total))
+
+
+# -------------------------------------------- Kafka record batch (magic 2)
+
+# CRC-32C (Castagnoli), the checksum Kafka's v2 record batches carry —
+# reflected polynomial 0x82F63B78, table-driven, pure Python.
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    c = 0xFFFFFFFF
+    for b in data:
+        c = (c >> 8) ^ _CRC32C_TABLE[(c ^ b) & 0xFF]
+    return c ^ 0xFFFFFFFF
+
+
+# Bytes before the records array in a v2 batch: baseOffset(8)
+# batchLength(4) partitionLeaderEpoch(4) magic(1) crc(4) attributes(2)
+# lastOffsetDelta(4) baseTimestamp(8) maxTimestamp(8) producerId(8)
+# producerEpoch(2) baseSequence(4) recordCount(4).
+KAFKA_BATCH_OVERHEAD = 61
+
+
+def _i(v: int, width: int) -> bytes:
+    return v.to_bytes(width, "big", signed=True)
+
+
+def _kafka_record(ts_delta: int, offset_delta: int, key, value) -> bytes:
+    """One v2 record body, length-prefixed: all integer fields are
+    zigzag varints (the Kafka protocol's varint IS the zigzag one);
+    a null key/value encodes as length -1."""
+    body = bytearray(b"\x00")  # record attributes: unused, always 0
+    body += _zigzag(ts_delta)
+    body += _zigzag(offset_delta)
+    for part in (key, value):
+        if part is None:
+            body += _zigzag(-1)
+        else:
+            body += _zigzag(len(part))
+            body += part
+    body += _zigzag(0)  # header count
+    return bytes(_zigzag(len(body)) + body)
+
+
+def pack_kafka_batch(records: list) -> bytes:
+    """records = [(ts_ms, key_bytes|None, value_bytes)] -> one v2
+    record batch (KIP-98 message format, magic 2) as the broker would
+    store it: big-endian fixed header, CRC-32C over everything after
+    the crc field, zigzag-varint record bodies with timestamp/offset
+    deltas against the first record."""
+    if not records:
+        raise ValueError("empty batch")
+    base_ts = records[0][0]
+    max_ts = max(r[0] for r in records)
+    recs = b"".join(
+        _kafka_record(ts - base_ts, i, k, v)
+        for i, (ts, k, v) in enumerate(records)
+    )
+    after_crc = (
+        _i(0, 2)                      # attributes: no compression, create-time
+        + _i(len(records) - 1, 4)     # lastOffsetDelta
+        + _i(base_ts, 8)
+        + _i(max_ts, 8)
+        + _i(-1, 8)                   # producerId (idempotence off)
+        + _i(-1, 2)                   # producerEpoch
+        + _i(-1, 4)                   # baseSequence
+        + _i(len(records), 4)
+        + recs
+    )
+    crc = crc32c(after_crc)
+    # batchLength counts bytes after its own field
+    # (partitionLeaderEpoch onward)
+    batch_len = 4 + 1 + 4 + len(after_crc)
+    return (
+        _i(0, 8)                      # baseOffset
+        + _i(batch_len, 4)
+        + _i(-1, 4)                   # partitionLeaderEpoch
+        + b"\x02"                     # magic
+        + crc.to_bytes(4, "big")
+        + after_crc
+    )
+
+
+def unpack_kafka_batch(buf: bytes):
+    """Inverse of pack_kafka_batch -> (records, crc_ok) with records
+    = [(ts_ms, key_bytes|None, value_bytes)]; validates magic,
+    batchLength, recordCount, and the CRC-32C."""
+    if buf[16] != 2:
+        raise ValueError(f"unsupported magic {buf[16]}")
+    batch_len = int.from_bytes(buf[8:12], "big", signed=True)
+    if batch_len != len(buf) - 12:
+        raise ValueError("batchLength mismatch")
+    crc = int.from_bytes(buf[17:21], "big")
+    crc_ok = crc == crc32c(buf[21:])
+    base_ts = int.from_bytes(buf[27:35], "big", signed=True)
+    n = int.from_bytes(buf[57:61], "big", signed=True)
+    pos, out = KAFKA_BATCH_OVERHEAD, []
+    for _ in range(n):
+        body_len, pos = _unzigzag(buf, pos)
+        end = pos + body_len
+        pos += 1  # record attributes
+        ts_delta, pos = _unzigzag(buf, pos)
+        _offset_delta, pos = _unzigzag(buf, pos)
+        parts = []
+        for _ in range(2):
+            ln, pos = _unzigzag(buf, pos)
+            if ln < 0:
+                parts.append(None)
+            else:
+                parts.append(buf[pos : pos + ln])
+                pos += ln
+        n_headers, pos = _unzigzag(buf, pos)
+        if n_headers or pos != end:
+            raise ValueError("malformed record")
+        out.append((base_ts + ts_delta, parts[0], parts[1]))
+    return out, crc_ok

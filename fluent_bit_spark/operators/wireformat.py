@@ -214,3 +214,88 @@ def forward_roundtrip(df: DataFrame) -> DataFrame:
     return df.select(
         "tag", "conv_id", "turn_idx", "role", "text", "tool", "ts"
     ).groupBy("tag", "conv_id").applyInPandas(fn, _FWD_SCHEMA)
+
+
+_KAFKA_SCHEMA = (
+    "conv_id string, n_records long, batch_bytes long, "
+    "base_ts_ms long, max_ts_ms long, crc_ok boolean"
+)
+
+
+def kafka_batch_roundtrip(df: DataFrame) -> DataFrame:
+    """Kafka v2 record-batch framing parity (plugins/out_kafka/kafka.c
+    produce path; batch layout per KIP-98 / the on-disk message format
+    v2): each conversation becomes ONE record batch — key = conv_id
+    UTF-8, value = the same msgpack event bytes out_kafka's
+    FLB_KAFKA_FMT_MSGP mode ships, timestamps as ms deltas against the
+    first turn — packed to real bytes (big-endian fixed header,
+    CRC-32C over attributes..records, zigzag-varint record bodies),
+    then unpacked from those bytes and field-compared against the
+    input rows; any mismatch raises inside the task.
+
+    Emits per-batch accounting the oracle re-derives in closed form:
+    record count, exact batch wire size, base/max timestamps, and the
+    CRC validity flag from the decode side.
+
+    Scale shape: `applyInPandas` keyed on conv_id — the batch is
+    conversation-bounded and the shuffle key is the pipeline's usual
+    conv_id partitioning, so 100 TB cost is one co-partitioned pass;
+    all byte work is Arrow-batched Python, never per-row UDF calls.
+    """
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from fluent_bit_spark.functions.wire import (
+            pack_event,
+            pack_kafka_batch,
+            unpack_event,
+            unpack_kafka_batch,
+        )
+
+        (conv,) = key
+        pdf = pdf.sort_values("turn_idx")
+        recs = []
+        for r in pdf.itertuples(index=False):
+            us = _ts_to_us(r.ts)
+            sec, nsec = divmod(us, 1_000_000)
+            val = pack_event(
+                sec,
+                nsec * 1000,
+                {
+                    "conv_id": r.conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "role": r.role,
+                    "text": r.text,
+                    "tool": None if r.tool is None else r.tool,
+                },
+            )
+            recs.append((us // 1000, conv.encode(), val))
+        buf = pack_kafka_batch(recs)
+        back, crc_ok = unpack_kafka_batch(buf)
+        if back != recs:
+            raise ValueError(f"kafka batch roundtrip mismatch for {conv}")
+        for _ts_ms, _key, val in back:
+            _sec, _nsec, rec = unpack_event(val)
+            if rec["conv_id"] != conv:
+                raise ValueError("record value decode mismatch")
+        return pd.DataFrame(
+            [
+                (
+                    conv,
+                    len(recs),
+                    len(buf),
+                    recs[0][0],
+                    max(r[0] for r in recs),
+                    crc_ok,
+                )
+            ],
+            columns=[
+                "conv_id", "n_records", "batch_bytes",
+                "base_ts_ms", "max_ts_ms", "crc_ok",
+            ],
+        )
+
+    return (
+        df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .groupBy("conv_id")
+        .applyInPandas(fn, _KAFKA_SCHEMA)
+    )

@@ -3310,11 +3310,43 @@ SELECT field, old_type, new_type, verdict,
        NOT (verdict LIKE 'breaking%') AS compatible
 FROM sc_v"""
 
+    # Kafka v2 record batch (operators/wireformat.py
+    # kafka_batch_roundtrip): 61-byte fixed header + per-record
+    # zigzag-varint bodies; every width re-derived independently here.
+    zztsd = "CASE WHEN tsd >= 0 THEN 2 * tsd ELSE -2 * tsd - 1 END"
+    kafka_batch = f"""
+, kb0 AS (SELECT conv_id, turn_idx,
+            epoch_us(ts) // 1000 AS ts_ms,
+            octet_length(encode(conv_id)) AS klen,
+            ({esz}) AS vlen
+          FROM transcripts)
+, kb1 AS (SELECT conv_id, ts_ms, klen, vlen,
+            first_value(ts_ms) OVER w AS base_ts,
+            ts_ms - first_value(ts_ms) OVER w AS tsd,
+            ROW_NUMBER() OVER w - 1 AS od
+          FROM kb0
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+, kb2 AS (SELECT conv_id, ts_ms, base_ts,
+            1 + {_varint_sz(zztsd)} + {_varint_sz("2 * od")}
+              + {_varint_sz("2 * klen")} + klen
+              + {_varint_sz("2 * vlen")} + vlen + 1 AS body
+          FROM kb1)
+, kb3 AS (SELECT conv_id, ts_ms, base_ts,
+            {_varint_sz("2 * body")} + body AS rec
+          FROM kb2)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(61 + SUM(rec) AS BIGINT) AS batch_bytes,
+       CAST(MIN(base_ts) AS BIGINT) AS base_ts_ms,
+       CAST(MAX(ts_ms) AS BIGINT) AS max_ts_ms,
+       TRUE AS crc_ok
+FROM kb3 GROUP BY conv_id"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
+        "kafka_batch": kafka_batch,
         "streaming_backpressure": streaming_backpressure,
         "priority_sample": priority_sample,
         "flap_suppress": flap_suppress,
