@@ -447,13 +447,26 @@ def expect(
 def alter_size(
     df: DataFrame, add: DataFrame | None = None, remove: int = 0, order_cols: list[str] | None = None
 ) -> DataFrame:
-    """Add synthetic records / drop the first N (deterministic order)."""
+    """Add synthetic records / drop the first N (deterministic order).
+
+    Dropping the globally-first N never ranks the full table: any row
+    in the global first N is also in its own partition's first N, so
+    only the per-partition candidates (≤ N * num_partitions rows) pass
+    through the unpartitioned window; everything else is kept outright.
+    """
     if remove:
         order = [F.col(c) for c in (order_cols or df.columns)]
+        pre = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+        staged = df.withColumn("_pre", F.row_number().over(pre))
+        safe = staged.filter(F.col("_pre") > remove).drop("_pre")
+        cand = staged.filter(F.col("_pre") <= remove).drop("_pre")
         w = Window.orderBy(*order)
-        df = df.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") > remove
-        ).drop("_rn")
+        kept_cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > remove)
+            .drop("_rn")
+        )
+        df = safe.unionByName(kept_cand)
     if add is not None:
         df = df.unionByName(add, allowMissingColumns=True)
     return df

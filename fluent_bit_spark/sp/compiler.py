@@ -109,8 +109,14 @@ class SpEngine:
                     .drop("_maxts")
                 )
             if limit:
-                w = F.row_number().over(Window.orderBy(F.col(self.ts_col).desc()))
-                src = src.withColumn("_rn", w).filter(F.col("_rn") <= limit).drop("_rn")
+                # newest-`limit` ring without a single-partition global
+                # window: per-partition pre-limit bounds the final rank
+                # to limit * num_partitions rows (skew.topk_per_group)
+                from fluent_bit_spark.operators.skew import topk_per_group
+
+                src = topk_per_group(
+                    src, [], [F.col(self.ts_col).desc()], limit
+                )
             self.snapshots[ast.name] = _Snapshot(ast.select, limit, src)
             return None
         if isinstance(ast, P.FlushSnapshot):
