@@ -507,6 +507,100 @@ def _q_multiline_join(spark, sf_dir):
     return multiline_join(lines, r"^10\.0\.")
 
 
+def _container_chunks(spark, sf_dir, chunk_chars: int = 48):
+    """Shared synthesis for the container-log reassembly gates: view
+    each transcript turn as a runtime log line split into
+    `chunk_chars`-sized pieces (the 16 KB docker split, scaled down so
+    sf0.001 already exercises multi-piece runs), tagged with which
+    piece terminates the line. Deterministic: chunk boundaries are
+    fixed substring offsets of the original text."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.coalesce(F.col("text"), F.lit("")).alias("_txt"),
+        )
+        .withColumn(
+            "_n",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.length("_txt") / F.lit(chunk_chars)).cast("int"),
+            ),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i")
+        )
+        .withColumn(
+            "_chunk",
+            F.expr(f"substr(_txt, _i * {chunk_chars} + 1, {chunk_chars})"),
+        )
+        .withColumn("_last", F.col("_i") == F.col("_n") - 1)
+        .withColumn(
+            "_stream",
+            F.when(F.col("turn_idx") % 2 == 0, F.lit("stdout")).otherwise(
+                F.lit("stderr")
+            ),
+        )
+        .withColumn(
+            "line_no", F.col("turn_idx").cast("long") * 100000 + F.col("_i")
+        )
+    )
+
+
+def _q_docker_mode_join(spark, sf_dir):
+    """in_tail Docker_Mode end-to-end (tail_dockermode.c:237): render
+    each turn as runtime json-file records -- the log split into
+    pieces where only the final piece's `log` carries the trailing
+    newline -- then reassemble per file and parse the envelope back.
+    The oracle states the invariant directly: one row per turn whose
+    log is the original text + newline, ts/stream from the first
+    piece."""
+    from fluent_bit_spark.sources import docker_mode_join
+
+    chunks = _container_chunks(spark, sf_dir)
+    lines = chunks.select(
+        F.col("conv_id").alias("file"),
+        "line_no",
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.col("_chunk"),
+                    F.when(F.col("_last"), F.lit("\n")).otherwise(F.lit("")),
+                ).alias("log"),
+                F.col("_stream").alias("stream"),
+                F.date_format(
+                    "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                ).alias("time"),
+            )
+        ).alias("line"),
+    )
+    return docker_mode_join(lines)
+
+
+def _q_cri_mode_join(spark, sf_dir):
+    """CRI/containerd reassembly end-to-end (the `cri` parser,
+    conf/parsers.conf:105-112): render each turn as
+    `<time> <stream> <P|F> <piece>` lines, reassemble the P-runs with
+    their terminating F record, regex-parse the envelope back."""
+    from fluent_bit_spark.sources import cri_mode_join
+
+    chunks = _container_chunks(spark, sf_dir)
+    lines = chunks.select(
+        F.col("conv_id").alias("file"),
+        "line_no",
+        F.concat_ws(
+            " ",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+            F.col("_stream"),
+            F.when(F.col("_last"), F.lit("F")).otherwise(F.lit("P")),
+            F.col("_chunk"),
+        ).alias("line"),
+    )
+    return cri_mode_join(lines)
+
+
 _APACHE_PLAIN = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d+)$'
 
 
@@ -3196,6 +3290,8 @@ _GATE_PRIORITY: list = [
     "sink_loki_k8s",
     "sink_gelf_extra",
     "syslog_source",
+    "docker_mode_join",
+    "cri_mode_join",
     "streaming_hll",
     "streaming_cms",
     "streaming_sessions",
@@ -3237,8 +3333,6 @@ _GATE_PRIORITY: list = [
     "langid_eval",
     "tokenizer_fertility",
     "line_dedup",
-    "url_dedup",
-    "dpo_pairs",
 ]
 
 
@@ -3289,6 +3383,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_size": _q_throttle_size,
         "dedup_clusters": _q_dedup_clusters,
         "multiline_join": _q_multiline_join,
+        "docker_mode_join": _q_docker_mode_join,
+        "cri_mode_join": _q_cri_mode_join,
         "record_modifier": _q_record_modifier,
         "nest_lift": _q_nest_lift,
         "filter_parser_chain": _q_filter_parser,

@@ -3588,9 +3588,29 @@ FROM sdc GROUP BY mtype, bucket"""
     return {"statsd_source": source, "statsd_agg": agg}
 
 
+def _container_sql() -> dict[str, str]:
+    """Ground truth for the container-log reassembly gates: the Spark
+    side does the full wire roundtrip (render runtime split pieces,
+    reassemble, parse the envelope back); the oracle states the
+    invariant the roundtrip must preserve — one row per turn, log =
+    original text (+ newline in docker mode), stream/ts from the first
+    piece, first_line_no = the synthesis base offset."""
+    base = """SELECT conv_id AS file,
+       CAST(turn_idx AS BIGINT) * 100000 AS first_line_no,
+       CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       ts,
+       coalesce(text, '') {suffix} AS log
+FROM transcripts"""
+    return {
+        "docker_mode_join": base.format(suffix="|| chr(10)"),
+        "cri_mode_join": base.format(suffix=""),
+    }
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
+        **{k: c + v for k, v in _container_sql().items()},
         **{k: c + v for k, v in _statsd_sql().items()},
         **{k: c + v for k, v in _sample_split_sql().items()},
         **{k: c + v for k, v in _curation_sql().items()},

@@ -128,6 +128,130 @@ def multiline_join(
     )
 
 
+def _segment_reassemble(
+    df: DataFrame,
+    complete: Column,
+    chunk_col: str,
+    file_col: str,
+    line_no_col: str,
+    sep: str,
+    extra_firsts: list[str],
+) -> DataFrame:
+    """Shared partial-line reassembly core for Docker json-file and CRI
+    logs: a record is `complete` when it terminates a logical line;
+    every record joins the segment opened by the previous terminator.
+
+    segment id = count of complete records strictly BEFORE the row in
+    (file, line_no) order — partial records and their terminator share
+    the id, so one groupBy rebuilds the logical line. Pure window +
+    sort_array concat, no Python in the row path; the window is
+    per-file (one container log file), never corpus-wide.
+
+    A trailing run with no terminator is still emitted — the batch
+    analog of the reference's `docker_mode_flush` timeout flush
+    (plugins/in_tail/tail_dockermode.c:296-333, tail.c:367-372)."""
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(line_no_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = df.withColumn(
+        "_seg", F.coalesce(F.sum(complete.cast("int")).over(w), F.lit(0))
+    )
+    aggs = [
+        F.min(line_no_col).alias("first_line_no"),
+        F.concat_ws(
+            sep,
+            F.sort_array(
+                F.collect_list(F.struct(line_no_col, chunk_col))
+            ).getField(chunk_col),
+        ).alias(chunk_col),
+    ]
+    for c in extra_firsts:
+        aggs.append(F.min_by(F.col(c), F.col(line_no_col)).alias(c))
+    out = seg.groupBy(file_col, "_seg").agg(*aggs).drop("_seg")
+    return out.select(file_col, "first_line_no", *extra_firsts, chunk_col)
+
+
+def docker_mode_join(
+    df: DataFrame,
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """in_tail Docker_Mode (plugins/in_tail/tail_dockermode.c:237
+    flb_tail_dmode_process_content): each json-file record is
+    `{"log": ..., "stream": ..., "time": ...}`; the container runtime
+    splits log lines over 16 KB into consecutive records whose `log`
+    lacks the trailing `\\n` — only the final piece carries it
+    (tail_dockermode.c:194 `nl = unesc[unesc_len - 1] == '\\n'`).
+    Reassembles those runs per file and parses the envelope.
+
+    Returns (file, first_line_no, stream, ts, log); `log` keeps the
+    terminating newline exactly as the reference's buffered value does
+    (the `\\n` lives inside the json `log` string, not the file line
+    terminator). Records the json parse rejects surface with NULL
+    fields rather than vanishing — the DLQ split can route them."""
+    parsed = df.select(
+        F.col(file_col),
+        F.col(line_no_col),
+        F.get_json_object(F.col(line_col), "$.log").alias("log"),
+        F.get_json_object(F.col(line_col), "$.stream").alias("stream"),
+        F.try_to_timestamp(
+            F.get_json_object(F.col(line_col), "$.time"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        ).alias("ts"),
+    )
+    return _segment_reassemble(
+        parsed,
+        F.col("log").isNull() | F.col("log").endswith("\n"),
+        "log",
+        file_col,
+        line_no_col,
+        sep="",
+        extra_firsts=["stream", "ts"],
+    )
+
+
+def cri_mode_join(
+    df: DataFrame,
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """CRI/containerd log reassembly: lines are
+    `<time> <stdout|stderr> <P|F> <message>` (the `cri` parser,
+    conf/parsers.conf:105-112); the runtime tags split pieces `P`
+    (partial) and the final piece `F` (full). Joins P-runs with their
+    terminating F record per file, concatenating messages with no
+    separator (the runtime split the bytes mid-line).
+
+    Returns (file, first_line_no, stream, ts, message). `(?s)` keeps
+    the message group intact if upstream chunking ever lands an
+    embedded newline inside one row."""
+    pat = r"(?s)^(\S+) (stdout|stderr) ([PF]) (.*)$"
+    parsed = df.select(
+        F.col(file_col),
+        F.col(line_no_col),
+        F.try_to_timestamp(
+            F.regexp_extract(F.col(line_col), pat, 1),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+        ).alias("ts"),
+        F.regexp_extract(F.col(line_col), pat, 2).alias("stream"),
+        F.regexp_extract(F.col(line_col), pat, 3).alias("logtag"),
+        F.regexp_extract(F.col(line_col), pat, 4).alias("message"),
+    )
+    return _segment_reassemble(
+        parsed,
+        F.col("logtag") == "F",
+        "message",
+        file_col,
+        line_no_col,
+        sep="",
+        extra_firsts=["stream", "ts"],
+    ).withColumnRenamed("message", "log")
+
+
 def in_dummy(
     spark: SparkSession,
     record: dict,

@@ -454,3 +454,51 @@ def test_statsd_flush_semantics(spark):
     assert (t.value, t.v_min, t.v_max, t.n) == (12.5, 2.0, 10.5, 2)
     s = got[("set", "s.a")]
     assert s.value == 2.0 and s.v_min is None and s.n == 3
+
+
+def test_docker_mode_join(spark):
+    # three json-file records forming one logical line (16 KB split
+    # analog), one standalone line, one trailing un-terminated run,
+    # one unparseable record -- fed out of order to prove the window
+    # ordering, not input order, drives reassembly.
+    lines = [
+        ("f1", 2, '{"log":"tail\n","stream":"stdout","time":"2024-01-01T00:00:00.000001Z"}'),
+        ("f1", 0, '{"log":"head ","stream":"stdout","time":"2024-01-01T00:00:00.000001Z"}'),
+        ("f1", 1, '{"log":"mid ","stream":"stdout","time":"2024-01-01T00:00:00.000002Z"}'),
+        ("f1", 3, '{"log":"solo\n","stream":"stderr","time":"2024-01-01T00:00:01.000000Z"}'),
+        ("f1", 4, '{"log":"unterminated","stream":"stdout","time":"2024-01-01T00:00:02.000000Z"}'),
+        ("f2", 0, "not json at all"),
+    ]
+    df = spark.createDataFrame(lines, ["file", "line_no", "line"]).repartition(3)
+    out = {
+        (r.file, r.first_line_no): r
+        for r in SRC.docker_mode_join(df).collect()
+    }
+    assert out[("f1", 0)].log == "head mid tail\n"
+    assert out[("f1", 0)].stream == "stdout"
+    assert out[("f1", 0)].ts.microsecond == 1
+    assert out[("f1", 3)].log == "solo\n"
+    assert out[("f1", 3)].stream == "stderr"
+    # docker_mode_flush analog: the trailing run is emitted, not lost
+    assert out[("f1", 4)].log == "unterminated"
+    # unparseable json surfaces as an empty-log row, not a crash
+    assert out[("f2", 0)].log == "" and out[("f2", 0)].ts is None
+
+
+def test_cri_mode_join(spark):
+    lines = [
+        ("c1", 0, "2024-01-01T00:00:00.000001Z stdout P piece-a "),
+        ("c1", 1, "2024-01-01T00:00:00.000002Z stdout P piece-b "),
+        ("c1", 2, "2024-01-01T00:00:00.000003Z stdout F piece-c"),
+        ("c1", 3, "2024-01-01T00:00:01.000000Z stderr F whole line"),
+        ("c1", 4, "2024-01-01T00:00:02.000000Z stdout P dangling"),
+    ]
+    df = spark.createDataFrame(lines, ["file", "line_no", "line"]).repartition(2)
+    out = {
+        (r.file, r.first_line_no): r for r in SRC.cri_mode_join(df).collect()
+    }
+    assert out[("c1", 0)].log == "piece-a piece-b piece-c"
+    assert out[("c1", 0)].stream == "stdout"
+    assert out[("c1", 0)].ts.microsecond == 1
+    assert out[("c1", 3)].log == "whole line"
+    assert out[("c1", 4)].log == "dangling"
