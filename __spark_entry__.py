@@ -601,6 +601,70 @@ def _q_cri_mode_join(spark, sf_dir):
     return cri_mode_join(lines)
 
 
+def _q_kmsg_source(spark, sf_dir):
+    """in_kmsg end-to-end (plugins/in_kmsg/in_kmsg.c:108): render each
+    turn as a /dev/kmsg line `<prival>,<seq>,<usec>,-;<msg>\\n` with a
+    deterministic monotonic clock, parse it back through the kmsg
+    header math (priority mask, sec/usec split, boot-time add)."""
+    from fluent_bit_spark.sources import parse_kmsg
+
+    t = _transcripts(spark, sf_dir)
+    lines = t.select(
+        "conv_id",
+        F.concat(
+            (F.col("turn_idx") % 64).cast("string"),
+            F.lit(","),
+            F.col("turn_idx").cast("string"),
+            F.lit(","),
+            (
+                F.col("turn_idx").cast("long") * 1000003
+                + F.length(F.coalesce(F.col("text"), F.lit("")))
+            ).cast("string"),
+            F.lit(",-;"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n"),
+        ).alias("line"),
+    )
+    return parse_kmsg(lines).select(
+        "conv_id", "priority", "sequence", "sec", "usec", "ts", "msg"
+    )
+
+
+def _q_journal_source(spark, sf_dir):
+    """in_systemd analog end-to-end: render each turn as a journal
+    EXPORT block (KEY=VALUE lines, blank-line separated), segment the
+    stream back into entries and pivot the known keys out."""
+    from fluent_bit_spark.sources import parse_journal_export
+
+    t = _transcripts(spark, sf_dir)
+    block = F.array(
+        F.concat(F.lit("PRIORITY="), (F.col("turn_idx") % 8).cast("string")),
+        F.concat(
+            F.lit("MESSAGE="),
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\n", " "),
+        ),
+        F.concat(
+            F.lit("_SYSTEMD_UNIT="),
+            F.coalesce(F.col("tool"), F.lit("app")),
+            F.lit(".service"),
+        ),
+        F.concat(F.lit("_PID="), (F.col("turn_idx") + 1000).cast("string")),
+        F.concat(
+            F.lit("__REALTIME_TIMESTAMP="),
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("string"),
+        ),
+        F.lit(""),
+    )
+    lines = t.select(
+        F.col("conv_id").alias("file"),
+        F.col("turn_idx").cast("long").alias("_t"),
+        F.posexplode(block).alias("_i", "line"),
+    ).select(
+        "file", (F.col("_t") * 10 + F.col("_i")).alias("line_no"), "line"
+    )
+    return parse_journal_export(lines)
+
+
 _APACHE_PLAIN = r'^(\S+) - (\S+) \[([^\]]+) \+0000\] "(\S+) (\S+) HTTP/1\.1" (\d+) (\d+)$'
 
 
@@ -3385,6 +3449,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_join": _q_multiline_join,
         "docker_mode_join": _q_docker_mode_join,
         "cri_mode_join": _q_cri_mode_join,
+        "kmsg_source": _q_kmsg_source,
+        "journal_source": _q_journal_source,
         "record_modifier": _q_record_modifier,
         "nest_lift": _q_nest_lift,
         "filter_parser_chain": _q_filter_parser,

@@ -3601,9 +3601,31 @@ def _container_sql() -> dict[str, str]:
        ts,
        coalesce(text, '') {suffix} AS log
 FROM transcripts"""
+    kmsg = """SELECT conv_id,
+       CAST(turn_idx % 8 AS BIGINT) AS priority,
+       CAST(turn_idx AS BIGINT) AS sequence,
+       _mono // 1000000 AS sec,
+       _mono % 1000000 AS usec,
+       TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(_mono) AS ts,
+       coalesce(text, '') AS msg
+FROM (SELECT conv_id, turn_idx, text,
+             CAST(turn_idx AS BIGINT) * 1000003
+               + length(coalesce(text, '')) AS _mono
+      FROM transcripts)"""
+    journal = """SELECT conv_id AS file,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            - 1 AS BIGINT) AS entry_no,
+       CAST(turn_idx % 8 AS VARCHAR) AS priority,
+       regexp_replace(coalesce(text, ''), chr(10), ' ', 'g') AS message,
+       coalesce(tool, 'app') || '.service' AS systemd_unit,
+       CAST(turn_idx + 1000 AS VARCHAR) AS pid,
+       ts
+FROM transcripts"""
     return {
         "docker_mode_join": base.format(suffix="|| chr(10)"),
         "cri_mode_join": base.format(suffix=""),
+        "kmsg_source": kmsg,
+        "journal_source": journal,
     }
 
 

@@ -252,6 +252,97 @@ def cri_mode_join(
     ).withColumnRenamed("message", "log")
 
 
+def parse_kmsg(
+    df: DataFrame,
+    boot_time: str = "2024-01-01 00:00:00",
+    line_col: str = "line",
+) -> DataFrame:
+    """in_kmsg (plugins/in_kmsg/in_kmsg.c:108 process_line): parse
+    /dev/kmsg lines `<prival>,<sequence>,<usec_since_boot>,<flags>;
+    <message>` into the reference's record shape — priority =
+    prival & 0x07 (in_kmsg.h:43 FLB_KLOG_PRI), sec/usec = the
+    monotonic split (in_kmsg.c:159-160), ts = boot_time + monotonic
+    (in_kmsg.c:162), msg = text after ';' with the line terminator
+    dropped (in_kmsg.c:201 packs line_len - 1 bytes).
+
+    All integer column math; rows the header regex rejects get NULL
+    fields (the reference's `goto fail` drop, kept visible for DLQ
+    routing). Other input columns pass through."""
+    header = r"^(\d+),(\d+),(\d+),"
+    pri = F.regexp_extract(F.col(line_col), header, 1).try_cast("long")
+    seq = F.regexp_extract(F.col(line_col), header, 2).try_cast("long")
+    mono = F.regexp_extract(F.col(line_col), header, 3).try_cast("long")
+    msg = F.regexp_replace(
+        F.regexp_replace(F.col(line_col), r"^[^;]*;", ""), r"\n$", ""
+    )
+    boot_us = F.unix_micros(F.to_timestamp(F.lit(boot_time)))
+    return (
+        df.withColumn("_mono", mono)
+        .withColumn("priority", pri % 8)
+        .withColumn("sequence", seq)
+        .withColumn("sec", F.expr("_mono div 1000000"))
+        .withColumn("usec", F.col("_mono") % 1000000)
+        .withColumn(
+            "ts",
+            F.timestamp_micros(boot_us + F.col("_mono")),
+        )
+        .withColumn(
+            "msg", F.when(F.col("_mono").isNotNull(), msg)
+        )
+        .drop("_mono", line_col)
+    )
+
+
+def parse_journal_export(
+    df: DataFrame,
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+    keys: tuple = ("PRIORITY", "MESSAGE", "_SYSTEMD_UNIT", "_PID"),
+) -> DataFrame:
+    """in_systemd analog over the journal EXPORT serialization (the
+    wire form of what plugins/in_systemd/systemd.c reads via
+    libsystemd): `KEY=VALUE` lines form one journal entry per block,
+    blocks separated by an empty line. Entry id = running count of
+    separator lines before the row; one pivot turns each block's
+    KEY=VALUE rows into the requested columns (max over at most one
+    non-null per key — journald keys are unique within an entry).
+
+    Returns (file, entry_no, <keys lowercased>, ts) where ts comes
+    from __REALTIME_TIMESTAMP (epoch microseconds, the journal's
+    native clock)."""
+    is_sep = F.col(line_col) == ""
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(line_no_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kv = (
+        df.withColumn("_entry", F.sum(is_sep.cast("int")).over(w))
+        .filter(~is_sep)
+        .withColumn("_k", F.regexp_extract(F.col(line_col), r"^([^=]+)=", 1))
+        .withColumn("_v", F.regexp_replace(F.col(line_col), r"^[^=]+=", ""))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("_k") == k, F.col("_v"))
+        ).alias(k.lower().lstrip("_"))
+        for k in keys
+    ]
+    aggs.append(
+        F.timestamp_micros(
+            F.max(
+                F.when(F.col("_k") == "__REALTIME_TIMESTAMP", F.col("_v"))
+            ).try_cast("long")
+        ).alias("ts")
+    )
+    return (
+        kv.groupBy(file_col, "_entry")
+        .agg(*aggs)
+        .withColumnRenamed("_entry", "entry_no")
+    )
+
+
 def in_dummy(
     spark: SparkSession,
     record: dict,

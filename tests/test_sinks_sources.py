@@ -502,3 +502,45 @@ def test_cri_mode_join(spark):
     assert out[("c1", 0)].ts.microsecond == 1
     assert out[("c1", 3)].log == "whole line"
     assert out[("c1", 4)].log == "dangling"
+
+
+def test_parse_kmsg(spark):
+    lines = [
+        ("k", "6,1234,5000001,-;usb 1-1: device connected\n"),
+        ("k", "30,1235,5999999,c;printk: suppressed\n"),  # pri 30 & 7 = 6
+        ("k", "garbage line"),
+    ]
+    df = spark.createDataFrame(lines, ["src", "line"])
+    out = {r.sequence: r for r in SRC.parse_kmsg(df).collect()}
+    r = out[1234]
+    assert (r.priority, r.sec, r.usec) == (6, 5, 1)
+    assert r.msg == "usb 1-1: device connected"
+    assert r.ts.isoformat() == "2024-01-01T00:00:05.000001"
+    assert out[1235].priority == 6 and out[1235].usec == 999999
+    # unparseable header -> NULL fields, row kept
+    assert out[None].priority is None and out[None].msg is None
+
+
+def test_parse_journal_export(spark):
+    raw = [
+        "PRIORITY=3",
+        "MESSAGE=disk failing",
+        "_SYSTEMD_UNIT=smartd.service",
+        "_PID=77",
+        "__REALTIME_TIMESTAMP=1700000000000001",
+        "",
+        "PRIORITY=6",
+        "MESSAGE=all good",
+        "_SYSTEMD_UNIT=app.service",
+        "_PID=78",
+        "__REALTIME_TIMESTAMP=1700000000000002",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [("j", i, s) for i, s in enumerate(raw)], ["file", "line_no", "line"]
+    ).repartition(3)
+    out = {r.entry_no: r for r in SRC.parse_journal_export(df).collect()}
+    assert out[0].priority == "3" and out[0].message == "disk failing"
+    assert out[0].systemd_unit == "smartd.service" and out[0].pid == "77"
+    assert out[0].ts.microsecond == 1
+    assert out[1].priority == "6" and out[1].ts.microsecond == 2
