@@ -3308,6 +3308,28 @@ def _q_kafka_batch(spark, sf_dir):
     return kafka_batch_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_mqtt_frame(spark, sf_dir):
+    """MQTT PUBLISH framing parity (plugins/in_mqtt/mqtt_prot.c:222,
+    Remaining-Length varint :341-355): one PUBLISH frame per turn,
+    packed then parsed back; the oracle re-derives the exact frame
+    size (varint width, topic header, QoS packet-id branch) in closed
+    form."""
+    from fluent_bit_spark.operators.wireformat import mqtt_roundtrip
+
+    return mqtt_roundtrip(_transcripts(spark, sf_dir))
+
+
+def _q_collectd_packet(spark, sf_dir):
+    """collectd binary protocol parity (plugins/in_collectd/
+    netprot.c:49-59, value decode :180-203): one packet per turn
+    (host/plugin/instance string parts, BE time, little-endian gauge),
+    packed then decoded back; the oracle re-derives the exact packet
+    size from part layout, including the NULL-tool part omission."""
+    from fluent_bit_spark.operators.wireformat import collectd_roundtrip
+
+    return collectd_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3614,6 +3636,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_repair": _q_k_anon_repair,
         "gelf_chunks": _q_gelf_chunks,
         "kafka_batch": _q_kafka_batch,
+        "mqtt_frame": _q_mqtt_frame,
+        "collectd_packet": _q_collectd_packet,
     }
 
 

@@ -491,3 +491,169 @@ def unpack_kafka_batch(buf: bytes):
             raise ValueError("malformed record")
         out.append((base_ts + ts_delta, parts[0], parts[1]))
     return out, crc_ok
+
+
+# ---------------------------------------------------------------- MQTT
+
+
+def mqtt_remaining_length(n: int) -> bytes:
+    """MQTT Remaining Length varint: 7 bits per byte, high bit =
+    continuation — the exact inverse of the decode loop in
+    plugins/in_mqtt/mqtt_prot.c:341-355 (mult *= 128 up to 128^3)."""
+    if n < 0 or n > 268_435_455:
+        raise ValueError(f"remaining length out of range: {n}")
+    out = bytearray()
+    while True:
+        n, digit = divmod(n, 128)
+        out.append(digit | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def pack_mqtt_publish(
+    topic: str, payload: bytes, qos: int = 0, packet_id: int = 0
+) -> bytes:
+    """MQTT 3.1.1 PUBLISH frame (DUP=0, RETAIN=0): fixed header
+    (type 3 << 4 | qos << 1), Remaining Length varint, 2-byte BE topic
+    length + topic, 2-byte packet id when QoS > 0
+    (mqtt_prot.c:222-268 mqtt_handle_publish), then the payload."""
+    t = topic.encode("utf-8")
+    rem = 2 + len(t) + (2 if qos else 0) + len(payload)
+    return (
+        bytes([0x30 | (qos << 1)])
+        + mqtt_remaining_length(rem)
+        + len(t).to_bytes(2, "big")
+        + t
+        + (packet_id.to_bytes(2, "big") if qos else b"")
+        + payload
+    )
+
+
+def unpack_mqtt_publish(buf: bytes):
+    """Inverse of pack_mqtt_publish -> (qos, topic, packet_id,
+    payload); validates the packet type nibble and that the Remaining
+    Length covers the buffer exactly."""
+    if buf[0] >> 4 != 3:
+        raise ValueError(f"not a PUBLISH packet: {buf[0]:#x}")
+    qos = (buf[0] >> 1) & 0x03
+    pos, mult, rem = 1, 1, 0
+    while True:
+        b = buf[pos]
+        rem += (b & 127) * mult
+        mult *= 128
+        pos += 1
+        if not b & 0x80:
+            break
+        if mult > 128 * 128 * 128:
+            raise ValueError("malformed remaining length")
+    if rem != len(buf) - pos:
+        raise ValueError("remaining length mismatch")
+    tlen = int.from_bytes(buf[pos : pos + 2], "big")
+    pos += 2
+    topic = buf[pos : pos + tlen].decode("utf-8")
+    pos += tlen
+    packet_id = 0
+    if qos:
+        packet_id = int.from_bytes(buf[pos : pos + 2], "big")
+        pos += 2
+    return qos, topic, packet_id, buf[pos:]
+
+
+# ------------------------------------------------------------ collectd
+
+CDP_HOST = 0x0000
+CDP_TIME = 0x0001
+CDP_PLUGIN = 0x0002
+CDP_PLUGIN_INSTANCE = 0x0003
+CDP_TYPE = 0x0004
+CDP_TYPE_INSTANCE = 0x0005
+CDP_VALUE = 0x0006
+DS_COUNTER, DS_GAUGE, DS_DERIVE, DS_ABSOLUTE = 0, 1, 2, 3
+
+
+def _cd_part(ptype: int, body: bytes) -> bytes:
+    # part length includes the 4-byte (type, length) header
+    return ptype.to_bytes(2, "big") + (len(body) + 4).to_bytes(2, "big") + body
+
+
+def pack_collectd(
+    host: str,
+    plugin: str,
+    plugin_instance: str,
+    type_: str,
+    type_instance: str | None,
+    time_sec: int,
+    values: list,
+) -> bytes:
+    """collectd binary network protocol packet
+    (plugins/in_collectd/netprot.c:49-59 part table): NUL-terminated
+    string parts, 8-byte BE time, and a VALUE part laid out as
+    count(2 BE) + count type bytes + count 8-byte values — gauges are
+    host-endian doubles, counter/derive/absolute big-endian ints
+    (netprot.c:180-203). `values` = [(ds_type, number)]."""
+    import struct as _struct
+
+    out = [
+        _cd_part(CDP_HOST, host.encode() + b"\x00"),
+        _cd_part(CDP_TIME, time_sec.to_bytes(8, "big")),
+        _cd_part(CDP_PLUGIN, plugin.encode() + b"\x00"),
+        _cd_part(CDP_PLUGIN_INSTANCE, plugin_instance.encode() + b"\x00"),
+        _cd_part(CDP_TYPE, type_.encode() + b"\x00"),
+    ]
+    if type_instance is not None:
+        out.append(_cd_part(CDP_TYPE_INSTANCE, type_instance.encode() + b"\x00"))
+    types = bytes(t for t, _ in values)
+    vals = b"".join(
+        _struct.pack("<d", v) if t == DS_GAUGE
+        else int(v).to_bytes(8, "big", signed=(t == DS_DERIVE))
+        for t, v in values
+    )
+    out.append(
+        _cd_part(CDP_VALUE, len(values).to_bytes(2, "big") + types + vals)
+    )
+    return b"".join(out)
+
+
+def unpack_collectd(buf: bytes) -> dict:
+    """Inverse of pack_collectd -> dict of header fields + `values` =
+    [(ds_type, number)]; mirrors netprot.c:214-280's part loop and the
+    2 + count*9 VALUE size check (netprot.c:120-124)."""
+    import struct as _struct
+
+    pos, hdr = 0, {"values": []}
+    names = {
+        CDP_HOST: "host",
+        CDP_PLUGIN: "plugin",
+        CDP_PLUGIN_INSTANCE: "plugin_instance",
+        CDP_TYPE: "type",
+        CDP_TYPE_INSTANCE: "type_instance",
+    }
+    while pos < len(buf):
+        ptype = int.from_bytes(buf[pos : pos + 2], "big")
+        plen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        body = buf[pos + 4 : pos + plen]
+        if len(body) != plen - 4:
+            raise ValueError("truncated part")
+        pos += plen
+        if ptype in names:
+            if body[-1:] != b"\x00":
+                raise ValueError("string part not NUL-terminated")
+            hdr[names[ptype]] = body[:-1].decode()
+        elif ptype == CDP_TIME:
+            hdr["time_sec"] = int.from_bytes(body, "big")
+        elif ptype == CDP_VALUE:
+            count = int.from_bytes(body[:2], "big")
+            if len(body) != 2 + count * 9:
+                raise ValueError("data corrupted")
+            for i in range(count):
+                t = body[2 + i]
+                raw = body[2 + count + 8 * i : 2 + count + 8 * i + 8]
+                if t == DS_GAUGE:
+                    hdr["values"].append((t, _struct.unpack("<d", raw)[0]))
+                else:
+                    hdr["values"].append(
+                        (t, int.from_bytes(raw, "big", signed=(t == DS_DERIVE)))
+                    )
+        else:
+            raise ValueError(f"unknown part {ptype:#x}")
+    return hdr

@@ -299,3 +299,125 @@ def kafka_batch_roundtrip(df: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .applyInPandas(fn, _KAFKA_SCHEMA)
     )
+
+
+_MQTT_SCHEMA = (
+    "conv_id string, turn_idx int, qos int, topic string, "
+    "packet_id int, payload string, n_bytes long"
+)
+
+
+def mqtt_roundtrip(df: DataFrame) -> DataFrame:
+    """MQTT PUBLISH framing parity (plugins/in_mqtt/mqtt_prot.c:222
+    mqtt_handle_publish + the Remaining-Length decode at :341-355):
+    each turn is framed as one PUBLISH packet — topic `fbs/<conv_id>`,
+    payload = the turn text, qos = turn_idx % 3 (exercising the
+    QoS>0 packet-id branch) — then parsed back, carrying the exact
+    frame size so the oracle can pin the varint/header layout
+    closed-form.
+
+    Scale shape: per-record codec work, Arrow-batched mapInPandas,
+    shuffle-free."""
+    from fluent_bit_spark.functions.wire import (
+        pack_mqtt_publish,
+        unpack_mqtt_publish,
+    )
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                qos = int(r.turn_idx) % 3
+                buf = pack_mqtt_publish(
+                    f"fbs/{r.conv_id}",
+                    ("" if r.text is None else r.text).encode("utf-8"),
+                    qos=qos,
+                    packet_id=(int(r.turn_idx) % 65536) if qos else 0,
+                )
+                dq, topic, pid, payload = unpack_mqtt_publish(buf)
+                rows.append(
+                    (
+                        r.conv_id,
+                        int(r.turn_idx),
+                        dq,
+                        topic,
+                        pid,
+                        payload.decode("utf-8"),
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "qos", "topic",
+                    "packet_id", "payload", "n_bytes",
+                ],
+            )
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, _MQTT_SCHEMA
+    )
+
+
+_COLLECTD_SCHEMA = (
+    "conv_id string, turn_idx int, host string, plugin string, "
+    "plugin_instance string, type string, type_instance string, "
+    "time_sec long, text_len double, n_bytes long"
+)
+
+
+def collectd_roundtrip(df: DataFrame) -> DataFrame:
+    """collectd binary-protocol parity (plugins/in_collectd/
+    netprot.c:49-59 part table, :180-203 value decode): each turn
+    becomes one packet — host=conv_id, plugin_instance=role,
+    type_instance=tool (part omitted when NULL, like the reference's
+    presence-conditional packing at netprot.c:150-178), one gauge
+    value = the text length — then decoded back with the exact packet
+    size for the closed-form size oracle."""
+    from fluent_bit_spark.functions.wire import (
+        DS_GAUGE,
+        pack_collectd,
+        unpack_collectd,
+    )
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                text = "" if r.text is None else r.text
+                buf = pack_collectd(
+                    host=r.conv_id,
+                    plugin="transcript",
+                    plugin_instance=r.role,
+                    type_="gauge",
+                    type_instance=None if r.tool is None else r.tool,
+                    time_sec=_ts_to_us(r.ts) // 1_000_000,
+                    values=[(DS_GAUGE, float(len(text)))],
+                )
+                h = unpack_collectd(buf)
+                rows.append(
+                    (
+                        r.conv_id,
+                        int(r.turn_idx),
+                        h["host"],
+                        h["plugin"],
+                        h["plugin_instance"],
+                        h["type"],
+                        h.get("type_instance"),
+                        h["time_sec"],
+                        h["values"][0][1],
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "host", "plugin",
+                    "plugin_instance", "type", "type_instance",
+                    "time_sec", "text_len", "n_bytes",
+                ],
+            )
+
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").mapInPandas(
+        fn, _COLLECTD_SCHEMA
+    )

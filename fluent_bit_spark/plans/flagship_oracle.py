@@ -3341,9 +3341,42 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
        TRUE AS crc_ok
 FROM kb3 GROUP BY conv_id"""
 
+    mqtt = """
+SELECT conv_id, turn_idx,
+       CAST(turn_idx % 3 AS INTEGER) AS qos,
+       'fbs/' || conv_id AS topic,
+       CAST(CASE WHEN turn_idx % 3 = 0 THEN 0
+                 ELSE turn_idx % 65536 END AS INTEGER) AS packet_id,
+       coalesce(text, '') AS payload,
+       CAST(1 + CASE WHEN rem < 128 THEN 1 WHEN rem < 16384 THEN 2
+                     WHEN rem < 2097152 THEN 3 ELSE 4 END
+              + rem AS BIGINT) AS n_bytes
+FROM (SELECT *,
+             2 + octet_length(encode('fbs/' || conv_id))
+               + CASE WHEN turn_idx % 3 = 0 THEN 0 ELSE 2 END
+               + octet_length(encode(coalesce(text, ''))) AS rem
+      FROM transcripts)"""
+
+    collectd = """
+SELECT conv_id, turn_idx, conv_id AS host, 'transcript' AS plugin,
+       role AS plugin_instance, 'gauge' AS type, tool AS type_instance,
+       epoch_us(ts) // 1000000 AS time_sec,
+       CAST(length(coalesce(text, '')) AS DOUBLE) AS text_len,
+       CAST((4 + octet_length(encode(conv_id)) + 1)
+            + 12
+            + 15
+            + (4 + octet_length(encode(role)) + 1)
+            + 10
+            + CASE WHEN tool IS NULL THEN 0
+                   ELSE 4 + octet_length(encode(tool)) + 1 END
+            + 15 AS BIGINT) AS n_bytes
+FROM transcripts"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
+        "mqtt_frame": mqtt,
+        "collectd_packet": collectd,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,

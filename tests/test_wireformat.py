@@ -450,3 +450,51 @@ class TestKafkaBatch:
         )
         expect = len(pack_kafka_batch([(ts_us // 1000, b"c2", val)]))
         assert rows["c2"]["batch_bytes"] == expect
+
+
+def test_mqtt_remaining_length_vectors():
+    from fluent_bit_spark.functions.wire import mqtt_remaining_length
+
+    # MQTT 3.1.1 spec table 2.4 boundary vectors
+    assert mqtt_remaining_length(0) == b"\x00"
+    assert mqtt_remaining_length(127) == b"\x7f"
+    assert mqtt_remaining_length(128) == b"\x80\x01"
+    assert mqtt_remaining_length(16383) == b"\xff\x7f"
+    assert mqtt_remaining_length(16384) == b"\x80\x80\x01"
+    assert mqtt_remaining_length(2097152) == b"\x80\x80\x80\x01"
+
+
+def test_mqtt_publish_roundtrip_and_layout():
+    from fluent_bit_spark.functions.wire import (
+        pack_mqtt_publish,
+        unpack_mqtt_publish,
+    )
+
+    b = pack_mqtt_publish("t/1", b"payload", qos=2, packet_id=300)
+    assert b[0] == 0x30 | (2 << 1)
+    assert unpack_mqtt_publish(b) == (2, "t/1", 300, b"payload")
+    # qos0: no packet id in the variable header
+    b0 = pack_mqtt_publish("t", b"x")
+    assert len(b0) == 1 + 1 + 2 + 1 + 1
+    assert unpack_mqtt_publish(b0) == (0, "t", 0, b"x")
+
+
+def test_collectd_packet_roundtrip():
+    from fluent_bit_spark.functions.wire import (
+        DS_COUNTER,
+        DS_DERIVE,
+        DS_GAUGE,
+        pack_collectd,
+        unpack_collectd,
+    )
+
+    buf = pack_collectd(
+        "h", "cpu", "0", "gauge", None, 1700000001,
+        [(DS_GAUGE, 0.25), (DS_COUNTER, 2**40), (DS_DERIVE, -7)],
+    )
+    h = unpack_collectd(buf)
+    assert h["host"] == "h" and "type_instance" not in h
+    assert h["time_sec"] == 1700000001
+    assert h["values"] == [(1, 0.25), (0, 2**40), (2, -7)]
+    # string part: 4-byte header (type 0, len 4+2) + NUL-terminated body
+    assert buf[:4] == b"\x00\x00\x00\x06" and buf[4:6] == b"h\x00"
