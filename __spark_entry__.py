@@ -3330,6 +3330,46 @@ def _q_collectd_packet(spark, sf_dir):
     return collectd_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_best_of_n(spark, sf_dir):
+    """Best-of-n response selection (RLHF rejection sampling): top-2
+    assistant turns per conversation by deterministic score (text
+    length), rank + pool size carried for downstream mix weighting."""
+    from fluent_bit_spark.operators.transcript_qa import best_of_n
+
+    return best_of_n(_transcripts(spark, sf_dir), k=2)
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift in ppm per role:
+    text-length ECDF of even turns (reference window) vs odd turns
+    (current window), integer-quantized so both engines agree
+    bit-for-bit. Complements tvd_drift: KS sees the largest ordered
+    CDF gap (tail shifts), TVD the total mass moved."""
+    from fluent_bit_spark.operators.dataquality import ks_drift
+
+    t = _transcripts(spark, sf_dir).select(
+        "role",
+        F.length("text").cast("long").alias("len_bin"),
+        (F.col("turn_idx") % 2).alias("is_cur"),
+    )
+    return ks_drift(t, group_col="role", value_col="len_bin", cur_col="is_cur")
+
+
+def _q_pack_greedy(spark, sf_dir):
+    """Greedy no-straddle packing over hash-bounded shards: the
+    serial next-fit recursion runs per shard under applyInPandas; the
+    oracle replays it as a recursive CTE."""
+    from fluent_bit_spark.operators.packing import pack_greedy
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "shard",
+        F.concat(
+            F.col("source"), F.lit("/"), (F.col("doc_id") % 16).cast("string")
+        ),
+    )
+    return pack_greedy(docs, capacity=64, group_col="shard")
+
+
 def _releasing(fn):
     """Release the previous query's operator-internal persisted frames
     before building the next one: several operators persist frames
@@ -3638,6 +3678,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_batch": _q_kafka_batch,
         "mqtt_frame": _q_mqtt_frame,
         "collectd_packet": _q_collectd_packet,
+        "best_of_n": _q_best_of_n,
+        "ks_drift": _q_ks_drift,
+        "pack_greedy": _q_pack_greedy,
     }
 
 

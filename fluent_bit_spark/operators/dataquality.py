@@ -27,7 +27,7 @@ collect/alert on even when the input is 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -488,4 +488,66 @@ def fk_integrity(
         )
         .otherwise(F.lit(0))
         .alias("orphan_ppm"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value_bin",
+    cur_col: str = "is_cur",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group between
+    a reference window (``cur_col`` = 0) and the current window
+    (``cur_col`` = 1), in ppm:
+
+        ks_ppm = max over observed values v of
+                 |ecdf_ref_ppm(v) - ecdf_cur_ppm(v)|
+
+    where each side's cumulative share is ``cum_count * 1_000_000 //
+    side_total`` (integer floor division — cross-engine exact, the
+    same quantization contract as tvd_drift). KS complements TVD: TVD
+    sees total mass moved anywhere; KS sees the largest ordered-CDF
+    gap, so a small mass moved far (a tail shift) scores high on KS
+    while barely moving TVD.
+
+    Input is pre-binned to an integral ``value_col`` (token counts,
+    cents, bucketed latencies).
+
+    Scale shape: one groupBy over (group, value) counts both sides in
+    a single pass; the cumulative window then runs over DISTINCT
+    values per group — bounded by metric cardinality, never by row
+    count. Empty sides yield NULL ks_ppm (no division blowup under
+    ANSI)."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.sum(
+            F.when(F.col(cur_col).cast("int") == 0, 1).otherwise(0)
+        ).alias("_na"),
+        F.sum(
+            F.when(F.col(cur_col).cast("int") == 1, 1).otherwise(0)
+        ).alias("_nb"),
+    )
+    wg = Window.partitionBy(group_col)
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        counts.withColumn("_ta", F.sum("_na").over(wg))
+        .withColumn("_tb", F.sum("_nb").over(wg))
+        .withColumn("_ca", F.sum("_na").over(wcum))
+        .withColumn("_cb", F.sum("_nb").over(wcum))
+        .withColumn(
+            "_gap",
+            F.abs(
+                F.expr("_ca * CAST(1000000 AS BIGINT) div nullif(_ta, 0)")
+                - F.expr("_cb * CAST(1000000 AS BIGINT) div nullif(_tb, 0)")
+            ),
+        )
+    )
+    return staged.groupBy(group_col).agg(
+        F.max("_gap").alias("ks_ppm"),
+        F.max("_ta").alias("n_ref"),
+        F.max("_tb").alias("n_cur"),
     )

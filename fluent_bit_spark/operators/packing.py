@@ -289,3 +289,55 @@ def shard_manifest(
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct(group_col).alias("n_groups"),
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    capacity: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy no-straddle (next-fit) packing: walk each group's docs
+    in `id_col` order, closing the current bin whenever the next doc
+    would overflow `capacity`; docs never straddle bins, and a doc
+    larger than `capacity` gets a bin alone. This is the packing the
+    module docstring rules out as a *window* — the bin assignment is
+    a true serial recursion — so it runs as a per-group serial pass
+    under `applyInPandas` instead: groups (shards) bound the serial
+    work and parallelize across executors, which is exactly how a
+    no-straddle packer shards at 100 TB.
+
+    Returns (id, group, n_tokens, bin, fill_after); `fill_after` is
+    the bin's running token fill after placing the doc (the final row
+    of each bin carries its total)."""
+    if not isinstance(capacity, int) or capacity <= 0:
+        raise ValueError(f"capacity must be a positive int, got {capacity!r}")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def fit(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > capacity:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin"] = bins
+        pdf["fill_after"] = fills
+        return pdf
+
+    schema = (
+        f"{id_col} long, {group_col} string, n_tokens long, "
+        "bin long, fill_after long"
+    )
+    return base.groupBy(group_col).applyInPandas(fit, schema)

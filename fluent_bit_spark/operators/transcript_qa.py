@@ -724,3 +724,46 @@ def reply_latency(
             - F.unix_micros(F.col("_prev_ts").cast("timestamp_ltz"))
         ).alias("wait_us"),
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    score: Column | None = None,
+    role: str = "assistant",
+    k: int = 1,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-of-n response selection (RLHF-style rejection sampling):
+    within each conversation the normalized-`role` turns are the
+    candidate pool, ranked by `score` descending (turn index breaks
+    ties deterministically), and the top `k` survive — carrying rank
+    and the pool size so downstream mixing can weight by how selective
+    the pick was.
+
+    `score` defaults to text length; pass any deterministic Column
+    (e.g. a reward-model score column) — keep it integral/fixed-point
+    so selections replay identically across engines.
+
+    Scale shape: one conv_id shuffle; both windows are conversation-
+    bounded, no global ordering anywhere."""
+    score = score if score is not None else F.length(text_col).cast("long")
+    cand = (
+        df.withColumn("_nrole", norm_role_col(F.col(role_col)))
+        .filter(F.col("_nrole") == role)
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy(conv_col).orderBy(
+        F.desc("score"), F.col(idx_col)
+    )
+    wc = Window.partitionBy(conv_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rank") <= k)
+        .select(
+            conv_col, idx_col, "score", "rank", "n_candidates", text_col
+        )
+    )

@@ -3662,9 +3662,88 @@ FROM transcripts"""
     }
 
 
+def _round3c_sql() -> dict[str, str]:
+    """best_of_n + ks_drift mirrors (transcript_qa.py / dataquality.py)."""
+    from fluent_bit_spark.plans.flagship import ROLE_MAP
+
+    whens = "".join(
+        f" WHEN role = '{raw}' THEN '{norm}'" for raw, norm in ROLE_MAP
+    )
+    rc = f"CASE{whens} ELSE 'other' END"
+    best_of_n = f"""
+, bo1 AS (SELECT conv_id, turn_idx, text,
+                 CAST(length(text) AS BIGINT) AS score
+          FROM transcripts WHERE {rc} = 'assistant')
+, bo2 AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY conv_id
+                      ORDER BY score DESC, turn_idx) AS BIGINT) AS rank,
+                 CAST(COUNT(*) OVER (PARTITION BY conv_id)
+                      AS BIGINT) AS n_candidates
+          FROM bo1)
+SELECT conv_id, turn_idx, score, rank, n_candidates, text
+FROM bo2 WHERE rank <= 2"""
+
+    ks_drift = """
+, ks0 AS (SELECT role, CAST(length(text) AS BIGINT) AS v,
+                 turn_idx % 2 AS cur
+          FROM transcripts)
+, ks1 AS (SELECT role, v,
+                 CAST(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nb
+          FROM ks0 GROUP BY role, v)
+, ks2 AS (SELECT role,
+                 CAST(SUM(na) OVER (PARTITION BY role) AS BIGINT) AS ta,
+                 CAST(SUM(nb) OVER (PARTITION BY role) AS BIGINT) AS tb,
+                 CAST(SUM(na) OVER (PARTITION BY role ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS ca,
+                 CAST(SUM(nb) OVER (PARTITION BY role ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cb
+          FROM ks1)
+SELECT role,
+       MAX(abs(ca * 1000000 // nullif(ta, 0)
+               - cb * 1000000 // nullif(tb, 0))) AS ks_ppm,
+       MAX(ta) AS n_ref, MAX(tb) AS n_cur
+FROM ks2 GROUP BY role"""
+    return {"best_of_n": best_of_n, "ks_drift": ks_drift}
+
+
+# pack_greedy is a true serial recursion per shard, so its oracle is a
+# recursive CTE — WITH RECURSIVE must lead the statement, hence this
+# one oracle does NOT take the pipeline_ctes() prefix (it only reads
+# the pre-registered `documents` view).
+_PACK_GREEDY_SQL = r"""WITH RECURSIVE d AS (
+  SELECT doc_id,
+         source || '/' || CAST(doc_id % 16 AS VARCHAR) AS shard,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (SELECT d.*,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM d),
+walk AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN w.fill_after > 0 AND w.fill_after + r.n_tokens > 64
+              THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill_after > 0 AND w.fill_after + r.n_tokens > 64
+              THEN r.n_tokens ELSE w.fill_after + r.n_tokens END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+SELECT doc_id, shard, n_tokens, bin, fill_after FROM walk"""
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     return {
+        "pack_greedy": _PACK_GREEDY_SQL,
+        **{k: c + v for k, v in _round3c_sql().items()},
         **{k: c + v for k, v in _container_sql().items()},
         **{k: c + v for k, v in _statsd_sql().items()},
         **{k: c + v for k, v in _sample_split_sql().items()},

@@ -524,3 +524,41 @@ class TestDegenerateInputsAnsiSafe:
         rows = ndcg_eval(results, qrels, k=10).collect()
         # idcg == 0 -> nDCG undefined -> NULL (never a div-0 crash)
         assert all(r["ndcg_ppm"] is None for r in rows)
+
+
+class TestKsDrift:
+    def test_identical_windows_zero_ks(self, spark):
+        from fluent_bit_spark.operators.dataquality import ks_drift
+
+        rows = [("g", v, c) for v in (1, 2, 3) for c in (0, 1) for _ in range(4)]
+        df = spark.createDataFrame(rows, ["event_type", "value_bin", "is_cur"])
+        out = ks_drift(df).collect()[0]
+        assert out.ks_ppm == 0 and out.n_ref == 12 and out.n_cur == 12
+
+    def test_disjoint_supports_full_gap(self, spark):
+        from fluent_bit_spark.operators.dataquality import ks_drift
+
+        # ref all at 1, cur all at 10: at v=1 the ref ECDF is 1.0 and
+        # the cur ECDF 0.0 -> KS = 1_000_000 ppm
+        rows = [("g", 1, 0)] * 5 + [("g", 10, 1)] * 5
+        df = spark.createDataFrame(rows, ["event_type", "value_bin", "is_cur"])
+        assert ks_drift(df).collect()[0].ks_ppm == 1_000_000
+
+    def test_tail_shift_beats_tvd(self, spark):
+        # KS exists because TVD under-reports ordered tail shifts:
+        # shift every value by +1 and KS sees a large ordered gap.
+        from fluent_bit_spark.operators.dataquality import ks_drift
+
+        rows = [("g", v, 0) for v in range(10)] + [
+            ("g", v + 1, 1) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["event_type", "value_bin", "is_cur"])
+        assert ks_drift(df).collect()[0].ks_ppm == 100_000  # 1/10 step
+
+    def test_empty_side_is_null_not_error(self, spark):
+        from fluent_bit_spark.operators.dataquality import ks_drift
+
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 1)], ["event_type", "value_bin", "is_cur"]
+        )
+        assert ks_drift(df).collect()[0].ks_ppm is None

@@ -476,3 +476,47 @@ def test_tool_args_qa_flag_classes(spark):
     assert rep["search"]["n_calls"] == 6 and rep["search"]["n_valid"] == 2
     assert rep["search"]["n_bad_json"] == 2
     assert rep["calc"]["valid_rate"] == 1.0
+
+
+def test_best_of_n_selection(spark):
+    from fluent_bit_spark.operators.transcript_qa import best_of_n
+
+    rows = [
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", "short"),
+        ("c1", 2, "ai", "the much longer candidate"),  # ai -> assistant
+        ("c1", 3, "assistant", "midlength one"),
+        ("c2", 0, "assistant", "only"),
+        ("c3", 0, "user", "no candidates here"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = best_of_n(df, k=1).collect()
+    got = {r.conv_id: r for r in out}
+    assert set(got) == {"c1", "c2"}  # c3 has no assistant turns
+    assert got["c1"].turn_idx == 2 and got["c1"].n_candidates == 3
+    assert got["c2"].rank == 1 and got["c2"].n_candidates == 1
+
+
+def test_best_of_n_tiebreak_is_turn_idx(spark):
+    from fluent_bit_spark.operators.transcript_qa import best_of_n
+
+    rows = [("c", 5, "assistant", "aaaa"), ("c", 2, "assistant", "bbbb")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    assert best_of_n(df, k=1).collect()[0].turn_idx == 2
+
+
+def test_pack_greedy_semantics(spark):
+    from fluent_bit_spark.operators.packing import pack_greedy
+
+    docs = [
+        (1, "s", "a b c"),        # 3 tokens -> bin 0 (fill 3)
+        (2, "s", "d e"),          # +2 = 5 > 4 -> bin 1 (fill 2)
+        (3, "s", "f g h i j k"),  # 6 > cap, bin alone -> bin 2
+        (4, "s", "l"),            # previous overflowed -> bin 3
+        (5, "t", "x y"),          # separate group restarts at bin 0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in pack_greedy(df, capacity=4).collect()}
+    assert [out[i].bin for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
+    assert out[3].fill_after == 6  # oversized doc sits alone, over cap
+    assert out[5].bin == 0
