@@ -3330,6 +3330,31 @@ def _q_collectd_packet(spark, sf_dir):
     return collectd_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_http_chunked(spark, sf_dir):
+    """HTTP/1.1 chunked transfer framing parity
+    (src/flb_http_client.c:258): chunk-encode each turn's text at 48
+    bytes, decode back, and pin chunk count + exact wire size against
+    the closed-form oracle (hex header widths included)."""
+    from fluent_bit_spark.operators.wireformat import http_chunked_roundtrip
+
+    return http_chunked_roundtrip(_transcripts(spark, sf_dir), chunk_size=48)
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) file layout preview: interleave (turn_idx,
+    text length) bits, bucket rows by key prefix into 64 files, and
+    report per-file zone-map ranges — the clustering that makes 2-D
+    zone-map pruning effective. Pure bit arithmetic, no global sort;
+    the oracle replays the same generated bit expression."""
+    from fluent_bit_spark.operators.layout import zorder_layout
+
+    t = _transcripts(spark, sf_dir).select(
+        (F.col("turn_idx") % 128).alias("x"),
+        (F.length("text") % 128).alias("y"),
+    )
+    return zorder_layout(t, "x", "y", bits=7, file_bits=6)
+
+
 def _q_best_of_n(spark, sf_dir):
     """Best-of-n response selection (RLHF rejection sampling): top-2
     assistant turns per conversation by deterministic score (text
@@ -3681,6 +3706,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_of_n": _q_best_of_n,
         "ks_drift": _q_ks_drift,
         "pack_greedy": _q_pack_greedy,
+        "http_chunked": _q_http_chunked,
+        "zorder_layout": _q_zorder_layout,
     }
 
 

@@ -657,3 +657,44 @@ def unpack_collectd(buf: bytes) -> dict:
         else:
             raise ValueError(f"unknown part {ptype:#x}")
     return hdr
+
+
+# ------------------------------------------------- HTTP chunked coding
+
+
+def http_chunked_encode(payload: bytes, chunk_size: int) -> bytes:
+    """HTTP/1.1 chunked transfer encoding: `<hex size>\\r\\n<bytes>
+    \\r\\n` per chunk, closed by the 0-chunk `0\\r\\n\\r\\n` — the
+    exact framing src/flb_http_client.c:258 process_chunked_data
+    walks (strtol base-16 size, the `val + 2` trailing CRLF check,
+    and the 5-byte ending-chunk validation)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    out = bytearray()
+    for i in range(0, len(payload), chunk_size):
+        piece = payload[i : i + chunk_size]
+        out += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def http_chunked_decode(buf: bytes) -> bytes:
+    """Inverse of http_chunked_encode; enforces the same validations
+    as the reference's parser (hex header, per-chunk trailing CRLF,
+    terminating 0-chunk)."""
+    pos, out = 0, bytearray()
+    while True:
+        nl = buf.index(b"\r\n", pos)
+        size = int(buf[pos:nl], 16)
+        if size < 0:
+            raise ValueError("negative chunk size")
+        pos = nl + 2
+        if size == 0:
+            if buf[pos : pos + 2] != b"\r\n" or pos + 2 != len(buf):
+                raise ValueError("malformed ending chunk")
+            return bytes(out)
+        piece = buf[pos : pos + size]
+        if len(piece) != size or buf[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunk does not end with CRLF")
+        out += piece
+        pos += size + 2

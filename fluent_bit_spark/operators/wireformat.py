@@ -421,3 +421,50 @@ def collectd_roundtrip(df: DataFrame) -> DataFrame:
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").mapInPandas(
         fn, _COLLECTD_SCHEMA
     )
+
+
+_HTTP_SCHEMA = (
+    "conv_id string, turn_idx int, payload string, n_chunks long, "
+    "n_bytes long"
+)
+
+
+def http_chunked_roundtrip(df: DataFrame, chunk_size: int = 48) -> DataFrame:
+    """HTTP/1.1 chunked transfer framing parity
+    (src/flb_http_client.c:258 process_chunked_data): each turn's text
+    is chunk-encoded at `chunk_size` bytes and decoded back, carrying
+    the chunk count and the exact on-wire size — the oracle re-derives
+    both closed-form from the payload byte length (hex-header widths
+    included). Arrow-batched map stage, shuffle-free."""
+    from fluent_bit_spark.functions.wire import (
+        http_chunked_decode,
+        http_chunked_encode,
+    )
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = ("" if r.text is None else r.text).encode("utf-8")
+                buf = http_chunked_encode(payload, chunk_size)
+                dec = http_chunked_decode(buf)
+                n_chunks = -(-len(payload) // chunk_size)
+                rows.append(
+                    (
+                        r.conv_id,
+                        int(r.turn_idx),
+                        dec.decode("utf-8"),
+                        n_chunks,
+                        len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "payload", "n_chunks", "n_bytes",
+                ],
+            )
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, _HTTP_SCHEMA
+    )

@@ -3708,7 +3708,45 @@ SELECT role,
                - cb * 1000000 // nullif(tb, 0))) AS ks_ppm,
        MAX(ta) AS n_ref, MAX(tb) AS n_cur
 FROM ks2 GROUP BY role"""
-    return {"best_of_n": best_of_n, "ks_drift": ks_drift}
+    http_chunked = """
+, hc0 AS (SELECT conv_id, turn_idx, coalesce(text, '') AS payload,
+                 CAST(octet_length(encode(coalesce(text, '')))
+                      AS BIGINT) AS L
+          FROM transcripts)
+, hc1 AS (SELECT *,
+                 CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (L + 47) // 48 END AS n_chunks,
+                 CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                      ELSE L - 48 * ((L + 47) // 48 - 1) END AS r
+          FROM hc0)
+SELECT conv_id, turn_idx, payload, n_chunks,
+       CAST(CASE WHEN L = 0 THEN 5
+                 ELSE (n_chunks - 1)
+                        * (length(printf('%x', 48)) + 4 + 48)
+                      + (length(printf('%x', r)) + 4 + r) + 5
+            END AS BIGINT) AS n_bytes
+FROM hc1"""
+
+    from fluent_bit_spark.operators.layout import zorder_sql_expr
+
+    zexpr = zorder_sql_expr("turn_idx % 128", "length(text) % 128", bits=7)
+    zorder = f"""
+, zk AS (SELECT {zexpr} AS zkey,
+                CAST(turn_idx % 128 AS BIGINT) AS _x,
+                CAST(length(text) % 128 AS BIGINT) AS _y
+         FROM transcripts)
+SELECT zkey >> {2 * 7 - 6} AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(_x) AS x_min, MAX(_x) AS x_max,
+       MIN(_y) AS y_min, MAX(_y) AS y_max
+FROM zk GROUP BY 1"""
+
+    return {
+        "best_of_n": best_of_n,
+        "ks_drift": ks_drift,
+        "http_chunked": http_chunked,
+        "zorder_layout": zorder,
+    }
 
 
 # pack_greedy is a true serial recursion per shard, so its oracle is a

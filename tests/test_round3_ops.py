@@ -359,3 +359,36 @@ def test_kfold_assign_exact_balance(spark, sf_dir):
     # deterministic: same input -> same assignment
     again = {(r["doc_id"]): r["fold"] for r in kfold_assign(docs, k=5).collect()}
     assert all(again[r["doc_id"]] == r["fold"] for r in out)
+
+
+def test_zorder_key_vectors(spark):
+    from fluent_bit_spark.operators.layout import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (1, 0), (0, 1), (7, 0)], ["x", "y"]
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    }
+    # x on even bit positions, y on odd: z(3,1)=0b0111, z(7,0)=0b010101
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(3, 1)] == 7
+    assert out[(7, 0)] == 0b010101
+
+
+def test_zorder_layout_ranges_are_rectangles(spark):
+    from fluent_bit_spark.operators.layout import zorder_layout
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = zorder_layout(df, "x", "y", bits=5, file_bits=4).collect()
+    assert sum(r.n_rows for r in out) == 1024 and len(out) == 16
+    for r in out:
+        # each key-prefix file covers an exact 16x4 or 4x16 rectangle
+        assert (r.x_max - r.x_min + 1) * (r.y_max - r.y_min + 1) == r.n_rows

@@ -498,3 +498,24 @@ def test_collectd_packet_roundtrip():
     assert h["values"] == [(1, 0.25), (0, 2**40), (2, -7)]
     # string part: 4-byte header (type 0, len 4+2) + NUL-terminated body
     assert buf[:4] == b"\x00\x00\x00\x06" and buf[4:6] == b"h\x00"
+
+
+def test_http_chunked_vectors():
+    from fluent_bit_spark.functions.wire import (
+        http_chunked_decode,
+        http_chunked_encode,
+    )
+
+    assert http_chunked_encode(b"", 8) == b"0\r\n\r\n"
+    b = http_chunked_encode(b"abcdefgh" + b"ij", 8)
+    assert b == b"8\r\nabcdefgh\r\n2\r\nij\r\n0\r\n\r\n"
+    assert http_chunked_decode(b) == b"abcdefghij"
+    # exact multiple of the chunk size: no empty data chunk emitted
+    b2 = http_chunked_encode(b"abcdefgh", 8)
+    assert b2 == b"8\r\nabcdefgh\r\n0\r\n\r\n"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        http_chunked_decode(b"2\r\nab\r\n")  # missing 0-chunk
+    with _pytest.raises(ValueError):
+        http_chunked_decode(b"3\r\nab\r\n0\r\n\r\n")  # size > data
