@@ -967,6 +967,32 @@ def _drain_transcript_stream(
     )
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    """Driver-gated STREAMING query: the flagship parse + enrich
+    stages run UNCHANGED through the streaming engine — map-only regex
+    parse plus the broadcast stream-static lookup join, the canonical
+    streaming enrich shape (no state store, append mode). The oracle
+    is the batch enrich_lookup SQL: stream and batch must agree
+    bit-for-bit because the plan is the same code."""
+    from fluent_bit_spark.plans.flagship import enrich_stage, parse_stage
+
+    return _drain_transcript_stream(
+        spark,
+        sf_dir,
+        lambda src: enrich_stage(parse_stage(src), spark).select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            "category",
+            "risk_level",
+            "role",
+            "norm_role",
+        ),
+        "fbs_streaming_enrich",
+        output_mode="append",
+    )
+
+
 def _q_streaming_hll(spark, sf_dir):
     """Driver-gated STREAMING query: 1-hour tumbling windows of HLL
     registers computed by the streaming engine (max-mergeable sketch
@@ -3443,6 +3469,7 @@ _GATE_PRIORITY: list = [
     "syslog_source",
     "docker_mode_join",
     "cri_mode_join",
+    "streaming_enrich",
     "streaming_hll",
     "streaming_cms",
     "streaming_sessions",
@@ -3483,7 +3510,6 @@ _GATE_PRIORITY: list = [
     "ccnet_buckets",
     "langid_eval",
     "tokenizer_fertility",
-    "line_dedup",
 ]
 
 
@@ -3554,6 +3580,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_loki_k8s": _q_sink_loki_k8s,
         "sink_gelf_extra": _q_sink_gelf_extra,
         "syslog_source": _q_syslog_source,
+        "streaming_enrich": _q_streaming_enrich,
         "streaming_hll": _q_streaming_hll,
         "streaming_cms": _q_streaming_cms,
         "streaming_sessions": _q_streaming_sessions,

@@ -3779,7 +3779,7 @@ SELECT doc_id, shard, n_tokens, bin, fill_after FROM walk"""
 
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
-    return {
+    d = {
         "pack_greedy": _PACK_GREEDY_SQL,
         **{k: c + v for k, v in _round3c_sql().items()},
         **{k: c + v for k, v in _container_sql().items()},
@@ -4301,3 +4301,7 @@ FROM lcc""",
                FROM events GROUP BY event_type, date_trunc('hour', ts)
              ) GROUP BY event_type""",
     }
+    # the streaming-engine enrich gate must match the batch plan
+    # bit-for-bit: same oracle by construction
+    d["streaming_enrich"] = d["enrich_lookup"]
+    return d
