@@ -3381,6 +3381,16 @@ def _q_zorder_layout(spark, sf_dir):
     return zorder_layout(t, "x", "y", bits=7, file_bits=6)
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift per label between even vec_ids
+    (reference window) and odd (current): round-6 cosine between the
+    exact fixed-point side centroids — the vector analog of
+    ks_drift/tvd_drift for encoder or topic shift."""
+    from fluent_bit_spark.operators.similarity import embedding_drift
+
+    return embedding_drift(_embs(spark, sf_dir), F.col("vec_id") % 2)
+
+
 def _q_best_of_n(spark, sf_dir):
     """Best-of-n response selection (RLHF rejection sampling): top-2
     assistant turns per conversation by deterministic score (text
@@ -3735,6 +3745,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "http_chunked": _q_http_chunked,
         "zorder_layout": _q_zorder_layout,
+        "embedding_drift": _q_embedding_drift,
     }
 
 

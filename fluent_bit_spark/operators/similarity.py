@@ -1197,3 +1197,68 @@ def ann_recall_eval(
             ).alias("recall_at_k"),
         )
     )
+
+
+def embedding_drift(
+    vectors: DataFrame,
+    cur: Column,
+    by: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-distribution drift per group between a reference
+    window (``cur`` = 0) and the current window (``cur`` = 1): the
+    vector analog of ks_drift/tvd_drift — when the corpus' embedding
+    space moves (new topics, encoder version change, upstream filter
+    change), the per-group centroid rotates before any scalar metric
+    notices.
+
+    Output (group, n_ref, n_cur, centroid_cos): round-6 cosine between
+    the two side centroids, 1.0 = no drift. Centroids use the exact
+    fixed-point integer sums of label_centroids (order-independent,
+    engine-identical); only the final cosine is float, rounded by the
+    repo's cross-engine round-6 convention.
+
+    Scale shape: one shuffle of (group, side, pos) keys with map-side
+    partial integer sums; the side join runs over #groups x dim rows,
+    never over vectors."""
+    sided = vectors.withColumn("_cur", cur.cast("int"))
+    comps = sided.select(
+        F.col(by).alias("label"),
+        "_cur",
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        "label",
+        "_cur",
+        "pos",
+        F.round(F.col("x") * scale).cast("long").alias("fx"),
+    )
+    sums = comps.groupBy("label", "_cur", "pos").agg(
+        F.sum("fx").alias("s"), F.count("*").alias("n")
+    )
+    nv = sums.groupBy("label", "_cur").agg(F.max("n").alias("n_vecs"))
+    c = sums.join(nv, ["label", "_cur"]).withColumn(
+        "c", F.col("s") / (F.lit(float(scale)) * F.col("n_vecs"))
+    )
+    a = c.filter(F.col("_cur") == 0).select(
+        "label", "pos", "c", F.col("n_vecs").alias("n_ref")
+    )
+    b = c.filter(F.col("_cur") == 1).select(
+        "label",
+        "pos",
+        F.col("c").alias("cb"),
+        F.col("n_vecs").alias("n_cur"),
+    )
+    j = a.join(b, ["label", "pos"])
+    return j.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(
+            F.sum(F.col("c") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )

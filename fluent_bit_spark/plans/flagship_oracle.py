@@ -3741,11 +3741,37 @@ SELECT zkey >> {2 * 7 - 6} AS file_id,
        MIN(_y) AS y_min, MAX(_y) AS y_max
 FROM zk GROUP BY 1"""
 
+    emb_drift = """
+, edf AS (SELECT label, vec_id % 2 AS cur,
+                 unnest([{'pos': i,
+                          'fx': CAST(round(embedding[i]::DOUBLE * 1000000)
+                                     AS BIGINT)}
+                         FOR i IN range(1, len(embedding) + 1)]) AS p
+          FROM embeddings)
+, eds AS (SELECT label, cur, p.pos AS pos,
+                 CAST(SUM(p.fx) AS BIGINT) AS s, COUNT(*) AS n
+          FROM edf GROUP BY 1, 2, 3)
+, edn AS (SELECT label, cur, CAST(MAX(n) AS BIGINT) AS n_vecs
+          FROM eds GROUP BY 1, 2)
+, edc AS (SELECT s.label, s.cur, s.pos,
+                 s.s / (1000000.0 * n.n_vecs) AS c, n.n_vecs
+          FROM eds s JOIN edn n USING (label, cur))
+SELECT a.label,
+       CAST(MAX(a.n_vecs) AS BIGINT) AS n_ref,
+       CAST(MAX(b.n_vecs) AS BIGINT) AS n_cur,
+       round(SUM(a.c * b.c)
+             / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c))), 6)
+         AS centroid_cos
+FROM edc a JOIN edc b
+  ON a.label = b.label AND a.pos = b.pos AND a.cur = 0 AND b.cur = 1
+GROUP BY a.label"""
+
     return {
         "best_of_n": best_of_n,
         "ks_drift": ks_drift,
         "http_chunked": http_chunked,
         "zorder_layout": zorder,
+        "embedding_drift": emb_drift,
     }
 
 

@@ -668,3 +668,22 @@ def test_edit_distance_pairs_threshold_and_blocking(spark):
     assert not any(5 in p for p in got)
     with pytest.raises(ValueError):
         edit_distance_pairs(df, max_dist=-1)
+
+
+def test_embedding_drift_identity_and_rotation(spark):
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import embedding_drift
+
+    # group g: both sides identical -> cos 1.0
+    # group h: side-1 centroid orthogonal to side-0 -> cos 0.0
+    rows = [
+        (0, [1.0, 0.0], "g"), (1, [1.0, 0.0], "g"),
+        (2, [1.0, 0.0], "g"), (3, [1.0, 0.0], "g"),
+        (10, [2.0, 0.0], "h"), (12, [4.0, 0.0], "h"),
+        (11, [0.0, 3.0], "h"), (13, [0.0, 5.0], "h"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in embedding_drift(df, F.col("vec_id") % 2).collect()}
+    assert out["g"].centroid_cos == 1.0
+    assert out["h"].centroid_cos == 0.0
+    assert out["h"].n_ref == 2 and out["h"].n_cur == 2
