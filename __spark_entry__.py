@@ -3381,6 +3381,34 @@ def _q_zorder_layout(spark, sf_dir):
     return zorder_layout(t, "x", "y", bits=7, file_bits=6)
 
 
+def _q_ip_anonymize(spark, sf_dir):
+    """Prefix-preserving IP anonymization over synthesized client
+    addresses: octet-level Crypto-PAn simplification (md5 first-byte
+    masks keyed on the preceding prefix) — subnets stay analyzable,
+    addresses become unlinkable. Includes a malformed row per conv to
+    pin the NULL guard."""
+    from fluent_bit_spark.operators.curation import ip_anonymize
+
+    t = _transcripts(spark, sf_dir)
+    ip = F.when(
+        F.col("turn_idx") % 17 == 3, F.lit("not-an-ip")
+    ).otherwise(
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("turn_idx") % 256).cast("string"),
+            (F.length("text") % 256).cast("string"),
+            (F.length(F.col("conv_id")) % 256).cast("string"),
+        )
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        ip.alias("client_ip"),
+        ip_anonymize(ip).alias("anon_ip"),
+    )
+
+
 def _q_embedding_drift(spark, sf_dir):
     """Embedding-distribution drift per label between even vec_ids
     (reference window) and odd (current): round-6 cosine between the
@@ -3746,6 +3774,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_chunked": _q_http_chunked,
         "zorder_layout": _q_zorder_layout,
         "embedding_drift": _q_embedding_drift,
+        "ip_anonymize": _q_ip_anonymize,
     }
 
 

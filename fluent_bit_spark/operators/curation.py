@@ -870,3 +870,44 @@ def minhash_contam(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def ip_anonymize(ip: Column, key: str = "fbs") -> Column:
+    """Prefix-preserving IPv4 anonymization (octet-granularity
+    Crypto-PAn simplification): octet i is XORed with a byte derived
+    from md5(key + '/' + the preceding octets), so two addresses
+    sharing their first k octets share exactly the first k anonymized
+    octets — subnet structure survives for rate/fan-out analytics
+    while the address is unlinkable without the key. Xu et al.'s
+    Crypto-PAn preserves prefixes at every BIT; octet granularity is
+    the deliberate closed-form variant both engines replay exactly
+    (md5 first-byte masks, the repo's md5_32 convention).
+
+    Non-IPv4 input (not 4 dot-parts, non-numeric, out of range)
+    yields NULL rather than a half-anonymized string. Pure expression
+    — no UDF, no shuffle."""
+    parts = F.split(ip, r"\.")
+    outs = []
+    valid = F.size(parts) == 4
+    for i in range(4):
+        # F.get, not [] — ANSI mode raises on out-of-bounds indexing
+        # of the malformed rows this guard exists for
+        octet = F.get(parts, i).try_cast("int")
+        valid = valid & octet.isNotNull() & (octet >= 0) & (octet <= 255)
+        prefix = (
+            F.concat_ws(".", *[F.get(parts, j) for j in range(i)])
+            if i
+            else F.lit("")
+        )
+        mask = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(key + "/"), prefix)), 1, 2
+                ),
+                16,
+                10,
+            )
+            .cast("int")
+        )
+        outs.append(octet.bitwiseXOR(mask).cast("string"))
+    return F.when(valid, F.concat_ws(".", *outs))

@@ -3766,12 +3766,43 @@ FROM edc a JOIN edc b
   ON a.label = b.label AND a.pos = b.pos AND a.cur = 0 AND b.cur = 1
 GROUP BY a.label"""
 
+    # ip_anonymize mirror: same octet-XOR masks from md5 first bytes,
+    # keyed on the preceding prefix (curation.ip_anonymize)
+    def _mask(prefix_expr: str) -> str:
+        return f"(('0x' || substr(md5('fbs/' || {prefix_expr}), 1, 2))::INT)"
+
+    ip_anon = f"""
+, ipa0 AS (SELECT conv_id, turn_idx,
+                  CASE WHEN turn_idx % 17 = 3 THEN 'not-an-ip'
+                       ELSE '10.' || CAST(turn_idx % 256 AS VARCHAR)
+                            || '.' || CAST(length(text) % 256 AS VARCHAR)
+                            || '.' || CAST(length(conv_id) % 256 AS VARCHAR)
+                  END AS client_ip
+           FROM transcripts)
+, ipa1 AS (SELECT *, string_split(client_ip, '.') AS p FROM ipa0)
+SELECT conv_id, turn_idx, client_ip,
+       CASE WHEN len(p) = 4
+             AND p[1] ~ '^[0-9]+$' AND p[1]::INT <= 255
+             AND p[2] ~ '^[0-9]+$' AND p[2]::INT <= 255
+             AND p[3] ~ '^[0-9]+$' AND p[3]::INT <= 255
+             AND p[4] ~ '^[0-9]+$' AND p[4]::INT <= 255
+       THEN CAST(xor(p[1]::INT, {_mask("''")}) AS VARCHAR)
+            || '.' || CAST(xor(p[2]::INT, {_mask("p[1]")}) AS VARCHAR)
+            || '.' || CAST(xor(p[3]::INT,
+                               {_mask("p[1] || '.' || p[2]")}) AS VARCHAR)
+            || '.' || CAST(xor(p[4]::INT,
+                               {_mask("p[1] || '.' || p[2] || '.' || p[3]")})
+                      AS VARCHAR)
+       END AS anon_ip
+FROM ipa1"""
+
     return {
         "best_of_n": best_of_n,
         "ks_drift": ks_drift,
         "http_chunked": http_chunked,
         "zorder_layout": zorder,
         "embedding_drift": emb_drift,
+        "ip_anonymize": ip_anon,
     }
 
 

@@ -798,3 +798,38 @@ def test_pii_leak_detects_echo_only_after_first_seen(spark):
         for r in pii_leak(df).collect()
     )
     assert got == [("c1", 5, "email", "a@b.com", 2)]
+
+
+def test_ip_anonymize_prefix_preservation(spark):
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.curation import ip_anonymize
+
+    ips = ["10.1.2.3", "10.1.2.99", "10.1.50.3", "172.16.0.1",
+           "not-an-ip", "10.1.2", "10.1.2.999"]
+    df = spark.createDataFrame([(s,) for s in ips], ["ip"])
+    out = dict(
+        df.select("ip", ip_anonymize(F.col("ip")).alias("a")).collect()
+    )
+    a, b, c = out["10.1.2.3"], out["10.1.2.99"], out["10.1.50.3"]
+    # same /24 -> same first three anonymized octets, distinct last
+    assert a.rsplit(".", 1)[0] == b.rsplit(".", 1)[0]
+    assert a != b
+    # same /16, different third octet -> split after second octet
+    assert a.split(".")[:2] == c.split(".")[:2]
+    assert a.split(".")[2] != c.split(".")[2]
+    # different first octet -> anonymized first octets differ
+    assert a.split(".")[0] != out["172.16.0.1"].split(".")[0]
+    # malformed inputs -> NULL, never half-anonymized
+    assert out["not-an-ip"] is None
+    assert out["10.1.2"] is None and out["10.1.2.999"] is None
+
+
+def test_ip_anonymize_deterministic_and_keyed(spark):
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.curation import ip_anonymize
+
+    df = spark.createDataFrame([("192.168.1.1",)], ["ip"])
+    r1 = df.select(ip_anonymize(F.col("ip")).alias("a")).collect()[0].a
+    r2 = df.select(ip_anonymize(F.col("ip")).alias("a")).collect()[0].a
+    r3 = df.select(ip_anonymize(F.col("ip"), key="other").alias("a")).collect()[0].a
+    assert r1 == r2 and r1 != r3
