@@ -3381,6 +3381,30 @@ def _q_zorder_layout(spark, sf_dir):
     return zorder_layout(t, "x", "y", bits=7, file_bits=6)
 
 
+def _q_sink_prometheus(spark, sf_dir):
+    """Prometheus text exposition rendering over per-(role, tool)
+    counter totals — the scrape format of the reference's metrics
+    exporter surface; label escaping and fixed label order pinned by
+    the oracle."""
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    counts = (
+        _transcripts(spark, sf_dir)
+        .groupBy("role", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return prometheus_exposition(counts)
+
+
+def _q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training transform: deterministic 40/70%
+    char cuts, PSM reordering <PRE>..<SUF>..<MID>..; short docs pass
+    through with fim NULL."""
+    from fluent_bit_spark.operators.curation import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
 def _q_ip_anonymize(spark, sf_dir):
     """Prefix-preserving IP anonymization over synthesized client
     addresses: octet-level Crypto-PAn simplification (md5 first-byte
@@ -3775,6 +3799,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "embedding_drift": _q_embedding_drift,
         "ip_anonymize": _q_ip_anonymize,
+        "sink_prometheus": _q_sink_prometheus,
+        "fim_transform": _q_fim_transform,
     }
 
 

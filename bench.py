@@ -269,6 +269,23 @@ def bench_queries(spark, source):
 
         return entry._raw_queries()["tf_inference"](spark, SF_DIR)
 
+    def docker_join_bench():
+        # the highest-volume real fluent-bit workload: container
+        # json-file partial-line reassembly (window + sorted concat)
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["docker_mode_join"](spark, SF_DIR)
+
+    def zorder_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["zorder_layout"](spark, SF_DIR)
+
+    def ip_anonymize_bench():
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["ip_anonymize"](spark, SF_DIR)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -303,6 +320,9 @@ def bench_queries(spark, source):
         "edit_dedup": edit_dedup_bench,
         "msgpack_pack": msgpack_pack_bench,
         "tf_inference": tf_inference_bench,
+        "docker_join": docker_join_bench,
+        "zorder_layout": zorder_bench,
+        "ip_anonymize": ip_anonymize_bench,
     }
 
 

@@ -911,3 +911,44 @@ def ip_anonymize(ip: Column, key: str = "fbs") -> Column:
         )
         outs.append(octet.bitwiseXOR(mask).cast("string"))
     return F.when(valid, F.concat_ws(".", *outs))
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cut1_pct: int = 40,
+    cut2_pct: int = 70,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al., 2022):
+    split each document at two deterministic character cuts and emit
+    the PSM reordering `<PRE>prefix<SUF>suffix<MID>middle` — the
+    autoregressive trick that teaches infilling without architecture
+    changes. Cuts are fixed percentage offsets of the char length
+    (integer floor), so the transform replays identically across
+    engines and runs; docs under `min_chars` pass through unsplit
+    (fim = NULL, the train-as-is convention).
+
+    Pure substring expressions, shuffle-free map stage."""
+    if not 0 < cut1_pct < cut2_pct < 100:
+        raise ValueError(
+            f"need 0 < cut1 < cut2 < 100, got {cut1_pct}, {cut2_pct}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    c1 = F.floor(n * cut1_pct / 100).cast("int")
+    c2 = F.floor(n * cut2_pct / 100).cast("int")
+    fim = F.concat(
+        F.lit("<PRE>"),
+        t.substr(F.lit(1), c1),
+        F.lit("<SUF>"),
+        t.substr(c2 + 1, n - c2),
+        F.lit("<MID>"),
+        t.substr(c1 + 1, c2 - c1),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.when(n >= min_chars, fim).alias("fim"),
+    )

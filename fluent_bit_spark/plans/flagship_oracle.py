@@ -3796,6 +3796,35 @@ SELECT conv_id, turn_idx, client_ip,
        END AS anon_ip
 FROM ipa1"""
 
+    prometheus = r"""
+, pm0 AS (SELECT role, tool, CAST(COUNT(*) AS BIGINT) AS n
+          FROM transcripts GROUP BY role, tool)
+SELECT role, tool, n,
+       'fbs_turns_total{role="'
+       || replace(replace(replace(coalesce(role, ''), '\', '\\'),
+                          '"', '\"'), chr(10), '\n')
+       || '",tool="'
+       || replace(replace(replace(coalesce(tool, ''), '\', '\\'),
+                          '"', '\"'), chr(10), '\n')
+       || '"} ' || CAST(n AS VARCHAR) AS line
+FROM pm0"""
+
+    fim = """
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_chars,
+       CASE WHEN n >= 10 THEN
+         '<PRE>' || substr(t, 1, c1)
+         || '<SUF>' || substr(t, c2 + 1, n - c2)
+         || '<MID>' || substr(t, c1 + 1, c2 - c1)
+       END AS fim
+FROM (SELECT doc_id, coalesce(text, '') AS t,
+             length(coalesce(text, '')) AS n,
+             CAST(floor(length(coalesce(text, '')) * 40 / 100)
+                  AS INTEGER) AS c1,
+             CAST(floor(length(coalesce(text, '')) * 70 / 100)
+                  AS INTEGER) AS c2
+      FROM documents)"""
+
     return {
         "best_of_n": best_of_n,
         "ks_drift": ks_drift,
@@ -3803,6 +3832,8 @@ FROM ipa1"""
         "zorder_layout": zorder,
         "embedding_drift": emb_drift,
         "ip_anonymize": ip_anon,
+        "sink_prometheus": prometheus,
+        "fim_transform": fim,
     }
 
 

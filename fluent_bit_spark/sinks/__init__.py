@@ -762,3 +762,46 @@ def gelf_chunk_plan(
             .cast("long"),
         }
     )
+
+
+def prometheus_exposition(
+    counts: DataFrame,
+    metric: str = "fbs_turns_total",
+    label_cols: tuple[str, ...] = ("role", "tool"),
+    value_col: str = "n",
+) -> DataFrame:
+    """Prometheus text exposition format over an aggregated counter
+    frame: `metric{label="v",...} value` — the rendering the
+    reference's metrics exporter surface (src/flb_metrics_exporter.c
+    counters; out_prometheus in later lines) exposes to scrapes.
+    Label values escape backslash, double-quote, and newline per the
+    exposition spec; NULL labels render as empty strings (Prometheus
+    has no null labels). Sorted-label order is fixed by `label_cols`
+    so lines are deterministic."""
+
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.coalesce(c.cast("string"), F.lit("")),
+                    r"\\", r"\\\\",
+                ),
+                '"', '\\\\"',
+            ),
+            r"\n", r"\\n",
+        )
+
+    labels = F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(c + '="'), esc(F.col(c)), F.lit('"'))
+            for c in label_cols
+        ],
+    )
+    line = F.concat(
+        F.lit(metric + "{"),
+        labels,
+        F.lit("} "),
+        F.col(value_col).cast("string"),
+    )
+    return counts.select(*label_cols, F.col(value_col), line.alias("line"))

@@ -833,3 +833,22 @@ def test_ip_anonymize_deterministic_and_keyed(spark):
     r2 = df.select(ip_anonymize(F.col("ip")).alias("a")).collect()[0].a
     r3 = df.select(ip_anonymize(F.col("ip"), key="other").alias("a")).collect()[0].a
     assert r1 == r2 and r1 != r3
+
+
+def test_fim_transform_exact_cuts(spark):
+    from fluent_bit_spark.operators.curation import fim_transform
+
+    # 10 chars: c1 = 4, c2 = 7 -> PRE=abcd SUF=hij MID=efg
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "tiny"), (3, None)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in fim_transform(df).collect()}
+    assert out[1].fim == "<PRE>abcd<SUF>hij<MID>efg"
+    assert out[2].fim is None and out[2].n_chars == 4
+    assert out[3].fim is None and out[3].n_chars == 0
+    # reassembly invariant: PRE + MID + SUF == original
+    fim = out[1].fim
+    pre = fim[5:fim.index("<SUF>")]
+    suf = fim[fim.index("<SUF>") + 5 : fim.index("<MID>")]
+    mid = fim[fim.index("<MID>") + 5 :]
+    assert pre + mid + suf == "abcdefghij"

@@ -544,3 +544,18 @@ def test_parse_journal_export(spark):
     assert out[0].systemd_unit == "smartd.service" and out[0].pid == "77"
     assert out[0].ts.microsecond == 1
     assert out[1].priority == "6" and out[1].ts.microsecond == 2
+
+
+def test_prometheus_exposition_escaping(spark):
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.sinks import prometheus_exposition
+
+    df = spark.createDataFrame(
+        [('he said "hi"', "a\\b", 3), (None, "t", 1)],
+        ["role", "tool", "n"],
+    )
+    lines = {
+        r.n: r.line for r in prometheus_exposition(df).collect()
+    }
+    assert lines[3] == 'fbs_turns_total{role="he said \\"hi\\"",tool="a\\\\b"} 3'
+    assert lines[1] == 'fbs_turns_total{role="",tool="t"} 1'
