@@ -3433,6 +3433,15 @@ def _q_ip_anonymize(spark, sf_dir):
     )
 
 
+def _q_maxsim_topk(spark, sf_dir):
+    """ColBERT-style MaxSim late-interaction top-k: every 100th vector
+    queries the rest; token-pair cosines fixed-pointed before the
+    max/sum so the interaction matrix is integer-exact."""
+    from fluent_bit_spark.operators.similarity import maxsim_topk
+
+    return maxsim_topk(_embs(spark, sf_dir), F.col("vec_id") % 100 == 0)
+
+
 def _q_embedding_drift(spark, sf_dir):
     """Embedding-distribution drift per label between even vec_ids
     (reference window) and odd (current): round-6 cosine between the
@@ -3801,6 +3810,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_anonymize": _q_ip_anonymize,
         "sink_prometheus": _q_sink_prometheus,
         "fim_transform": _q_fim_transform,
+        "maxsim_topk": _q_maxsim_topk,
     }
 
 

@@ -1262,3 +1262,80 @@ def embedding_drift(
             6,
         ).alias("centroid_cos"),
     )
+
+
+def maxsim_topk(
+    vectors: DataFrame,
+    is_query: Column,
+    n_tokens: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    MaxSim): each vector is treated as `n_tokens` sub-vectors (here
+    sliced from the dense embedding — in production the encoder emits
+    them directly; the slicing keeps the fixture self-contained), and
+
+        score(q, d) = sum over q tokens of max over d tokens of cos
+
+    Token-pair cosines are fixed-pointed to round(cos * 1e6) BIGINT
+    BEFORE the max/sum, so the MaxSim aggregation is pure integer
+    arithmetic — order-independent and engine-exact; only the final
+    display score divides back. Output (query_id, vec_id, maxsim,
+    rank), best first, ties by id.
+
+    Scale shape: queries broadcast with their token arrays; each
+    candidate row computes the full n_tokens x n_tokens interaction
+    in-row with array HOFs (no token-level explode of the corpus), so
+    the corpus-side cost stays one map pass over candidates x queries
+    — the same brute-force baseline contract as cosine_topk, with the
+    IVF/LSH cell restriction as the documented scale path."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    sub = dim // n_tokens
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda i: F.slice(F.col("_e"), i * sub + 1, sub),
+    )
+    base = vectors.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_e"),
+        F.coalesce(is_query, F.lit(False)).alias("_q"),
+    ).withColumn("_toks", toks)
+    qs = base.filter(F.col("_q")).select(
+        F.col(id_col).alias("query_id"), F.col("_toks").alias("_qtoks")
+    )
+    cands = base.filter(~F.col("_q")).select(id_col, "_toks")
+    fx = F.aggregate(
+        F.transform(
+            F.col("_qtoks"),
+            lambda qt: F.array_max(
+                F.transform(
+                    F.col("_toks"),
+                    lambda dt: F.round(cosine_col(qt, dt) * 1_000_000).cast(
+                        "long"
+                    ),
+                )
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = cands.crossJoin(F.broadcast(qs)).withColumn("_fx", fx)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_fx").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("_fx") / 1_000_000.0, 6).alias("maxsim"),
+            "rank",
+        )
+    )

@@ -3834,6 +3834,30 @@ FROM (SELECT doc_id, coalesce(text, '') AS t,
         "ip_anonymize": ip_anon,
         "sink_prometheus": prometheus,
         "fim_transform": fim,
+        "maxsim_topk": """
+, mv0 AS (SELECT vec_id, (vec_id % 100 = 0) AS is_q,
+                 list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings)
+, mtk AS (SELECT vec_id, is_q, i,
+                 e[(i - 1) * 8 + 1 : i * 8] AS tok
+          FROM mv0, unnest(generate_series(1, 8)) AS t(i))
+, mp AS (SELECT q.vec_id AS query_id, d.vec_id AS vec_id, q.i AS qi,
+                MAX(CAST(round(CASE
+                      WHEN list_dot_product(q.tok, q.tok) > 0
+                       AND list_dot_product(d.tok, d.tok) > 0
+                      THEN list_dot_product(q.tok, d.tok)
+                           / (sqrt(list_dot_product(q.tok, q.tok))
+                              * sqrt(list_dot_product(d.tok, d.tok)))
+                      ELSE -1.0 END * 1000000) AS BIGINT)) AS mx
+         FROM mtk q JOIN mtk d ON q.is_q AND NOT d.is_q
+         GROUP BY 1, 2, 3)
+, ms AS (SELECT query_id, vec_id, CAST(SUM(mx) AS BIGINT) AS fx
+         FROM mp GROUP BY 1, 2)
+SELECT query_id, vec_id, round(fx / 1000000.0, 6) AS maxsim, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY fx DESC, vec_id) AS BIGINT) AS rank
+      FROM ms)
+WHERE rank <= 10""",
     }
 
 

@@ -687,3 +687,33 @@ def test_embedding_drift_identity_and_rotation(spark):
     assert out["g"].centroid_cos == 1.0
     assert out["h"].centroid_cos == 0.0
     assert out["h"].n_ref == 2 and out["h"].n_cur == 2
+
+
+def test_maxsim_identical_vector_wins(spark):
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import maxsim_topk
+
+    base = [float(i % 7) + 0.5 for i in range(16)]
+    shuffled = base[8:] + base[:8]  # token-permuted copy
+    other = [9.0 - b for b in base]
+    rows = [(0, base), (1, base), (2, shuffled), (3, other)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = maxsim_topk(
+        df, F.col("vec_id") == 0, n_tokens=2, k=3
+    ).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    # exact copy scores the max (every q token finds cos=1)
+    assert ranked[0].vec_id == 1 and ranked[0].maxsim == 2.0
+    # MaxSim is token-order invariant: permuted copy also scores 2.0
+    assert ranked[1].vec_id == 2 and ranked[1].maxsim == 2.0
+    assert ranked[2].vec_id == 3 and ranked[2].maxsim < 2.0
+
+
+def test_maxsim_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import maxsim_topk
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        maxsim_topk(df, F.col("vec_id") == 0, n_tokens=2)
