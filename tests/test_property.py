@@ -339,3 +339,93 @@ def test_epoch_shuffle_exact_permutation_and_partition_invariance(spark):
     assert {(r.epoch, r.doc_id, r.pos) for r in re} == {
         (r.epoch, r.doc_id, r.pos) for r in out
     }
+
+
+# ---- wire-codec roundtrip properties (pure Python, no Spark action:
+# the fuzz analog of the reference's tests/internal/fuzzers/ over the
+# round-3 codecs) ----
+
+_FAST = settings(max_examples=200, deadline=None)
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=268_435_455))
+def test_mqtt_varint_roundtrip(n):
+    from fluent_bit_spark.functions.wire import mqtt_remaining_length
+
+    buf = mqtt_remaining_length(n)
+    # decode with the reference's loop shape (mqtt_prot.c:341-355)
+    val, mult = 0, 1
+    for b in buf:
+        val += (b & 127) * mult
+        mult *= 128
+    assert val == n
+    assert len(buf) == (1 if n < 128 else 2 if n < 16384
+                        else 3 if n < 2097152 else 4)
+
+
+@_FAST
+@given(
+    st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=60),
+    st.binary(min_size=0, max_size=300),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_mqtt_publish_roundtrip_prop(topic, payload, qos, pid):
+    from fluent_bit_spark.functions.wire import (
+        pack_mqtt_publish,
+        unpack_mqtt_publish,
+    )
+
+    got = unpack_mqtt_publish(pack_mqtt_publish(topic, payload, qos, pid))
+    assert got == (qos, topic, pid if qos else 0, payload)
+
+
+@_FAST
+@given(st.binary(min_size=0, max_size=500), st.integers(min_value=1, max_value=64))
+def test_http_chunked_roundtrip_prop(payload, size):
+    from fluent_bit_spark.functions.wire import (
+        http_chunked_decode,
+        http_chunked_encode,
+    )
+
+    assert http_chunked_decode(http_chunked_encode(payload, size)) == payload
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   exclude_characters="\x00"),
+            min_size=0, max_size=20),
+    st.integers(min_value=0, max_value=2**40),
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 1, 2, 3]),
+            st.integers(min_value=-(2**31), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_collectd_roundtrip_prop(host, tsec, raw_values):
+    from fluent_bit_spark.functions.wire import (
+        DS_DERIVE,
+        DS_GAUGE,
+        pack_collectd,
+        unpack_collectd,
+    )
+
+    # counters/absolutes are unsigned; gauges become doubles
+    values = []
+    for t, v in raw_values:
+        if t == DS_DERIVE:
+            values.append((t, v))
+        elif t == DS_GAUGE:
+            values.append((t, float(v)))
+        else:
+            values.append((t, abs(v)))
+    h = unpack_collectd(
+        pack_collectd(host, "p", "pi", "gauge", None, tsec, values)
+    )
+    assert h["host"] == host and h["time_sec"] == tsec
+    assert h["values"] == values
