@@ -3433,6 +3433,33 @@ def _q_ip_anonymize(spark, sf_dir):
     )
 
 
+def _q_media_ann(spark, sf_dir):
+    """Multimodal pipeline end-to-end: document text bytes stand in as
+    media payloads -> deterministic fake decode -> INTEGER byte-
+    histogram features (mapInPandas, Arrow-batched) -> brute-force
+    cosine top-5 (every 50th doc queries the corpus). The oracle
+    re-derives every histogram component from the payload bytes in
+    closed form, so the whole decode->feature->ANN path is exactly
+    checked — only the decoder itself is the honest fake."""
+    from fluent_bit_spark.operators.multimodal import byte_histogram_features
+    from fluent_bit_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    feats = byte_histogram_features(docs)
+    qs = feats.filter(F.col("media_id") % 50 == 0).select(
+        F.col("media_id").alias("query_id"), F.col("hist").alias("embedding")
+    )
+    cands = feats.filter(F.col("media_id") % 50 != 0).select(
+        F.col("media_id").alias("vec_id"), F.col("hist").alias("embedding")
+    )
+    return cosine_topk(cands, qs, k=5, rank_round=6)
+
+
 def _q_maxsim_topk(spark, sf_dir):
     """ColBERT-style MaxSim late-interaction top-k: every 100th vector
     queries the rest; token-pair cosines fixed-pointed before the
@@ -3811,6 +3838,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_prometheus": _q_sink_prometheus,
         "fim_transform": _q_fim_transform,
         "maxsim_topk": _q_maxsim_topk,
+        "media_ann": _q_media_ann,
     }
 
 

@@ -149,3 +149,50 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.mime").alias("mime"),
         ),
     )
+
+
+def byte_histogram_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bins: int = FEATURE_DIM,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode -> integer histogram feature vector, the exactly-
+    checkable variant of extract_features: counts stay BIGINT (no
+    float32 normalization), so a SQL oracle can re-derive every
+    component from the payload bytes and the downstream ANN ranking is
+    engine-exact. Bin = min(bins-1, byte * bins // 255) — the same
+    edges np.histogram(range=(0,1)) assigns to byte/255 samples,
+    in closed-form integer math.
+
+    Same scale shape as extract_features: Arrow-batched mapInPandas,
+    payloads never leave the executor."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hists = []
+            for payload in b[payload_col]:
+                data = decode_media(bytes(payload), "image", fake=fake_decode)
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                assert len(raw) == len(data)  # decode is 1 sample/byte
+                idx = np.minimum(
+                    bins - 1, raw.astype(np.int64) * bins // 255
+                )
+                hists.append(np.bincount(idx, minlength=bins).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_bytes": b[payload_col].map(len).astype("int32"),
+                    "hist": hists,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

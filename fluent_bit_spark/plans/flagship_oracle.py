@@ -3858,6 +3858,38 @@ FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY fx DESC, vec_id) AS BIGINT) AS rank
       FROM ms)
 WHERE rank <= 10""",
+        "media_ann": """
+, ma0 AS (SELECT doc_id AS media_id, coalesce(text, '') AS t
+          FROM documents)
+, mab AS (SELECT media_id,
+                 least(15, ascii(substr(t, i, 1)) * 16 // 255) AS bin
+          FROM ma0, unnest(generate_series(1, length(t))) AS u(i)
+          WHERE length(t) > 0)
+, magrid AS (SELECT media_id, g.bin
+             FROM ma0, unnest(generate_series(0, 15)) AS g(bin))
+, macnt AS (SELECT grid.media_id, grid.bin,
+                   CAST(COALESCE(c.n, 0) AS DOUBLE) AS c
+            FROM magrid grid
+            LEFT JOIN (SELECT media_id, bin, COUNT(*) AS n
+                       FROM mab GROUP BY 1, 2) c
+              USING (media_id, bin))
+, mav AS (SELECT media_id, list(c ORDER BY bin) AS hist
+          FROM macnt GROUP BY media_id)
+, map AS (SELECT q.media_id AS query_id, d.media_id AS vec_id,
+                 round(CASE
+                   WHEN list_dot_product(q.hist, q.hist) > 0
+                    AND list_dot_product(d.hist, d.hist) > 0
+                   THEN list_dot_product(q.hist, d.hist)
+                        / (sqrt(list_dot_product(q.hist, q.hist))
+                           * sqrt(list_dot_product(d.hist, d.hist)))
+                   ELSE -1.0 END, 6) AS cosine
+          FROM mav q JOIN mav d
+            ON q.media_id % 50 = 0 AND d.media_id % 50 != 0)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank
+      FROM map)
+WHERE rank <= 5""",
     }
 
 

@@ -559,3 +559,17 @@ def test_prometheus_exposition_escaping(spark):
     }
     assert lines[3] == 'fbs_turns_total{role="he said \\"hi\\"",tool="a\\\\b"} 3'
     assert lines[1] == 'fbs_turns_total{role="",tool="t"} 1'
+
+
+def test_byte_histogram_features_exact(spark):
+    from fluent_bit_spark.operators.multimodal import byte_histogram_features
+
+    rows = [(1, bytearray(b"\x00\xff\xff\x80")), (2, bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in byte_histogram_features(df).collect()}
+    h = out[1].hist
+    assert len(h) == 16 and sum(h) == 4
+    assert h[0] == 1      # 0x00 -> bin 0
+    assert h[15] == 2     # 0xff -> clamped to last bin
+    assert h[128 * 16 // 255] == 1  # 0x80 -> bin 8
+    assert out[2].hist == [0] * 16 and out[2].n_bytes == 0
