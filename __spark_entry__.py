@@ -3433,6 +3433,42 @@ def _q_ip_anonymize(spark, sf_dir):
     )
 
 
+def _q_context_windows(spark, sf_dir):
+    """Sliding turn windows (size 8, stride 4) per conversation for
+    long-context training — overlapping rank-based windows, tail
+    windows partial, text rendered as `role: text` lines."""
+    from fluent_bit_spark.operators.transcript_qa import context_windows
+
+    return context_windows(_transcripts(spark, sf_dir))
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Rolling-ingestion dedup: a new batch (docs with two synthesized
+    in-batch duplicate clusters plus copies of snapshot docs) deduped
+    against the prior snapshot's digest set — the anti-join shuffles
+    16-byte digests, never text."""
+    from fluent_bit_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    fresh = docs.filter(F.col("doc_id") % 3 != 0)
+    # copies of snapshot docs (must be dropped) and of in-batch docs
+    # (first id wins)
+    new_batch = (
+        fresh.unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(new_batch, seen)
+
+
 def _q_media_ann(spark, sf_dir):
     """Multimodal pipeline end-to-end: document text bytes stand in as
     media payloads -> deterministic fake decode -> INTEGER byte-
@@ -3839,6 +3875,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": _q_fim_transform,
         "maxsim_topk": _q_maxsim_topk,
         "media_ann": _q_media_ann,
+        "context_windows": _q_context_windows,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 

@@ -30,7 +30,7 @@ minimum via `resolve_clusters` (iterated min-label propagation).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -651,4 +651,37 @@ def edit_distance_pairs(
             F.col("b.id").alias("id_b"),
             F.col("dist").cast("int").alias("dist"),
         )
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-ingestion dedup: keep rows of the NEW batch that are
+    exact-duplicate neither of the prior snapshot nor of an earlier
+    row in the batch (lowest id wins within the batch — deterministic
+    regardless of partitioning).
+
+    The snapshot side reduces to DISTINCT digests before the
+    left-anti join, so the recurring cost at 10^12-row corpora is a
+    shuffle of 16-byte keys — never historical text — and the
+    snapshot digest table is exactly what the previous run's output
+    already materializes."""
+    seen = seen_df.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_digest")
+    ).distinct()
+    batch = new_df.withColumn(
+        "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    first = batch.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        first.join(seen, "_digest", "left_anti")
+        .drop("_rn")
+        .withColumnRenamed("_digest", "digest")
     )

@@ -767,3 +767,57 @@ def best_of_n(
             conv_col, idx_col, "score", "rank", "n_candidates", text_col
         )
     )
+
+
+def context_windows(
+    df: DataFrame,
+    size: int = 8,
+    stride: int = 4,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding turn windows per conversation for long-context
+    training: window w covers turn RANKS [w*stride, w*stride + size)
+    — ranks, not raw indices, so gaps in turn_idx never tear a window.
+    With stride < size adjacent windows overlap (the standard
+    continuity trick); tail windows are emitted partial.
+
+    Each turn lands in its windows via a closed-form sequence (no
+    self-join): lo = 0 while rank < size, else (rank - size) div
+    stride + 1 — integer division on non-negative operands only, so
+    Spark's truncating `div` and SQL floor division agree.
+
+    Output (conv_id, window_no, first_rank, n_turns, text) with text =
+    newline-joined `role: text` lines in rank order. Scale: one
+    conv_id shuffle; the explode multiplies rows by ceil(size/stride),
+    a constant."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size/stride must be positive, got {size}/{stride}")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
+    lo = F.when(F.col("_rank") < size, F.lit(0)).otherwise(
+        F.expr(f"(_rank - {size}) div {stride} + 1")
+    )
+    hi = F.expr(f"_rank div {stride}")
+    lines = F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+    staged = (
+        ranked.withColumn("window_no", F.explode(F.sequence(lo, hi)))
+        .withColumn("window_no", F.col("window_no").cast("long"))
+        .withColumn("_rank", F.col("_rank").cast("long"))
+        .withColumn("_line", lines)
+    )
+    return (
+        staged.groupBy(conv_col, "window_no")
+        .agg(
+            F.min("_rank").alias("first_rank"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.concat_ws(
+                "\n",
+                F.sort_array(
+                    F.collect_list(F.struct("_rank", "_line"))
+                ).getField("_line"),
+            ).alias("text"),
+        )
+    )

@@ -3890,6 +3890,39 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, vec_id) AS rank
       FROM map)
 WHERE rank <= 5""",
+        "context_windows": """
+, cw0 AS (SELECT conv_id,
+                 CAST(row_number() OVER (PARTITION BY conv_id
+                      ORDER BY turn_idx) - 1 AS BIGINT) AS rnk,
+                 role || ': ' || text AS line
+          FROM transcripts)
+, cw1 AS (SELECT conv_id, rnk, line, w.window_no
+          FROM cw0, unnest(generate_series(
+                 CASE WHEN rnk < 8 THEN 0 ELSE (rnk - 8) // 4 + 1 END,
+                 rnk // 4)) AS w(window_no))
+SELECT conv_id, window_no,
+       MIN(rnk) AS first_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg(line, chr(10) ORDER BY rnk) AS text
+FROM cw1 GROUP BY conv_id, window_no""",
+        "incremental_dedup": """
+, id0 AS (SELECT doc_id, text FROM documents)
+, idnew AS (
+    SELECT doc_id, text FROM id0 WHERE doc_id % 3 != 0
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM id0 WHERE doc_id % 6 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM id0
+    WHERE doc_id % 3 != 0 AND doc_id % 5 = 1)
+, idseen AS (SELECT DISTINCT md5(coalesce(text, '')) AS digest
+             FROM id0 WHERE doc_id % 3 = 0)
+, idfirst AS (SELECT *, row_number() OVER (
+                  PARTITION BY md5(coalesce(text, ''))
+                  ORDER BY doc_id) AS rn,
+                  md5(coalesce(text, '')) AS digest
+              FROM idnew)
+SELECT digest, doc_id, text FROM idfirst
+WHERE rn = 1 AND digest NOT IN (SELECT digest FROM idseen)""",
     }
 
 

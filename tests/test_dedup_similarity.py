@@ -717,3 +717,18 @@ def test_maxsim_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError):
         maxsim_topk(df, F.col("vec_id") == 0, n_tokens=2)
+
+
+def test_incremental_dedup_semantics(spark):
+    from fluent_bit_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame([(1, "old"), (2, "stale")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "old"),      # dup of snapshot -> dropped
+         (11, "fresh"),    # kept
+         (12, "fresh"),    # in-batch dup, higher id -> dropped
+         (13, "unique")],  # kept
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
+    assert kept == [11, 13]

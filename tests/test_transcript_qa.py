@@ -520,3 +520,26 @@ def test_pack_greedy_semantics(spark):
     assert [out[i].bin for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
     assert out[3].fill_after == 6  # oversized doc sits alone, over cap
     assert out[5].bin == 0
+
+
+def test_context_windows_overlap_and_tails(spark):
+    from fluent_bit_spark.operators.transcript_qa import context_windows
+
+    rows = [("c", i, "user", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.window_no: r for r in context_windows(df, size=4, stride=2).collect()}
+    # ranks 0..9: windows 0:[0,4) 1:[2,6) 2:[4,8) 3:[6,10) 4:[8,10)
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0].text == "user: t0\nuser: t1\nuser: t2\nuser: t3"
+    assert out[1].first_rank == 2 and out[1].n_turns == 4
+    assert out[4].n_turns == 2  # partial tail window
+
+
+def test_context_windows_rank_not_index(spark):
+    from fluent_bit_spark.operators.transcript_qa import context_windows
+
+    # gappy turn_idx must not tear windows: ranks are contiguous
+    rows = [("c", i * 10, "u", f"t{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = context_windows(df, size=4, stride=4).collect()
+    assert len(out) == 1 and out[0].n_turns == 4
