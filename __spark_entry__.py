@@ -549,18 +549,11 @@ def _container_chunks(spark, sf_dir, chunk_chars: int = 48):
     )
 
 
-def _q_docker_mode_join(spark, sf_dir):
-    """in_tail Docker_Mode end-to-end (tail_dockermode.c:237): render
-    each turn as runtime json-file records -- the log split into
-    pieces where only the final piece's `log` carries the trailing
-    newline -- then reassemble per file and parse the envelope back.
-    The oracle states the invariant directly: one row per turn whose
-    log is the original text + newline, ts/stream from the first
-    piece."""
-    from fluent_bit_spark.sources import docker_mode_join
-
+def _docker_lines(spark, sf_dir):
+    """The docker json-file line rendering shared by the batch and
+    streaming reassembly gates."""
     chunks = _container_chunks(spark, sf_dir)
-    lines = chunks.select(
+    return chunks.select(
         F.col("conv_id").alias("file"),
         "line_no",
         F.to_json(
@@ -576,7 +569,37 @@ def _q_docker_mode_join(spark, sf_dir):
             )
         ).alias("line"),
     )
-    return docker_mode_join(lines)
+
+
+def _q_streaming_docker(spark, sf_dir):
+    """Driver-gated STREAMING query: Docker_Mode partial-line
+    reassembly through the real streaming engine — the open line lives
+    in the state store per file (applyInPandasWithState), bounded by
+    one runtime line per file regardless of stream length. Same
+    invariant oracle as the batch gate, with the envelope time kept as
+    its rendered string."""
+    from fluent_bit_spark.streaming import docker_mode_stateful
+
+    return _drain_stream(
+        spark,
+        _docker_lines(spark, sf_dir),
+        docker_mode_stateful,
+        "fbs_streaming_docker",
+        output_mode="append",
+    )
+
+
+def _q_docker_mode_join(spark, sf_dir):
+    """in_tail Docker_Mode end-to-end (tail_dockermode.c:237): render
+    each turn as runtime json-file records -- the log split into
+    pieces where only the final piece's `log` carries the trailing
+    newline -- then reassemble per file and parse the envelope back.
+    The oracle states the invariant directly: one row per turn whose
+    log is the original text + newline, ts/stream from the first
+    piece."""
+    from fluent_bit_spark.sources import docker_mode_join
+
+    return docker_mode_join(_docker_lines(spark, sf_dir))
 
 
 def _q_cri_mode_join(spark, sf_dir):
@@ -3604,6 +3627,7 @@ _GATE_PRIORITY: list = [
     "docker_mode_join",
     "cri_mode_join",
     "streaming_enrich",
+    "streaming_docker",
     "streaming_hll",
     "streaming_cms",
     "streaming_sessions",
@@ -3643,7 +3667,6 @@ _GATE_PRIORITY: list = [
     "bigram_logprob",
     "ccnet_buckets",
     "langid_eval",
-    "tokenizer_fertility",
 ]
 
 
@@ -3715,6 +3738,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_gelf_extra": _q_sink_gelf_extra,
         "syslog_source": _q_syslog_source,
         "streaming_enrich": _q_streaming_enrich,
+        "streaming_docker": _q_streaming_docker,
         "streaming_hll": _q_streaming_hll,
         "streaming_cms": _q_streaming_cms,
         "streaming_sessions": _q_streaming_sessions,

@@ -3654,9 +3654,16 @@ FROM (SELECT conv_id, turn_idx, text,
        CAST(turn_idx + 1000 AS VARCHAR) AS pid,
        ts
 FROM transcripts"""
+    streaming_docker = """SELECT conv_id AS file,
+       CAST(turn_idx AS BIGINT) * 100000 AS first_line_no,
+       CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS time_str,
+       coalesce(text, '') || chr(10) AS log
+FROM transcripts"""
     return {
         "docker_mode_join": base.format(suffix="|| chr(10)"),
         "cri_mode_join": base.format(suffix=""),
+        "streaming_docker": streaming_docker,
         "kmsg_source": kmsg,
         "journal_source": journal,
     }

@@ -523,3 +523,93 @@ def backpressure_stateful(
     return df.groupBy(sink_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def docker_mode_stateful(
+    df: DataFrame,
+    key_col: str = "file",
+    line_col: str = "line",
+    idx_col: str = "line_no",
+    flush_ms: int = 0,
+):
+    """Streaming Docker_Mode reassembly: stitch json-file partial
+    records (`log` without a trailing newline) into whole lines ACROSS
+    micro-batches — the true streaming analog of
+    tail_dockermode.c:237: the reference buffers the open line per
+    file between reads and flushes it on `docker_mode_flush` seconds,
+    which maps here to a per-file state-store entry and an optional
+    processing-time timeout (`flush_ms`).
+
+    The batch operator (sources.docker_mode_join) needs the whole file
+    in one frame; this one holds only the OPEN line in state, so state
+    size is bounded by one runtime line per file regardless of stream
+    length — the shape that survives an unbounded stream.
+
+    Emits (file, first_line_no, stream, time_str, log) per completed
+    line; `log` keeps its terminating newline, matching the batch
+    operator exactly (the stream==batch test relies on it)."""
+    import json as _json
+
+    out_schema = (
+        f"{key_col} string, first_line_no long, stream string, "
+        "time_str string, log string"
+    )
+    state_schema = "pieces array<string>, start_no long, stream string, tstr string"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        done: list[tuple] = []
+        if state.hasTimedOut:
+            pieces, start_no, stream, tstr = state.get
+            if pieces:
+                done.append(
+                    (key[0], int(start_no), stream, tstr, "".join(pieces))
+                )
+            state.remove()
+        else:
+            if state.exists:
+                pieces, start_no, stream, tstr = state.get
+                pieces = list(pieces)
+            else:
+                pieces, start_no, stream, tstr = [], -1, None, None
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = pd.concat(chunks).sort_values(idx_col)
+                for no, ln in zip(batch[idx_col], batch[line_col]):
+                    try:
+                        rec = _json.loads(ln)
+                        log = rec.get("log")
+                    except (ValueError, TypeError):
+                        rec, log = {}, None
+                    if not pieces:
+                        start_no = int(no)
+                        stream = rec.get("stream")
+                        tstr = rec.get("time")
+                    pieces.append("" if log is None else log)
+                    if log is None or log.endswith("\n"):
+                        done.append(
+                            (
+                                key[0],
+                                int(start_no),
+                                stream,
+                                tstr,
+                                "".join(pieces),
+                            )
+                        )
+                        pieces, start_no, stream, tstr = [], -1, None, None
+            state.update((pieces, start_no, stream, tstr))
+            if flush_ms > 0:
+                state.setTimeoutDuration(flush_ms)
+        if done:
+            yield pd.DataFrame(
+                done,
+                columns=[key_col, "first_line_no", "stream", "time_str", "log"],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

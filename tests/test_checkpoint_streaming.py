@@ -648,3 +648,69 @@ def test_backpressure_stateful_pause_feedback(spark, tmp_path):
         (5, 0, False),
         (5, 0, False),
     ]
+
+
+def test_docker_mode_stateful_joins_across_batches(spark, tmp_path):
+    """A partial docker json-file run must survive the micro-batch
+    boundary in the state store and complete with the terminating
+    newline piece from a later batch; output must equal the batch
+    operator's for the same lines."""
+    import json
+
+    from fluent_bit_spark.sources import docker_mode_join
+    from fluent_bit_spark.streaming import docker_mode_stateful
+
+    src_dir = tmp_path / "dlines"
+    src_dir.mkdir()
+    schema = "file string, line_no long, line string"
+
+    def dline(log, stream="stdout", time="2024-01-01T00:00:00.000001Z"):
+        return json.dumps({"log": log, "stream": stream, "time": time})
+
+    rows_b1 = [
+        ("f1", 0, dline("head ")),
+        ("f1", 1, dline("mid ")),
+        ("f1", 2, dline("solo\n", stream="stderr")),
+    ]
+    rows_b2 = [("f1", 3, dline("tail\n"))]
+
+    def write_batch(name, rows):
+        with open(src_dir / name, "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(dict(zip(["file", "line_no", "line"], r))) + "\n"
+                )
+
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    q = (
+        docker_mode_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dm_stream")
+        .start()
+    )
+    try:
+        write_batch("b1.json", rows_b1)
+        q.processAllAvailable()
+        got1 = {
+            r.log for r in spark.sql("SELECT * FROM dm_stream").collect()
+        }
+        # lines 0-1 are partial pieces; line 2's newline-terminated
+        # piece completes the open run (same as the batch segmenter)
+        assert got1 == {"head mid solo\n"}
+
+        write_batch("b2.json", rows_b2)
+        q.processAllAvailable()
+        got2 = sorted(
+            (r.first_line_no, r.log)
+            for r in spark.sql("SELECT * FROM dm_stream").collect()
+        )
+    finally:
+        q.stop()
+
+    # batch reference over the same lines
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    want = sorted(
+        (r.first_line_no, r.log) for r in docker_mode_join(batch_df).collect()
+    )
+    assert got2 == want
