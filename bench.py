@@ -515,10 +515,15 @@ def _scale_worker() -> None:
     # (GC thread pools sized to 4 cores can't keep up with this
     # allocation-heavy regex workload; the measured matrix in
     # BENCH/BASELINE.md records the experiment)
+    extra = {}
+    jopts = os.environ.get("SPARK_GRAFT_WORKER_JAVA_OPTS", "")
+    if jopts:
+        extra["spark.driver.extraJavaOptions"] = jopts
     spark = get_spark(
         f"fbs-worker-{os.getpid()}",
         master=f"local[{args.cores}]",
         shuffle_partitions=args.cores,
+        extra_conf=extra,
     )
     src = spark.read.parquet(*args.shards.split(",")).persist()
     rows = src.count()
@@ -583,9 +588,21 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
             out = os.path.join(work, f"out-{len(assignments)}-{w}.json")
             readies.append(ready)
             outs.append(out)
+            # dedicated cores per worker (the truest executor analog:
+            # real clusters pin executors via cgroups). Affinity also
+            # makes the JVM size its GC/JIT pools to the visible 8
+            # CPUs instead of the machine's 32 — without it, 4 JVMs
+            # each spawn machine-sized service-thread pools and the
+            # 4-worker phase collapses (measured 0.19-0.77 efficiency
+            # run-to-run; see BENCH/BASELINE.md).
+            prefix = []
+            if os.environ.get("SPARK_GRAFT_SCALE_AFFINITY", "1") != "0":
+                lo = w * cores
+                prefix = ["taskset", "-c", f"{lo}-{lo + cores - 1}"]
             procs.append(
                 subprocess.Popen(
-                    [
+                    prefix
+                    + [
                         sys.executable,
                         os.path.abspath(__file__),
                         "--_scale-worker",
