@@ -502,3 +502,49 @@ def test_ks_drift_window_is_value_bounded(spark):
     w = plan.find("Window")
     agg = plan.find("HashAggregate")
     assert w != -1 and agg != -1
+
+
+def test_maxsim_broadcasts_queries_no_token_explode(spark):
+    """MaxSim must broadcast the query token arrays and keep the
+    token-interaction matrix in-row: no SortMergeJoin, no corpus-side
+    explode (a Generate over candidates would mean token-level rows)."""
+    from fluent_bit_spark.operators.similarity import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 0.5]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    plan = plan_of(maxsim_topk(df, F.col("vec_id") % 7 == 0, n_tokens=2), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # the only Generate allowed is none: interactions run via HOFs
+    assert "Generate" not in plan
+
+
+def test_incremental_dedup_is_digest_anti_join(spark):
+    """The snapshot side must reach the join as digests (16-byte
+    keys), via a LeftAnti join — never a full-text join."""
+    from fluent_bit_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    seen = spark.createDataFrame([(9, "a")], ["doc_id", "text"])
+    plan = plan_of(incremental_dedup(new, seen), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_cloud_sink_envelopes_are_map_only(spark):
+    """Sink envelope rendering must stay a shuffle-free map stage."""
+    from fluent_bit_spark.sinks import (
+        azure_log_transform,
+        bigquery_rows_transform,
+        cloudwatch_events_transform,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 1, "user", "hi", "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for fn in (cloudwatch_events_transform, bigquery_rows_transform,
+               azure_log_transform):
+        plan = plan_of(fn(df), "simple")
+        assert "Exchange" not in plan, fn.__name__
