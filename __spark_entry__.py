@@ -3428,6 +3428,30 @@ def _q_sink_azure(spark, sf_dir):
     return azure_log_transform(_transcripts(spark, sf_dir))
 
 
+def _q_sink_slack(spark, sf_dir):
+    """out_slack fragment rendering (slack.c:179-198): sec.9-digit-nsec
+    timestamps and msgpack_object_print's `{"k"=>v}` map form."""
+    from fluent_bit_spark.sinks import slack_text_transform
+
+    return slack_text_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_logdna(spark, sf_dir):
+    """out_logdna lines entries (logdna.c:150-199): app default,
+    integer-second timestamp, record json line."""
+    from fluent_bit_spark.sinks import logdna_lines_transform
+
+    return logdna_lines_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_nats(spark, sf_dir):
+    """out_nats event pairs: record json with the injected tag key;
+    double event time compared as its own column."""
+    from fluent_bit_spark.sinks import nats_pairs_transform
+
+    return nats_pairs_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_prometheus(spark, sf_dir):
     """Prometheus text exposition rendering over per-(role, tool)
     counter totals — the scrape format of the reference's metrics
@@ -3919,6 +3943,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "embedding_drift": _q_embedding_drift,
         "ip_anonymize": _q_ip_anonymize,
+        "sink_slack": _q_sink_slack,
+        "sink_logdna": _q_sink_logdna,
+        "sink_nats": _q_sink_nats,
         "sink_cloudwatch": _q_sink_cloudwatch,
         "sink_bigquery": _q_sink_bigquery,
         "sink_azure": _q_sink_azure,

@@ -3853,7 +3853,32 @@ SELECT conv_id, turn_idx, 'fluentbit' AS log_type,
        {rec_json} AS line
 FROM transcripts"""
 
+    slack = """
+SELECT conv_id, turn_idx,
+       '["timestamp": ' || CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+       || '.' || lpad(CAST((epoch_us(ts) % 1000000) * 1000 AS VARCHAR), 9, '0')
+       || ', {"conv_id"=>"' || conv_id
+       || '", "turn_idx"=>' || CAST(turn_idx AS VARCHAR)
+       || ', "role"=>"' || role
+       || '", "text"=>"' || coalesce(text, '') || '"}]' AS fragment
+FROM transcripts"""
+    logdna = f"""
+SELECT conv_id, turn_idx, 'Fluent Bit' AS app,
+       epoch_us(ts) // 1000000 AS timestamp,
+       {rec_json} AS line
+FROM transcripts"""
+    nats = """
+SELECT conv_id, turn_idx,
+       CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS timestamp,
+       to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                           role := role, text := text,
+                           tag := 'fbs.' || role))::VARCHAR AS payload
+FROM transcripts"""
+
     return {
+        "sink_slack": slack,
+        "sink_logdna": logdna,
+        "sink_nats": nats,
         "sink_cloudwatch": cloudwatch,
         "sink_bigquery": bigquery,
         "sink_azure": azure,

@@ -861,3 +861,75 @@ def azure_log_transform(
         _epoch_seconds(F.col("ts")).alias("timestamp"),
         record.alias("line"),
     )
+
+
+def slack_text_transform(df: DataFrame) -> DataFrame:
+    """out_slack payload fragments (plugins/out_slack/slack.c:179-198):
+    every record renders as
+    `["timestamp": <sec>.<9-digit nsec>, <msgpack print of the map>]`
+    and the plugin newline-joins them into one `{"text": ...}` body.
+    msgpack_object_print renders maps as `{"k"=>v, ...}` with string
+    values quoted RAW (no escaping) — so the fragment is plain
+    deterministic concatenation here too. One fragment row per record;
+    the writer's newline join is an agg over fragments."""
+    us = (_epoch_seconds(F.col("ts")) * 1_000_000).cast("long")
+    sec = F.expr("_us div 1000000")
+    nsec = (F.col("_us") % 1_000_000) * 1000
+    return (
+        df.withColumn("_us", us)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat(
+                F.lit('["timestamp": '),
+                sec.cast("string"),
+                F.lit("."),
+                F.lpad(nsec.cast("string"), 9, "0"),
+                F.lit(', {"conv_id"=>"'),
+                F.col("conv_id"),
+                F.lit('", "turn_idx"=>'),
+                F.col("turn_idx").cast("string"),
+                F.lit(', "role"=>"'),
+                F.col("role"),
+                F.lit('", "text"=>"'),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit('"}]'),
+            ).alias("fragment"),
+        )
+    )
+
+
+def logdna_lines_transform(df: DataFrame, app: str = "Fluent Bit") -> DataFrame:
+    """out_logdna `lines` entries (plugins/out_logdna/logdna.c:150-199):
+    each record becomes {app, timestamp: int seconds, line: record
+    json}; `app` falls back to the config default "Fluent Bit"
+    (logdna.c:561) when the record carries none — transcripts don't,
+    so the default always applies here."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(app).alias("app"),
+        _epoch_seconds(F.col("ts")).cast("long").alias("timestamp"),
+        record.alias("line"),
+    )
+
+
+def nats_pairs_transform(df: DataFrame) -> DataFrame:
+    """out_nats payload entries (plugins/out_nats/nats.c: each event
+    re-packs as [double ts, map + "tag"]): the record json carries the
+    injected tag key; the event-time double rides as its own column
+    (JSON float formatting is engine-specific, same split as the azure
+    envelope)."""
+    tag = F.concat(F.lit("fbs."), F.col("role"))
+    record = F.to_json(
+        F.struct(
+            "conv_id", "turn_idx", "role", "text", tag.alias("tag")
+        )
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        _epoch_seconds(F.col("ts")).alias("timestamp"),
+        record.alias("payload"),
+    )
