@@ -3452,6 +3452,16 @@ def _q_sink_nats(spark, sf_dir):
     return nats_pairs_transform(_transcripts(spark, sf_dir))
 
 
+def _q_sink_kinesis(spark, sf_dir):
+    """out_kinesis_streams PutRecords entries: base64 Data + conv_id
+    PartitionKey (deterministic, ordering-preserving deviation from
+    the reference's wall-clock-randomized key — see the transform
+    docstring)."""
+    from fluent_bit_spark.sinks import kinesis_records_transform
+
+    return kinesis_records_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_prometheus(spark, sf_dir):
     """Prometheus text exposition rendering over per-(role, tool)
     counter totals — the scrape format of the reference's metrics
@@ -3943,6 +3953,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "embedding_drift": _q_embedding_drift,
         "ip_anonymize": _q_ip_anonymize,
+        "sink_kinesis": _q_sink_kinesis,
         "sink_slack": _q_sink_slack,
         "sink_logdna": _q_sink_logdna,
         "sink_nats": _q_sink_nats,

@@ -3875,7 +3875,14 @@ SELECT conv_id, turn_idx,
                            tag := 'fbs.' || role))::VARCHAR AS payload
 FROM transcripts"""
 
+    kinesis = f"""
+SELECT conv_id, turn_idx,
+       '{{"Data":"' || to_base64(encode({rec_json}))
+       || '","PartitionKey":"' || conv_id || '"}}' AS entry
+FROM transcripts"""
+
     return {
+        "sink_kinesis": kinesis,
         "sink_slack": slack,
         "sink_logdna": logdna,
         "sink_nats": nats,

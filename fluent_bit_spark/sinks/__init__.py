@@ -933,3 +933,33 @@ def nats_pairs_transform(df: DataFrame) -> DataFrame:
         _epoch_seconds(F.col("ts")).alias("timestamp"),
         record.alias("payload"),
     )
+
+
+def kinesis_records_transform(df: DataFrame) -> DataFrame:
+    """out_kinesis_streams PutRecords entries
+    (plugins/out_kinesis_streams/kinesis_api.c:148-166):
+    `{"Data":"<base64 record>","PartitionKey":"<key>"}`. The reference
+    randomizes the key per flush (kinesis_api.c:104
+    random_partition_key mixes wall-clock into a djb2 hash) — here the
+    key is the conv_id, a deliberate deviation: deterministic for the
+    gate AND the keying a transcript stream actually wants (random
+    keys scatter a conversation across shards and lose its ordering;
+    conv_id keying preserves it, the same co-location contract as the
+    pipeline's conv_id repartitioning).
+
+    Spark's ``base64`` emits RFC 2045 MIME chunking (CRLF every 76
+    chars); Kinesis Data is RFC 4648 standard base64, so the line
+    breaks are stripped JVM-side."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    b64 = F.regexp_replace(F.base64(F.encode(record, "utf-8")), "[\\r\\n]", "")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit('{"Data":"'),
+            b64,
+            F.lit('","PartitionKey":"'),
+            F.col("conv_id"),
+            F.lit('"}'),
+        ).alias("entry"),
+    )
