@@ -3389,6 +3389,17 @@ def _q_http_chunked(spark, sf_dir):
     return http_chunked_roundtrip(_transcripts(spark, sf_dir), chunk_size=48)
 
 
+def _q_websocket_frames(spark, sf_dir):
+    """WebSocket data-frame parity (plugins/out_websocket/
+    websocket.c:92-156): each turn packed as one masked client frame
+    (text repeated by turn_idx to hit both in-data length branches),
+    unmasked back in-task; the oracle re-derives the header bytes and
+    exact frame size closed-form."""
+    from fluent_bit_spark.operators.wireformat import websocket_roundtrip
+
+    return websocket_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file layout preview: interleave (turn_idx,
     text length) bits, bucket rows by key prefix into 64 files, and
@@ -3944,6 +3955,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_repair": _q_k_anon_repair,
         "gelf_chunks": _q_gelf_chunks,
         "kafka_batch": _q_kafka_batch,
+        "websocket_frames": _q_websocket_frames,
         "mqtt_frame": _q_mqtt_frame,
         "collectd_packet": _q_collectd_packet,
         "best_of_n": _q_best_of_n,

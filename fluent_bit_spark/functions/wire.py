@@ -698,3 +698,58 @@ def http_chunked_decode(buf: bytes) -> bytes:
             raise ValueError("chunk does not end with CRLF")
         out += piece
         pos += size + 2
+
+
+# ---------------------------------------------------------------------------
+# WebSocket data frames (plugins/out_websocket/websocket.c:84-156)
+
+WS_MASK = b"\x12\x34\x56\x78"
+
+
+def ws_mask(data: bytes, mask: bytes = WS_MASK) -> bytes:
+    """Client-side payload masking (websocket.c:84 flb_ws_mask): XOR
+    with the 4-byte key, repeating.  The reference hardcodes the key
+    {0x12,0x34,0x56,0x78} (websocket.c:100) -- a deterministic codec,
+    its own inverse."""
+    if len(mask) != 4:
+        raise ValueError(f"mask must be 4 bytes, got {len(mask)}")
+    rep = (mask * (len(data) // 4 + 1))[: len(data)]
+    return (int.from_bytes(data, "big") ^ int.from_bytes(rep, "big")).to_bytes(
+        len(data), "big"
+    ) if data else b""
+
+
+def pack_ws_frame(payload: bytes, mask: bytes = WS_MASK) -> bytes:
+    """RFC 6455 client data frame exactly as the reference sends it
+    (websocket.c:92-156 flb_ws_sendDataFrameHeader): FIN+text opcode
+    0x81, MASK bit set, 7/16/64-bit extended length branches at 126
+    and 65536, 4-byte masking key, then the masked payload."""
+    n = len(payload)
+    if n < 126:
+        head = bytes([0x81, n | 0x80])
+    elif n < 65536:
+        head = bytes([0x81, 126 | 0x80]) + n.to_bytes(2, "big")
+    else:
+        head = bytes([0x81, 127 | 0x80]) + n.to_bytes(8, "big")
+    return head + mask + ws_mask(payload, mask)
+
+
+def unpack_ws_frame(buf: bytes):
+    """Inverse of pack_ws_frame: returns (opcode_byte, payload,
+    consumed).  Enforces the MASK bit (the reference always masks
+    client frames) and the exact-length framing."""
+    if len(buf) < 6:
+        raise ValueError("short websocket frame")
+    op, b1 = buf[0], buf[1]
+    if not b1 & 0x80:
+        raise ValueError("client frame must be masked")
+    n, pos = b1 & 0x7F, 2
+    if n == 126:
+        n, pos = int.from_bytes(buf[2:4], "big"), 4
+    elif n == 127:
+        n, pos = int.from_bytes(buf[2:10], "big"), 10
+    mask = buf[pos : pos + 4]
+    pos += 4
+    if len(buf) < pos + n:
+        raise ValueError("truncated websocket payload")
+    return op, ws_mask(buf[pos : pos + n], mask), pos + n

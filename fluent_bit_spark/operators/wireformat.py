@@ -468,3 +468,56 @@ def http_chunked_roundtrip(df: DataFrame, chunk_size: int = 48) -> DataFrame:
     return df.select("conv_id", "turn_idx", "text").mapInPandas(
         fn, _HTTP_SCHEMA
     )
+
+
+_WS_SCHEMA = (
+    "conv_id string, turn_idx int, payload_bytes long, header_hex string, "
+    "n_bytes long, ok boolean"
+)
+
+
+def websocket_roundtrip(df: DataFrame) -> DataFrame:
+    """WebSocket data-frame parity (plugins/out_websocket/
+    websocket.c:92-156 flb_ws_sendDataFrameHeader): each turn's text,
+    repeated 1/9/17x by turn_idx to exercise both in-data length
+    branches (7-bit < 126 and 16-bit < 65536; the 64-bit branch is
+    unit-tested -- transcript turns never reach 64 KiB), is packed as
+    one masked client frame with the reference's fixed
+    {0x12,0x34,0x56,0x78} key, then unmasked back.  Emits the header
+    bytes as hex plus the exact frame size so the oracle re-derives
+    the opcode/MASK-bit/extended-length layout closed-form, and `ok` =
+    the unmasked payload byte-matches the original (pinning that
+    masking is an involution, not just symmetric-broken).
+
+    Scale shape: per-record codec work, Arrow-batched mapInPandas,
+    shuffle-free."""
+    from fluent_bit_spark.functions.wire import pack_ws_frame, unpack_ws_frame
+
+    def fn(pdfs: Iterable[pd.DataFrame]):
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rep = 1 + (int(r.turn_idx) % 3) * 8
+                payload = (("" if r.text is None else r.text) * rep).encode("utf-8")
+                buf = pack_ws_frame(payload)
+                head_len = 6 if len(payload) < 126 else 8 if len(payload) < 65536 else 14
+                _, out, consumed = unpack_ws_frame(buf)
+                rows.append(
+                    (
+                        r.conv_id,
+                        int(r.turn_idx),
+                        len(payload),
+                        buf[:head_len].hex(),
+                        len(buf),
+                        out == payload and consumed == len(buf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "payload_bytes", "header_hex",
+                    "n_bytes", "ok",
+                ],
+            )
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(fn, _WS_SCHEMA)

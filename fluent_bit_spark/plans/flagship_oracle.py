@@ -3372,11 +3372,30 @@ SELECT conv_id, turn_idx, conv_id AS host, 'transcript' AS plugin,
             + 15 AS BIGINT) AS n_bytes
 FROM transcripts"""
 
+    # WebSocket client data frame (plugins/out_websocket/
+    # websocket.c:92-156): 0x81 FIN+text, MASK bit, 7/16/64-bit
+    # extended-length branches, fixed 4-byte key 12345678.
+    websocket = """
+, ws0 AS (SELECT conv_id, turn_idx,
+                 CAST(octet_length(encode(repeat(coalesce(text, ''),
+                      1 + (turn_idx % 3) * 8))) AS BIGINT) AS L
+          FROM transcripts)
+SELECT conv_id, turn_idx, L AS payload_bytes,
+       CASE WHEN L < 126 THEN '81' || printf('%02x', 128 + L) || '12345678'
+            WHEN L < 65536 THEN '81fe' || printf('%04x', L) || '12345678'
+            ELSE '81ff' || printf('%016x', L) || '12345678'
+       END AS header_hex,
+       CAST(CASE WHEN L < 126 THEN 6 WHEN L < 65536 THEN 8
+                 ELSE 14 END + L AS BIGINT) AS n_bytes,
+       TRUE AS ok
+FROM ws0"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,
+        "websocket_frames": websocket,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,

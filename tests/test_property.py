@@ -429,3 +429,19 @@ def test_collectd_roundtrip_prop(host, tsec, raw_values):
     )
     assert h["host"] == host and h["time_sec"] == tsec
     assert h["values"] == values
+
+
+@given(st.binary(max_size=70000))
+@settings(max_examples=60, deadline=None)
+def test_ws_frame_roundtrip(payload):
+    """pack->unpack is identity across all three length branches and
+    consumes exactly the frame (trailing bytes are not swallowed)."""
+    from fluent_bit_spark.functions.wire import pack_ws_frame, unpack_ws_frame
+
+    buf = pack_ws_frame(payload)
+    op, out, consumed = unpack_ws_frame(buf + b"EXTRA")
+    assert op == 0x81
+    assert out == payload
+    assert consumed == len(buf)
+    hl = 6 if len(payload) < 126 else 8 if len(payload) < 65536 else 14
+    assert len(buf) == hl + len(payload)

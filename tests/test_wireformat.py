@@ -519,3 +519,44 @@ def test_http_chunked_vectors():
         http_chunked_decode(b"2\r\nab\r\n")  # missing 0-chunk
     with _pytest.raises(ValueError):
         http_chunked_decode(b"3\r\nab\r\n0\r\n\r\n")  # size > data
+
+
+class TestWebsocketFrames:
+    """plugins/out_websocket/websocket.c:84-156 frame layout."""
+
+    def test_header_vectors(self):
+        from fluent_bit_spark.functions.wire import pack_ws_frame
+
+        # 7-bit branch: 5-byte payload -> 0x81, 0x80|5, key, masked
+        f = pack_ws_frame(b"hello")
+        assert f[:6] == bytes([0x81, 0x85, 0x12, 0x34, 0x56, 0x78])
+        assert len(f) == 6 + 5
+        # masked first byte: 'h' ^ 0x12
+        assert f[6] == ord("h") ^ 0x12
+        # 16-bit branch at exactly 126
+        f = pack_ws_frame(b"x" * 126)
+        assert f[:2] == bytes([0x81, 0x80 | 126])
+        assert f[2:4] == (126).to_bytes(2, "big")
+        assert len(f) == 8 + 126
+        # 64-bit branch at exactly 65536
+        f = pack_ws_frame(b"y" * 65536)
+        assert f[:2] == bytes([0x81, 0x80 | 127])
+        assert f[2:10] == (65536).to_bytes(8, "big")
+        assert len(f) == 14 + 65536
+
+    def test_mask_is_involution(self):
+        from fluent_bit_spark.functions.wire import ws_mask
+
+        data = bytes(range(256)) * 3 + b"tail"
+        assert ws_mask(ws_mask(data)) == data
+        assert ws_mask(b"") == b""
+
+    def test_unmasked_frame_rejected(self):
+        import pytest as _pytest
+
+        from fluent_bit_spark.functions.wire import unpack_ws_frame
+
+        with _pytest.raises(ValueError):
+            unpack_ws_frame(bytes([0x81, 0x05]) + b"hello" + b"\x00" * 4)
+        with _pytest.raises(ValueError):
+            unpack_ws_frame(bytes([0x81, 0x85, 0x12, 0x34, 0x56, 0x78, 0x00]))
