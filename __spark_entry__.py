@@ -3473,6 +3473,23 @@ def _q_sink_kinesis(spark, sf_dir):
     return kinesis_records_transform(_transcripts(spark, sf_dir))
 
 
+def _q_sink_http(spark, sf_dir):
+    """out_http json_lines body per (tag, conv_id) flush chunk with
+    the injected iso8601 `date` key (plugins/out_http/http.c:317 ->
+    src/flb_pack.c:780 flb_pack_msgpack_to_json_format)."""
+    from fluent_bit_spark.sinks import http_body_transform
+
+    return http_body_transform(_transcripts(spark, sf_dir), fmt="lines")
+
+
+def _q_sink_firehose(spark, sf_dir):
+    """out_kinesis_firehose PutRecordBatch entries: base64(record +
+    newline), no partition key (firehose_api.c:252-260)."""
+    from fluent_bit_spark.sinks import firehose_records_transform
+
+    return firehose_records_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_prometheus(spark, sf_dir):
     """Prometheus text exposition rendering over per-(role, tool)
     counter totals — the scrape format of the reference's metrics
@@ -3966,6 +3983,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "ip_anonymize": _q_ip_anonymize,
         "sink_kinesis": _q_sink_kinesis,
+        "sink_firehose": _q_sink_firehose,
+        "sink_http": _q_sink_http,
         "sink_slack": _q_sink_slack,
         "sink_logdna": _q_sink_logdna,
         "sink_nats": _q_sink_nats,

@@ -3900,8 +3900,29 @@ SELECT conv_id, turn_idx,
        || '","PartitionKey":"' || conv_id || '"}}' AS entry
 FROM transcripts"""
 
+    firehose = f"""
+SELECT conv_id, turn_idx,
+       '{{"Data":"' || to_base64(encode({rec_json} || chr(10)))
+       || '"}}' AS entry
+FROM transcripts"""
+
+    # out_http json_lines with the injected leading iso8601 date key
+    # (src/flb_pack.c:866-896,955-961): '\n' after EVERY record.
+    http_body = f"""
+, hb0 AS (SELECT 'fbs.' || role AS tag, conv_id, turn_idx,
+                 '{{"date":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.'
+                 || lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0')
+                 || 'Z",' || substr({rec_json}, 2) AS rec
+          FROM transcripts)
+SELECT tag, conv_id,
+       string_agg(rec || chr(10), '' ORDER BY turn_idx) AS body,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM hb0 GROUP BY tag, conv_id"""
+
     return {
         "sink_kinesis": kinesis,
+        "sink_firehose": firehose,
+        "sink_http": http_body,
         "sink_slack": slack,
         "sink_logdna": logdna,
         "sink_nats": nats,

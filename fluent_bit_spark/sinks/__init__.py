@@ -963,3 +963,88 @@ def kinesis_records_transform(df: DataFrame) -> DataFrame:
             F.lit('"}'),
         ).alias("entry"),
     )
+
+
+def _iso8601_us(c: Column) -> Column:
+    """FLB_PACK_JSON_DATE_ISO8601 rendering (src/flb_pack.c:878-889):
+    strftime '%Y-%m-%dT%H:%M:%S' + '.%06uZ' microseconds -- the
+    reference truncates nanoseconds to micros, which is our native
+    precision."""
+    ltz = c.cast("timestamp_ltz")
+    return F.concat(
+        F.date_format(ltz, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."),
+        F.lpad((F.unix_micros(ltz) % 1_000_000).cast("string"), 6, "0"),
+        F.lit("Z"),
+    )
+
+
+def _dated_record(df: DataFrame, date_value: Column) -> Column:
+    """Record JSON with the injected leading date key
+    (src/flb_pack.c:866-896: date_key is packed FIRST, then the
+    original map's keys in order).  `date_value` must already be
+    rendered as a JSON value (quoted string or bare number)."""
+    tail = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    return F.concat(
+        F.lit('{"date":'), date_value, F.lit(","), F.substring(tail, 2, 1 << 30)
+    )
+
+
+def http_body_transform(df: DataFrame, fmt: str = "lines") -> DataFrame:
+    """out_http JSON body formats (plugins/out_http/http.c:317-321 ->
+    src/flb_pack.c:780 flb_pack_msgpack_to_json_format): per flush
+    chunk, records with the injected `date` key rendered as
+
+    - lines:  one record per line, '\\n' after EVERY record
+      (flb_pack.c:955-961 appends the breakline per iteration);
+    - stream: records concatenated with no separator;
+    - json:   one JSON array of records.
+
+    Date format iso8601 (flb_pack.c:878-889, microsecond precision).
+    A flush chunk here is one (tag, conv_id) group -- the reference
+    flushes per tag chunk; scoping by conversation bounds the body
+    size (a conversation's turns) no matter the corpus size, so the
+    collect_list state per key stays small at 100 TB.  One shuffle on
+    the group key; record rendering is pure JVM string math."""
+    if fmt not in ("lines", "stream", "json"):
+        raise ValueError(f"unknown http body format: {fmt}")
+    rec = _dated_record(
+        df, F.concat(F.lit('"'), _iso8601_us(F.col("ts")), F.lit('"'))
+    )
+    grouped = (
+        df.withColumn("rec", rec)
+        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
+        .groupBy("tag", "conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "rec"))).alias("_r"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+    )
+    recs = F.transform(F.col("_r"), lambda x: x["rec"])
+    if fmt == "lines":
+        body = F.concat(F.array_join(recs, "\n"), F.lit("\n"))
+    elif fmt == "stream":
+        body = F.array_join(recs, "")
+    else:
+        body = F.concat(F.lit("["), F.array_join(recs, ","), F.lit("]"))
+    return grouped.select("tag", "conv_id", body.alias("body"), "n_records")
+
+
+def firehose_records_transform(df: DataFrame) -> DataFrame:
+    """out_kinesis_firehose PutRecordBatch entries
+    (plugins/out_kinesis_firehose/firehose_api.c:105,252-260):
+    `{"Data":"<base64(record + '\\n')>"}` -- unlike Kinesis Streams,
+    Firehose appends a newline to every record before encoding (the
+    delivery-stream concatenation contract) and has no partition key.
+    Spark's base64 MIME chunking is stripped (RFC 4648)."""
+    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.concat(record, F.lit("\n")), "utf-8")),
+        "[\\r\\n]",
+        "",
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit('{"Data":"'), b64, F.lit('"}')).alias("entry"),
+    )

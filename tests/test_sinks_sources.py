@@ -573,3 +573,36 @@ def test_byte_histogram_features_exact(spark):
     assert h[15] == 2     # 0xff -> clamped to last bin
     assert h[128 * 16 // 255] == 1  # 0x80 -> bin 8
     assert out[2].hist == [0] * 16 and out[2].n_bytes == 0
+
+
+def test_http_body_formats_compose(spark):
+    """lines / stream / json all derive from the same dated record
+    rendering: stream == lines minus newlines, json == '[' + stream
+    with ',' separators + ']' (src/flb_pack.c:780 format switch)."""
+    import datetime as dt
+
+    from fluent_bit_spark.sinks import http_body_transform
+
+    rows = [
+        ("c1", 0, "user", 'he said "hi"', dt.datetime(2024, 1, 1, 0, 0, 0, 123456)),
+        ("c1", 1, "user", "plain", dt.datetime(2024, 1, 1, 0, 0, 1, 7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    lines = http_body_transform(df, fmt="lines").collect()[0]
+    stream = http_body_transform(df, fmt="stream").collect()[0]
+    arr = http_body_transform(df, fmt="json").collect()[0]
+    assert lines.tag == "fbs.user" and lines.n_records == 2
+    recs = lines.body.split("\n")
+    assert recs[-1] == "" and len(recs) == 3  # '\n' after EVERY record
+    assert stream.body == recs[0] + recs[1]
+    assert arr.body == "[" + recs[0] + "," + recs[1] + "]"
+    # injected date key leads, iso8601 with 6-digit micros
+    assert recs[0].startswith('{"date":"2024-01-01T00:00:00.123456Z",')
+    assert '"text":"he said \\"hi\\""' in recs[0]
+    assert '"date":"2024-01-01T00:00:01.000007Z"' in recs[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        http_body_transform(df, fmt="msgpack")
