@@ -3490,6 +3490,33 @@ def _q_sink_firehose(spark, sf_dir):
     return firehose_records_transform(_transcripts(spark, sf_dir))
 
 
+def _q_sink_pgsql(spark, sf_dir):
+    """out_pgsql INSERT rendering per (tag, conv_id) flush chunk:
+    PQescapeLiteral quote doubling, json_array_elements splat,
+    fixed-point date double (pgsql.c:268-328)."""
+    from fluent_bit_spark.sinks import pgsql_insert_transform
+
+    return pgsql_insert_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_kafka_rest(spark, sf_dir):
+    """out_kafka_rest records body per (tag, conv_id) chunk: value
+    maps led by the '@timestamp' ns-precision iso key
+    (kafka.c:150-232)."""
+    from fluent_bit_spark.sinks import kafka_rest_records_transform
+
+    return kafka_rest_records_transform(_transcripts(spark, sf_dir))
+
+
+def _q_sink_newrelic(spark, sf_dir):
+    """out_nrlogs Logs-API payload per conv chunk: common/logs
+    envelope, ms timestamp, message lift, attributes nest
+    (newrelic.c:58-203)."""
+    from fluent_bit_spark.sinks import newrelic_payload_transform
+
+    return newrelic_payload_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_prometheus(spark, sf_dir):
     """Prometheus text exposition rendering over per-(role, tool)
     counter totals — the scrape format of the reference's metrics
@@ -3985,6 +4012,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_kinesis": _q_sink_kinesis,
         "sink_firehose": _q_sink_firehose,
         "sink_http": _q_sink_http,
+        "sink_pgsql": _q_sink_pgsql,
+        "sink_kafka_rest": _q_sink_kafka_rest,
+        "sink_newrelic": _q_sink_newrelic,
         "sink_slack": _q_sink_slack,
         "sink_logdna": _q_sink_logdna,
         "sink_nats": _q_sink_nats,

@@ -3919,10 +3919,64 @@ SELECT tag, conv_id,
        CAST(COUNT(*) AS BIGINT) AS n_records
 FROM hb0 GROUP BY tag, conv_id"""
 
+    # out_pgsql (pgsql.c:268-328): date-keyed records -> JSON array ->
+    # PQescapeLiteral-style quote doubling -> INSERT template.
+    pgsql = f"""
+, pg0 AS (SELECT 'fbs.' || role AS tag, conv_id, turn_idx,
+                 '{{"date":' || CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+                 || '.' || lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0')
+                 || ',' || substr({rec_json}, 2) AS rec
+          FROM transcripts)
+, pg1 AS (SELECT tag, conv_id,
+                 '[' || string_agg(rec, ',' ORDER BY turn_idx) || ']' AS arr,
+                 CAST(COUNT(*) AS BIGINT) AS n_records
+          FROM pg0 GROUP BY tag, conv_id)
+SELECT tag, conv_id,
+       'INSERT INTO fluentbit SELECT ''' || tag
+       || ''', to_timestamp(CAST(value->>''date'' as FLOAT)),'
+       || ' * FROM json_array_elements('''
+       || replace(arr, '''', '''''') || ''');' AS query,
+       n_records
+FROM pg1"""
+
+    # out_kafka_rest (kafka.c:150-232): value maps led by the
+    # '@timestamp' key, iso seconds + 9-digit ns fraction.
+    kafka_rest = f"""
+, kr0 AS (SELECT 'fbs.' || role AS tag, conv_id, turn_idx,
+                 '{{"value":{{"@timestamp":"'
+                 || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.'
+                 || lpad(CAST((epoch_us(ts) % 1000000) * 1000 AS VARCHAR), 9, '0')
+                 || 'Z",' || substr({rec_json}, 2) || '}}' AS entry
+          FROM transcripts)
+SELECT tag, conv_id,
+       '{{"records":[' || string_agg(entry, ',' ORDER BY turn_idx) || ']}}' AS body,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM kr0 GROUP BY tag, conv_id"""
+
+    # out_nrlogs (newrelic.c:58-203): common/logs envelope, ms
+    # timestamp first, message lifted, remaining keys as attributes.
+    newrelic = """
+, nr0 AS (SELECT conv_id, turn_idx,
+                 to_json(struct_pack(
+                     "timestamp" := epoch_ms(ts),
+                     message := coalesce(text, ''),
+                     attributes := struct_pack(
+                         conv_id := conv_id, turn_idx := turn_idx,
+                         role := role)))::VARCHAR AS entry
+          FROM transcripts)
+SELECT conv_id,
+       '[{"common":{"attributes":{}},"logs":['
+       || string_agg(entry, ',' ORDER BY turn_idx) || ']}]' AS payload,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM nr0 GROUP BY conv_id"""
+
     return {
         "sink_kinesis": kinesis,
         "sink_firehose": firehose,
         "sink_http": http_body,
+        "sink_pgsql": pgsql,
+        "sink_kafka_rest": kafka_rest,
+        "sink_newrelic": newrelic,
         "sink_slack": slack,
         "sink_logdna": logdna,
         "sink_nats": nats,

@@ -1048,3 +1048,133 @@ def firehose_records_transform(df: DataFrame) -> DataFrame:
         "turn_idx",
         F.concat(F.lit('{"Data":"'), b64, F.lit('"}')).alias("entry"),
     )
+
+
+def pgsql_insert_transform(
+    df: DataFrame, table: str = "fluentbit", timestamp_key: str = "date"
+) -> DataFrame:
+    """out_pgsql query rendering (plugins/out_pgsql/pgsql.c:268-328,
+    template pgsql.h:39 FLB_PGSQL_INSERT): per flush chunk, the JSON
+    array of date-keyed records is single-quote-escaped like
+    PQescapeLiteral (double every internal quote, wrap in quotes) and
+    splatted into
+
+        INSERT INTO <table> SELECT '<tag>',
+          to_timestamp(CAST(value->>'<timestamp_key>' as FLOAT)),
+          * FROM json_array_elements('<json>');
+
+    The date value is the reference's FLB_PACK_JSON_DATE_DOUBLE
+    (pgsql.c:270) rendered fixed-point with 6 decimals -- exact at our
+    native microsecond precision and deterministic across engines,
+    where C's %.17g double formatting would not be.
+
+    A flush chunk is one (tag, conv_id) group (the reference flushes
+    per tag chunk; conversation scoping bounds the statement size), so
+    one group-key shuffle and pure-JVM string math at any scale."""
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    date_num = F.concat(
+        F.floor(us / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((us % 1_000_000).cast("string"), 6, "0"),
+    )
+    rec = _dated_record(df, date_num)
+    grouped = (
+        df.withColumn("rec", rec)
+        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
+        .groupBy("tag", "conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "rec"))).alias("_r"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+    )
+    arr = F.concat(
+        F.lit("["),
+        F.array_join(F.transform(F.col("_r"), lambda x: x["rec"]), ","),
+        F.lit("]"),
+    )
+    escaped = F.concat(F.lit("'"), F.regexp_replace(arr, "'", "''"), F.lit("'"))
+    query = F.concat(
+        F.lit(f"INSERT INTO {table} SELECT '"),
+        F.col("tag"),
+        F.lit(f"', to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
+              " * FROM json_array_elements("),
+        escaped,
+        F.lit(");"),
+    )
+    return grouped.select("tag", "conv_id", query.alias("query"), "n_records")
+
+
+def kafka_rest_records_transform(
+    df: DataFrame, time_key: str = "@timestamp"
+) -> DataFrame:
+    """out_kafka_rest request body (plugins/out_kafka_rest/
+    kafka.c:150-232): `{"records":[{"value":{...}},...]}` where each
+    value map leads with the time key (default '@timestamp',
+    kafka.h:24) rendered as '%Y-%m-%dT%H:%M:%S' + '.%09luZ'
+    nanoseconds (kafka.c:221-226) -- our microsecond timestamps carry
+    three trailing zeros -- followed by the original record keys.
+    One body per (tag, conv_id) flush chunk, same scale shape as
+    http_body_transform."""
+    ltz = F.col("ts").cast("timestamp_ltz")
+    iso_ns = F.concat(
+        F.date_format(ltz, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."),
+        F.lpad(((F.unix_micros(ltz) % 1_000_000) * 1000).cast("string"), 9, "0"),
+        F.lit("Z"),
+    )
+    tail = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    entry = F.concat(
+        F.lit('{"value":{"%s":"' % time_key),
+        iso_ns,
+        F.lit('",'),
+        F.substring(tail, 2, 1 << 30),
+        F.lit("}"),
+    )
+    grouped = (
+        df.withColumn("entry", entry)
+        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
+        .groupBy("tag", "conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "entry"))).alias("_r"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+    )
+    body = F.concat(
+        F.lit('{"records":['),
+        F.array_join(F.transform(F.col("_r"), lambda x: x["entry"]), ","),
+        F.lit("]}"),
+    )
+    return grouped.select("tag", "conv_id", body.alias("body"), "n_records")
+
+
+def newrelic_payload_transform(df: DataFrame) -> DataFrame:
+    """out_nrlogs Logs-API payload (plugins/out_nrlogs/
+    newrelic.c:58-203): one `[{"common":{"attributes":{}},
+    "logs":[...]}]` envelope per flush chunk; each log entry leads
+    with the ms timestamp (newrelic.c:92-97), lifts the record's
+    message key to top level (:99-113 -- here the turn text IS the
+    message), and nests the remaining keys under attributes
+    (:114-137). One payload per conv_id chunk."""
+    entry = F.to_json(
+        F.struct(
+            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000)
+            .cast("long")
+            .alias("timestamp"),
+            F.coalesce(F.col("text"), F.lit("")).alias("message"),
+            F.struct("conv_id", "turn_idx", "role").alias("attributes"),
+        )
+    )
+    grouped = (
+        df.withColumn("entry", entry)
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "entry"))).alias("_r"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+    )
+    payload = F.concat(
+        F.lit('[{"common":{"attributes":{}},"logs":['),
+        F.array_join(F.transform(F.col("_r"), lambda x: x["entry"]), ","),
+        F.lit("]}]"),
+    )
+    return grouped.select("conv_id", payload.alias("payload"), "n_records")

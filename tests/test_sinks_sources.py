@@ -606,3 +606,28 @@ def test_http_body_formats_compose(spark):
 
     with _pytest.raises(ValueError):
         http_body_transform(df, fmt="msgpack")
+
+
+def test_pgsql_insert_escaping(spark):
+    """PQescapeLiteral semantics (pgsql.c:279): internal single quotes
+    double; the rendered statement round-trips through a SQL string
+    literal back to the exact JSON array."""
+    import datetime as dt
+
+    from fluent_bit_spark.sinks import pgsql_insert_transform
+
+    rows = [("c1", 0, "user", "it's a 'quoted' text",
+             dt.datetime(2024, 1, 1, 0, 0, 0, 500000))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    q = pgsql_insert_transform(df).collect()[0].query
+    assert q.startswith("INSERT INTO fluentbit SELECT 'fbs.user', to_timestamp")
+    assert q.endswith(");")
+    # extract the escaped literal and un-escape it like the server would
+    lit = q.split("json_array_elements('", 1)[1].rsplit("');", 1)[0]
+    arr = lit.replace("''", "'")
+    assert arr == (
+        '[{"date":1704067200.500000,"conv_id":"c1","turn_idx":0,'
+        '"role":"user","text":"it\'s a \'quoted\' text"}]'
+    )
