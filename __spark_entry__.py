@@ -3389,6 +3389,16 @@ def _q_http_chunked(spark, sf_dir):
     return http_chunked_roundtrip(_transcripts(spark, sf_dir), chunk_size=48)
 
 
+def _q_sink_td(spark, sf_dir):
+    """Treasure Data upload parity (plugins/out_td/td.c:103-129 +
+    td_http.c:50): per-conversation msgpack stream with the injected
+    leading 'time' key, gzipped and decoded back in-task; the oracle
+    re-derives the exact uncompressed wire size closed-form."""
+    from fluent_bit_spark.operators.wireformat import td_roundtrip
+
+    return td_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _q_websocket_frames(spark, sf_dir):
     """WebSocket data-frame parity (plugins/out_websocket/
     websocket.c:92-156): each turn packed as one masked client frame
@@ -4000,6 +4010,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gelf_chunks": _q_gelf_chunks,
         "kafka_batch": _q_kafka_batch,
         "websocket_frames": _q_websocket_frames,
+        "sink_td": _q_sink_td,
         "mqtt_frame": _q_mqtt_frame,
         "collectd_packet": _q_collectd_packet,
         "best_of_n": _q_best_of_n,

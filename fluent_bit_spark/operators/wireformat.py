@@ -521,3 +521,58 @@ def websocket_roundtrip(df: DataFrame) -> DataFrame:
             )
 
     return df.select("conv_id", "turn_idx", "text").mapInPandas(fn, _WS_SCHEMA)
+
+
+_TD_SCHEMA = "conv_id string, n_records long, mp_bytes long, gz_ok boolean"
+
+
+def td_roundtrip(df: DataFrame) -> DataFrame:
+    """Treasure Data upload parity (plugins/out_td/td.c:103-129
+    td_format + td_http.c:50 flb_gzip_compress): per flush chunk (one
+    conv_id group), every record is repacked as a msgpack map with the
+    injected leading 'time' int key (epoch seconds) followed by the
+    original keys, the maps are concatenated into one stream, and the
+    stream is gzipped for the PUT body.  The decoded-back stream is
+    field-compared in-task (gz_ok covers gunzip + msgpack decode +
+    value equality); `mp_bytes` is the exact uncompressed wire size,
+    re-derived closed-form by the oracle (gzip size is NOT exposed --
+    it depends on the zlib build, not the format contract).
+
+    Scale shape: one shuffle on conv_id (applyInPandas group =
+    conversation-bounded state), codec work Arrow-batched."""
+    import gzip as _gzip
+
+    from fluent_bit_spark.functions.wire import msgpack_pack, msgpack_unpack
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        recs = []
+        for r in pdf.itertuples(index=False):
+            recs.append(
+                {
+                    "time": _ts_to_us(r.ts) // 1_000_000,
+                    "conv_id": r.conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "role": r.role,
+                    "text": r.text,
+                    "tool": None if r.tool is None else r.tool,
+                }
+            )
+        stream = b"".join(msgpack_pack(m) for m in recs)
+        body = _gzip.compress(stream, mtime=0)
+        # decode back: gunzip, walk the concatenated maps
+        out, pos, back = _gzip.decompress(body), 0, []
+        while pos < len(out):
+            m, pos = msgpack_unpack(out, pos)
+            back.append(m)
+        ok = back == recs and pos == len(stream)
+        return pd.DataFrame(
+            [(pdf.iloc[0].conv_id, len(recs), len(stream), ok)],
+            columns=["conv_id", "n_records", "mp_bytes", "gz_ok"],
+        )
+
+    return (
+        df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .groupBy("conv_id")
+        .applyInPandas(fn, _TD_SCHEMA)
+    )

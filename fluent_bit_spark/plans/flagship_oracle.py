@@ -3390,12 +3390,39 @@ SELECT conv_id, turn_idx, L AS payload_bytes,
        TRUE AS ok
 FROM ws0"""
 
+    # Treasure Data repack (plugins/out_td/td.c:103-129): per record a
+    # msgpack map of the original 5 keys + the injected 'time' int --
+    # fixmap(6) 1 + keys time(5) conv_id(8) turn_idx(9) role(5)
+    # text(5) tool(5) = 38 fixed, plus canonical-smallest int widths
+    # and str headers.
+    td_time_sz = (
+        "CASE WHEN es <= 127 THEN 1 WHEN es <= 255 THEN 2"
+        " WHEN es <= 65535 THEN 3 WHEN es <= 4294967295 THEN 5 ELSE 9 END"
+    )
+    td = f"""
+, td0 AS (SELECT conv_id, epoch_us(ts) // 1000000 AS es, turn_idx,
+                 role, text, tool
+          FROM transcripts)
+, td1 AS (SELECT conv_id,
+                 38 + {td_time_sz}
+                    + {_msgpack_strsz(bl.format(c='conv_id'))}
+                    + {turn_sz}
+                    + {_msgpack_strsz(bl.format(c='role'))}
+                    + {_msgpack_strsz(bl.format(c='text'))}
+                    + CASE WHEN tool IS NULL THEN 1
+                           ELSE {_msgpack_strsz(bl.format(c='tool'))} END AS esz
+          FROM td0)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(esz) AS BIGINT) AS mp_bytes, TRUE AS gz_ok
+FROM td1 GROUP BY conv_id"""
+
     return {
         "msgpack_roundtrip": msgpack,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,
         "websocket_frames": websocket,
+        "sink_td": td,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,
