@@ -548,3 +548,37 @@ def test_cloud_sink_envelopes_are_map_only(spark):
                azure_log_transform):
         plan = plan_of(fn(df), "simple")
         assert "Exchange" not in plan, fn.__name__
+
+
+def test_sink_envelope_chunks_single_shuffle(spark, sf_dir):
+    """The grouped sink envelopes (http body / pgsql INSERT /
+    kafka_rest records / newrelic logs) are ONE hash exchange on the
+    chunk key each -- record rendering is pure projection below the
+    aggregate, no window, no extra exchange."""
+    from fluent_bit_spark.sinks import (
+        http_body_transform,
+        kafka_rest_records_transform,
+        newrelic_payload_transform,
+        pgsql_insert_transform,
+    )
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    df = load_transcripts(spark, sf_dir)
+    base = len(
+        re.findall(r"\bExchange hashpartitioning", plan_of(df, "simple"))
+    )
+    base_windows = plan_of(df, "simple").count("Window")
+    for fn in (
+        http_body_transform,
+        pgsql_insert_transform,
+        kafka_rest_records_transform,
+        newrelic_payload_transform,
+    ):
+        plan = plan_of(fn(df), "simple")
+        shuffles = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert shuffles == base + 1, (fn.__name__, plan)
+        # partial_collect_list before the exchange: chunk state is
+        # combined map-side, conversation-bounded
+        assert "partial_collect_list" in plan, fn.__name__
+        assert plan.count("Window") == base_windows, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
