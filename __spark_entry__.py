@@ -3500,6 +3500,15 @@ def _q_sink_firehose(spark, sf_dir):
     return firehose_records_transform(_transcripts(spark, sf_dir))
 
 
+def _q_sink_es_bulk(spark, sf_dir):
+    """Elasticsearch _bulk NDJSON body per (daily index, conv_id)
+    chunk: action line + source line pairs
+    (plugins/out_es/es_bulk.h:28-31, es_bulk.c)."""
+    from fluent_bit_spark.sinks import es_bulk_transform
+
+    return es_bulk_transform(_transcripts(spark, sf_dir))
+
+
 def _q_sink_pgsql(spark, sf_dir):
     """out_pgsql INSERT rendering per (tag, conv_id) flush chunk:
     PQescapeLiteral quote doubling, json_array_elements splat,
@@ -4024,6 +4033,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_firehose": _q_sink_firehose,
         "sink_http": _q_sink_http,
         "sink_pgsql": _q_sink_pgsql,
+        "sink_es_bulk": _q_sink_es_bulk,
         "sink_kafka_rest": _q_sink_kafka_rest,
         "sink_newrelic": _q_sink_newrelic,
         "sink_slack": _q_sink_slack,

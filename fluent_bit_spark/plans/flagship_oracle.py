@@ -3966,6 +3966,19 @@ SELECT tag, conv_id,
        n_records
 FROM pg1"""
 
+    # out_es _bulk NDJSON (es_bulk.h:31 ES_BULK_INDEX_FMT_ID_WITHOUT
+    # _TYPE): action line + source line per record, md5-slice _id.
+    es_bulk = f"""
+, eb0 AS (SELECT 'logstash-' || strftime(ts, '%Y.%m.%d') AS _index,
+                 conv_id, turn_idx, {rec_json} AS rec
+          FROM transcripts)
+SELECT _index, conv_id,
+       string_agg('{{"index":{{"_index":"' || _index || '","_id":"'
+                  || substr(md5(rec), 1, 16) || '"}}}}' || chr(10)
+                  || rec || chr(10), '' ORDER BY turn_idx) AS body,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM eb0 GROUP BY _index, conv_id"""
+
     # out_kafka_rest (kafka.c:150-232): value maps led by the
     # '@timestamp' key, iso seconds + 9-digit ns fraction.
     kafka_rest = f"""
@@ -4002,6 +4015,7 @@ FROM nr0 GROUP BY conv_id"""
         "sink_firehose": firehose,
         "sink_http": http_body,
         "sink_pgsql": pgsql,
+        "sink_es_bulk": es_bulk,
         "sink_kafka_rest": kafka_rest,
         "sink_newrelic": newrelic,
         "sink_slack": slack,

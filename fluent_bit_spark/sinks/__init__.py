@@ -1178,3 +1178,39 @@ def newrelic_payload_transform(df: DataFrame) -> DataFrame:
         F.lit("]}]"),
     )
     return grouped.select("conv_id", payload.alias("payload"), "n_records")
+
+
+def es_bulk_transform(df: DataFrame, prefix: str = "logstash") -> DataFrame:
+    """Elasticsearch _bulk NDJSON body (plugins/out_es/es_bulk.h:28-31
+    ES_BULK_INDEX_FMT_ID_WITHOUT_TYPE + es_bulk.c es_bulk_append): per
+    record an action line `{"index":{"_index":"...","_id":"..."}}`
+    then the source document, each newline-terminated; one body per
+    (_index, conv_id) flush chunk (the daily logstash index is the
+    reference's write granularity; conversation scoping bounds the
+    body).  The _id here is an md5-slice of the record JSON -- the
+    repo's deterministic oracle-checkable stand-in for Generate_ID
+    (the reference-exact murmur3 UUID lives in
+    functions/hashing.es_generate_id and is reference-vector-tested;
+    DuckDB cannot reproduce it)."""
+    rec = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    idx = F.concat(F.lit(prefix + "-"), F.date_format(F.col("ts"), "yyyy.MM.dd"))
+    pair = F.concat(
+        F.lit('{"index":{"_index":"'),
+        idx,
+        F.lit('","_id":"'),
+        F.substring(F.md5(rec), 1, 16),
+        F.lit('"}}\n'),
+        rec,
+        F.lit("\n"),
+    )
+    grouped = (
+        df.withColumn("pair", pair)
+        .withColumn("_index", idx)
+        .groupBy("_index", "conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "pair"))).alias("_r"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+    )
+    body = F.array_join(F.transform(F.col("_r"), lambda x: x["pair"]), "")
+    return grouped.select("_index", "conv_id", body.alias("body"), "n_records")
