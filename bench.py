@@ -286,6 +286,26 @@ def bench_queries(spark, source):
 
         return entry._raw_queries()["ip_anonymize"](spark, SF_DIR)
 
+    def sink_http_bench():
+        # representative of the grouped delivery envelopes (one
+        # chunk-key shuffle + JVM string rendering): http body per
+        # (tag, conv) chunk
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["sink_http"](spark, SF_DIR)
+
+    def websocket_bench():
+        # per-record binary codec via Arrow-batched mapInPandas
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["websocket_frames"](spark, SF_DIR)
+
+    def sink_td_bench():
+        # grouped codec: per-conversation msgpack stream + gzip
+        import __spark_entry__ as entry
+
+        return entry._raw_queries()["sink_td"](spark, SF_DIR)
+
     return {
         "pipeline_e2e": pipeline_e2e,
         "parse_native": parse_only,
@@ -323,6 +343,9 @@ def bench_queries(spark, source):
         "docker_join": docker_join_bench,
         "zorder_layout": zorder_bench,
         "ip_anonymize": ip_anonymize_bench,
+        "sink_http": sink_http_bench,
+        "websocket_frames": websocket_bench,
+        "sink_td": sink_td_bench,
     }
 
 
