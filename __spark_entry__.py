@@ -3389,6 +3389,16 @@ def _q_http_chunked(spark, sf_dir):
     return http_chunked_roundtrip(_transcripts(spark, sf_dir), chunk_size=48)
 
 
+def _q_metrics_endpoint(spark, sf_dir):
+    """/api/v1/metrics monitoring JSON (src/flb_metrics_exporter.c:
+    48-141): per-plugin records/bytes, drop_records, proc_records/
+    proc_bytes fragments with exact msgpack chunk-byte accounting —
+    one conditional-sum aggregate pass."""
+    from fluent_bit_spark.metrics import metrics_endpoint
+
+    return metrics_endpoint(_transcripts(spark, sf_dir))
+
+
 def _q_sink_td(spark, sf_dir):
     """Treasure Data upload parity (plugins/out_td/td.c:103-129 +
     td_http.c:50): per-conversation msgpack stream with the injected
@@ -4020,6 +4030,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_batch": _q_kafka_batch,
         "websocket_frames": _q_websocket_frames,
         "sink_td": _q_sink_td,
+        "metrics_endpoint": _q_metrics_endpoint,
         "mqtt_frame": _q_mqtt_frame,
         "collectd_packet": _q_collectd_packet,
         "best_of_n": _q_best_of_n,

@@ -139,3 +139,126 @@ def partition_watermarks(
             F.count_distinct(F.col(key_col)).alias("n_keys"),
         )
     )
+
+
+def msgpack_event_size(
+    conv_id: str = "conv_id",
+    turn_idx: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    tool: str = "tool",
+):
+    """Exact wire size of one transcript event as the reference buffers
+    it -- the msgpack pair [EventTime ext0, 5-key map]
+    (functions/wire.pack_event; sizes per the msgpack spec, identical
+    to the closed form the DuckDB oracle derives for
+    `msgpack_roundtrip`).  Pure JVM column math, so chunk-byte
+    accounting costs one map pass at any scale."""
+
+    def strsz(col: str):
+        b = F.octet_length(F.col(col))
+        return (
+            F.when(b <= 31, 1).when(b <= 255, 2).when(b <= 65535, 3).otherwise(5)
+            + b
+        )
+
+    t = F.col(turn_idx)
+    turn_sz = (
+        F.when(t <= 127, 1)
+        .when(t <= 255, 2)
+        .when(t <= 65535, 3)
+        .when(t <= 4294967295, 5)
+        .otherwise(9)
+    )
+    # fixarray2 + fixext8 EventTime + fixmap5 + the five fixstr keys
+    fixed = 1 + 10 + 1 + 8 + 9 + 5 + 5 + 5
+    return (
+        F.lit(fixed)
+        + strsz(conv_id)
+        + turn_sz
+        + strsz(role)
+        + strsz(text)
+        + F.when(F.col(tool).isNull(), F.lit(1)).otherwise(strsz(tool))
+    ).cast("long")
+
+
+def metrics_endpoint(df: DataFrame) -> DataFrame:
+    """/api/v1/metrics rendering (src/flb_metrics_exporter.c:48-141 +
+    the metric registrations at src/flb_input.c:441 records/bytes,
+    src/flb_filter.c:395 drop_records/add_records,
+    src/flb_output.c:826-836 proc_records/proc_bytes/errors/retries/
+    retries_failed): one row per plugin instance with the exact JSON
+    fragment the monitoring endpoint serves.
+
+    The measured pipeline is input tail.0 -> filter grep.0 (drops
+    '!!corrupt' lines, the corpus's injected corruption marker) ->
+    three outputs fanned by Match glob over tag 'fbs.<role>'
+    (es.0 'fbs.*', stdout.1 'fbs.a*', counter.2 exact
+    'fbs.assistant').  bytes/proc_bytes count the exact msgpack chunk
+    bytes (msgpack_event_size), records/proc_records the event counts;
+    errors/retries/retries_failed are 0 by construction in a
+    successful batch (they are runtime delivery counters, not data
+    functions).
+
+    ONE aggregate pass: every counter is a conditional sum over the
+    same scan -- no joins, no second scan, shuffle is a single global
+    row."""
+    esz = msgpack_event_size()
+    tag = F.concat(F.lit("fbs."), F.col("role"))
+    corrupt = F.col("text").startswith("!!corrupt")
+    kept = ~corrupt
+
+    def out_sums(pred):
+        return (
+            F.sum(F.when(kept & pred, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(kept & pred, esz).otherwise(0)).cast("long"),
+        )
+
+    es_n, es_b = out_sums(tag.isNotNull())
+    so_n, so_b = out_sums(tag.startswith("fbs.a"))
+    ct_n, ct_b = out_sums(tag == "fbs.assistant")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("in_n"),
+        F.sum(esz).cast("long").alias("in_b"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).cast("long").alias("drop_n"),
+        es_n.alias("es_n"), es_b.alias("es_b"),
+        so_n.alias("so_n"), so_b.alias("so_b"),
+        ct_n.alias("ct_n"), ct_b.alias("ct_b"),
+    )
+
+    def in_frag(name, n, b):
+        return F.concat(
+            F.lit('"%s":{"records":' % name), F.col(n).cast("string"),
+            F.lit(',"bytes":'), F.col(b).cast("string"), F.lit("}"),
+        )
+
+    def filt_frag(name, d):
+        return F.concat(
+            F.lit('"%s":{"drop_records":' % name), F.col(d).cast("string"),
+            F.lit(',"add_records":0}'),
+        )
+
+    def out_frag(name, n, b):
+        return F.concat(
+            F.lit('"%s":{"proc_records":' % name), F.col(n).cast("string"),
+            F.lit(',"proc_bytes":'), F.col(b).cast("string"),
+            F.lit(',"errors":0,"retries":0,"retries_failed":0}'),
+        )
+
+    frags = agg.select(
+        in_frag("tail.0", "in_n", "in_b").alias("f_in"),
+        filt_frag("grep.0", "drop_n").alias("f_fl"),
+        out_frag("es.0", "es_n", "es_b").alias("f_es"),
+        out_frag("stdout.1", "so_n", "so_b").alias("f_so"),
+        out_frag("counter.2", "ct_n", "ct_b").alias("f_ct"),
+    )
+    return frags.select(
+        F.expr(
+            "stack(5,"
+            " 'input', 'tail.0', f_in,"
+            " 'filter', 'grep.0', f_fl,"
+            " 'output', 'es.0', f_es,"
+            " 'output', 'stdout.1', f_so,"
+            " 'output', 'counter.2', f_ct)"
+        ).alias("section", "name", "fragment")
+    )

@@ -3390,6 +3390,47 @@ SELECT conv_id, turn_idx, L AS payload_bytes,
        TRUE AS ok
 FROM ws0"""
 
+    # /api/v1/metrics (src/flb_metrics_exporter.c:48-141): per-plugin
+    # JSON fragments; bytes = the same closed-form msgpack event size
+    # as msgpack_roundtrip.
+    metrics_ep = f"""
+, me0 AS (SELECT {esz} AS esz,
+                 CASE WHEN text LIKE '!!corrupt%' THEN 1 ELSE 0 END AS corrupt,
+                 'fbs.' || role AS tag
+          FROM transcripts)
+, me1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS in_n,
+                 CAST(SUM(esz) AS BIGINT) AS in_b,
+                 CAST(SUM(corrupt) AS BIGINT) AS drop_n,
+                 CAST(SUM(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS es_n,
+                 CAST(SUM(CASE WHEN corrupt = 0 THEN esz ELSE 0 END) AS BIGINT) AS es_b,
+                 CAST(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN 1 ELSE 0 END) AS BIGINT) AS so_n,
+                 CAST(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN esz ELSE 0 END) AS BIGINT) AS so_b,
+                 CAST(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN 1 ELSE 0 END) AS BIGINT) AS ct_n,
+                 CAST(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN esz ELSE 0 END) AS BIGINT) AS ct_b
+          FROM me0)
+SELECT 'input' AS section, 'tail.0' AS name,
+       '"tail.0":{{"records":' || in_n || ',"bytes":' || in_b || '}}' AS fragment
+FROM me1
+UNION ALL
+SELECT 'filter', 'grep.0',
+       '"grep.0":{{"drop_records":' || drop_n || ',"add_records":0}}'
+FROM me1
+UNION ALL
+SELECT 'output', 'es.0',
+       '"es.0":{{"proc_records":' || es_n || ',"proc_bytes":' || es_b
+       || ',"errors":0,"retries":0,"retries_failed":0}}'
+FROM me1
+UNION ALL
+SELECT 'output', 'stdout.1',
+       '"stdout.1":{{"proc_records":' || so_n || ',"proc_bytes":' || so_b
+       || ',"errors":0,"retries":0,"retries_failed":0}}'
+FROM me1
+UNION ALL
+SELECT 'output', 'counter.2',
+       '"counter.2":{{"proc_records":' || ct_n || ',"proc_bytes":' || ct_b
+       || ',"errors":0,"retries":0,"retries_failed":0}}'
+FROM me1"""
+
     # Treasure Data repack (plugins/out_td/td.c:103-129): per record a
     # msgpack map of the original 5 keys + the injected 'time' int --
     # fixmap(6) 1 + keys time(5) conv_id(8) turn_idx(9) role(5)
@@ -3423,6 +3464,7 @@ FROM td1 GROUP BY conv_id"""
         "collectd_packet": collectd,
         "websocket_frames": websocket,
         "sink_td": td,
+        "metrics_endpoint": metrics_ep,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,
