@@ -3399,6 +3399,26 @@ def _q_metrics_endpoint(spark, sf_dir):
     return metrics_endpoint(_transcripts(spark, sf_dir))
 
 
+def _q_storage_limit(spark, sf_dir):
+    """storage.total_limit_size FIFO eviction accounting
+    (src/flb_input_chunk.c:152,201): hourly per-tag chunks (exact
+    msgpack byte sums) against a 16 KiB limit — retained / evicted /
+    rejected_oversize via one reverse running sum per output, the
+    closed form of the reference's oldest-first eviction loop."""
+    from fluent_bit_spark.metrics import msgpack_event_size, storage_limit_drops
+    from pyspark.sql import functions as F
+
+    chunks = (
+        _transcripts(spark, sf_dir)
+        .groupBy(
+            F.concat(F.lit("fbs."), F.col("role")).alias("sink"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.sum(msgpack_event_size()).cast("long").alias("chunk_bytes"))
+    )
+    return storage_limit_drops(chunks, limit=16384)
+
+
 def _q_sink_td(spark, sf_dir):
     """Treasure Data upload parity (plugins/out_td/td.c:103-129 +
     td_http.c:50): per-conversation msgpack stream with the injected
@@ -4031,6 +4051,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "websocket_frames": _q_websocket_frames,
         "sink_td": _q_sink_td,
         "metrics_endpoint": _q_metrics_endpoint,
+        "storage_limit": _q_storage_limit,
         "mqtt_frame": _q_mqtt_frame,
         "collectd_packet": _q_collectd_packet,
         "best_of_n": _q_best_of_n,

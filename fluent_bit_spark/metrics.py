@@ -262,3 +262,42 @@ def metrics_endpoint(df: DataFrame) -> DataFrame:
             " 'output', 'counter.2', f_ct)"
         ).alias("section", "name", "fragment")
     )
+
+
+def storage_limit_drops(chunks: DataFrame, limit: int, sink_col: str = "sink",
+                        order_col: str = "hour", bytes_col: str = "chunk_bytes") -> DataFrame:
+    """storage.total_limit_size FIFO eviction accounting
+    (src/flb_input_chunk.c:152 flb_intput_chunk_count_dropped_chunks +
+    :201 find_space_new_data): each arriving chunk evicts the OLDEST
+    buffered chunks for its output until it fits; a chunk larger than
+    the whole limit cannot be placed at all (count==0 -> the incoming
+    data is dropped, buffer untouched).
+
+    Because eviction is always oldest-first and only triggered by an
+    accepted arrival, the buffer after processing a chunk sequence is
+    exactly the maximal NEWEST suffix of accepted chunks whose
+    cumulative size fits the limit -- so the whole sequential
+    simulation collapses to one reverse running sum per output:
+
+      status = 'rejected_oversize'  if chunk_bytes > limit
+             | 'retained'           if reverse-cumsum over accepted <= limit
+             | 'evicted'            otherwise
+
+    Scale shape: the window runs over the CHUNK table (per-output
+    chunk counts, not corpus rows), partitioned by sink -- state per
+    partition is one running sum."""
+    from pyspark.sql import Window
+
+    accepted = F.col(bytes_col) <= F.lit(limit)
+    w = (
+        Window.partitionBy(sink_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    newest_cum = F.sum(F.when(accepted, F.col(bytes_col)).otherwise(0)).over(w)
+    return chunks.withColumn(
+        "status",
+        F.when(~accepted, F.lit("rejected_oversize"))
+        .when(newest_cum <= F.lit(limit), F.lit("retained"))
+        .otherwise(F.lit("evicted")),
+    )

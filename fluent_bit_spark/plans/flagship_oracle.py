@@ -3431,6 +3431,24 @@ SELECT 'output', 'counter.2',
        || ',"errors":0,"retries":0,"retries_failed":0}}'
 FROM me1"""
 
+    # storage.total_limit_size FIFO eviction (flb_input_chunk.c:152,
+    # 201): closed form = reverse running sum over accepted chunks.
+    storage_limit = f"""
+, sl0 AS (SELECT 'fbs.' || role AS sink, date_trunc('hour', ts) AS hour,
+                 CAST(SUM({esz}) AS BIGINT) AS chunk_bytes
+          FROM transcripts GROUP BY 1, 2)
+, sl1 AS (SELECT *,
+            SUM(CASE WHEN chunk_bytes <= 16384 THEN chunk_bytes ELSE 0 END)
+              OVER (PARTITION BY sink ORDER BY hour DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS newest_cum
+          FROM sl0)
+SELECT sink, hour, chunk_bytes,
+       CASE WHEN chunk_bytes > 16384 THEN 'rejected_oversize'
+            WHEN newest_cum <= 16384 THEN 'retained'
+            ELSE 'evicted' END AS status
+FROM sl1"""
+
     # Treasure Data repack (plugins/out_td/td.c:103-129): per record a
     # msgpack map of the original 5 keys + the injected 'time' int --
     # fixmap(6) 1 + keys time(5) conv_id(8) turn_idx(9) role(5)
@@ -3465,6 +3483,7 @@ FROM td1 GROUP BY conv_id"""
         "websocket_frames": websocket,
         "sink_td": td,
         "metrics_endpoint": metrics_ep,
+        "storage_limit": storage_limit,
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,

@@ -631,3 +631,49 @@ def test_pgsql_insert_escaping(spark):
         '[{"date":1704067200.500000,"conv_id":"c1","turn_idx":0,'
         '"role":"user","text":"it\'s a \'quoted\' text"}]'
     )
+
+
+def test_storage_limit_matches_sequential_simulation(spark):
+    """The closed-form reverse-cumsum statuses equal a literal
+    replay of the reference's arrival loop (flb_input_chunk.c:152
+    count_dropped_chunks + :201 find_space_new_data): evict oldest
+    until the arrival fits; oversize arrivals are rejected outright."""
+    import itertools
+
+    from fluent_bit_spark.metrics import storage_limit_drops
+
+    limit = 100
+
+    def simulate(sizes):
+        buf = []  # (idx, size) oldest first
+        dropped = set()
+        for i, s in enumerate(sizes):
+            if s > limit:
+                dropped.add(i)  # rejected_oversize
+                continue
+            while sum(x[1] for x in buf) + s > limit:
+                idx, _ = buf.pop(0)
+                dropped.add(idx)
+            buf.append((i, s))
+        return {i: ("rejected_oversize" if sizes[i] > limit and i in dropped
+                    else "evicted" if i in dropped else "retained")
+                for i in range(len(sizes))}
+
+    cases = [
+        [10, 20, 30, 40, 50],
+        [60, 60, 60],
+        [150, 30, 30],          # oversize first
+        [30, 150, 90],          # oversize mid-stream
+        [100, 100],             # exact-fit arrivals
+        [1, 99, 1, 99, 1],
+    ]
+    # plus exhaustive small sequences
+    cases += [list(p) for p in itertools.product([40, 70, 150], repeat=3)]
+    for sizes in cases:
+        rows = [("s", i, s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "sink string, hour int, chunk_bytes long")
+        got = {
+            r.hour: r.status
+            for r in storage_limit_drops(df, limit=limit).collect()
+        }
+        assert got == simulate(sizes), sizes
