@@ -756,6 +756,58 @@ class ConfigPipeline:
                     path = f"{output_base}/{sink_id}"
                     SK.write_sink(SK.to_json_lines(env), path, fmt="text")
                     results[sink_id] = path
+                elif name in ("http", "kinesis_streams", "kinesis_firehose"):
+                    # envelope transforms over arbitrary routed records:
+                    # the record map is every routed column except the
+                    # routing internals; the event time column feeds the
+                    # injected date key (http) and is not repeated in
+                    # the map, mirroring [time, map] event pairs
+                    from fluent_bit_spark import sinks as SK
+
+                    ts_col = next(
+                        (c for c in ("ts", "time", "event_time") if c in slice_df.columns),
+                        None,
+                    )
+                    rec_cols = [
+                        c for c in slice_df.columns
+                        if c not in ("tag", "routes", ts_col)
+                    ]
+                    if name == "http":
+                        if ts_col is None:
+                            raise ConfigError(
+                                "output 'http' needs a timestamp column "
+                                "(ts/time/event_time) in the routed records"
+                            )
+                        fmt_opt = (s.get("Format", "json_lines")).lower()
+                        fmt_map = {
+                            "json": "json",
+                            "json_lines": "lines",
+                            "json_stream": "stream",
+                        }
+                        if fmt_opt not in fmt_map:
+                            raise ConfigError(
+                                f"output 'http' Format {fmt_opt!r} not supported "
+                                "(json/json_lines/json_stream)"
+                            )
+                        env = SK.http_body_transform(
+                            slice_df,
+                            fmt=fmt_map[fmt_opt],
+                            cols=rec_cols,
+                            ts_col=ts_col,
+                            order_col=rec_cols[0],
+                            group_cols=["tag"],
+                        ).select("body")
+                    elif name == "kinesis_streams":
+                        env = SK.kinesis_records_transform(
+                            slice_df, cols=rec_cols, key_col="tag"
+                        ).select("entry")
+                    else:
+                        env = SK.firehose_records_transform(
+                            slice_df, cols=rec_cols
+                        ).select("entry")
+                    path = f"{output_base}/{sink_id}"
+                    SK.write_sink(env, path, fmt="text")
+                    results[sink_id] = path
                 else:
                     raise ConfigError(f"unsupported output plugin {name!r}")
         finally:

@@ -935,7 +935,9 @@ def nats_pairs_transform(df: DataFrame) -> DataFrame:
     )
 
 
-def kinesis_records_transform(df: DataFrame) -> DataFrame:
+def kinesis_records_transform(
+    df: DataFrame, cols: list[str] | None = None, key_col: str = "conv_id"
+) -> DataFrame:
     """out_kinesis_streams PutRecords entries
     (plugins/out_kinesis_streams/kinesis_api.c:148-166):
     `{"Data":"<base64 record>","PartitionKey":"<key>"}`. The reference
@@ -949,20 +951,23 @@ def kinesis_records_transform(df: DataFrame) -> DataFrame:
 
     Spark's ``base64`` emits RFC 2045 MIME chunking (CRLF every 76
     chars); Kinesis Data is RFC 4648 standard base64, so the line
-    breaks are stripped JVM-side."""
-    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    breaks are stripped JVM-side.
+
+    `cols`/`key_col` generalize the record shape for the config-driven
+    path (arbitrary routed records); the defaults are the transcript
+    contract the driver gate checks."""
+    cols = cols or ["conv_id", "turn_idx", "role", "text"]
+    record = F.to_json(F.struct(*cols))
     b64 = F.regexp_replace(F.base64(F.encode(record, "utf-8")), "[\\r\\n]", "")
-    return df.select(
-        "conv_id",
-        "turn_idx",
-        F.concat(
-            F.lit('{"Data":"'),
-            b64,
-            F.lit('","PartitionKey":"'),
-            F.col("conv_id"),
-            F.lit('"}'),
-        ).alias("entry"),
-    )
+    entry = F.concat(
+        F.lit('{"Data":"'),
+        b64,
+        F.lit('","PartitionKey":"'),
+        F.col(key_col),
+        F.lit('"}'),
+    ).alias("entry")
+    ids = [c for c in ("conv_id", "turn_idx") if c in df.columns] or [key_col]
+    return df.select(*ids, entry)
 
 
 def _iso8601_us(c: Column) -> Column:
@@ -979,18 +984,27 @@ def _iso8601_us(c: Column) -> Column:
     )
 
 
-def _dated_record(df: DataFrame, date_value: Column) -> Column:
+def _dated_record(
+    df: DataFrame, date_value: Column, cols: list[str] | None = None
+) -> Column:
     """Record JSON with the injected leading date key
     (src/flb_pack.c:866-896: date_key is packed FIRST, then the
     original map's keys in order).  `date_value` must already be
     rendered as a JSON value (quoted string or bare number)."""
-    tail = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    tail = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
     return F.concat(
         F.lit('{"date":'), date_value, F.lit(","), F.substring(tail, 2, 1 << 30)
     )
 
 
-def http_body_transform(df: DataFrame, fmt: str = "lines") -> DataFrame:
+def http_body_transform(
+    df: DataFrame,
+    fmt: str = "lines",
+    cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """out_http JSON body formats (plugins/out_http/http.c:317-321 ->
     src/flb_pack.c:780 flb_pack_msgpack_to_json_format): per flush
     chunk, records with the injected `date` key rendered as
@@ -1009,16 +1023,17 @@ def http_body_transform(df: DataFrame, fmt: str = "lines") -> DataFrame:
     if fmt not in ("lines", "stream", "json"):
         raise ValueError(f"unknown http body format: {fmt}")
     rec = _dated_record(
-        df, F.concat(F.lit('"'), _iso8601_us(F.col("ts")), F.lit('"'))
+        df,
+        F.concat(F.lit('"'), _iso8601_us(F.col(ts_col)), F.lit('"')),
+        cols=cols,
     )
-    grouped = (
-        df.withColumn("rec", rec)
-        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
-        .groupBy("tag", "conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "rec"))).alias("_r"),
-            F.count("*").cast("long").alias("n_records"),
-        )
+    staged = df.withColumn("rec", rec)
+    if group_cols is None:
+        staged = staged.withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
+        group_cols = ["tag", "conv_id"]
+    grouped = staged.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct(order_col, "rec"))).alias("_r"),
+        F.count("*").cast("long").alias("n_records"),
     )
     recs = F.transform(F.col("_r"), lambda x: x["rec"])
     if fmt == "lines":
@@ -1027,27 +1042,27 @@ def http_body_transform(df: DataFrame, fmt: str = "lines") -> DataFrame:
         body = F.array_join(recs, "")
     else:
         body = F.concat(F.lit("["), F.array_join(recs, ","), F.lit("]"))
-    return grouped.select("tag", "conv_id", body.alias("body"), "n_records")
+    return grouped.select(*group_cols, body.alias("body"), "n_records")
 
 
-def firehose_records_transform(df: DataFrame) -> DataFrame:
+def firehose_records_transform(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
     """out_kinesis_firehose PutRecordBatch entries
     (plugins/out_kinesis_firehose/firehose_api.c:105,252-260):
     `{"Data":"<base64(record + '\\n')>"}` -- unlike Kinesis Streams,
     Firehose appends a newline to every record before encoding (the
     delivery-stream concatenation contract) and has no partition key.
     Spark's base64 MIME chunking is stripped (RFC 4648)."""
-    record = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    record = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
     b64 = F.regexp_replace(
         F.base64(F.encode(F.concat(record, F.lit("\n")), "utf-8")),
         "[\\r\\n]",
         "",
     )
-    return df.select(
-        "conv_id",
-        "turn_idx",
-        F.concat(F.lit('{"Data":"'), b64, F.lit('"}')).alias("entry"),
-    )
+    entry = F.concat(F.lit('{"Data":"'), b64, F.lit('"}')).alias("entry")
+    ids = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+    return df.select(*ids, entry)
 
 
 def pgsql_insert_transform(

@@ -545,3 +545,48 @@ def test_sampling_filter_from_config(spark):
     rows = frame.collect()
     assert len(rows) == 3
     assert all(r["level"] == "error" and r["weight_milli"] == 1000 for r in rows)
+
+
+def test_config_http_and_kinesis_outputs(spark, tmp_path):
+    """[OUTPUT] Name http / kinesis_streams / kinesis_firehose over
+    arbitrary routed records: http bodies carry the injected iso8601
+    date key per tag chunk; kinesis entries are RFC 4648 base64 with
+    the tag as the deterministic partition key; firehose appends the
+    newline before encoding."""
+    import base64 as b64mod
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "hello", "n": 7}
+    Samples 3
+    Tag h.x
+[OUTPUT]
+    Name http
+    Match *
+    Format json_lines
+[OUTPUT]
+    Name kinesis_streams
+    Match *
+[OUTPUT]
+    Name kinesis_firehose
+    Match *
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    body = "\n".join(
+        r.value for r in spark.read.text(res["http_0"]).collect()
+    )
+    lines = [l for l in body.split("\n") if l]
+    assert len(lines) == 3
+    assert all(l.startswith('{"date":"2024-01-01T00:00:0') for l in lines)
+    assert all('"message":"hello","n":7' in l for l in lines)
+    assert '"ts"' not in lines[0]  # event time feeds date, not the map
+
+    entries = [r.value for r in spark.read.text(res["kinesis_streams_1"]).collect()]
+    assert len(entries) == 3 and all('"PartitionKey":"h.x"' in e for e in entries)
+    data = entries[0].split('{"Data":"', 1)[1].split('"', 1)[0]
+    assert b64mod.b64decode(data).decode().startswith('{"message":"hello"')
+
+    fh = [r.value for r in spark.read.text(res["kinesis_firehose_2"]).collect()]
+    data = fh[0].split('{"Data":"', 1)[1].split('"', 1)[0]
+    assert b64mod.b64decode(data).decode().endswith("}\n")  # newline-before-encode
