@@ -217,13 +217,21 @@ def metrics_endpoint(df: DataFrame) -> DataFrame:
     es_n, es_b = out_sums(tag.isNotNull())
     so_n, so_b = out_sums(tag.startswith("fbs.a"))
     ct_n, ct_b = out_sums(tag == "fbs.assistant")
+    # coalesce every SUM: over an empty table ANSI SUM is NULL, which
+    # would NULL the concatenated fragment (same guard convention as
+    # the constraint-suite ppm metrics)
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("in_n"),
-        F.sum(esz).cast("long").alias("in_b"),
-        F.sum(F.when(corrupt, 1).otherwise(0)).cast("long").alias("drop_n"),
-        es_n.alias("es_n"), es_b.alias("es_b"),
-        so_n.alias("so_n"), so_b.alias("so_b"),
-        ct_n.alias("ct_n"), ct_b.alias("ct_b"),
+        F.coalesce(F.sum(esz), F.lit(0)).cast("long").alias("in_b"),
+        F.coalesce(F.sum(F.when(corrupt, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("drop_n"),
+        F.coalesce(es_n, F.lit(0)).alias("es_n"),
+        F.coalesce(es_b, F.lit(0)).alias("es_b"),
+        F.coalesce(so_n, F.lit(0)).alias("so_n"),
+        F.coalesce(so_b, F.lit(0)).alias("so_b"),
+        F.coalesce(ct_n, F.lit(0)).alias("ct_n"),
+        F.coalesce(ct_b, F.lit(0)).alias("ct_b"),
     )
 
     def in_frag(name, n, b):

@@ -3399,14 +3399,14 @@ FROM ws0"""
                  'fbs.' || role AS tag
           FROM transcripts)
 , me1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS in_n,
-                 CAST(SUM(esz) AS BIGINT) AS in_b,
-                 CAST(SUM(corrupt) AS BIGINT) AS drop_n,
-                 CAST(SUM(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS es_n,
-                 CAST(SUM(CASE WHEN corrupt = 0 THEN esz ELSE 0 END) AS BIGINT) AS es_b,
-                 CAST(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN 1 ELSE 0 END) AS BIGINT) AS so_n,
-                 CAST(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN esz ELSE 0 END) AS BIGINT) AS so_b,
-                 CAST(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN 1 ELSE 0 END) AS BIGINT) AS ct_n,
-                 CAST(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN esz ELSE 0 END) AS BIGINT) AS ct_b
+                 CAST(COALESCE(SUM(esz), 0) AS BIGINT) AS in_b,
+                 CAST(COALESCE(SUM(corrupt), 0) AS BIGINT) AS drop_n,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS es_n,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 THEN esz ELSE 0 END), 0) AS BIGINT) AS es_b,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN 1 ELSE 0 END), 0) AS BIGINT) AS so_n,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 AND tag LIKE 'fbs.a%' THEN esz ELSE 0 END), 0) AS BIGINT) AS so_b,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN 1 ELSE 0 END), 0) AS BIGINT) AS ct_n,
+                 CAST(COALESCE(SUM(CASE WHEN corrupt = 0 AND tag = 'fbs.assistant' THEN esz ELSE 0 END), 0) AS BIGINT) AS ct_b
           FROM me0)
 SELECT 'input' AS section, 'tail.0' AS name,
        '"tail.0":{{"records":' || in_n || ',"bytes":' || in_b || '}}' AS fragment

@@ -677,3 +677,17 @@ def test_storage_limit_matches_sequential_simulation(spark):
             for r in storage_limit_drops(df, limit=limit).collect()
         }
         assert got == simulate(sizes), sizes
+
+
+def test_metrics_endpoint_empty_input(spark):
+    """Empty pipeline: every counter renders 0 (not a NULLed-out
+    fragment -- ANSI SUM over zero rows is NULL without the guard)."""
+    from fluent_bit_spark.metrics import metrics_endpoint
+
+    df = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    rows = {r.name: r.fragment for r in metrics_endpoint(df).collect()}
+    assert rows["tail.0"] == '"tail.0":{"records":0,"bytes":0}'
+    assert rows["grep.0"] == '"grep.0":{"drop_records":0,"add_records":0}'
+    assert rows["es.0"].startswith('"es.0":{"proc_records":0,"proc_bytes":0,')
