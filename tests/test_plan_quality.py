@@ -582,3 +582,27 @@ def test_sink_envelope_chunks_single_shuffle(spark, sf_dir):
         assert "partial_collect_list" in plan, fn.__name__
         assert plan.count("Window") == base_windows, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_storage_limit_window_over_chunk_table(spark, sf_dir):
+    """The eviction reverse-cumsum windows over the CHUNK table (one
+    row per sink-hour after the aggregate), never the corpus: exactly
+    one aggregate exchange feeds the window, and the metrics-endpoint
+    query is one global aggregate with no window at all."""
+    import __spark_entry__ as entry
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    base_windows = plan_of(load_transcripts(spark, sf_dir), "simple").count(
+        "Window"
+    )
+    df = entry._raw_queries()["storage_limit"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("Window") == base_windows + 1, plan
+    # the eviction window comes AFTER the chunk groupBy: a partial_sum
+    # HashAggregate (map-side combine) sits below it
+    assert "partial_sum" in plan, plan
+
+    me = entry._raw_queries()["metrics_endpoint"](spark, sf_dir)
+    mplan = plan_of(me, "simple")
+    assert mplan.count("Window") == base_windows, mplan
+    assert "Join" not in mplan, mplan
