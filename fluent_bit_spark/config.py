@@ -756,7 +756,10 @@ class ConfigPipeline:
                     path = f"{output_base}/{sink_id}"
                     SK.write_sink(SK.to_json_lines(env), path, fmt="text")
                     results[sink_id] = path
-                elif name in ("http", "kinesis_streams", "kinesis_firehose"):
+                elif name in (
+                    "http", "kinesis_streams", "kinesis_firehose",
+                    "pgsql", "kafka_rest", "nrlogs", "es_bulk",
+                ):
                     # envelope transforms over arbitrary routed records:
                     # the record map is every routed column except the
                     # routing internals; the event time column feeds the
@@ -801,10 +804,55 @@ class ConfigPipeline:
                         env = SK.kinesis_records_transform(
                             slice_df, cols=rec_cols, key_col="tag"
                         ).select("entry")
-                    else:
+                    elif name == "kinesis_firehose":
                         env = SK.firehose_records_transform(
                             slice_df, cols=rec_cols
                         ).select("entry")
+                    elif name in ("pgsql", "kafka_rest", "nrlogs", "es_bulk"):
+                        if ts_col is None:
+                            raise ConfigError(
+                                f"output {name!r} needs a timestamp column "
+                                "(ts/time/event_time) in the routed records"
+                            )
+                        if name == "pgsql":
+                            env = SK.pgsql_insert_transform(
+                                slice_df,
+                                table=s.get("Table", "fluentbit"),
+                                timestamp_key=s.get("Timestamp_Key", "date"),
+                                cols=rec_cols, ts_col=ts_col,
+                                order_col=rec_cols[0], group_cols=["tag"],
+                            ).select("query")
+                        elif name == "kafka_rest":
+                            env = SK.kafka_rest_records_transform(
+                                slice_df,
+                                time_key=s.get("Time_Key", "@timestamp"),
+                                cols=rec_cols, ts_col=ts_col,
+                                order_col=rec_cols[0], group_cols=["tag"],
+                            ).select("body")
+                        elif name == "nrlogs":
+                            msg = next(
+                                (c for c in ("text", "log", "message")
+                                 if c in slice_df.columns),
+                                None,
+                            )
+                            if msg is None:
+                                raise ConfigError(
+                                    "output 'nrlogs' needs a message column "
+                                    "(text/log/message) in the routed records"
+                                )
+                            env = SK.newrelic_payload_transform(
+                                slice_df, message_col=msg,
+                                attr_cols=[c for c in rec_cols if c != msg],
+                                ts_col=ts_col, order_col=rec_cols[0],
+                                group_cols=["tag"],
+                            ).select("payload")
+                        else:
+                            env = SK.es_bulk_transform(
+                                slice_df,
+                                prefix=s.get("Logstash_Prefix", "logstash"),
+                                cols=rec_cols, ts_col=ts_col,
+                                order_col=rec_cols[0], group_cols=["tag"],
+                            ).select("body")
                     path = f"{output_base}/{sink_id}"
                     SK.write_sink(env, path, fmt="text")
                     results[sink_id] = path

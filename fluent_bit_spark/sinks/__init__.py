@@ -997,6 +997,23 @@ def _dated_record(
     )
 
 
+def _chunked(df: DataFrame, rec: Column, group_cols: list[str] | None,
+             order_col: str):
+    """Shared flush-chunk aggregation for the grouped envelopes: tag
+    derivation default, one hash exchange on the chunk key, map-side
+    partial collect_list, deterministic in-chunk order by (order_col,
+    rendered record)."""
+    staged = df.withColumn("_rec", rec)
+    if group_cols is None:
+        staged = staged.withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
+        group_cols = ["tag", "conv_id"]
+    grouped = staged.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct(order_col, "_rec"))).alias("_r"),
+        F.count("*").cast("long").alias("n_records"),
+    )
+    return grouped, group_cols, F.transform(F.col("_r"), lambda x: x["_rec"])
+
+
 def http_body_transform(
     df: DataFrame,
     fmt: str = "lines",
@@ -1027,15 +1044,7 @@ def http_body_transform(
         F.concat(F.lit('"'), _iso8601_us(F.col(ts_col)), F.lit('"')),
         cols=cols,
     )
-    staged = df.withColumn("rec", rec)
-    if group_cols is None:
-        staged = staged.withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
-        group_cols = ["tag", "conv_id"]
-    grouped = staged.groupBy(*group_cols).agg(
-        F.array_sort(F.collect_list(F.struct(order_col, "rec"))).alias("_r"),
-        F.count("*").cast("long").alias("n_records"),
-    )
-    recs = F.transform(F.col("_r"), lambda x: x["rec"])
+    grouped, group_cols, recs = _chunked(df, rec, group_cols, order_col)
     if fmt == "lines":
         body = F.concat(F.array_join(recs, "\n"), F.lit("\n"))
     elif fmt == "stream":
@@ -1066,7 +1075,13 @@ def firehose_records_transform(
 
 
 def pgsql_insert_transform(
-    df: DataFrame, table: str = "fluentbit", timestamp_key: str = "date"
+    df: DataFrame,
+    table: str = "fluentbit",
+    timestamp_key: str = "date",
+    cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """out_pgsql query rendering (plugins/out_pgsql/pgsql.c:268-328,
     template pgsql.h:39 FLB_PGSQL_INSERT): per flush chunk, the JSON
@@ -1086,41 +1101,34 @@ def pgsql_insert_transform(
     A flush chunk is one (tag, conv_id) group (the reference flushes
     per tag chunk; conversation scoping bounds the statement size), so
     one group-key shuffle and pure-JVM string math at any scale."""
-    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     date_num = F.concat(
         F.floor(us / 1_000_000).cast("long").cast("string"),
         F.lit("."),
         F.lpad((us % 1_000_000).cast("string"), 6, "0"),
     )
-    rec = _dated_record(df, date_num)
-    grouped = (
-        df.withColumn("rec", rec)
-        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
-        .groupBy("tag", "conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "rec"))).alias("_r"),
-            F.count("*").cast("long").alias("n_records"),
-        )
-    )
-    arr = F.concat(
-        F.lit("["),
-        F.array_join(F.transform(F.col("_r"), lambda x: x["rec"]), ","),
-        F.lit("]"),
-    )
+    rec = _dated_record(df, date_num, cols=cols)
+    grouped, group_cols, recs = _chunked(df, rec, group_cols, order_col)
+    arr = F.concat(F.lit("["), F.array_join(recs, ","), F.lit("]"))
     escaped = F.concat(F.lit("'"), F.regexp_replace(arr, "'", "''"), F.lit("'"))
     query = F.concat(
         F.lit(f"INSERT INTO {table} SELECT '"),
-        F.col("tag"),
+        F.col(group_cols[0]),
         F.lit(f"', to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
               " * FROM json_array_elements("),
         escaped,
         F.lit(");"),
     )
-    return grouped.select("tag", "conv_id", query.alias("query"), "n_records")
+    return grouped.select(*group_cols, query.alias("query"), "n_records")
 
 
 def kafka_rest_records_transform(
-    df: DataFrame, time_key: str = "@timestamp"
+    df: DataFrame,
+    time_key: str = "@timestamp",
+    cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """out_kafka_rest request body (plugins/out_kafka_rest/
     kafka.c:150-232): `{"records":[{"value":{...}},...]}` where each
@@ -1130,14 +1138,14 @@ def kafka_rest_records_transform(
     three trailing zeros -- followed by the original record keys.
     One body per (tag, conv_id) flush chunk, same scale shape as
     http_body_transform."""
-    ltz = F.col("ts").cast("timestamp_ltz")
+    ltz = F.col(ts_col).cast("timestamp_ltz")
     iso_ns = F.concat(
         F.date_format(ltz, "yyyy-MM-dd'T'HH:mm:ss"),
         F.lit("."),
         F.lpad(((F.unix_micros(ltz) % 1_000_000) * 1000).cast("string"), 9, "0"),
         F.lit("Z"),
     )
-    tail = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
+    tail = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
     entry = F.concat(
         F.lit('{"value":{"%s":"' % time_key),
         iso_ns,
@@ -1145,24 +1153,21 @@ def kafka_rest_records_transform(
         F.substring(tail, 2, 1 << 30),
         F.lit("}"),
     )
-    grouped = (
-        df.withColumn("entry", entry)
-        .withColumn("tag", F.concat(F.lit("fbs."), F.col("role")))
-        .groupBy("tag", "conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "entry"))).alias("_r"),
-            F.count("*").cast("long").alias("n_records"),
-        )
-    )
+    grouped, group_cols, recs = _chunked(df, entry, group_cols, order_col)
     body = F.concat(
-        F.lit('{"records":['),
-        F.array_join(F.transform(F.col("_r"), lambda x: x["entry"]), ","),
-        F.lit("]}"),
+        F.lit('{"records":['), F.array_join(recs, ","), F.lit("]}")
     )
-    return grouped.select("tag", "conv_id", body.alias("body"), "n_records")
+    return grouped.select(*group_cols, body.alias("body"), "n_records")
 
 
-def newrelic_payload_transform(df: DataFrame) -> DataFrame:
+def newrelic_payload_transform(
+    df: DataFrame,
+    message_col: str = "text",
+    attr_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """out_nrlogs Logs-API payload (plugins/out_nrlogs/
     newrelic.c:58-203): one `[{"common":{"attributes":{}},
     "logs":[...]}]` envelope per flush chunk; each log entry leads
@@ -1170,32 +1175,35 @@ def newrelic_payload_transform(df: DataFrame) -> DataFrame:
     message key to top level (:99-113 -- here the turn text IS the
     message), and nests the remaining keys under attributes
     (:114-137). One payload per conv_id chunk."""
+    attrs = attr_cols or ["conv_id", "turn_idx", "role"]
     entry = F.to_json(
         F.struct(
-            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000)
+            (F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / 1000)
             .cast("long")
             .alias("timestamp"),
-            F.coalesce(F.col("text"), F.lit("")).alias("message"),
-            F.struct("conv_id", "turn_idx", "role").alias("attributes"),
+            F.coalesce(F.col(message_col), F.lit("")).alias("message"),
+            F.struct(*attrs).alias("attributes"),
         )
     )
-    grouped = (
-        df.withColumn("entry", entry)
-        .groupBy("conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "entry"))).alias("_r"),
-            F.count("*").cast("long").alias("n_records"),
-        )
+    grouped, group_cols, recs = _chunked(
+        df, entry, group_cols if group_cols is not None else ["conv_id"], order_col
     )
     payload = F.concat(
         F.lit('[{"common":{"attributes":{}},"logs":['),
-        F.array_join(F.transform(F.col("_r"), lambda x: x["entry"]), ","),
+        F.array_join(recs, ","),
         F.lit("]}]"),
     )
-    return grouped.select("conv_id", payload.alias("payload"), "n_records")
+    return grouped.select(*group_cols, payload.alias("payload"), "n_records")
 
 
-def es_bulk_transform(df: DataFrame, prefix: str = "logstash") -> DataFrame:
+def es_bulk_transform(
+    df: DataFrame,
+    prefix: str = "logstash",
+    cols: list[str] | None = None,
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Elasticsearch _bulk NDJSON body (plugins/out_es/es_bulk.h:28-31
     ES_BULK_INDEX_FMT_ID_WITHOUT_TYPE + es_bulk.c es_bulk_append): per
     record an action line `{"index":{"_index":"...","_id":"..."}}`
@@ -1207,8 +1215,8 @@ def es_bulk_transform(df: DataFrame, prefix: str = "logstash") -> DataFrame:
     (the reference-exact murmur3 UUID lives in
     functions/hashing.es_generate_id and is reference-vector-tested;
     DuckDB cannot reproduce it)."""
-    rec = F.to_json(F.struct("conv_id", "turn_idx", "role", "text"))
-    idx = F.concat(F.lit(prefix + "-"), F.date_format(F.col("ts"), "yyyy.MM.dd"))
+    rec = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
+    idx = F.concat(F.lit(prefix + "-"), F.date_format(F.col(ts_col), "yyyy.MM.dd"))
     pair = F.concat(
         F.lit('{"index":{"_index":"'),
         idx,
@@ -1218,14 +1226,11 @@ def es_bulk_transform(df: DataFrame, prefix: str = "logstash") -> DataFrame:
         rec,
         F.lit("\n"),
     )
-    grouped = (
-        df.withColumn("pair", pair)
-        .withColumn("_index", idx)
-        .groupBy("_index", "conv_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "pair"))).alias("_r"),
-            F.count("*").cast("long").alias("n_records"),
-        )
+    group_cols = ["_index"] + (
+        group_cols if group_cols is not None else ["conv_id"]
     )
-    body = F.array_join(F.transform(F.col("_r"), lambda x: x["pair"]), "")
-    return grouped.select("_index", "conv_id", body.alias("body"), "n_records")
+    grouped, group_cols, recs = _chunked(
+        df.withColumn("_index", idx), pair, group_cols, order_col
+    )
+    body = F.array_join(recs, "")
+    return grouped.select(*group_cols, body.alias("body"), "n_records")

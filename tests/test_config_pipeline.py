@@ -590,3 +590,45 @@ def test_config_http_and_kinesis_outputs(spark, tmp_path):
     fh = [r.value for r in spark.read.text(res["kinesis_firehose_2"]).collect()]
     data = fh[0].split('{"Data":"', 1)[1].split('"', 1)[0]
     assert b64mod.b64decode(data).decode().endswith("}\n")  # newline-before-encode
+
+
+def test_config_pgsql_kafka_rest_nrlogs_es_bulk_outputs(spark, tmp_path):
+    """The remaining envelope outputs dispatch from classic config over
+    arbitrary routed records, chunked per tag."""
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "mm", "n": 2}
+    Samples 2
+    Tag p.q
+[OUTPUT]
+    Name pgsql
+    Match *
+    Table logs_t
+[OUTPUT]
+    Name kafka_rest
+    Match *
+[OUTPUT]
+    Name nrlogs
+    Match *
+[OUTPUT]
+    Name es_bulk
+    Match *
+    Logstash_Prefix fb
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    q = [r.value for r in spark.read.text(res["pgsql_0"]).collect()]
+    assert len(q) == 1  # one INSERT per tag chunk
+    assert q[0].startswith("INSERT INTO logs_t SELECT 'p.q', to_timestamp")
+    assert '""message"":"' not in q[0] and '"message":"mm"' in q[0].replace("''", "'")
+
+    body = "".join(r.value for r in spark.read.text(res["kafka_rest_1"]).collect())
+    assert body.startswith('{"records":[{"value":{"@timestamp":"2024-01-01T00:00:0')
+    assert body.count('"message":"mm"') == 2
+
+    nr = "".join(r.value for r in spark.read.text(res["nrlogs_2"]).collect())
+    assert nr.startswith('[{"common":{"attributes":{}},"logs":[{"timestamp":')
+    assert '"message":"mm"' in nr and '"attributes":{"n":2}' in nr
+
+    eb = "\n".join(r.value for r in spark.read.text(res["es_bulk_3"]).collect())
+    assert eb.count('{"index":{"_index":"fb-2024.01.01","_id":"') == 2
