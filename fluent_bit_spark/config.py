@@ -775,6 +775,12 @@ class ConfigPipeline:
                         c for c in slice_df.columns
                         if c not in ("tag", "routes", ts_col)
                     ]
+                    if not rec_cols:
+                        raise ConfigError(
+                            f"output {name!r} has no record columns to "
+                            "render (routed records carry only routing "
+                            "internals and the timestamp)"
+                        )
                     if name == "http":
                         if ts_col is None:
                             raise ConfigError(
@@ -797,7 +803,7 @@ class ConfigPipeline:
                             fmt=fmt_map[fmt_opt],
                             cols=rec_cols,
                             ts_col=ts_col,
-                            order_col=rec_cols[0],
+                            order_col=ts_col,
                             group_cols=["tag"],
                         ).select("body")
                     elif name == "kinesis_streams":
@@ -820,14 +826,14 @@ class ConfigPipeline:
                                 table=s.get("Table", "fluentbit"),
                                 timestamp_key=s.get("Timestamp_Key", "date"),
                                 cols=rec_cols, ts_col=ts_col,
-                                order_col=rec_cols[0], group_cols=["tag"],
+                                order_col=ts_col, group_cols=["tag"],
                             ).select("query")
                         elif name == "kafka_rest":
                             env = SK.kafka_rest_records_transform(
                                 slice_df,
                                 time_key=s.get("Time_Key", "@timestamp"),
                                 cols=rec_cols, ts_col=ts_col,
-                                order_col=rec_cols[0], group_cols=["tag"],
+                                order_col=ts_col, group_cols=["tag"],
                             ).select("body")
                         elif name == "nrlogs":
                             msg = next(
@@ -843,7 +849,7 @@ class ConfigPipeline:
                             env = SK.newrelic_payload_transform(
                                 slice_df, message_col=msg,
                                 attr_cols=[c for c in rec_cols if c != msg],
-                                ts_col=ts_col, order_col=rec_cols[0],
+                                ts_col=ts_col, order_col=ts_col,
                                 group_cols=["tag"],
                             ).select("payload")
                         else:
@@ -851,7 +857,7 @@ class ConfigPipeline:
                                 slice_df,
                                 prefix=s.get("Logstash_Prefix", "logstash"),
                                 cols=rec_cols, ts_col=ts_col,
-                                order_col=rec_cols[0], group_cols=["tag"],
+                                order_col=ts_col, group_cols=["tag"],
                             ).select("body")
                     path = f"{output_base}/{sink_id}"
                     SK.write_sink(env, path, fmt="text")

@@ -955,16 +955,14 @@ def kinesis_records_transform(
 
     `cols`/`key_col` generalize the record shape for the config-driven
     path (arbitrary routed records); the defaults are the transcript
-    contract the driver gate checks."""
-    cols = cols or ["conv_id", "turn_idx", "role", "text"]
-    record = F.to_json(F.struct(*cols))
-    b64 = F.regexp_replace(F.base64(F.encode(record, "utf-8")), "[\\r\\n]", "")
-    entry = F.concat(
-        F.lit('{"Data":"'),
-        b64,
-        F.lit('","PartitionKey":"'),
-        F.col(key_col),
-        F.lit('"}'),
+    contract the driver gate checks.  The entry itself goes through
+    to_json so a partition key containing JSON specials is escaped."""
+    record = _record_json(cols)
+    entry = F.to_json(
+        F.struct(
+            _b64_std(record).alias("Data"),
+            F.col(key_col).alias("PartitionKey"),
+        )
     ).alias("entry")
     ids = [c for c in ("conv_id", "turn_idx") if c in df.columns] or [key_col]
     return df.select(*ids, entry)
@@ -984,6 +982,24 @@ def _iso8601_us(c: Column) -> Column:
     )
 
 
+def _record_json(cols: list[str] | None) -> Column:
+    """Record map as JSON with NULL fields RENDERED (to_json's default
+    drops them, which both deviates from the reference -- msgpack packs
+    nil values -- and breaks the date-key splice below: an all-NULL
+    record would render '{}' and the spliced line '{"date":...,}' is
+    invalid JSON)."""
+    return F.to_json(
+        F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])),
+        {"ignoreNullFields": "false"},
+    )
+
+
+def _b64_std(c: Column) -> Column:
+    """RFC 4648 standard base64: Spark's ``base64`` emits RFC 2045
+    MIME chunking (CRLF every 76 chars); strip it JVM-side."""
+    return F.regexp_replace(F.base64(F.encode(c, "utf-8")), "[\\r\\n]", "")
+
+
 def _dated_record(
     df: DataFrame, date_value: Column, cols: list[str] | None = None
 ) -> Column:
@@ -991,7 +1007,7 @@ def _dated_record(
     (src/flb_pack.c:866-896: date_key is packed FIRST, then the
     original map's keys in order).  `date_value` must already be
     rendered as a JSON value (quoted string or bare number)."""
-    tail = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
+    tail = _record_json(cols)
     return F.concat(
         F.lit('{"date":'), date_value, F.lit(","), F.substring(tail, 2, 1 << 30)
     )
@@ -1063,12 +1079,8 @@ def firehose_records_transform(
     Firehose appends a newline to every record before encoding (the
     delivery-stream concatenation contract) and has no partition key.
     Spark's base64 MIME chunking is stripped (RFC 4648)."""
-    record = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
-    b64 = F.regexp_replace(
-        F.base64(F.encode(F.concat(record, F.lit("\n")), "utf-8")),
-        "[\\r\\n]",
-        "",
-    )
+    record = _record_json(cols)
+    b64 = _b64_std(F.concat(record, F.lit("\n")))
     entry = F.concat(F.lit('{"Data":"'), b64, F.lit('"}')).alias("entry")
     ids = [c for c in ("conv_id", "turn_idx") if c in df.columns]
     return df.select(*ids, entry)
@@ -1111,9 +1123,13 @@ def pgsql_insert_transform(
     grouped, group_cols, recs = _chunked(df, rec, group_cols, order_col)
     arr = F.concat(F.lit("["), F.array_join(recs, ","), F.lit("]"))
     escaped = F.concat(F.lit("'"), F.regexp_replace(arr, "'", "''"), F.lit("'"))
+    # the tag goes through the same PQescapeLiteral quote doubling as
+    # the json (pgsql.c:295 escapes BOTH); the table name is spliced
+    # raw exactly like the reference's snprintf of ctx->db_table
+    tag_escaped = F.regexp_replace(F.col(group_cols[0]), "'", "''")
     query = F.concat(
         F.lit(f"INSERT INTO {table} SELECT '"),
-        F.col(group_cols[0]),
+        tag_escaped,
         F.lit(f"', to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
               " * FROM json_array_elements("),
         escaped,
@@ -1145,7 +1161,7 @@ def kafka_rest_records_transform(
         F.lpad(((F.unix_micros(ltz) % 1_000_000) * 1000).cast("string"), 9, "0"),
         F.lit("Z"),
     )
-    tail = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
+    tail = _record_json(cols)
     entry = F.concat(
         F.lit('{"value":{"%s":"' % time_key),
         iso_ns,
@@ -1215,7 +1231,7 @@ def es_bulk_transform(
     (the reference-exact murmur3 UUID lives in
     functions/hashing.es_generate_id and is reference-vector-tested;
     DuckDB cannot reproduce it)."""
-    rec = F.to_json(F.struct(*(cols or ["conv_id", "turn_idx", "role", "text"])))
+    rec = _record_json(cols)
     idx = F.concat(F.lit(prefix + "-"), F.date_format(F.col(ts_col), "yyyy.MM.dd"))
     pair = F.concat(
         F.lit('{"index":{"_index":"'),

@@ -632,3 +632,89 @@ def test_config_pgsql_kafka_rest_nrlogs_es_bulk_outputs(spark, tmp_path):
 
     eb = "\n".join(r.value for r in spark.read.text(res["es_bulk_3"]).collect())
     assert eb.count('{"index":{"_index":"fb-2024.01.01","_id":"') == 2
+
+
+def test_config_envelope_chunks_order_by_event_time(spark, tmp_path):
+    """In-chunk record order is EVENT TIME, not the first record
+    column's value (regression: order_col=rec_cols[0] delivered later
+    events first when their payload sorted lower)."""
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "zzz-then-aaa"}
+    Samples 2
+    Tag o.t
+[FILTER]
+    Name lua
+    Match *
+    Call reorder
+[OUTPUT]
+    Name http
+    Match *
+    Format json_lines
+"""
+    import pandas as pd
+
+    def reorder(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        # earlier event gets the LEXICALLY LATER message
+        pdf["message"] = ["zzz" if t.second == 0 else "aaa" for t in pdf["ts"]]
+        return pdf
+
+    res = ConfigPipeline(cfg, lua_functions={"reorder": reorder}).run(
+        spark, output_base=str(tmp_path / "out")
+    )
+    body = "\n".join(r.value for r in spark.read.text(res["http_0"]).collect())
+    lines = [l for l in body.split("\n") if l]
+    assert '"message":"zzz"' in lines[0] and '"message":"aaa"' in lines[1]
+
+
+def test_envelope_null_fields_render_as_null(spark):
+    """NULL record fields render as JSON null (to_json's default drops
+    them, which made an all-NULL record splice to '{\"date\":...,}' —
+    invalid JSON)."""
+    import datetime as dt
+    import json as jsonmod
+
+    from fluent_bit_spark.sinks import http_body_transform
+
+    df = spark.createDataFrame(
+        [("t.x", None, dt.datetime(2024, 1, 1))],
+        "tag string, payload string, ts timestamp",
+    )
+    body = http_body_transform(
+        df, fmt="lines", cols=["payload"], group_cols=["tag"], order_col="ts"
+    ).collect()[0].body
+    line = body.rstrip("\n")
+    assert jsonmod.loads(line) == {"date": "2024-01-01T00:00:00.000000Z",
+                                   "payload": None}
+
+
+def test_pgsql_tag_and_kinesis_key_escaping(spark):
+    """A tag with a single quote doubles inside the INSERT (pgsql.c:295
+    escapes the tag too); a partition key with JSON specials is
+    escaped in the PutRecords entry."""
+    import datetime as dt
+    import json as jsonmod
+
+    from fluent_bit_spark.sinks import (
+        kinesis_records_transform,
+        pgsql_insert_transform,
+    )
+
+    df = spark.createDataFrame(
+        [("o'brien", "m", dt.datetime(2024, 1, 1))],
+        "tag string, message string, ts timestamp",
+    )
+    q = pgsql_insert_transform(
+        df, cols=["message"], group_cols=["tag"], order_col="ts"
+    ).collect()[0].query
+    assert q.startswith("INSERT INTO fluentbit SELECT 'o''brien', to_timestamp")
+
+    df2 = spark.createDataFrame(
+        [('a"b', "m")], "tag string, message string"
+    )
+    entry = kinesis_records_transform(
+        df2, cols=["message"], key_col="tag"
+    ).collect()[0].entry
+    assert jsonmod.loads(entry)["PartitionKey"] == 'a"b'
