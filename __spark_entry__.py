@@ -3778,6 +3778,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (kmeans_assign covers centroid_assign, bpe_merges covers bpe_vocab,
 # ann_pq_topk + ann_ivfpq_topk cover ann_pq_sampled -- those three stay
 # local-pass to make room for the five streaming-engine gates).
+#
+# ROUND-4 ROTATION CANDIDATES (added late in round 3, local-pass only):
+# sink_kinesis, sink_firehose, sink_http, sink_pgsql, sink_kafka_rest,
+# sink_newrelic, sink_td, sink_es_bulk, websocket_frames,
+# metrics_endpoint, storage_limit, sink_slack, sink_logdna, sink_nats,
+# sink_cloudwatch, sink_bigquery, sink_azure.  Once this round's
+# prefix earns its CORRECTNESS_r03 rows, swap these in.
 _GATE_PRIORITY: list = [
     "sink_gelf",
     "sink_splunk",
