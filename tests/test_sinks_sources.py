@@ -691,3 +691,45 @@ def test_metrics_endpoint_empty_input(spark):
     assert rows["tail.0"] == '"tail.0":{"records":0,"bytes":0}'
     assert rows["grep.0"] == '"grep.0":{"drop_records":0,"add_records":0}'
     assert rows["es.0"].startswith('"es.0":{"proc_records":0,"proc_bytes":0,')
+
+
+def test_envelope_json_validity_on_hostile_text(spark):
+    """Every rendered envelope stays machine-parseable when the text
+    carries JSON specials: quotes, backslashes, newlines, tabs,
+    unicode, control chars. One line per record for http lines (the
+    embedded newline must be escaped, not emitted raw)."""
+    import datetime as dt
+    import json as jsonmod
+
+    from fluent_bit_spark.sinks import (
+        firehose_records_transform,
+        http_body_transform,
+        newrelic_payload_transform,
+    )
+
+    nasty = ['he said "hi"', "back\\slash", "new\nline", "tab\there",
+             "emoji \U0001f600", "ctrl\x01char", None]
+    rows = [
+        ("c1", i, "user", t, dt.datetime(2024, 1, 1, 0, 0, i))
+        for i, t in enumerate(nasty)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    body = http_body_transform(df, fmt="lines").collect()[0].body
+    lines = body.split("\n")
+    assert lines[-1] == "" and len(lines) == len(nasty) + 1
+    decoded = [jsonmod.loads(l) for l in lines[:-1]]
+    assert [d["text"] for d in decoded] == nasty
+
+    import base64 as b64mod
+
+    for r in firehose_records_transform(df).collect():
+        data = jsonmod.loads(r.entry)["Data"]
+        rec = b64mod.b64decode(data).decode()
+        assert rec.endswith("\n")
+        jsonmod.loads(rec)
+
+    payload = newrelic_payload_transform(df).collect()[0].payload
+    logs = jsonmod.loads(payload)[0]["logs"]
+    assert [e["message"] for e in logs] == [t if t is not None else "" for t in nasty]
