@@ -3429,6 +3429,17 @@ def _q_sink_td(spark, sf_dir):
     return td_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_kafka_produce(spark, sf_dir):
+    """Kafka Produce v3 request framing parity (plugins/out_kafka
+    produce path; public Kafka protocol): each conversation's v2
+    record batch wrapped in one size-prefixed request, parsed back
+    with the inner CRC re-verified; the oracle re-derives the exact
+    request size closed-form."""
+    from fluent_bit_spark.operators.wireformat import kafka_produce_roundtrip
+
+    return kafka_produce_roundtrip(_transcripts(spark, sf_dir))
+
+
 def _q_websocket_frames(spark, sf_dir):
     """WebSocket data-frame parity (plugins/out_websocket/
     websocket.c:92-156): each turn packed as one masked client frame
@@ -4056,6 +4067,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gelf_chunks": _q_gelf_chunks,
         "kafka_batch": _q_kafka_batch,
         "websocket_frames": _q_websocket_frames,
+        "kafka_produce": _q_kafka_produce,
         "sink_td": _q_sink_td,
         "metrics_endpoint": _q_metrics_endpoint,
         "storage_limit": _q_storage_limit,

@@ -753,3 +753,91 @@ def unpack_ws_frame(buf: bytes):
     if len(buf) < pos + n:
         raise ValueError("truncated websocket payload")
     return op, ws_mask(buf[pos : pos + n], mask), pos + n
+
+
+# ---------------------------------------------------------------------------
+# Kafka Produce request framing (the wire envelope the reference's
+# out_kafka emits through librdkafka — plugins/out_kafka/kafka.c
+# produce path; layout per the public Kafka protocol, Produce v3)
+
+def _kstr(s) -> bytes:
+    """Kafka STRING: int16 byte length + bytes; NULLABLE_STRING null
+    encodes as length -1."""
+    if s is None:
+        return _i(-1, 2)
+    b = s.encode("utf-8")
+    return _i(len(b), 2) + b
+
+
+def pack_kafka_produce_request(
+    client_id: str,
+    topic: str,
+    partition: int,
+    record_set: bytes,
+    acks: int = -1,
+    timeout_ms: int = 30000,
+    correlation_id: int = 0,
+) -> bytes:
+    """One Produce v3 request framing a single (topic, partition)
+    record batch: int32 size prefix, request header (api_key=0,
+    api_version=3, correlation_id, client_id), nullable
+    transactional_id, acks, timeout, then the topic/partition arrays
+    with the record set as BYTES."""
+    body = (
+        _i(0, 2)                          # api_key: Produce
+        + _i(3, 2)                        # api_version
+        + _i(correlation_id, 4)
+        + _kstr(client_id)
+        + _kstr(None)                     # transactional_id
+        + _i(acks, 2)
+        + _i(timeout_ms, 4)
+        + _i(1, 4)                        # topic array count
+        + _kstr(topic)
+        + _i(1, 4)                        # partition array count
+        + _i(partition, 4)
+        + _i(len(record_set), 4)
+        + record_set
+    )
+    return _i(len(body), 4) + body
+
+
+def unpack_kafka_produce_request(buf: bytes) -> dict:
+    """Inverse of pack_kafka_produce_request; validates the size
+    prefix and single-topic/single-partition shape."""
+    size = int.from_bytes(buf[0:4], "big", signed=True)
+    if size != len(buf) - 4:
+        raise ValueError(f"size prefix {size} != body {len(buf) - 4}")
+    pos = 4
+
+    def i(n):
+        nonlocal pos
+        v = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+        pos += n
+        return v
+
+    def s():
+        nonlocal pos
+        ln = i(2)
+        if ln == -1:
+            return None
+        v = buf[pos : pos + ln].decode("utf-8")
+        pos += ln
+        return v
+
+    out = {"api_key": i(2), "api_version": i(2), "correlation_id": i(4),
+           "client_id": s(), "transactional_id": s(), "acks": i(2),
+           "timeout_ms": i(4)}
+    if out["api_key"] != 0:
+        raise ValueError(f"not a Produce request: api_key={out['api_key']}")
+    if i(4) != 1:
+        raise ValueError("expected exactly one topic")
+    out["topic"] = s()
+    if i(4) != 1:
+        raise ValueError("expected exactly one partition")
+    out["partition"] = i(4)
+    set_len = i(4)
+    out["record_set"] = buf[pos : pos + set_len]
+    pos += set_len
+    if pos != len(buf):
+        raise ValueError("trailing bytes after record set")
+    return out

@@ -576,3 +576,79 @@ def td_roundtrip(df: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .applyInPandas(fn, _TD_SCHEMA)
     )
+
+
+_KPRODUCE_SCHEMA = (
+    "conv_id string, n_records long, batch_bytes long, request_bytes long, "
+    "api_key int, correlation_id int, crc_ok boolean"
+)
+
+
+def kafka_produce_roundtrip(df: DataFrame) -> DataFrame:
+    """Kafka Produce-request wire framing parity (the envelope
+    out_kafka ships each flush through librdkafka — plugins/out_kafka/
+    kafka.c produce path; layout per the public Kafka protocol,
+    Produce v3): each conversation's v2 record batch (the same bytes
+    kafka_batch_roundtrip pins) is wrapped in one request — int32 size
+    prefix, header (api_key=0 Produce, v3, correlation_id = record
+    count for a deterministic non-constant value, client_id
+    'fluent-bit'), null transactional_id, acks=-1, topic
+    'fbs.transcripts', partition 0, record set as BYTES — then parsed
+    back and the inner batch CRC re-verified.  The oracle re-derives
+    the exact request size closed-form (fixed 40-byte envelope +
+    client_id + topic + batch bytes).
+
+    Scale shape: same conv_id applyInPandas pass as the batch
+    roundtrip — one co-partitioned shuffle, Arrow-batched bytes."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from fluent_bit_spark.functions.wire import (
+            pack_event,
+            pack_kafka_batch,
+            pack_kafka_produce_request,
+            unpack_kafka_batch,
+            unpack_kafka_produce_request,
+        )
+
+        (conv,) = key
+        pdf = pdf.sort_values("turn_idx")
+        recs = []
+        for r in pdf.itertuples(index=False):
+            us = _ts_to_us(r.ts)
+            sec, nsec = divmod(us, 1_000_000)
+            val = pack_event(
+                sec, nsec * 1000,
+                {
+                    "conv_id": r.conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "role": r.role,
+                    "text": r.text,
+                    "tool": None if r.tool is None else r.tool,
+                },
+            )
+            recs.append((us // 1000, conv.encode(), val))
+        batch = pack_kafka_batch(recs)
+        req = pack_kafka_produce_request(
+            "fluent-bit", "fbs.transcripts", 0, batch,
+            correlation_id=len(recs),
+        )
+        h = unpack_kafka_produce_request(req)
+        if (h["topic"], h["partition"], h["client_id"]) != (
+            "fbs.transcripts", 0, "fluent-bit"
+        ) or h["record_set"] != batch:
+            raise ValueError(f"produce request roundtrip mismatch for {conv}")
+        back, crc_ok = unpack_kafka_batch(h["record_set"])
+        if back != recs:
+            raise ValueError(f"inner batch mismatch for {conv}")
+        return pd.DataFrame(
+            [(conv, len(recs), len(batch), len(req), h["api_key"],
+              h["correlation_id"], crc_ok)],
+            columns=["conv_id", "n_records", "batch_bytes", "request_bytes",
+                     "api_key", "correlation_id", "crc_ok"],
+        )
+
+    return (
+        df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .groupBy("conv_id")
+        .applyInPandas(fn, _KPRODUCE_SCHEMA)
+    )

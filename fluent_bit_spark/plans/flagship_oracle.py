@@ -3341,6 +3341,26 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
        TRUE AS crc_ok
 FROM kb3 GROUP BY conv_id"""
 
+    # Produce v3 envelope over the same batch: 40 fixed bytes
+    # (size+header ints+null txn id+acks+timeout+array counts+
+    # partition+set length) + client_id 'fluent-bit' (10) + topic
+    # 'fbs.transcripts' (15) + the batch.
+    kafka_produce = kafka_batch.replace(
+        """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(61 + SUM(rec) AS BIGINT) AS batch_bytes,
+       CAST(MIN(base_ts) AS BIGINT) AS base_ts_ms,
+       CAST(MAX(ts_ms) AS BIGINT) AS max_ts_ms,
+       TRUE AS crc_ok
+FROM kb3 GROUP BY conv_id""",
+        """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(61 + SUM(rec) AS BIGINT) AS batch_bytes,
+       CAST(40 + 10 + 15 + 61 + SUM(rec) AS BIGINT) AS request_bytes,
+       CAST(0 AS INTEGER) AS api_key,
+       CAST(COUNT(*) AS INTEGER) AS correlation_id,
+       TRUE AS crc_ok
+FROM kb3 GROUP BY conv_id""",
+    )
+
     mqtt = """
 SELECT conv_id, turn_idx,
        CAST(turn_idx % 3 AS INTEGER) AS qos,
@@ -3487,6 +3507,7 @@ FROM td1 GROUP BY conv_id"""
         "tf_inference": tf_inference,
         "forward_roundtrip": forward,
         "kafka_batch": kafka_batch,
+        "kafka_produce": kafka_produce,
         "streaming_backpressure": streaming_backpressure,
         "priority_sample": priority_sample,
         "flap_suppress": flap_suppress,

@@ -560,3 +560,47 @@ class TestWebsocketFrames:
             unpack_ws_frame(bytes([0x81, 0x05]) + b"hello" + b"\x00" * 4)
         with _pytest.raises(ValueError):
             unpack_ws_frame(bytes([0x81, 0x85, 0x12, 0x34, 0x56, 0x78, 0x00]))
+
+
+class TestKafkaProduceRequest:
+    """Produce v3 envelope (public Kafka protocol) around the v2 batch."""
+
+    def test_layout_and_roundtrip(self):
+        from fluent_bit_spark.functions.wire import (
+            pack_kafka_batch,
+            pack_kafka_produce_request,
+            unpack_kafka_produce_request,
+        )
+
+        batch = pack_kafka_batch([(1000, b"k", b"v")])
+        req = pack_kafka_produce_request("cid", "top", 7, batch,
+                                         acks=1, timeout_ms=5000,
+                                         correlation_id=42)
+        # size prefix counts bytes after itself
+        assert int.from_bytes(req[:4], "big") == len(req) - 4
+        # header: api_key=0, api_version=3
+        assert req[4:8] == b"\x00\x00\x00\x03"
+        h = unpack_kafka_produce_request(req)
+        assert h["correlation_id"] == 42 and h["acks"] == 1
+        assert h["timeout_ms"] == 5000 and h["partition"] == 7
+        assert h["transactional_id"] is None
+        assert h["record_set"] == batch
+        assert len(req) == 40 + 3 + 3 + len(batch)
+
+    def test_malformed_rejected(self):
+        import pytest as _pytest
+
+        from fluent_bit_spark.functions.wire import (
+            pack_kafka_batch,
+            pack_kafka_produce_request,
+            unpack_kafka_produce_request,
+        )
+
+        batch = pack_kafka_batch([(1, None, b"v")])
+        req = pack_kafka_produce_request("c", "t", 0, batch)
+        with _pytest.raises(ValueError, match="size prefix"):
+            unpack_kafka_produce_request(req + b"X")
+        bad = bytearray(req)
+        bad[5] = 9  # api_key -> 9 (Fetch would be 1; 9 is OffsetForLeader)
+        with _pytest.raises(ValueError, match="not a Produce"):
+            unpack_kafka_produce_request(bytes(bad))
