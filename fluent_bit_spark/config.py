@@ -787,7 +787,20 @@ class ConfigPipeline:
                                 "output 'http' needs a timestamp column "
                                 "(ts/time/event_time) in the routed records"
                             )
-                        fmt_opt = (s.get("Format", "json_lines")).lower()
+                        # the reference's default Format is msgpack
+                        # (http_conf.c:145 FLB_PACK_JSON_FORMAT_NONE);
+                        # only the JSON body family is supported here,
+                        # so an absent Format is an explicit error
+                        # rather than a silent json_lines default
+                        fmt_opt = s.get("Format")
+                        if fmt_opt is None:
+                            raise ConfigError(
+                                "output 'http': Format is required (the "
+                                "reference default is msgpack, which has no "
+                                "HTTP text-body rendering here; use "
+                                "json/json_lines/json_stream)"
+                            )
+                        fmt_opt = fmt_opt.lower()
                         fmt_map = {
                             "json": "json",
                             "json_lines": "lines",
@@ -798,6 +811,16 @@ class ConfigPipeline:
                                 f"output 'http' Format {fmt_opt!r} not supported "
                                 "(json/json_lines/json_stream)"
                             )
+                        # json_date_format default is DOUBLE in the
+                        # reference (http_conf.c:174)
+                        date_fmt = (
+                            s.get("Json_Date_Format", "double").lower()
+                        )
+                        if date_fmt not in ("double", "iso8601"):
+                            raise ConfigError(
+                                f"output 'http' Json_Date_Format {date_fmt!r} "
+                                "not supported (double/iso8601)"
+                            )
                         env = SK.http_body_transform(
                             slice_df,
                             fmt=fmt_map[fmt_opt],
@@ -805,6 +828,8 @@ class ConfigPipeline:
                             ts_col=ts_col,
                             order_col=ts_col,
                             group_cols=["tag"],
+                            json_date_key=s.get("Json_Date_Key", "date"),
+                            json_date_format=date_fmt,
                         ).select("body")
                     elif name == "kinesis_streams":
                         env = SK.kinesis_records_transform(

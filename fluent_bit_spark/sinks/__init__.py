@@ -1001,15 +1001,36 @@ def _b64_std(c: Column) -> Column:
 
 
 def _dated_record(
-    df: DataFrame, date_value: Column, cols: list[str] | None = None
+    date_value: Column, cols: list[str] | None = None, date_key: str = "date"
 ) -> Column:
     """Record JSON with the injected leading date key
     (src/flb_pack.c:866-896: date_key is packed FIRST, then the
     original map's keys in order).  `date_value` must already be
-    rendered as a JSON value (quoted string or bare number)."""
+    rendered as a JSON value (quoted string or bare number);
+    `date_key` is the configurable json_date_key / timestamp_key name
+    and is JSON-escaped here so it always matches the key any
+    downstream extractor (e.g. pgsql's value->>'<key>') looks up."""
+    import json as _json
+
     tail = _record_json(cols)
     return F.concat(
-        F.lit('{"date":'), date_value, F.lit(","), F.substring(tail, 2, 1 << 30)
+        F.lit("{" + _json.dumps(date_key) + ":"),
+        date_value,
+        F.lit(","),
+        F.substring(tail, 2, 1 << 30),
+    )
+
+
+def _date_double_num(ts_col: str) -> Column:
+    """FLB_PACK_JSON_DATE_DOUBLE rendered fixed-point with 6 decimals
+    (src/flb_pack.c:866-874 packs seconds.nanos as a double) -- exact
+    at our native microsecond precision and deterministic across
+    engines, where C's %.17g double formatting would not be."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    return F.concat(
+        F.floor(us / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((us % 1_000_000).cast("string"), 6, "0"),
     )
 
 
@@ -1037,6 +1058,8 @@ def http_body_transform(
     ts_col: str = "ts",
     order_col: str = "turn_idx",
     group_cols: list[str] | None = None,
+    json_date_key: str = "date",
+    json_date_format: str = "iso8601",
 ) -> DataFrame:
     """out_http JSON body formats (plugins/out_http/http.c:317-321 ->
     src/flb_pack.c:780 flb_pack_msgpack_to_json_format): per flush
@@ -1047,7 +1070,11 @@ def http_body_transform(
     - stream: records concatenated with no separator;
     - json:   one JSON array of records.
 
-    Date format iso8601 (flb_pack.c:878-889, microsecond precision).
+    Date key/format are the plugin's json_date_key / json_date_format
+    properties (plugins/out_http/http_conf.c:150-180): iso8601
+    (flb_pack.c:878-889, microsecond precision) or double
+    (FLB_PACK_JSON_DATE_DOUBLE, the reference's default -- rendered
+    fixed-point 6-decimal here, see _date_double_num).
     A flush chunk here is one (tag, conv_id) group -- the reference
     flushes per tag chunk; scoping by conversation bounds the body
     size (a conversation's turns) no matter the corpus size, so the
@@ -1055,11 +1082,15 @@ def http_body_transform(
     the group key; record rendering is pure JVM string math."""
     if fmt not in ("lines", "stream", "json"):
         raise ValueError(f"unknown http body format: {fmt}")
-    rec = _dated_record(
-        df,
-        F.concat(F.lit('"'), _iso8601_us(F.col(ts_col)), F.lit('"')),
-        cols=cols,
-    )
+    if json_date_format == "iso8601":
+        date_val = F.concat(F.lit('"'), _iso8601_us(F.col(ts_col)), F.lit('"'))
+    elif json_date_format == "double":
+        date_val = _date_double_num(ts_col)
+    else:
+        raise ValueError(
+            f"unknown json_date_format: {json_date_format} (iso8601/double)"
+        )
+    rec = _dated_record(date_val, cols=cols, date_key=json_date_key)
     grouped, group_cols, recs = _chunked(df, rec, group_cols, order_col)
     if fmt == "lines":
         body = F.concat(F.array_join(recs, "\n"), F.lit("\n"))
@@ -1113,13 +1144,9 @@ def pgsql_insert_transform(
     A flush chunk is one (tag, conv_id) group (the reference flushes
     per tag chunk; conversation scoping bounds the statement size), so
     one group-key shuffle and pure-JVM string math at any scale."""
-    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    date_num = F.concat(
-        F.floor(us / 1_000_000).cast("long").cast("string"),
-        F.lit("."),
-        F.lpad((us % 1_000_000).cast("string"), 6, "0"),
+    rec = _dated_record(
+        _date_double_num(ts_col), cols=cols, date_key=timestamp_key
     )
-    rec = _dated_record(df, date_num, cols=cols)
     grouped, group_cols, recs = _chunked(df, rec, group_cols, order_col)
     arr = F.concat(F.lit("["), F.array_join(recs, ","), F.lit("]"))
     escaped = F.concat(F.lit("'"), F.regexp_replace(arr, "'", "''"), F.lit("'"))
@@ -1161,9 +1188,11 @@ def kafka_rest_records_transform(
         F.lpad(((F.unix_micros(ltz) % 1_000_000) * 1000).cast("string"), 9, "0"),
         F.lit("Z"),
     )
+    import json as _json
+
     tail = _record_json(cols)
     entry = F.concat(
-        F.lit('{"value":{"%s":"' % time_key),
+        F.lit('{"value":{%s:"' % _json.dumps(time_key)),
         iso_ns,
         F.lit('",'),
         F.substring(tail, 2, 1 << 30),

@@ -565,6 +565,7 @@ def test_config_http_and_kinesis_outputs(spark, tmp_path):
     Name http
     Match *
     Format json_lines
+    Json_Date_Format iso8601
 [OUTPUT]
     Name kinesis_streams
     Match *
@@ -652,6 +653,7 @@ def test_config_envelope_chunks_order_by_event_time(spark, tmp_path):
     Name http
     Match *
     Format json_lines
+    Json_Date_Format iso8601
 """
     import pandas as pd
 
@@ -718,3 +720,78 @@ def test_pgsql_tag_and_kinesis_key_escaping(spark):
         df2, cols=["message"], key_col="tag"
     ).collect()[0].entry
     assert jsonmod.loads(entry)["PartitionKey"] == 'a"b'
+
+
+def test_pgsql_custom_timestamp_key_matches_extractor(spark):
+    """With a non-default Timestamp_Key the injected date key and the
+    INSERT's value->>'<key>' extractor carry the SAME name (pgsql.c:271
+    passes ctx->timestamp_key as the JSON date key) -- regression for
+    the hardcoded "date" key that made every row's timestamp NULL."""
+    import datetime as dt
+
+    from fluent_bit_spark.sinks import pgsql_insert_transform
+
+    df = spark.createDataFrame(
+        [("p.q", "m", dt.datetime(2024, 1, 1))],
+        "tag string, message string, ts timestamp",
+    )
+    q = pgsql_insert_transform(
+        df, timestamp_key="at", cols=["message"],
+        group_cols=["tag"], order_col="ts",
+    ).collect()[0].query
+    assert "value->>'at'" in q
+    assert '{"at":1704067200.000000,' in q  # injected key matches
+
+
+def test_http_double_date_format_and_config_defaults(spark, tmp_path):
+    """Json_Date_Format defaults to double in config dispatch
+    (http_conf.c:174); Json_Date_Key renames the injected key; an
+    absent Format raises (reference default is msgpack)."""
+    import pytest as _pytest
+
+    from fluent_bit_spark.config import ConfigError, ConfigPipeline
+
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "hello"}
+    Samples 1
+    Tag h.d
+[OUTPUT]
+    Name http
+    Match *
+    Format json_lines
+    Json_Date_Key when
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+    line = spark.read.text(res["http_0"]).collect()[0].value
+    assert line.startswith('{"when":1704067200.000000,')
+
+    bad = cfg.replace("    Format json_lines\n", "")
+    with _pytest.raises(ConfigError, match="Format is required"):
+        ConfigPipeline(bad).run(spark, output_base=str(tmp_path / "out2"))
+
+    bad2 = cfg + "    Json_Date_Format epoch\n"
+    with _pytest.raises(ConfigError, match="Json_Date_Format"):
+        ConfigPipeline(bad2).run(spark, output_base=str(tmp_path / "out3"))
+
+
+def test_kafka_rest_time_key_json_escaped(spark):
+    """A Time_Key containing JSON specials is escaped in the records
+    body (regression: raw splice produced invalid JSON)."""
+    import datetime as dt
+    import json as jsonmod
+
+    from fluent_bit_spark.sinks import kafka_rest_records_transform
+
+    df = spark.createDataFrame(
+        [("k.t", "m", dt.datetime(2024, 1, 1))],
+        "tag string, message string, ts timestamp",
+    )
+    body = kafka_rest_records_transform(
+        df, time_key='t"s\\x', cols=["message"],
+        group_cols=["tag"], order_col="ts",
+    ).collect()[0].body
+    rec = jsonmod.loads(body)["records"][0]["value"]
+    assert rec['t"s\\x'].startswith("2024-01-01T00:00:00.")
+    assert rec["message"] == "m"
