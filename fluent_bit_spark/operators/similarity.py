@@ -637,10 +637,26 @@ def ivf_topk(
     """IVF: train coarse centroids on a bounded driver-side sample
     (deterministic), assign every vector to its nearest centroid
     (JVM expression over a broadcast centroid array), then search only
-    the `nprobe` centroid lists nearest to each query."""
-    samp = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample).collect()], dtype=float
+    the `nprobe` centroid lists nearest to each query.
+
+    The training sample is the `sample` ids with the LOWEST content
+    hash (hash-ordered takeOrdered: per-partition top-K then merge) --
+    partition-invariant and corpus-representative, unlike a bare
+    ``limit(sample)`` which takes an arbitrary single-partition prefix
+    and would train on one shard's distribution at scale."""
+    from fluent_bit_spark.operators.sampling import hash_bucket
+
+    samp_rows = (
+        vectors.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        )
+        .orderBy(
+            hash_bucket(F.col(id_col), salt=f"ivf{seed}"), F.col(id_col)
+        )
+        .limit(sample)
+        .collect()
     )
+    samp = np.array([r["_v"] for r in samp_rows], dtype=float)
     rng = np.random.RandomState(seed)
     cents = samp[rng.choice(len(samp), size=min(ncentroids, len(samp)), replace=False)]
     for _ in range(iters):

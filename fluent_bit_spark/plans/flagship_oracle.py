@@ -4405,6 +4405,27 @@ SELECT doc_id, cleaned AS clean_text,
        CAST(length(text) - length(nc) AS INT) AS n_ctrl_removed,
        cleaned <> text AS changed
 FROM ctc""",
+        # SP SNAPSHOT/FLUSH: seconds ring (within 3 days of the newest
+        # buffered record, inclusive) then newest-200 limit ring; event
+        # ts are unique microseconds so the cut is deterministic
+        "sp_snapshot": c
+        + """
+, snap_src AS (SELECT event_id, event_type, value, ts FROM events
+               WHERE event_type <> 'view')
+, snap_ring AS (SELECT * FROM snap_src
+                WHERE ts >= (SELECT max(ts) FROM snap_src)
+                            - INTERVAL 259200 SECOND)
+SELECT event_id, event_type, value, ts FROM snap_ring
+ORDER BY ts DESC LIMIT 200""",
+        # resume manifest: groups complete in (orderBy key) order, the
+        # injected kill lands after the first 3, the resume does the rest
+        "resume_manifest": c
+        + """
+, rm_c AS (SELECT role AS key, COUNT(*) AS cnt FROM transcripts GROUP BY role)
+, rm_r AS (SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY key) AS pos FROM rm_c)
+SELECT key, 'done' AS status, CAST(cnt AS INT) AS n_rows,
+       CAST(CASE WHEN pos <= 3 THEN 1 ELSE 2 END AS INT) AS run
+FROM rm_r""",
         # SP CREATE STREAM chaining: the registered stream is the inner
         # filtered subquery
         "sp_chain": c

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -98,10 +98,13 @@ class SpEngine:
             if seconds:
                 # time-based ring (flb_sp_snapshot.c:122): retain records
                 # within `seconds` of the newest buffered record (batch
-                # analog of the arrival-relative ring)
-                wmax = F.max(F.col(self.ts_col)).over(Window.partitionBy(F.lit(1)))
+                # analog of the arrival-relative ring).  The newest ts is
+                # a 1-row partial-aggregate broadcast back over the
+                # stream -- NOT an unpartitioned window, which would
+                # shuffle the whole stream to one partition
+                mx = src.agg(F.max(F.col(self.ts_col)).alias("_maxts"))
                 src = (
-                    src.withColumn("_maxts", wmax)
+                    src.join(F.broadcast(mx))
                     .filter(
                         F.col(self.ts_col)
                         >= F.col("_maxts") - F.expr(f"INTERVAL {seconds} SECONDS")

@@ -226,6 +226,25 @@ def test_ivf_topk_recall(embs, embs_pd):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_topk_partition_invariant(embs):
+    """Centroid training samples by content hash, so the same corpus
+    under a different partitioning yields IDENTICAL results (regression:
+    limit(sample) took an arbitrary single-partition prefix)."""
+    queries = embs.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    cands = embs.filter(F.col("vec_id") >= 5)
+
+    def run(c):
+        return [
+            (r.query_id, r.rank, r.vec_id)
+            for r in S.ivf_topk(c, queries, k=10, ncentroids=8, nprobe=4)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    assert run(cands) == run(cands.repartition(7))
+    assert run(cands) == run(cands.coalesce(1))
+
+
 def test_embedding_near_dup_exact_verification(embs, embs_pd):
     pairs = S.embedding_near_dup_pairs(embs, threshold=0.9, nbits=6)
     M = {r.vec_id: np.array(r.embedding, dtype=float) for r in embs.collect()}

@@ -40,3 +40,38 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+def test_gate_rotation_partitions_all_queries():
+    """No query ships ungated without a schedule: the r1-r3 driver-green
+    union, the round-4 prefix (_GATE_PRIORITY), the round-5 plan
+    (_GATE_PRIORITY_NEXT), and the documented local-only tail exactly
+    partition _all_queries() -- no orphans, no duplicates, no name
+    wasted re-gating an already-green query."""
+    import json
+    import os
+
+    green: set[str] = set()
+    for r in ("01", "02", "03"):
+        path = f"/root/repo/CORRECTNESS_r{r}.json"
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                if v.get("rows_match") and v.get("schema_match") and not v.get("err"):
+                    green.add(k)
+
+    prio = entry_mod._GATE_PRIORITY
+    nxt = entry_mod._GATE_PRIORITY_NEXT
+    tail = entry_mod._GATE_LOCAL_TAIL
+    allq = set(entry_mod._all_queries())
+
+    assert len(prio) == 50, "driver gate window is exactly 50"
+    sets = [set(prio), set(nxt), set(tail)]
+    assert all(len(s) == len(l) for s, l in zip(sets, (prio, nxt, tail))), "duplicate names"
+    union = set().union(*sets)
+    assert len(union) == sum(len(s) for s in sets), "lists overlap"
+    assert not union - allq, f"unknown names: {union - allq}"
+    assert not union & green, f"slots wasted on green queries: {union & green}"
+    orphans = allq - green - union
+    assert not orphans, f"queries with no gate schedule: {orphans}"
