@@ -5,6 +5,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+`--isolated` mode: fresh JVM per query (warm once, median of 3) —
+variance-immune per-query figures; the default mode also embeds an
+`isolated` dict for the pressure-sensitive subset (ISO_SUBSET).
+
 `--scaling` mode (north-rule evidence): run the full pipeline on the
 same input at local[8] and local[32], report turns/sec at both and the
 scaling efficiency thr(32) / (4 * thr(8)); append results to
@@ -349,6 +353,95 @@ def bench_queries(spark, source):
     }
 
 
+# Queries whose in-suite timings have been observed to swing with host
+# page-cache / storage-pool pressure (r2/r3 postmortems): re-measured in
+# isolation inside the default driver run so the per-round artifact
+# carries a variance-immune figure next to the suite one.
+ISO_SUBSET = [
+    "pipeline_e2e",
+    "ann_pq",
+    "ann_ivfpq",
+    "bm25_topk",
+    "semantic_dedup",
+    "minhash_eval",
+    "bloom_contam",
+]
+
+
+def _iso_worker() -> None:
+    """One query in a fresh JVM: build source, warm once, median of N
+    timed repeats. Prints one JSON line."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args(sys.argv[2:])
+
+    from fluent_bit_spark.session import get_spark
+    from fluent_bit_spark.operators.dedup import release_persisted
+
+    spark = get_spark(
+        f"fbs-iso-{args.query}", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    source = build_source(spark).persist()
+    rows = source.count()
+    fn = bench_queries(spark, source)[args.query]
+    _force(fn())  # warm: codegen, broadcast, python workers
+    release_persisted()
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        _force(fn())
+        times.append(time.perf_counter() - t0)
+        release_persisted()
+    med = sorted(times)[len(times) // 2]
+    print(json.dumps({"query": args.query, "sec": round(med, 3), "rows": rows}))
+    spark.stop()
+
+
+def run_isolated_queries(names: list[str]) -> dict[str, float]:
+    """Fresh JVM per query (nothing shared: storage pool, codegen cache,
+    python-worker pool all cold-started then per-query warmed)."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_iso-worker",
+             "--query", name],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            out[name] = None  # worker died; visible in the artifact
+            continue
+        line = proc.stdout.strip().splitlines()[-1]
+        out[name] = json.loads(line)["sec"]
+    return out
+
+
+def run_isolated_all() -> None:
+    from fluent_bit_spark.session import get_spark
+
+    spark = get_spark("fbs-iso-list", master="local[2]", shuffle_partitions=2)
+    names = list(bench_queries(spark, build_source(spark)))
+    spark.stop()
+    timings = run_isolated_queries(names)
+    print(
+        json.dumps(
+            {
+                "metric": "isolated per-query wall-clock (fresh JVM, median of 3)",
+                "value": timings.get("pipeline_e2e"),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+                "cpus": CPUS,
+                "replicate": REPLICATE,
+            }
+        )
+    )
+
+
 def run_default() -> None:
     from fluent_bit_spark.session import get_spark
 
@@ -381,6 +474,16 @@ def run_default() -> None:
         release_persisted()
 
     e2e = timings["pipeline_e2e"]
+    spark.stop()
+
+    # variance-immune companion figures: fresh JVM per subset query
+    # (suite timings share one session and are exposed to storage-pool /
+    # page-cache pressure from ~38 neighbors; set
+    # SPARK_GRAFT_BENCH_ISOLATED=0 to skip during iteration)
+    isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        isolated = run_isolated_queries(ISO_SUBSET)
+
     print(
         json.dumps(
             {
@@ -388,6 +491,8 @@ def run_default() -> None:
                 "value": e2e,
                 "unit": "sec",
                 "queries": timings,
+                "isolated": isolated,
+                "isolated_mode": "fresh JVM per query, warm once, median of 3",
                 "sf": _sf_label(SF_DIR),
                 "rows": rows,
                 "throughput_turns_per_sec": round(rows / e2e, 1) if e2e else None,
@@ -396,7 +501,6 @@ def run_default() -> None:
             }
         )
     )
-    spark.stop()
 
 
 def cpu_ceiling(lo: int = 8, hi: int = 32, n_iter: int = 20_000_000) -> float:
@@ -706,6 +810,10 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
 if __name__ == "__main__":
     if "--_scale-worker" in sys.argv:
         _scale_worker()
+    elif "--_iso-worker" in sys.argv:
+        _iso_worker()
+    elif "--isolated" in sys.argv:
+        run_isolated_all()
     elif "--scaling-procs" in sys.argv:
         run_scaling_procs(
             nshards=int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "4")),

@@ -887,6 +887,113 @@ class ConfigPipeline:
                     path = f"{output_base}/{sink_id}"
                     SK.write_sink(env, path, fmt="text")
                     results[sink_id] = path
+                elif name in (
+                    "cloudwatch_logs", "bigquery", "azure", "slack",
+                    "logdna", "nats", "stackdriver", "influxdb", "syslog",
+                    "prometheus_exporter", "gelf_chunked",
+                ):
+                    # the remaining real-logic envelopes, reachable from
+                    # a reference-style .conf (their transforms render
+                    # transcript-shaped records; reference plugin dirs
+                    # plugins/out_cloudwatch_logs, out_bigquery,
+                    # out_azure, out_slack, out_logdna, out_nats,
+                    # out_stackdriver, out_influxdb, out_syslog, the
+                    # metrics-exporter exposition, and out_gelf's
+                    # chunked-UDP mode)
+                    from fluent_bit_spark import sinks as SK
+
+                    def _need(*cols, _n=name, _df=None):
+                        frame = _df if _df is not None else slice_df
+                        missing = [c for c in cols if c not in frame.columns]
+                        if missing:
+                            raise ConfigError(
+                                f"output {_n!r} needs record columns "
+                                f"{missing} (transcript-shaped input)"
+                            )
+
+                    out_fmt = "text"
+                    if name == "prometheus_exporter":
+                        labels = tuple(
+                            x.strip()
+                            for x in s.get("Labels", "tag").split(",")
+                            if x.strip()
+                        )
+                        _need(*labels)
+                        counts = slice_df.groupBy(
+                            *[F.col(c) for c in labels]
+                        ).agg(F.count("*").alias("n"))
+                        env = SK.prometheus_exposition(
+                            counts,
+                            metric=s.get("Metric", "fbs_records_total"),
+                            label_cols=labels,
+                        ).select("line")
+                    elif name == "cloudwatch_logs":
+                        _need("conv_id", "turn_idx", "role", "text", "ts")
+                        env = SK.cloudwatch_events_transform(
+                            slice_df
+                        ).select("event")
+                    elif name == "bigquery":
+                        _need("conv_id", "turn_idx", "role", "text")
+                        env = SK.bigquery_rows_transform(
+                            slice_df
+                        ).select("payload")
+                    elif name == "slack":
+                        _need("conv_id", "turn_idx", "role", "text", "ts")
+                        env = SK.slack_text_transform(
+                            slice_df
+                        ).select("fragment")
+                    elif name == "syslog":
+                        _need("conv_id", "turn_idx", "text", "ts")
+                        env = SK.syslog_rfc5424_transform(
+                            slice_df,
+                            host_col="host" if "host" in slice_df.columns else None,
+                            app_col="tool" if "tool" in slice_df.columns else None,
+                            severity_col="level" if "level" in slice_df.columns else None,
+                        ).select("line")
+                    elif name == "influxdb":
+                        _need("conv_id", "turn_idx", "text", "ts")
+                        env = SK.influx_line_transform(
+                            slice_df,
+                            measurement=s.get("Measurement", "transcripts"),
+                            tag_cols=tuple(
+                                c for c in ("role", "tool")
+                                if c in slice_df.columns
+                            ),
+                        ).select("line")
+                    elif name == "gelf_chunked":
+                        _need("text")
+                        env = SK.gelf_chunk_plan(
+                            slice_df,
+                            pckt_size=int(s.get("Packet_Size", "8192")),
+                        ).select(
+                            "payload_bytes", "chunked", "n_chunks",
+                            "dropped", "wire_bytes",
+                        )
+                        out_fmt = "json"
+                    elif name == "azure":
+                        _need("conv_id", "turn_idx", "role", "text", "ts")
+                        env = SK.azure_log_transform(
+                            slice_df, log_type=s.get("Log_Type", "fluentbit")
+                        )
+                        out_fmt = "json"
+                    elif name == "logdna":
+                        _need("conv_id", "turn_idx", "role", "text", "ts")
+                        env = SK.logdna_lines_transform(slice_df)
+                        out_fmt = "json"
+                    elif name == "nats":
+                        _need("conv_id", "turn_idx", "role", "text", "ts")
+                        env = SK.nats_pairs_transform(slice_df)
+                        out_fmt = "json"
+                    else:  # stackdriver
+                        _need("conv_id", "turn_idx", "text", "ts")
+                        env = SK.stackdriver_transform(
+                            slice_df,
+                            severity_col="level" if "level" in slice_df.columns else None,
+                        )
+                        out_fmt = "json"
+                    path = f"{output_base}/{sink_id}"
+                    SK.write_sink(env, path, fmt=out_fmt)
+                    results[sink_id] = path
                 else:
                     raise ConfigError(f"unsupported output plugin {name!r}")
         finally:

@@ -795,3 +795,98 @@ def test_kafka_rest_time_key_json_escaped(spark):
     rec = jsonmod.loads(body)["records"][0]["value"]
     assert rec['t"s\\x'].startswith("2024-01-01T00:00:00.")
     assert rec["message"] == "m"
+
+
+def test_config_remaining_envelope_outputs(spark, tmp_path, sf_dir):
+    """The rest of the real-logic envelope family dispatches from
+    classic config over a transcripts input: cloudwatch/bigquery/slack/
+    syslog/influxdb/prometheus render their wire lines; azure/logdna/
+    nats/stackdriver/gelf_chunked write their typed frames."""
+    import json as jsonmod
+
+    cfg = f"""
+[INPUT]
+    Name transcripts
+    Path {sf_dir}
+    Tag t.c
+[OUTPUT]
+    Name cloudwatch_logs
+    Match *
+[OUTPUT]
+    Name bigquery
+    Match *
+[OUTPUT]
+    Name slack
+    Match *
+[OUTPUT]
+    Name syslog
+    Match *
+[OUTPUT]
+    Name influxdb
+    Match *
+[OUTPUT]
+    Name prometheus_exporter
+    Match *
+    Labels role
+    Metric fbs_turns_total
+[OUTPUT]
+    Name azure
+    Match *
+    Log_Type convlogs
+[OUTPUT]
+    Name logdna
+    Match *
+[OUTPUT]
+    Name nats
+    Match *
+[OUTPUT]
+    Name stackdriver
+    Match *
+[OUTPUT]
+    Name gelf_chunked
+    Match *
+    Packet_Size 64
+"""
+    res = ConfigPipeline(cfg).run(spark, output_base=str(tmp_path / "out"))
+
+    cw = spark.read.text(res["cloudwatch_logs_0"]).collect()[0].value
+    e = jsonmod.loads(cw)
+    assert set(e) == {"timestamp", "message"} and '"conv_id":' in e["message"]
+
+    bq = spark.read.text(res["bigquery_1"]).collect()[0].value
+    assert bq.startswith('{"kind":"bigquery#tableDataInsertAllRequest","rows":[{"json":')
+
+    sl = spark.read.text(res["slack_2"]).collect()[0].value
+    assert sl.startswith('["timestamp": ') and '"role"=>' in sl
+
+    sy = spark.read.text(res["syslog_3"]).collect()[0].value
+    assert sy.startswith("<") and ">1 " in sy
+
+    infl = spark.read.text(res["influxdb_4"]).collect()[0].value
+    assert infl.startswith("transcripts,role=") and " turn_idx=" in infl
+
+    prom = [r.value for r in spark.read.text(res["prometheus_exporter_5"]).collect()]
+    assert all(p.startswith('fbs_turns_total{role="') for p in prom)
+    total = sum(int(p.rsplit(" ", 1)[1]) for p in prom)
+    from fluent_bit_spark.transcripts import load_transcripts
+    assert total == load_transcripts(spark, sf_dir).count()
+
+    az = spark.read.json(res["azure_6"]).collect()[0]
+    assert az.log_type == "convlogs" and az.timestamp > 1.7e9
+
+    ld = spark.read.json(res["logdna_7"]).collect()[0]
+    assert ld.app == "Fluent Bit"
+
+    na = spark.read.json(res["nats_8"]).collect()[0]
+    assert '"tag":"fbs.' in na.payload
+
+    sd = spark.read.json(res["stackdriver_9"]).collect()[0]
+    assert sd.logName.startswith("projects/") and sd.severity_num == 0
+
+    gc = spark.read.json(res["gelf_chunked_10"]).collect()
+    assert all(
+        (r.wire_bytes == r.payload_bytes) if not r.chunked
+        else (r.dropped and r.wire_bytes == 0)
+        or r.wire_bytes == r.payload_bytes + 12 * r.n_chunks
+        for r in gc
+    )

@@ -35,6 +35,17 @@ def test_query_matches_oracle(spark, sf_dir, name):
         pytest.skip("rows-only query")
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, ORACLES[name], sf_dir)
+    # no persisted frames may leak past a query + release: a driver
+    # session runs ~85 gated queries back to back, and un-released
+    # caches crowd the storage pool (r2's ann_topk regressed 39% from
+    # exactly this)
+    from fluent_bit_spark.operators.dedup import release_persisted
+
+    release_persisted()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.size() == 0, (
+        f"{name} leaked {leaked.size()} persisted frame(s) past release_persisted()"
+    )
 
 
 def test_entry_smoke(spark):
