@@ -733,3 +733,17 @@ def test_envelope_json_validity_on_hostile_text(spark):
     payload = newrelic_payload_transform(df).collect()[0].payload
     logs = jsonmod.loads(payload)[0]["logs"]
     assert [e["message"] for e in logs] == [t if t is not None else "" for t in nasty]
+
+
+def test_kafka_stream_gate(spark):
+    """The kafka connector gate raises NotImplementedError (not a raw
+    ClassNotFound) when the spark-sql-kafka jar is absent, chaining the
+    underlying loader failure; with a jar present this returns a real
+    streaming frame instead (recorded impossibility: no jar in image,
+    no network for --packages)."""
+    import pytest as _pytest
+
+    from fluent_bit_spark.sources import read_kafka_stream
+
+    with _pytest.raises(NotImplementedError, match="kafka connector"):
+        read_kafka_stream(spark, "localhost:9092", "topic")
