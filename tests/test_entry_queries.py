@@ -29,22 +29,28 @@ def test_every_query_has_oracle():
     assert not missing, f"queries without oracle: {missing}"
 
 
+def _persisted_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     if name not in ORACLES:
         pytest.skip("rows-only query")
-    df = QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, ORACLES[name], sf_dir)
     # no persisted frames may leak past a query + release: a driver
     # session runs ~85 gated queries back to back, and un-released
     # caches crowd the storage pool (r2's ann_topk regressed 39% from
-    # exactly this)
+    # exactly this). Compare against a pre-query snapshot — the session
+    # is shared, and OTHER test modules may hold legitimate caches.
     from fluent_bit_spark.operators.dedup import release_persisted
 
+    before = _persisted_ids(spark)
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ORACLES[name], sf_dir)
     release_persisted()
-    leaked = spark.sparkContext._jsc.getPersistentRDDs()
-    assert leaked.size() == 0, (
-        f"{name} leaked {leaked.size()} persisted frame(s) past release_persisted()"
+    leaked = _persisted_ids(spark) - before
+    assert not leaked, (
+        f"{name} leaked persisted frame(s) {sorted(leaked)} past release_persisted()"
     )
 
 
