@@ -894,7 +894,20 @@ def assign_to_centroids(
     """Each vector's nearest centroid from `cents` (label, centroid):
     (id, *carry_cols, cluster, cosine) by (round-6 cosine desc, label
     asc) argmax. Centroid table broadcast; vectors stream map-side;
-    `carry_cols` ride through so callers need no re-join on the id."""
+    `carry_cols` ride through so callers need no re-join on the id.
+
+    The argmax is MIN over a (_negkey, cluster, cosine, *carries)
+    struct, where _negkey = -(round-6 cosine x 1e6 as BIGINT) — exact
+    and order-preserving because the cosine is already rounded to 6
+    decimals, and null cosines coalesce to a sentinel ABOVE every real
+    key (the window's desc-nulls-last). Struct ordering then IS the
+    (cosine desc, cluster asc) rule for ANY orderable cluster type
+    (labels may be strings), and an aggregate gets map-side partial
+    combining, so the shuffle carries one pre-reduced row per id
+    instead of the row_number window's full n x #centroids sort
+    (bit-identical to the window it replaced; fields after the
+    decisive (_negkey, cluster) pair never influence the comparison
+    since cluster is unique per id)."""
     scored = (
         vectors.select(
             F.col(id_col),
@@ -908,11 +921,25 @@ def assign_to_centroids(
             "cosine", F.round(cosine_col(F.col("_v"), F.col("centroid")), 6)
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), "cluster")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, *carry_cols, "cluster", "cosine")
+    negkey = F.coalesce(
+        -F.round(F.col("cosine") * 1_000_000).cast("long"),
+        F.lit(3_000_000).cast("long"),  # > any real -(-1.0 * 1e6)
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                negkey.alias("_nk"),
+                F.col("cluster"),
+                F.col("cosine"),
+                *[F.col(c) for c in carry_cols],
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        *[F.col(f"_b.{c}").alias(c) for c in carry_cols],
+        F.col("_b.cluster").alias("cluster"),
+        F.col("_b.cosine").alias("cosine"),
     )
 
 
