@@ -407,11 +407,16 @@ def run_isolated_queries(names: list[str]) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_iso-worker",
-             "--query", name],
-            capture_output=True, text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_iso-worker",
+                 "--query", name],
+                capture_output=True, text=True,
+                timeout=900,  # a hung worker must not hang the suite JSON
+            )
+        except subprocess.TimeoutExpired:
+            out[name] = None
+            continue
         if proc.returncode != 0:
             out[name] = None  # worker died; visible in the artifact
             continue

@@ -902,9 +902,8 @@ class ConfigPipeline:
                     # chunked-UDP mode)
                     from fluent_bit_spark import sinks as SK
 
-                    def _need(*cols, _n=name, _df=None):
-                        frame = _df if _df is not None else slice_df
-                        missing = [c for c in cols if c not in frame.columns]
+                    def _need(*cols, _n=name, _cols=tuple(slice_df.columns)):
+                        missing = [c for c in cols if c not in _cols]
                         if missing:
                             raise ConfigError(
                                 f"output {_n!r} needs record columns "

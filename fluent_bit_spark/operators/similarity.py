@@ -211,8 +211,8 @@ def _assign_l2(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     ordering IS the (d asc, cluster asc) tie rule, and an aggregate
     gets map-side partial combining, so unlike a row_number window
     there is no per-round sort and the shuffle carries one pre-reduced
-    row per id (the cosine path keeps its window because its ties are
-    desc/asc mixed, which struct ordering can't express)."""
+    row per id (the cosine path expresses its desc/asc-mixed ties the
+    same way via the _negkey integer encoding in assign_to_centroids)."""
     scored = sub.crossJoin(
         F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
     ).withColumn("d", F.round(_ssq(F.col("sv"), F.col("centroid")), 6))
@@ -385,6 +385,14 @@ def pq_fit(
                 F.col(id_col).alias("label"), F.col("sv").alias("centroid")
             )
         )
+        if not cent_rows:
+            # the DataFrame loop silently emitted an empty codes frame
+            # here (crossJoin against empty cents); an empty codebook
+            # is always a caller error, so fail loudly instead
+            raise ValueError(
+                f"PQ seed codebook is empty: no rows with {id_col} < "
+                f"{k_codes} in the (dim-valid) corpus"
+            )
         if sampled:
             from fluent_bit_spark.operators.sampling import hash_sample
 

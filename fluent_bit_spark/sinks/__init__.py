@@ -1025,12 +1025,19 @@ def _date_double_num(ts_col: str) -> Column:
     """FLB_PACK_JSON_DATE_DOUBLE rendered fixed-point with 6 decimals
     (src/flb_pack.c:866-874 packs seconds.nanos as a double) -- exact
     at our native microsecond precision and deterministic across
-    engines, where C's %.17g double formatting would not be."""
+    engines, where C's %.17g double formatting would not be.
+
+    Pre-epoch timestamps render sign-magnitude: us = -1_500_000 is
+    '-1.500000' (decimal text has no floor/positive-fraction split --
+    '-2.500000' would parse as -2.5 -- and a raw %-remainder would
+    have emitted the malformed '-2.-50000' after lpad truncation)."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    a = F.abs(us)
     return F.concat(
-        F.floor(us / 1_000_000).cast("long").cast("string"),
+        F.when(us < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / 1_000_000).cast("long").cast("string"),
         F.lit("."),
-        F.lpad((us % 1_000_000).cast("string"), 6, "0"),
+        F.lpad((a % 1_000_000).cast("string"), 6, "0"),
     )
 
 
@@ -1154,10 +1161,14 @@ def pgsql_insert_transform(
     # the json (pgsql.c:295 escapes BOTH); the table name is spliced
     # raw exactly like the reference's snprintf of ctx->db_table
     tag_escaped = F.regexp_replace(F.col(group_cols[0]), "'", "''")
+    # the extractor's SQL string literal gets the same PQescapeLiteral
+    # quote doubling as the tag/json (a key like a'b would otherwise
+    # terminate the literal and break/inject the statement)
+    key_sql = timestamp_key.replace("'", "''")
     query = F.concat(
         F.lit(f"INSERT INTO {table} SELECT '"),
         tag_escaped,
-        F.lit(f"', to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
+        F.lit(f"', to_timestamp(CAST(value->>'{key_sql}' as FLOAT)),"
               " * FROM json_array_elements("),
         escaped,
         F.lit(");"),

@@ -102,14 +102,18 @@ class SpEngine:
                 # a 1-row partial-aggregate broadcast back over the
                 # stream -- NOT an unpartitioned window, which would
                 # shuffle the whole stream to one partition
-                mx = src.agg(F.max(F.col(self.ts_col)).alias("_maxts"))
+                # collision-proof internal name: the source stream may
+                # legitimately carry a user column called _maxts, and a
+                # bare join would make the reference ambiguous
+                mxc = "__sp_snapshot_maxts"
+                mx = src.agg(F.max(F.col(self.ts_col)).alias(mxc))
                 src = (
                     src.join(F.broadcast(mx))
                     .filter(
                         F.col(self.ts_col)
-                        >= F.col("_maxts") - F.expr(f"INTERVAL {seconds} SECONDS")
+                        >= F.col(mxc) - F.expr(f"INTERVAL {seconds} SECONDS")
                     )
-                    .drop("_maxts")
+                    .drop(mxc)
                 )
             if limit:
                 # newest-`limit` ring without a single-partition global

@@ -890,3 +890,55 @@ def test_config_remaining_envelope_outputs(spark, tmp_path, sf_dir):
         or r.wire_bytes == r.payload_bytes + 12 * r.n_chunks
         for r in gc
     )
+
+
+def test_date_double_pre_epoch_and_pgsql_key_sql_escape(spark):
+    """Pre-epoch timestamps render a well-formed fixed-point date
+    (floor seconds + pmod fraction: -1.5 s -> '-2.500000', never
+    '-2.-50000'); a Timestamp_Key with a single quote is doubled in
+    the SQL extractor literal."""
+    import datetime as dt
+    import json as jsonmod
+
+    from fluent_bit_spark.sinks import http_body_transform, pgsql_insert_transform
+
+    df = spark.createDataFrame(
+        [("t.x", "m", dt.datetime(1969, 12, 31, 23, 59, 58, 500000))],
+        "tag string, message string, ts timestamp",
+    )
+    body = http_body_transform(
+        df, fmt="lines", cols=["message"], group_cols=["tag"],
+        order_col="ts", json_date_format="double",
+    ).collect()[0].body
+    rec = jsonmod.loads(body.rstrip("\n"))
+    assert rec["date"] == -1.5
+
+    q = pgsql_insert_transform(
+        df, timestamp_key="a'b", cols=["message"],
+        group_cols=["tag"], order_col="ts",
+    ).collect()[0].query
+    assert "value->>'a''b'" in q
+
+
+def test_sp_snapshot_ring_survives_maxts_column(spark):
+    """A stream already carrying a _maxts column must not break the
+    seconds-ring (regression: bare broadcast join made the internal
+    max-ts reference ambiguous)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fluent_bit_spark.sp import SpEngine
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(id=i, _maxts="user-col", ts=base + dt.timedelta(seconds=i), tag="s.a")
+        for i in range(5)
+    ]
+    eng = SpEngine(spark, {"s": spark.createDataFrame(rows)})
+    eng.execute(
+        "CREATE SNAPSHOT r WITH (seconds='2') AS SELECT * FROM STREAM:s;"
+    )
+    out = eng.execute("FLUSH SNAPSHOT r;")
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+    assert all(r._maxts == "user-col" for r in out.collect())

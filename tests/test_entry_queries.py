@@ -68,9 +68,10 @@ def test_gate_rotation_partitions_all_queries():
     import json
     import os
 
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
     green: set[str] = set()
     for r in ("01", "02", "03"):
-        path = f"/root/repo/CORRECTNESS_r{r}.json"
+        path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
         if not os.path.exists(path):
             continue
         with open(path) as f:
