@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -568,25 +569,53 @@ def influx_line_transform(
     return df.select(F.col("conv_id"), F.col("turn_idx"), line.alias("line"))
 
 
+# Spark 4 bundles the Avro FileFormat classes inside spark-sql but does
+# not service-register the short "avro" name; the fully-qualified class
+# name resolves on a bare distribution, so container files work without
+# the external spark-avro package (only to_avro/from_avro stay gated).
+_AVRO_FORMAT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
 def write_avro(df: DataFrame, path: str) -> bool:
-    """Avro encode (src/flb_avro.c) — needs the spark-avro module on
-    the classpath; gated (absent in this image). Returns False ONLY
-    when the avro format itself is unavailable; genuine write failures
-    (bad path, schema error, executor loss) re-raise instead of being
-    swallowed into the same False."""
-    try:
-        df.write.mode("overwrite").format("avro").save(path)
-        return True
-    except Exception as e:
-        msg = str(e)
-        if (
-            "Failed to find data source" in msg
-            or "FAILED_FIND_DATA_SOURCE" in msg
-            or "DATA_SOURCE_NOT_FOUND" in msg
-            or "ClassNotFoundException" in msg
-        ):
-            return False
-        raise
+    """Avro object-container write (src/flb_avro.c). Tries the short
+    registered name first (full spark-avro deployments), then the
+    bundled FileFormat class. Returns False ONLY when the avro format
+    itself is unavailable; genuine write failures (bad path, schema
+    error, executor loss) re-raise instead of being swallowed."""
+    for fmt in ("avro", _AVRO_FORMAT):
+        try:
+            df.write.mode("overwrite").format(fmt).save(path)
+            return True
+        except Exception as e:
+            msg = str(e)
+            if (
+                "Failed to find data source" in msg
+                or "FAILED_FIND_DATA_SOURCE" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                continue
+            raise
+    return False
+
+
+def read_avro(spark, path: str) -> Optional[DataFrame]:
+    """Read back an Avro object container written by write_avro.
+    Returns None only when no avro datasource is resolvable."""
+    for fmt in ("avro", _AVRO_FORMAT):
+        try:
+            return spark.read.format(fmt).load(path)
+        except Exception as e:
+            msg = str(e)
+            if (
+                "Failed to find data source" in msg
+                or "FAILED_FIND_DATA_SOURCE" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                continue
+            raise
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -155,8 +155,16 @@ def test_splunk_datadog_avro(recs, tmp_path):
     dd = SK.datadog_transform(recs, message_col="text", tag_cols=["k"]).collect()[0]
     assert dd.service == "fluent-bit-spark" and dd.ddtags == "k:a"
     assert dd.timestamp == 1704067200000
+    # Spark 4 bundles AvroFileFormat inside spark-sql; write_avro resolves
+    # it by FQCN, so the container write path is exercised for real here.
     ok = SK.write_avro(recs, str(tmp_path / "avro"))
-    assert ok in (True, False)  # gated: no avro module in this image
+    assert ok is True
+    back = SK.read_avro(recs.sparkSession, str(tmp_path / "avro"))
+    assert back is not None
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(back.collect(), key=key) == sorted(
+        recs.collect(), key=key
+    ), "avro roundtrip must preserve rows"
 
 
 # --- in_tail dynamic tag ------------------------------------------------------
