@@ -3692,6 +3692,25 @@ def _q_media_ann(spark, sf_dir):
     return cosine_topk(cands, qs, k=5, rank_round=6)
 
 
+def _q_media_decode(spark, sf_dir):
+    """REAL media codec roundtrip, exactly oracle-checked: every doc_id
+    becomes a genuine PNG (even ids) or PCM16 WAV (odd ids) whose every
+    pixel/sample is a closed-form function of the id
+    (operators/media_codecs.py — pure zlib/wave codecs, no PIL/ffmpeg),
+    then the REAL decoder recovers dims / sample counts / raw-sample
+    sums. The oracle re-derives those statistics from the closed form,
+    so any encode or decode bit-error breaks the hash match. Both
+    passes are Arrow-batched mapInPandas; payloads never reach the
+    driver."""
+    from fluent_bit_spark.operators.multimodal import (
+        media_decode_stats,
+        synth_media_real,
+    )
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return media_decode_stats(synth_media_real(ids))
+
+
 def _q_maxsim_topk(spark, sf_dir):
     """ColBERT-style MaxSim late-interaction top-k: every 100th vector
     queries the rest; token-pair cosines fixed-pointed before the
@@ -3853,12 +3872,13 @@ _GATE_PRIORITY: list = [
     # multimodal / ANN eval
     "media_features",
     "media_ann",
+    "media_decode",
     "maxsim_topk",
     "ann_recall_eval",
-    "incremental_dedup",
 ]
 
 _GATE_PRIORITY_NEXT: list = [
+    "incremental_dedup",
     # LLM-data-pipeline family
     "fuzzy_contam",
     "dpo_pairs",
@@ -4213,6 +4233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": _q_fim_transform,
         "maxsim_topk": _q_maxsim_topk,
         "media_ann": _q_media_ann,
+        "media_decode": _q_media_decode,
         "context_windows": _q_context_windows,
         "incremental_dedup": _q_incremental_dedup,
         "sp_snapshot": _q_sp_snapshot,

@@ -4170,6 +4170,35 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, vec_id) AS rank
       FROM map)
 WHERE rank <= 5""",
+        "media_decode": """
+, md0 AS (SELECT doc_id AS media_id FROM documents)
+, mdi AS (SELECT media_id,
+                 CAST(16 + media_id % 8 AS INTEGER) AS width,
+                 CAST(12 + media_id % 5 AS INTEGER) AS height
+          FROM md0 WHERE media_id % 2 = 0)
+, mdisum AS (SELECT m.media_id, m.width, m.height,
+                    CAST(SUM((m.media_id * 31 + x.x * 7 + y.y * 13) % 256)
+                         AS BIGINT) AS sample_sum
+             FROM mdi m,
+                  unnest(generate_series(0, m.width - 1)) AS x(x),
+                  unnest(generate_series(0, m.height - 1)) AS y(y)
+             GROUP BY 1, 2, 3)
+, mda AS (SELECT media_id, CAST(64 + media_id % 32 AS BIGINT) AS n
+          FROM md0 WHERE media_id % 2 = 1)
+, mdasum AS (SELECT a.media_id, a.n,
+                    CAST(SUM((a.media_id * 7 + i.i * 3) % 65536 - 32768)
+                         AS BIGINT) AS sample_sum
+             FROM mda a, unnest(generate_series(0, a.n - 1)) AS i(i)
+             GROUP BY 1, 2)
+SELECT media_id, 'image' AS kind, width, height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(width AS BIGINT) * height AS n_samples, sample_sum,
+       CAST(NULL AS INTEGER) AS sample_rate
+FROM mdisum
+UNION ALL
+SELECT media_id, 'audio', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(1 AS INTEGER), n, sample_sum, CAST(16000 AS INTEGER)
+FROM mdasum""",
         "context_windows": """
 , cw0 AS (SELECT conv_id,
                  CAST(row_number() OVER (PARTITION BY conv_id
