@@ -3054,23 +3054,32 @@ def _q_avro_roundtrip(spark, sf_dir):
 
 
 def _q_tf_inference(spark, sf_dir):
-    """filter_tensorflow analog under the gate: an int8-style
-    quantized 2-layer MLP (integer matmul + ReLU + power-of-two
-    requantize — the math path quantized TFLite models execute) over
-    per-turn features; the oracle restates every integer sum in
+    """filter_tensorflow analog, REAL loader path: the int8 quantized
+    2-layer MLP is serialized to an actual .tflite flatbuffer
+    (export_tflite_model) and re-loaded by the pure-Python flatbuffer
+    walker (load_tflite_model) before inference — the same
+    load-model-file-then-score contract as the reference filter
+    (plugins/filter_tensorflow/tensorflow.c). Integer matmul + ReLU +
+    power-of-two requantize; the oracle restates every integer sum in
     closed form, so inference is verified bit-for-bit."""
     from fluent_bit_spark.operators.tensorflow_filter import (
         QuantizedMLP,
+        export_tflite_model,
+        load_tflite_model,
         tensorflow_filter,
     )
 
-    model = QuantizedMLP(
-        w1=[[2, -1, 5], [1, 3, -2], [-1, 2, 4]],
-        b1=[10, -20, 5],
-        shift1=4,
-        w2=[[3, -2, 6]],
-        b2=[-40],
-        shift2=2,
+    model = load_tflite_model(
+        export_tflite_model(
+            QuantizedMLP(
+                w1=[[2, -1, 5], [1, 3, -2], [-1, 2, 4]],
+                b1=[10, -20, 5],
+                shift1=4,
+                w2=[[3, -2, 6]],
+                b2=[-40],
+                shift2=2,
+            )
+        )
     )
     t = _transcripts(spark, sf_dir).select(
         F.length("text").cast("long").alias("x_len"),

@@ -556,10 +556,11 @@ class ConfigPipeline:
             return FL.record_function(df, fn)
         if name == "tensorflow":
             # plugins/filter_tensorflow analog: quantized-MLP inference
-            # over integer feature columns. `Model_file` (a .tflite
-            # flatbuffer) is the gated loader; inline W1/B1/Shift1/
-            # W2/B2/Shift2 weights are the runnable path ("; " rows,
-            # "," entries — the shape an int8-quantized model exports).
+            # over integer feature columns. `Model_file` loads a REAL
+            # .tflite flatbuffer (pure-Python walker; int8 2-layer FC
+            # subset, anything else raises explicitly); inline W1/B1/
+            # Shift1/W2/B2/Shift2 weights are the no-file path ("; "
+            # rows, "," entries — the shape an int8 model exports).
             from fluent_bit_spark.operators.tensorflow_filter import (
                 QuantizedMLP,
                 load_tflite_model,

@@ -498,24 +498,64 @@ def test_tensorflow_filter_from_config(spark):
     assert (r["score"], r["keep"]) == (-5, False)
 
 
-def test_tensorflow_model_file_gated(spark):
-    cfg = """
+def test_tensorflow_model_file_real(spark, tmp_path):
+    """Model_file loads an actual .tflite flatbuffer through the
+    pure-Python loader — the reference's load-file-then-score path
+    (plugins/filter_tensorflow/tensorflow.c), no longer gated."""
+    from fluent_bit_spark.operators.tensorflow_filter import (
+        QuantizedMLP,
+        export_tflite_model,
+    )
+
+    p = tmp_path / "m.tflite"
+    p.write_bytes(
+        export_tflite_model(
+            QuantizedMLP(
+                w1=[[3]], b1=[1], shift1=0, w2=[[2]], b2=[-5], shift2=1
+            )
+        )
+    )
+    cfg = f"""
 [INPUT]
     Name dummy
-    Dummy {"x": 1}
+    Dummy {{"x": 7}}
     Samples 1
     Tag t.a
 [FILTER]
     Name tensorflow
     Match *
-    Model_file /tmp/m.tflite
+    Model_file {p}
     Feature x
+    Threshold 0
 [OUTPUT]
     Name null
     Match *
 """
+    frame = ConfigPipeline(parse_config(cfg)).frame(spark)
+    [r] = frame.collect()
+    # h = relu(3*7 + 1) = 22; y = floor((2*22 - 5)/2) = 19
+    assert (r["score"], r["keep"]) == (19, True)
+
+
+def test_tensorflow_model_file_out_of_subset_still_gates(tmp_path):
+    """A model outside the int8 2-layer subset keeps the honest
+    NotImplementedError (narrowed gate, not a silent wrong answer)."""
+    import struct
+
+    from fluent_bit_spark.operators.tensorflow_filter import (
+        QuantizedMLP,
+        export_tflite_model,
+        load_tflite_model,
+    )
+
+    blob = export_tflite_model(
+        QuantizedMLP(w1=[[1]], b1=[0], shift1=2, w2=[[1]], b2=[0], shift2=0)
+    )
+    bad = blob.replace(struct.pack("<f", 4.0), struct.pack("<f", 3.0))
+    p = tmp_path / "bad.tflite"
+    p.write_bytes(bad)
     with pytest.raises(NotImplementedError):
-        ConfigPipeline(parse_config(cfg)).frame(spark)
+        load_tflite_model(str(p))
 
 
 def test_sampling_filter_from_config(spark):
