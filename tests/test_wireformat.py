@@ -189,14 +189,16 @@ class TestTensorflowFilter:
             QuantizedMLP(w1=[[1, 2]], b1=[0, 0], shift1=0,
                          w2=[[1]], b2=[0], shift2=0)
 
-    def test_tflite_loader_gated(self):
+    def test_tflite_loader_rejects_non_tflite(self):
+        # the loader is real now (tests/test_tflite_loader.py covers the
+        # roundtrip); here just pin that non-TFLite bytes fail loudly
         import pytest as _pytest
         from fluent_bit_spark.operators.tensorflow_filter import (
             load_tflite_model,
         )
 
-        with _pytest.raises(NotImplementedError):
-            load_tflite_model("/tmp/model.tflite")
+        with _pytest.raises(ValueError):
+            load_tflite_model(b"\x00" * 64)
 
     def test_spark_filter_appends_score_and_keep(self, spark):
         from fluent_bit_spark.operators.tensorflow_filter import (
