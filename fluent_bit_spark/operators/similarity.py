@@ -258,38 +258,69 @@ def _collect_centroids(cents: DataFrame) -> list:
     )
 
 
-def _fit_codebook(prepped, cents, assign_fn, vec_col, id_col, iters,
-                  assign_final: bool = True):
-    """The shared fixed-iteration fitting loop (kmeans / PQ subspaces):
-    assign -> exact fixed-point centroid recompute, per-round persists.
-    `assign_fn(frame, cents)` supplies the metric (cosine argmax or
-    round-6 squared-L2 argmin) and must return at least (id, cluster).
-    Returns (assigned, cents): the final assignment and the centroids
-    that produced it. With assign_final=False the last round's
-    assignment is skipped (assigned is None) — for callers that encode
-    a DIFFERENT frame against the fitted centroids (sampled PQ), so no
-    dead persisted assignment lingers."""
-    from fluent_bit_spark.operators.dedup import _persist
+def _py_norm(c) -> float:
+    """Driver-side replica of _norm over a collected vector: the SAME
+    sequential acc + v*v fold from 0.0 then sqrt, so the result is
+    IEEE-double-identical to evaluating _norm on the literal — a
+    centroid's norm can therefore be folded to a constant without
+    perturbing any downstream round-6 value."""
+    import math
 
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1 (got {iters})")
-    assigned = None
-    for t in range(iters):
-        last = t == iters - 1
-        if last and not assign_final:
-            break
-        assigned = _persist(assign_fn(prepped, cents))
-        if not last:
-            members = prepped.join(
-                assigned.select(F.col(id_col), F.col("cluster").alias("label")),
-                id_col,
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _assign_cos_expr(v: Column, nv: Column, cent_rows: list) -> Column:
+    """Literal-centroid variant of assign_to_centroids' argmax: the
+    same (round-6 cosine desc, label asc) rule — array_min over
+    (_nk, cluster, cosine) structs where _nk = -(round-6 cosine x 1e6
+    as BIGINT), exact and order-preserving because the cosine is
+    already rounded — but evaluated as a MAP-ONLY expression over
+    driver-collected centroids. An iteration's assignment then costs
+    zero shuffle, where the DataFrame variant shuffles one pre-reduced
+    row per id per round (a corpus-sized exchange per iteration at
+    100 TB).
+
+    `nv` is the caller's precomputed _norm(v) column (persisted
+    alongside the prepared vectors) and each centroid's norm folds to
+    a driver-side constant (_py_norm), so a k-centroid argmax costs k
+    dot-product folds per row instead of k full cosines — bit-exact vs
+    cosine_col because the when-condition and the divide see the
+    identical doubles in the identical order (a zero/NULL-norm side
+    still yields -1.0). Each cosine is built exactly once (the
+    two-level transform): higher-order-function subtrees get no
+    common-subexpression elimination, so repeating the expression in
+    two struct fields would double the per-row work. Returns the
+    winning struct; callers extract ["cluster"] / ["cosine"]."""
+    def one_cos(c):
+        nc = _py_norm(c)
+        if not nc > 0.0:
+            return F.lit(-1.0)
+        return F.when(
+            nv > F.lit(0.0), _dot(v, _lit_vec(c)) / (nv * F.lit(nc))
+        ).otherwise(F.lit(-1.0))
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(one_cos(c), 6).alias("cosine"),
+                F.lit(int(label)).cast("long").alias("cluster"),
             )
-            cents = _persist(
-                label_centroids(members, vec_col, "label").select(
-                    "label", "centroid"
-                )
-            )
-    return assigned, cents
+            for label, c in cent_rows
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                (-F.round(s["cosine"] * 1_000_000).cast("long")).alias("_nk"),
+                s["cluster"].alias("cluster"),
+                s["cosine"].alias("cosine"),
+            ),
+        )
+    )
 
 
 def pq_fit(
@@ -1031,11 +1062,17 @@ def semantic_dedup(
     from fluent_bit_spark.operators.dedup import _persist
 
     # reuse the fit's prepared double-array frame — re-preparing from
-    # `vectors` would scan/cast/persist the embeddings a second time
-    assigned, _, prepped = _kmeans_fit(vectors, k, iters, vec_col, id_col)
+    # `vectors` would scan/cast/persist the embeddings a second time;
+    # the cluster label is the fit's map-only literal expression, so
+    # labeling costs no corpus self-join
+    _, _, prepped, cent_rows = _kmeans_fit(vectors, k, iters, vec_col, id_col)
     labeled = _persist(
-        prepped.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
-            assigned.select(F.col(id_col), "cluster"), id_col
+        prepped.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"].alias(
+                "cluster"
+            ),
         )
     )
     a = labeled.select(
@@ -1078,12 +1115,13 @@ def kmeans_assign(
     (oracle = unrolled per-iteration CTEs, the bpe_merges pattern).
     A cluster that loses all members simply drops out of later rounds.
 
-    Scale shape per round: one broadcast assign pass over the vectors
-    + one argmax window on the id + the #clusters x dim centroid
-    shuffle. Lazy end-to-end with per-level persists (dedup.py
-    convention); no driver-side loop.
+    Scale shape per round: one map-only literal-centroid assign pass
+    over the vectors (the codebook is k tiny rows, collected and
+    re-embedded bit-exactly each round — the pq_fit recipe) + the
+    #clusters x dim centroid shuffle. Zero corpus-sized exchange per
+    iteration.
     """
-    assigned, _, _ = _kmeans_fit(vectors, k, iters, vec_col, id_col)
+    assigned, _, _, _ = _kmeans_fit(vectors, k, iters, vec_col, id_col)
     return assigned.orderBy(id_col)
 
 
@@ -1093,36 +1131,71 @@ def _kmeans_fit(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, list]:
     """kmeans_assign's fitting loop, returning (assigned, cents,
-    prepped): the final assignment, the centroids that PRODUCED it
-    (what an IVF probe must rank against), and the persisted prepared
-    vector frame — so IVF and SemDeDup build on the fitted state
-    without re-running rounds."""
+    prepped, cent_rows): the final assignment (id, cluster, cosine),
+    the centroids that PRODUCED it as a DataFrame (what an IVF probe
+    must rank against) and as the driver-side (label, vector) list —
+    so IVF / SemDeDup callers can label ANY frame with a map-only
+    `_assign_cos_expr` instead of re-joining the assignment on the id.
+
+    The codebook is k tiny rows, so each round collects it and
+    re-embeds it as literals (bit-exact — `_lit_vec`): assignments
+    become map-only expressions, and the only exchange per round is
+    label_centroids' #labels x dim key shuffle. (The earlier
+    DataFrame loop paid a per-id pre-reduced exchange PLUS a corpus
+    self-join per round — both corpus-sized at 100 TB.)"""
     from fluent_bit_spark.operators.dedup import _persist
 
-    # the prepared (id, double-array) frame is consumed by every round's
-    # assign pass plus the members re-join — persist once instead of
-    # re-reading and re-casting the source 2*iters - 1 times
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    # the prepared (id, double-array, norm) frame feeds every round's
+    # assign pass and the callers — persist once instead of re-casting
+    # per use; the persisted _nv norm is what lets every literal-cosine
+    # round pay one dot fold per centroid instead of a full cosine
+    arr = as_double_array(F.col(vec_col))
     prepped = _persist(
         vectors.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias(vec_col)
+            F.col(id_col),
+            arr.alias(vec_col),
+            _norm(arr).alias("_nv"),
         )
     )
-    cents = _persist(
+    cent_rows = _collect_centroids(
         prepped.filter(F.col(id_col) < k).select(
             F.col(id_col).alias("label"), F.col(vec_col).alias("centroid")
         )
     )
-    assigned, cents = _fit_codebook(
-        prepped,
-        cents,
-        lambda p, c: assign_to_centroids(p, c, vec_col, id_col),
-        vec_col,
-        id_col,
-        iters,
+    if not cent_rows:
+        # the join-based loop silently produced an empty assignment
+        # here; an empty seed set is always a caller error (same
+        # convention as pq_fit)
+        raise ValueError(
+            f"k-means seed set is empty: no rows with {id_col} < {k}"
+        )
+    for _ in range(iters - 1):
+        members = prepped.select(
+            _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"].alias(
+                "label"
+            ),
+            F.col(vec_col),
+        )
+        cent_rows = _collect_centroids(
+            label_centroids(members, vec_col, "label").select(
+                "label", "centroid"
+            )
+        )
+    best = _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)
+    assigned = prepped.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        best["cosine"].alias("cosine"),
     )
-    return assigned, cents, prepped
+    cents = vectors.sparkSession.createDataFrame(
+        [(int(label), [float(x) for x in c]) for label, c in cent_rows],
+        "label bigint, centroid array<double>",
+    )
+    return assigned, cents, prepped, cent_rows
 
 
 def _ivf_probes(
@@ -1189,15 +1262,17 @@ def ivfpq_topk(
     partial-agg shuffle summing m cells per (query, candidate).
     NULL is_query counts as candidate (the IVF convention)."""
     is_query = F.coalesce(is_query, F.lit(False))
-    assigned, cents, prepped = _kmeans_fit(
+    _, cents, prepped, cent_rows = _kmeans_fit(
         vectors, k_clusters, km_iters, vec_col, id_col
     )
     codes, books, pq_prepped, sd = pq_fit(
         vectors, m, k_codes, pq_iters, vec_col, id_col, dim=dim
     )
     probes = _ivf_probes(prepped, cents, is_query, nprobe, vec_col, id_col)
-    cand_cells = prepped.filter(~is_query).join(
-        assigned.select(F.col(id_col), "cluster"), id_col
+    # candidate cell labels are the fit's map-only literal expression —
+    # no corpus self-join against the assignment frame
+    cand_cells = prepped.filter(~is_query).withColumn(
+        "cluster", _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"]
     )
     pairs = cand_cells.join(
         F.broadcast(probes.select("query_id", "cluster")), "cluster"
@@ -1245,12 +1320,14 @@ def ivf_topk_fixed(
     quantizer yet silently vanish from both sides of the partition.
     """
     is_query = F.coalesce(is_query, F.lit(False))
-    assigned, cents, prepped = _kmeans_fit(
+    _, cents, prepped, cent_rows = _kmeans_fit(
         vectors, k_clusters, iters, vec_col, id_col
     )
     probes = _ivf_probes(prepped, cents, is_query, nprobe, vec_col, id_col)
-    cells = prepped.filter(~is_query).join(
-        assigned.select(F.col(id_col), "cluster"), id_col
+    # cell labels come from the fit's map-only literal expression —
+    # no corpus self-join against the assignment frame
+    cells = prepped.filter(~is_query).withColumn(
+        "cluster", _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"]
     )
     scored = cells.join(F.broadcast(probes), "cluster").withColumn(
         "cosine", F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6)

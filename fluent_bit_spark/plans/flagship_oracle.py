@@ -1389,8 +1389,8 @@ def _pq_ctes(
     _kmeans_ctes' ka/kb/kf/ks/kn/kc (score expression, sort direction,
     and source differ) — a change to the shared recipe (fixed-point
     constant, MAX(n) n_vecs trick, tie rules) must be mirrored in BOTH
-    generators, exactly as similarity._fit_codebook is the single
-    Spark-side loop behind both."""
+    generators, exactly as the Spark side shares one literal-centroid
+    fitting recipe (similarity._kmeans_fit / pq_fit)."""
     sd = dim // m
 
     def ssq(a: str, b: str) -> str:
