@@ -3887,6 +3887,8 @@ _GATE_PRIORITY: list = [
 ]
 
 _GATE_PRIORITY_NEXT: list = [
+    "k8s_meta",
+    "ua_enrich",
     "incremental_dedup",
     # LLM-data-pipeline family
     "fuzzy_contam",
@@ -4247,6 +4249,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "sp_snapshot": _q_sp_snapshot,
         "resume_manifest": _q_resume_manifest,
+        "k8s_meta": _q_k8s_meta,
+        "ua_enrich": _q_ua_enrich,
     }
 
 
@@ -4314,6 +4318,89 @@ def _q_resume_manifest(spark, sf_dir):
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _q_k8s_meta(spark, sf_dir):
+    """filter_kubernetes end-to-end: container tags built from the
+    transcript corpus are parsed with the reference's tag regex
+    (kube_regex.h KUBE_TAG_TO_REGEX) and enriched from a preload-cache
+    metadata dimension (kube_meta.c get_meta_file_info) — broadcast
+    join, pure-JVM regex. The oracle re-parses the SAME tag strings
+    with DuckDB's regex engine, so the extraction itself is
+    double-checked, not just the join."""
+    from fluent_bit_spark.operators.enrich import kube_meta_enrich
+
+    t = _transcripts(spark, sf_dir)
+    cid = F.substring("conv_id", 6, 8).cast("bigint")
+    pod = F.concat(F.lit("web-"), (cid % 4).cast("string"))
+    ns = F.when(cid % 2 == 0, F.lit("prod")).otherwise(F.lit("dev"))
+    dock = F.lower(F.lpad(F.hex(cid), 64, "0"))
+    tagged = t.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit("kube.var.log.containers."),
+            pod, F.lit("_"), ns, F.lit("_app-"), dock, F.lit(".log"),
+        ).alias("tag"),
+    )
+    meta_rows = [
+        {
+            "namespace_name": n,
+            "pod_name": f"web-{k}",
+            "pod_id": f"uid-{n}-{k}",
+            "host": f"node-{k % 2}",
+            "labels": {"tier": str(k)},
+            "annotations": {},
+        }
+        for n in ("prod", "dev")
+        for k in range(4)
+    ]
+    out = kube_meta_enrich(tagged, meta_rows)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("kubernetes.pod_name").alias("pod_name"),
+        F.col("kubernetes.namespace_name").alias("namespace_name"),
+        F.col("kubernetes.pod_id").alias("pod_id"),
+        F.col("kubernetes.host").alias("host"),
+        F.col("kubernetes.container_name").alias("container_name"),
+        F.col("kubernetes.docker_id").alias("docker_id"),
+        F.col("kubernetes.labels")["tier"].alias("tier"),
+    )
+
+
+# the fixed UA corpus for ua_enrich: one per family the reference's
+# sidecar distinguishes, cycled by turn index (closed-form oracle)
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 "
+    "Firefox/119.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 "
+    "Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "curl/8.4.0",
+    "weird-bot/1.0",
+]
+
+
+def _q_ua_enrich(spark, sf_dir):
+    """filter_apm_uaparser analog: derive the reference's nine UA
+    fields (filter_uaparser.h, DEFAULT "Unknown") from a user-agent
+    column with the in-engine regex chain — no sidecar. UA strings
+    cycle through one representative per family; the oracle maps each
+    fixed string to its known nine-tuple (closed-form)."""
+    from fluent_bit_spark.operators.enrich import ua_parse
+
+    t = _transcripts(spark, sf_dir)
+    ua = F.element_at(
+        F.array(*[F.lit(u) for u in _UA_SAMPLES]),
+        (F.col("turn_idx") % 6 + 1).cast("int"),
+    )
+    df = t.select("conv_id", "turn_idx", ua.alias("agent"))
+    return ua_parse(df, "agent").drop("agent")
 
 
 def oracle_sql() -> dict[str, str]:

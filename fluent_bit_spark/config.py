@@ -599,6 +599,242 @@ class ConfigPipeline:
                 threshold=int(thr) if thr is not None else None,
             )
             return scored
+        if name == "kubernetes":
+            # plugins/filter_kubernetes: pod identity from the tag
+            # (kube_regex.h), metadata from Kube_meta_preload_cache_dir
+            # (kube_meta.c:150 get_meta_file_info) — the file-cache path
+            # is the reference's own no-API-server mode, and the only
+            # one a sandbox without a kubelet can run. Merge_Log parses
+            # the log field; Keep_Log Off drops the original.
+            from fluent_bit_spark.operators.enrich import (
+                kube_meta_enrich,
+                load_kube_meta_cache,
+            )
+
+            cache_dir = s.get("Kube_meta_preload_cache_dir")
+            if not cache_dir:
+                raise ConfigError(
+                    "kubernetes filter needs Kube_meta_preload_cache_dir "
+                    "(no API server / kubelet is reachable in this "
+                    "runtime; the preload cache is the reference's own "
+                    "offline metadata mode)"
+                )
+            df = kube_meta_enrich(
+                df,
+                load_kube_meta_cache(cache_dir),
+                tag_prefix=s.get("Kube_Tag_Prefix", "kube.var.log.containers."),
+                labels=(s.get("Labels", "On").lower() != "off"),
+                annotations=(s.get("Annotations", "On").lower() != "off"),
+            )
+            if s.get("Merge_Log", "Off").lower() == "on":
+                log_key = s.get("Merge_Log_Key")
+                merge_parser = s.get("Merge_Parser")
+                src = s.get("Log_Key", "log")
+                if merge_parser:
+                    if merge_parser not in self.parsers:
+                        raise ConfigError(
+                            f"unknown Merge_Parser {merge_parser!r} "
+                            "(no parsers.conf entry)"
+                        )
+                    df = apply_parser_spec(
+                        df, self.parsers[merge_parser], key=src
+                    )
+                elif log_key:
+                    # arbitrary-key JSON lands as one map column under
+                    # Merge_Log_Key (kubernetes.c merge_log_key): the
+                    # static-schema analog of merging unknown keys
+                    df = df.withColumn(
+                        log_key,
+                        F.from_json(F.col(src), "map<string,string>"),
+                    )
+                else:
+                    raise ConfigError(
+                        "Merge_Log On needs Merge_Log_Key or Merge_Parser: "
+                        "a static-schema engine cannot splat unknown JSON "
+                        "keys to top level"
+                    )
+                if s.get("Keep_Log", "On").lower() == "off":
+                    df = df.drop(src)
+            return df
+        if name == "aws":
+            # plugins/filter_aws: append EC2 instance metadata under
+            # the reference's record keys (aws.h FLB_FILTER_AWS_*_KEY),
+            # include set driven by the same boolean properties and
+            # defaults (aws.c:622-667 config map). The values normally
+            # come from IMDS; with no instance metadata service in this
+            # runtime they load from Imds_Snapshot, a JSON object of
+            # the IMDS answers (documented sandbox analog — the include
+            # logic, key names, and defaults are the reference's).
+            from fluent_bit_spark.operators.enrich import record_append
+
+            snap_path = s.get("Imds_Snapshot")
+            if not snap_path:
+                raise ConfigError(
+                    "aws filter needs Imds_Snapshot (no EC2 instance "
+                    "metadata service is reachable in this runtime; "
+                    "provide the IMDS answers as a JSON object)"
+                )
+            with open(snap_path) as f:
+                snap = json.load(f)
+            includes = [
+                ("az", "az", "true"),
+                ("ec2_instance_id", "ec2_instance_id", "true"),
+                ("ec2_instance_type", "ec2_instance_type", "false"),
+                ("private_ip", "private_ip", "false"),
+                ("vpc_id", "vpc_id", "false"),
+                ("ami_id", "ami_id", "false"),
+                ("account_id", "account_id", "false"),
+                ("hostname", "hostname", "false"),
+            ]
+            fields = {}
+            for prop, key, dflt in includes:
+                if s.get(prop, dflt).lower() == "true":
+                    if key not in snap:
+                        raise ConfigError(
+                            f"aws filter: Imds_Snapshot {snap_path!r} "
+                            f"missing enabled key {key!r}"
+                        )
+                    fields[key] = str(snap[key])
+            return record_append(df, fields)
+        if name == "apm_uaparser":
+            # plugins/filter_apm_uaparser: agent_key names the UA field
+            # (filter_uaparser.h LOOKUPKEY); port points at the uap
+            # sidecar, which this engine replaces with an in-engine
+            # regex chain (enrich.ua_parse) deriving the same nine
+            # fields with the same "Unknown" defaults. The port value
+            # is accepted and unused — there is no sidecar process.
+            from fluent_bit_spark.operators.enrich import ua_parse
+
+            agent_key = s.get("agent_key")
+            if not agent_key:
+                raise ConfigError("apm_uaparser filter needs agent_key")
+            if agent_key not in df.columns:
+                raise ConfigError(
+                    f"apm_uaparser agent_key {agent_key!r} is not a "
+                    "record field"
+                )
+            return ua_parse(df, agent_key)
+        if name == "apm_url_normalizer":
+            # plugins/filter_apm_url_normalizer: url_path_key names the
+            # URL field; the sidecar's normalization is the in-engine
+            # scalars.url_normalize; output key and miss default are
+            # the reference's (filter_url_normalize.h NORMALIZED_PATH /
+            # DEFAULT "Unknown").
+            from fluent_bit_spark.functions.scalars import url_normalize
+
+            url_key = s.get("url_path_key")
+            if not url_key:
+                raise ConfigError(
+                    "apm_url_normalizer filter needs url_path_key"
+                )
+            src = (
+                F.col(url_key).cast("string")
+                if url_key in df.columns
+                else F.lit(None).cast("string")
+            )
+            return df.withColumn(
+                "normalized_path",
+                F.coalesce(url_normalize(src), F.lit("Unknown")),
+            )
+        if name == "apm_message_formatter":
+            # plugins/filter_apm_message_formatter: message_key names
+            # the field to format (filter_message_formatter.h
+            # LOOKUPKEY); the sidecar's formatting is replaced by a
+            # record-accessor Template rendered in-engine into the
+            # `message` key (the key the reference splices back).
+            from fluent_bit_spark.functions.record_accessor import ra_translate
+
+            msg_key = s.get("message_key")
+            if not msg_key:
+                raise ConfigError(
+                    "apm_message_formatter filter needs message_key"
+                )
+            template = s.get("Template", f"${msg_key}")
+            return df.withColumn("message", ra_translate(df, template))
+        if name == "apm_goals_airflow":
+            # plugins/filter_apm_goals_airflow: multiline collection of
+            # airflow task logs (message_key field; sidecar returns
+            # joined records). The in-engine analog is the in_tail
+            # multiline state machine over the same field: a line
+            # matching Firstline_Regex starts a record, continuations
+            # append. Emits (tag, group_no, first_line_no, text).
+            from fluent_bit_spark.sources import multiline_join
+
+            msg_key = s.get("message_key")
+            if not msg_key:
+                raise ConfigError(
+                    "apm_goals_airflow filter needs message_key"
+                )
+            first = s.get("Firstline_Regex", r"^\[\d{4}-\d{2}-\d{2}")
+            order = s.get("Order_Key") or (
+                "line_no" if "line_no" in df.columns else "ts"
+            )
+            return multiline_join(
+                df.withColumn("_line", F.col(msg_key).cast("string")),
+                first,
+                file_col="tag",
+                line_no_col=order,
+                line_col="_line",
+            )
+        if name == "apm_kubernetes_labels":
+            # plugins/filter_apm_kubernetes_labels: ensure each record
+            # carries the project/app label keys. mapping_path is the
+            # pod_name -> labels JSON (LOOKUP_KEY_PATH); label key
+            # names and fallback values use the reference's env vars
+            # and defaults (filter_kubernetes_labels.h).
+            import os as _os
+
+            from fluent_bit_spark.operators.enrich import lookup_enrich
+
+            path = s.get("mapping_path")
+            if not path:
+                raise ConfigError(
+                    "apm_kubernetes_labels filter needs mapping_path"
+                )
+            with open(path) as f:
+                mapping = json.load(f)
+            proj_label = _os.environ.get(
+                "SFAPM_PROJECTNAME_LABEL", "snappyflow/projectname"
+            )
+            app_label = _os.environ.get(
+                "SFAPM_APPNAME_LABEL", "snappyflow/appname"
+            )
+            proj_default = _os.environ.get("SFAPM_PROJECT_NAME", "project")
+            app_default = _os.environ.get("SFAPM_APP_NAME", "app")
+            rows = [
+                (
+                    pod,
+                    labels.get(proj_label, proj_default),
+                    labels.get(app_label, app_default),
+                )
+                for pod, labels in mapping.items()
+            ]
+            if not rows:
+                raise ConfigError(f"mapping_path {path!r} has no pods")
+            dim = df.sparkSession.createDataFrame(
+                rows, ["_pod", "projectName", "appName"]
+            )
+            pod_key = s.get("Pod_Key", "pod_name")
+            if pod_key not in df.columns:
+                raise ConfigError(
+                    f"apm_kubernetes_labels pod key {pod_key!r} is not "
+                    "a record field"
+                )
+            return lookup_enrich(
+                df,
+                dim,
+                key=pod_key,
+                dim_key="_pod",
+                defaults={
+                    "projectName": proj_default,
+                    "appName": app_default,
+                },
+            )
+        if name == "stdout":
+            # plugins/filter_stdout: print-and-pass-through debug aid —
+            # a no-op on the frame (printing happens at materialization
+            # in a lazy engine; the record stream is unchanged).
+            return df
         if name == "sampling":
             # severity-tiered content-keyed sampling (sampling.py):
             #   Rate <level> <ppm>   (repeatable)   Default_rate <ppm>

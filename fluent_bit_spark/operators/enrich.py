@@ -354,3 +354,227 @@ def cdc_apply(
         base.select(*keys), keys, "left_anti"
     ).select(*keys, *payload)
     return merged.unionByName(inserts)
+
+
+# ---------------------------------------------------------------------------
+# filter_kubernetes (plugins/filter_kubernetes) — tag-derived pod identity
+# plus a preload-cache metadata dimension, all JVM-side.
+
+# kube_regex.h KUBE_TAG_TO_REGEX, translated to Java regex (the named
+# groups become positional: 1=pod_name, 3=namespace_name,
+# 4=container_name, 5=docker_id; group 2 is the inner dns-label group).
+KUBE_TAG_REGEX = (
+    r"([a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)"
+    r"_([^_]+)_(.+)-([a-z0-9]{64})\.log$"
+)
+
+
+def load_kube_meta_cache(cache_dir: str) -> list[dict]:
+    """Read every `<namespace>_<podname>.meta` JSON file in
+    `cache_dir` — the reference's Kube_meta_preload_cache_dir path
+    (kube_meta.c:150-200 get_meta_file_info: file content is the pod
+    API object; filename supplies namespace/pod identity). Returns one
+    flat dict per pod: namespace_name, pod_name, pod_id, host, labels,
+    annotations. The cache is config-sized (one file per pod on the
+    node), so a driver-side read that becomes a broadcast dimension is
+    the correct scale shape."""
+    import json as _json
+    import os as _os
+
+    rows = []
+    for fn in sorted(_os.listdir(cache_dir)):
+        if not fn.endswith(".meta") or "_" not in fn:
+            continue
+        ns, pod = fn[:-5].split("_", 1)
+        with open(_os.path.join(cache_dir, fn)) as f:
+            obj = _json.load(f)
+        md = obj.get("metadata", {})
+        rows.append(
+            {
+                "namespace_name": ns,
+                "pod_name": pod,
+                "pod_id": md.get("uid"),
+                "host": obj.get("spec", {}).get("nodeName"),
+                "labels": md.get("labels") or {},
+                "annotations": md.get("annotations") or {},
+            }
+        )
+    return rows
+
+
+def kube_meta_enrich(
+    df: DataFrame,
+    meta_rows: list[dict],
+    tag_prefix: str = "kube.var.log.containers.",
+    tag_col: str = "tag",
+    labels: bool = True,
+    annotations: bool = True,
+    out_col: str = "kubernetes",
+) -> DataFrame:
+    """filter_kubernetes metadata enrich: strip `tag_prefix` from the
+    routing tag, extract (pod_name, namespace_name, container_name,
+    docker_id) with the reference's tag regex (kube_regex.h), then
+    broadcast-join the preload-cache dimension on (namespace, pod) and
+    pack the `kubernetes` struct in the reference's field order
+    (kube_meta.c:859-926: pod_name, namespace_name, pod_id, labels,
+    annotations, host, container_name, docker_id). Records whose tag
+    does not parse get a NULL struct and pass through untouched —
+    the reference skips enrichment on meta-extraction failure.
+
+    Scale shape: the cache is one row per pod (config-sized), so the
+    join is a broadcast hash join; tag parsing is pure JVM regex."""
+    stripped = F.when(
+        F.col(tag_col).startswith(tag_prefix),
+        F.expr(f"substring({tag_col}, {len(tag_prefix) + 1})"),
+    ).otherwise(F.col(tag_col))
+    parsed = df.withColumns(
+        {
+            "_kpod": F.regexp_extract(stripped, KUBE_TAG_REGEX, 1),
+            "_kns": F.regexp_extract(stripped, KUBE_TAG_REGEX, 3),
+            "_kcont": F.regexp_extract(stripped, KUBE_TAG_REGEX, 4),
+            "_kdock": F.regexp_extract(stripped, KUBE_TAG_REGEX, 5),
+        }
+    )
+    spark = df.sparkSession
+    map_t = "map<string,string>"
+    dim = spark.createDataFrame(
+        [
+            (
+                r["namespace_name"],
+                r["pod_name"],
+                r.get("pod_id"),
+                r.get("host"),
+                {str(k): str(v) for k, v in (r.get("labels") or {}).items()},
+                {str(k): str(v) for k, v in (r.get("annotations") or {}).items()},
+            )
+            for r in meta_rows
+        ],
+        f"_mns string, _mpod string, _mpid string, _mhost string, "
+        f"_mlabels {map_t}, _mannot {map_t}",
+    )
+    joined = parsed.join(
+        F.broadcast(dim),
+        (parsed["_kns"] == dim["_mns"]) & (parsed["_kpod"] == dim["_mpod"]),
+        "left",
+    )
+    fields = [
+        F.col("_kpod").alias("pod_name"),
+        F.col("_kns").alias("namespace_name"),
+        F.col("_mpid").alias("pod_id"),
+    ]
+    if labels:
+        fields.append(F.col("_mlabels").alias("labels"))
+    if annotations:
+        fields.append(F.col("_mannot").alias("annotations"))
+    fields += [
+        F.col("_mhost").alias("host"),
+        F.col("_kcont").alias("container_name"),
+        F.col("_kdock").alias("docker_id"),
+    ]
+    out = joined.withColumn(
+        out_col,
+        F.when(F.col("_kpod") != "", F.struct(*fields)),
+    )
+    return out.drop("_kpod", "_kns", "_kcont", "_kdock",
+                    "_mns", "_mpod", "_mpid", "_mhost", "_mlabels", "_mannot")
+
+
+# ---------------------------------------------------------------------------
+# filter_apm_uaparser — in-engine user-agent derivation.
+#
+# The reference ships the UA string to a localhost uap sidecar
+# (filter_uaparser.c connect_socket/configure) and splices back nine
+# fields, all defaulting to "Unknown" (filter_uaparser.h). The engine
+# analog derives the same nine fields with a first-match regex chain
+# (public user-agent grammar, re-expressed; no sidecar process), so
+# the filter is self-contained and deterministic.
+
+# (browser_name, detect regex, version-capture regex) in precedence
+# order — Edge/Opera before Chrome (their UAs embed Chrome/), Chrome
+# before Safari (Chrome UAs embed Safari/).
+_UA_BROWSERS = [
+    ("Edge", r"Edge?[A-Za-z]*/\d", r"Edge?[A-Za-z]*/(\d+[\.\d]*)"),
+    ("Opera", r"OPR/\d", r"OPR/(\d+[\.\d]*)"),
+    ("Chrome", r"Chrom(?:e|ium)/\d", r"Chrom(?:e|ium)/(\d+[\.\d]*)"),
+    ("Firefox", r"Firefox/\d", r"Firefox/(\d+[\.\d]*)"),
+    ("Safari", r"Version/\d+[\.\d]* .*Safari/", r"Version/(\d+[\.\d]*)"),
+    ("IE", r"MSIE \d|Trident/.*rv:\d", r"(?:MSIE |Trident/.*rv:)(\d+[\.\d]*)"),
+    ("curl", r"^curl/", r"^curl/(\d+[\.\d]*)"),
+    ("Python Requests", r"^python-requests/", r"^python-requests/(\d+[\.\d]*)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT \d", r"Windows NT (\d+[\.\d]*)"),
+    ("iOS", r"iPhone OS \d|CPU OS \d", r"(?:iPhone OS|CPU OS) (\d+[_\.\d]*)"),
+    ("Mac OS X", r"Mac OS X \d", r"Mac OS X (\d+[_\.\d]*)"),
+    ("Android", r"Android \d", r"Android (\d+[\.\d]*)"),
+    ("Chrome OS", r"CrOS ", r"CrOS [^ ]+ (\d+[\.\d]*)"),
+    ("Linux", r"Linux", r"()"),
+]
+_UA_DEVICES = [
+    ("iPhone", "Apple", "iPhone", r"iPhone"),
+    ("iPad", "Apple", "iPad", r"iPad"),
+    ("Mac", "Apple", "Mac", r"Macintosh"),
+    ("Samsung", "Samsung", "SM", r"\bSM-[A-Z0-9]+"),
+    ("Generic Smartphone", "Generic", "Smartphone", r"Android|Mobile"),
+]
+
+_UA_UNKNOWN = "Unknown"
+
+
+def ua_parse(
+    df: DataFrame, agent_col: str, prefix: str = ""
+) -> DataFrame:
+    """Derive filter_apm_uaparser's nine record fields (browser_name,
+    browser_version, browser, OS_name, OS_version, OS, device,
+    device_brand, device_model — filter_uaparser.h) from a user-agent
+    column. First matching rule wins per family; every field falls
+    back to "Unknown" exactly as the reference packs DEFAULT for all
+    nine on lookup failure. Pure when-chain + regexp_extract — no
+    join, no Python in the row path."""
+    ua = F.col(agent_col)
+
+    def chain(rules, make):
+        expr = None
+        for rule in rules:
+            cond = ua.rlike(rule[-1] if len(rule) == 4 else rule[1])
+            val = make(rule)
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return expr.otherwise(F.lit(_UA_UNKNOWN))
+
+    def version_of(rule):
+        v = F.regexp_extract(ua, rule[2], 1)
+        v = F.replace(v, F.lit("_"), F.lit("."))
+        return F.when(v != "", v).otherwise(F.lit(_UA_UNKNOWN))
+
+    b_rules = [(n, d, v) for n, d, v in _UA_BROWSERS]
+    name = chain(b_rules, lambda r: F.lit(r[0]))
+    ver = chain(b_rules, version_of)
+    os_name = chain(_UA_OS, lambda r: F.lit(r[0]))
+    os_ver = chain(_UA_OS, version_of)
+    p = prefix
+    out = df.withColumns(
+        {
+            p + "browser_name": name,
+            p + "browser_version": ver,
+            p + "OS_name": os_name,
+            p + "OS_version": os_ver,
+            p + "device": chain(_UA_DEVICES, lambda r: F.lit(r[0])),
+            p + "device_brand": chain(_UA_DEVICES, lambda r: F.lit(r[1])),
+            p + "device_model": chain(_UA_DEVICES, lambda r: F.lit(r[2])),
+        }
+    )
+    # family strings: "<name> <major>" when both known, else the name,
+    # else Unknown (the sidecar's display form)
+    def family(n, v):
+        major = F.split(F.col(v), r"\.")[0]
+        return F.when(
+            (F.col(n) != _UA_UNKNOWN) & (F.col(v) != _UA_UNKNOWN),
+            F.concat_ws(" ", F.col(n), major),
+        ).otherwise(F.col(n))
+
+    return out.withColumns(
+        {
+            p + "browser": family(p + "browser_name", p + "browser_version"),
+            p + "OS": family(p + "OS_name", p + "OS_version"),
+        }
+    )

@@ -4263,6 +4263,83 @@ walk AS (
 SELECT doc_id, shard, n_tokens, bin, fill_after FROM walk"""
 
 
+def _round4_sql() -> dict[str, str]:
+    """kubernetes / apm_uaparser config-filter mirrors (round 4).
+
+    k8s_meta re-parses the engine's container tags with DuckDB's regex
+    engine (kube_regex.h KUBE_TAG_TO_REGEX, groups 1/3/4/5) and joins
+    the same 8-pod preload-cache dimension, so both the extraction and
+    the broadcast join are independently replayed. ua_enrich maps each
+    fixed UA sample to its known nine-tuple (closed form — the Spark
+    side derives the fields by regex, the oracle pins the answers)."""
+    kube_re = (
+        r"([a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9]([-a-z0-9]*"
+        r"[a-z0-9])?)*)_([^_]+)_(.+)-([a-z0-9]{64})\.log$"
+    )
+    meta_vals = ", ".join(
+        f"('{n}', 'web-{k}', 'uid-{n}-{k}', 'node-{k % 2}', '{k}')"
+        for n in ("prod", "dev")
+        for k in range(4)
+    )
+    k8s_meta = f"""
+, k8tag AS (
+    SELECT conv_id, turn_idx,
+           'web-' || CAST(cid % 4 AS VARCHAR)
+             || '_' || (CASE WHEN cid % 2 = 0 THEN 'prod' ELSE 'dev' END)
+             || '_app-' || lower(lpad(to_hex(cid), 64, '0')) || '.log'
+             AS rest
+    FROM (SELECT conv_id, turn_idx,
+                 CAST(substr(conv_id, 6, 8) AS BIGINT) AS cid
+          FROM transcripts))
+, k8parsed AS (
+    SELECT conv_id, turn_idx,
+           regexp_extract(rest, '{kube_re}', 1) AS pod_name,
+           regexp_extract(rest, '{kube_re}', 3) AS namespace_name,
+           regexp_extract(rest, '{kube_re}', 4) AS container_name,
+           regexp_extract(rest, '{kube_re}', 5) AS docker_id
+    FROM k8tag)
+, k8meta(ns, pod, pod_id, host, tier) AS (VALUES {meta_vals})
+SELECT p.conv_id, p.turn_idx, p.pod_name, p.namespace_name,
+       m.pod_id, m.host, p.container_name, p.docker_id, m.tier
+FROM k8parsed p
+JOIN k8meta m ON m.ns = p.namespace_name AND m.pod = p.pod_name"""
+
+    # one nine-tuple per _UA_SAMPLES entry, in cycle order
+    ua_rows = [
+        ("Chrome", "120.0.0.0", "Chrome 120",
+         "Windows", "10.0", "Windows 10",
+         "Unknown", "Unknown", "Unknown"),
+        ("Firefox", "119.0", "Firefox 119",
+         "Linux", "Unknown", "Linux",
+         "Unknown", "Unknown", "Unknown"),
+        ("Safari", "16.5", "Safari 16",
+         "iOS", "16.5", "iOS 16",
+         "iPhone", "Apple", "iPhone"),
+        ("Edge", "120.0.2210.91", "Edge 120",
+         "Windows", "10.0", "Windows 10",
+         "Unknown", "Unknown", "Unknown"),
+        ("curl", "8.4.0", "curl 8",
+         "Unknown", "Unknown", "Unknown",
+         "Unknown", "Unknown", "Unknown"),
+        ("Unknown", "Unknown", "Unknown",
+         "Unknown", "Unknown", "Unknown",
+         "Unknown", "Unknown", "Unknown"),
+    ]
+    ua_vals = ", ".join(
+        "(" + str(i) + ", " + ", ".join(f"'{v}'" for v in row) + ")"
+        for i, row in enumerate(ua_rows)
+    )
+    ua_enrich = f"""
+, uadim(i, browser_name, browser_version, browser, OS_name, OS_version,
+        OS, device, device_brand, device_model) AS (VALUES {ua_vals})
+SELECT t.conv_id, t.turn_idx,
+       u.browser_name, u.browser_version, u.browser,
+       u.OS_name, u.OS_version, u.OS,
+       u.device, u.device_brand, u.device_model
+FROM transcripts t JOIN uadim u ON u.i = t.turn_idx % 6"""
+    return {"k8s_meta": k8s_meta, "ua_enrich": ua_enrich}
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     d = {
@@ -4283,6 +4360,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _opsaudit_sql().items()},
         **{k: c + v for k, v in _wireformat_sql().items()},
         **{k: c + v for k, v in _dqsuite_sql().items()},
+        **{k: c + v for k, v in _round4_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

@@ -982,3 +982,291 @@ def test_sp_snapshot_ring_survives_maxts_column(spark):
     out = eng.execute("FLUSH SNAPSHOT r;")
     assert sorted(r.id for r in out.collect()) == [2, 3, 4]
     assert all(r._maxts == "user-col" for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# round-4 filter dispatch: kubernetes / aws / apm_* family
+
+
+def _k8s_cache(tmp_path):
+    import json as _json
+
+    meta = {
+        "metadata": {
+            "name": "web-1",
+            "namespace": "prod",
+            "uid": "uid-123",
+            "labels": {"app": "web", "snappyflow/projectname": "p1"},
+            "annotations": {"note": "a"},
+        },
+        "spec": {"nodeName": "node-7"},
+    }
+    (tmp_path / "prod_web-1.meta").write_text(_json.dumps(meta))
+    return str(tmp_path)
+
+
+_DOCKER_ID = "a" * 64
+
+
+def test_kubernetes_filter_meta_and_merge_log(spark, tmp_path):
+    cache = _k8s_cache(tmp_path)
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"log": "{{\\"lvl\\": \\"info\\"}}"}}
+    Samples 3
+    Tag kube.var.log.containers.web-1_prod_app-{_DOCKER_ID}.log
+[FILTER]
+    Name kubernetes
+    Match *
+    Kube_meta_preload_cache_dir {cache}
+    Merge_Log On
+    Merge_Log_Key parsed
+    Keep_Log Off
+"""
+    df = ConfigPipeline(cfg).frame(spark)
+    rows = df.collect()
+    assert len(rows) == 3
+    k = rows[0]["kubernetes"]
+    assert k["pod_name"] == "web-1"
+    assert k["namespace_name"] == "prod"
+    assert k["pod_id"] == "uid-123"
+    assert k["host"] == "node-7"
+    assert k["container_name"] == "app"
+    assert k["docker_id"] == _DOCKER_ID
+    assert dict(k["labels"])["app"] == "web"
+    assert rows[0]["parsed"]["lvl"] == "info"
+    assert "log" not in df.columns  # Keep_Log Off
+
+
+def test_kubernetes_filter_unparseable_tag_passthrough(spark, tmp_path):
+    cache = _k8s_cache(tmp_path)
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"log": "x"}}
+    Samples 2
+    Tag notkube.something
+[FILTER]
+    Name kubernetes
+    Match *
+    Kube_meta_preload_cache_dir {cache}
+"""
+    rows = ConfigPipeline(cfg).frame(spark).collect()
+    assert all(r["kubernetes"] is None for r in rows)
+
+
+def test_kubernetes_filter_requires_cache_dir(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Tag t
+[FILTER]
+    Name kubernetes
+    Match *
+"""
+    with pytest.raises(ConfigError, match="Kube_meta_preload_cache_dir"):
+        ConfigPipeline(cfg).frame(spark)
+
+
+def test_aws_filter_snapshot_and_defaults(spark, tmp_path):
+    import json as _json
+
+    snap = tmp_path / "imds.json"
+    snap.write_text(
+        _json.dumps(
+            {
+                "az": "us-east-1a",
+                "ec2_instance_id": "i-0abc",
+                "ec2_instance_type": "m5.large",
+            }
+        )
+    )
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"message": "m"}}
+    Samples 2
+    Tag t
+[FILTER]
+    Name aws
+    Match *
+    Imds_Snapshot {snap}
+"""
+    df = ConfigPipeline(cfg).frame(spark)
+    r = df.collect()[0]
+    # defaults: az + ec2_instance_id on, everything else off (aws.c)
+    assert r["az"] == "us-east-1a"
+    assert r["ec2_instance_id"] == "i-0abc"
+    assert "ec2_instance_type" not in df.columns
+    cfg2 = cfg + "    ec2_instance_type true\n"
+    df2 = ConfigPipeline(cfg2).frame(spark)
+    assert df2.collect()[0]["ec2_instance_type"] == "m5.large"
+
+
+def test_aws_filter_missing_snapshot_key(spark, tmp_path):
+    snap = tmp_path / "imds.json"
+    snap.write_text('{"az": "us-east-1a"}')
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Tag t
+[FILTER]
+    Name aws
+    Match *
+    Imds_Snapshot {snap}
+"""
+    with pytest.raises(ConfigError, match="ec2_instance_id"):
+        ConfigPipeline(cfg).frame(spark)
+
+
+_CHROME_UA = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+)
+
+
+def test_apm_uaparser_filter(spark):
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"agent": "{_CHROME_UA}"}}
+    Samples 1
+    Tag t
+[FILTER]
+    Name apm_uaparser
+    Match *
+    agent_key agent
+    port 5000
+"""
+    r = ConfigPipeline(cfg).frame(spark).collect()[0]
+    assert r["browser_name"] == "Chrome"
+    assert r["browser_version"].startswith("120")
+    assert r["browser"] == "Chrome 120"
+    assert r["OS_name"] == "Windows"
+    assert r["OS_version"] == "10.0"
+    assert r["device"] == "Unknown"  # desktop UA: no device rule fires
+
+
+def test_apm_uaparser_unknown_defaults(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"agent": "weird-bot"}
+    Samples 1
+    Tag t
+[FILTER]
+    Name apm_uaparser
+    Match *
+    agent_key agent
+"""
+    r = ConfigPipeline(cfg).frame(spark).collect()[0]
+    for f in (
+        "browser_name",
+        "browser_version",
+        "browser",
+        "OS_name",
+        "OS_version",
+        "OS",
+        "device",
+        "device_brand",
+        "device_model",
+    ):
+        assert r[f] == "Unknown", f
+
+
+def test_apm_url_normalizer_filter(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"url": "/users/12345/orders/987"}
+    Samples 1
+    Tag t
+[FILTER]
+    Name apm_url_normalizer
+    Match *
+    url_path_key url
+    port 5001
+"""
+    r = ConfigPipeline(cfg).frame(spark).collect()[0]
+    assert "12345" not in r["normalized_path"]
+    cfg_missing = cfg.replace("url_path_key url", "url_path_key nope")
+    r2 = ConfigPipeline(cfg_missing).frame(spark).collect()[0]
+    assert r2["normalized_path"] == "Unknown"
+
+
+def test_apm_kubernetes_labels_filter(spark, tmp_path):
+    import json as _json
+
+    mp = tmp_path / "map.json"
+    mp.write_text(
+        _json.dumps(
+            {
+                "web-1": {
+                    "snappyflow/projectname": "proj-a",
+                    "snappyflow/appname": "app-a",
+                },
+                "web-2": {},
+            }
+        )
+    )
+    cfg = f"""
+[INPUT]
+    Name dummy
+    Dummy {{"pod_name": "web-1"}}
+    Samples 1
+    Tag t
+[INPUT]
+    Name dummy
+    Dummy {{"pod_name": "web-9"}}
+    Samples 1
+    Tag t2
+[FILTER]
+    Name apm_kubernetes_labels
+    Match *
+    mapping_path {mp}
+"""
+    rows = {
+        r["pod_name"]: r
+        for r in ConfigPipeline(cfg).frame(spark).collect()
+    }
+    assert rows["web-1"]["projectName"] == "proj-a"
+    assert rows["web-1"]["appName"] == "app-a"
+    # unmapped pod falls back to the env-default names
+    assert rows["web-9"]["projectName"] == "project"
+    assert rows["web-9"]["appName"] == "app"
+
+
+def test_apm_goals_airflow_multiline(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "x"}
+    Samples 1
+    Tag t
+[FILTER]
+    Name apm_goals_airflow
+    Match *
+    message_key message
+    port 5002
+"""
+    # one non-firstline record forms the orphan group (-1)
+    rows = ConfigPipeline(cfg).frame(spark).collect()
+    assert len(rows) == 1 and rows[0]["group_no"] == -1
+
+
+def test_stdout_filter_passthrough(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"message": "x"}
+    Samples 4
+    Tag t
+[FILTER]
+    Name stdout
+    Match *
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    assert ConfigPipeline(cfg).run(spark) == {"counter_0": 4}
