@@ -3889,6 +3889,7 @@ _GATE_PRIORITY: list = [
 _GATE_PRIORITY_NEXT: list = [
     "k8s_meta",
     "ua_enrich",
+    "sp_config_task",
     "incremental_dedup",
     # LLM-data-pipeline family
     "fuzzy_contam",
@@ -4251,6 +4252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_manifest": _q_resume_manifest,
         "k8s_meta": _q_k8s_meta,
         "ua_enrich": _q_ua_enrich,
+        "sp_config_task": _q_sp_config_task,
     }
 
 
@@ -4401,6 +4403,30 @@ def _q_ua_enrich(spark, sf_dir):
     )
     df = t.select("conv_id", "turn_idx", ua.alias("agent"))
     return ua_parse(df, "agent").drop("agent")
+
+
+def _q_sp_config_task(spark, sf_dir):
+    """[STREAM_TASK] config sections end-to-end (flb_sp.c:98-130):
+    the transcripts input is addressable as STREAM:<Alias>, task 1
+    CREATE-STREAMs a filtered view, task 2 aggregates the chained
+    stream — the reference's stream-processor config surface compiled
+    through ConfigPipeline.run_stream_tasks."""
+    from fluent_bit_spark.config import ConfigPipeline
+
+    cfg = f"""
+[INPUT]
+    Name transcripts
+    Path {sf_dir}
+    Tag conv.raw
+    Alias conv
+[STREAM_TASK]
+    Name hot
+    Exec CREATE STREAM hot AS SELECT role, turn_idx FROM STREAM:conv WHERE turn_idx >= 3;
+[STREAM_TASK]
+    Name hot_counts
+    Exec SELECT role, COUNT(*) AS n FROM STREAM:hot GROUP BY role;
+"""
+    return ConfigPipeline(cfg).run_stream_tasks(_prep(spark))["hot_counts"]
 
 
 def oracle_sql() -> dict[str, str]:

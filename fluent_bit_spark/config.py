@@ -872,6 +872,59 @@ class ConfigPipeline:
             df = self._apply_filter(df, s)
         return df
 
+    # -- stream processor tasks ----------------------------------------------
+    def _stream_task_sections(self) -> list[Section]:
+        """[STREAM_TASK] sections, inline plus those in the [SERVICE]
+        Streams_File (flb_sp.c:98 reads the file named by the service's
+        streams_file key; both carry Name + Exec and error when either
+        is missing, flb_sp.c:108-120)."""
+        tasks = [s for s in self.sections if s.kind == "STREAM_TASK"]
+        svc = next((s for s in self.sections if s.kind == "SERVICE"), None)
+        sf = svc.get("Streams_File") if svc else None
+        if sf:
+            tasks += [
+                s for s in load_config_file(sf) if s.kind == "STREAM_TASK"
+            ]
+        for t in tasks:
+            if not t.get("Name"):
+                raise ConfigError("stream task needs a Name (flb_sp.c:110)")
+            if not t.get("Exec"):
+                raise ConfigError(
+                    f"stream task {t.get('Name')!r} needs an Exec command "
+                    "(flb_sp.c:118)"
+                )
+        return tasks
+
+    def run_stream_tasks(self, spark: SparkSession) -> dict[str, "DataFrame"]:
+        """Execute every [STREAM_TASK] against the post-filter record
+        stream and return {task name: result frame} for tasks that
+        produce output (CREATE STREAM also registers its result for
+        downstream tasks, exactly as the reference's stream processor
+        taps the main pipeline and re-registers streams).
+
+        Stream naming follows the reference: an input is addressable
+        as STREAM:<alias> when it sets Alias, else STREAM:<name>_<i>
+    (plugin instance name; '.' is not an identifier character in
+        the SP grammar so the instance separator is '_'), and
+        TAG:'glob' selects across all inputs by routing tag."""
+        from fluent_bit_spark.sp import SpEngine
+
+        tasks = self._stream_task_sections()
+        base = self.frame(spark)
+        inputs = [s for s in self.sections if s.kind == "INPUT"]
+        streams: dict[str, DataFrame] = {}
+        for i, s in enumerate(inputs):
+            name = s.get("Alias") or f"{(s.get('Name') or '').lower()}_{i}"
+            tag = s.get("Tag", f"{(s.get('Name') or '').lower()}.0")
+            streams[name] = base.filter(F.col("tag") == tag)
+        eng = SpEngine(spark, streams)
+        results: dict[str, DataFrame] = {}
+        for t in tasks:
+            out = eng.execute(t.get("Exec"))
+            if out is not None:
+                results[t.get("Name")] = out
+        return results
+
     def run(
         self, spark: SparkSession, output_base: str | None = None
     ) -> dict[str, object]:

@@ -4337,7 +4337,14 @@ SELECT t.conv_id, t.turn_idx,
        u.OS_name, u.OS_version, u.OS,
        u.device, u.device_brand, u.device_model
 FROM transcripts t JOIN uadim u ON u.i = t.turn_idx % 6"""
-    return {"k8s_meta": k8s_meta, "ua_enrich": ua_enrich}
+    sp_config_task = """
+SELECT role, COUNT(*) AS n FROM transcripts
+WHERE turn_idx >= 3 GROUP BY role"""
+    return {
+        "k8s_meta": k8s_meta,
+        "ua_enrich": ua_enrich,
+        "sp_config_task": sp_config_task,
+    }
 
 
 def oracle_queries() -> dict[str, str]:

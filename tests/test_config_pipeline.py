@@ -1270,3 +1270,77 @@ def test_stdout_filter_passthrough(spark):
     Match *
 """
     assert ConfigPipeline(cfg).run(spark) == {"counter_0": 4}
+
+
+# ---------------------------------------------------------------------------
+# [STREAM_TASK] sections (flb_sp.c:98-130)
+
+
+def test_stream_task_chain(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"code": 1}
+    Samples 6
+    Tag app.a
+    Alias appa
+[STREAM_TASK]
+    Name keep
+    Exec CREATE STREAM kept AS SELECT code, ts FROM STREAM:appa;
+[STREAM_TASK]
+    Name totals
+    Exec SELECT COUNT(*) AS n FROM STREAM:kept;
+"""
+    res = ConfigPipeline(cfg).run_stream_tasks(spark)
+    assert res["totals"].collect()[0]["n"] == 6
+    # CREATE STREAM task also surfaces its frame
+    assert res["keep"].count() == 6
+
+
+def test_stream_task_default_instance_name(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Dummy {"code": 1}
+    Samples 3
+    Tag t
+[STREAM_TASK]
+    Name c
+    Exec SELECT COUNT(*) AS n FROM STREAM:dummy_0;
+"""
+    res = ConfigPipeline(cfg).run_stream_tasks(spark)
+    assert res["c"].collect()[0]["n"] == 3
+
+
+def test_stream_task_streams_file(spark, tmp_path):
+    sf = tmp_path / "streams.conf"
+    sf.write_text(
+        """
+[STREAM_TASK]
+    Name c
+    Exec SELECT COUNT(*) AS n FROM TAG:'app.*';
+"""
+    )
+    cfg = f"""
+[SERVICE]
+    Streams_File {sf}
+[INPUT]
+    Name dummy
+    Dummy {{"code": 1}}
+    Samples 5
+    Tag app.x
+"""
+    res = ConfigPipeline(cfg).run_stream_tasks(spark)
+    assert res["c"].collect()[0]["n"] == 5
+
+
+def test_stream_task_missing_exec_errors(spark):
+    cfg = """
+[INPUT]
+    Name dummy
+    Tag t
+[STREAM_TASK]
+    Name broken
+"""
+    with pytest.raises(ConfigError, match="Exec"):
+        ConfigPipeline(cfg).run_stream_tasks(spark)
