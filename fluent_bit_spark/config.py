@@ -345,6 +345,76 @@ class ConfigPipeline:
 
             df = load_transcripts(spark, s.get("Path"))
             return df.withColumn("tag", F.lit(tag))
+        if name == "syslog":
+            # plugins/in_syslog: RFC5424 datagrams -> parsed records.
+            # Mode udp/tcp/unix_* name a socket transport; the batch
+            # analog reads the same wire lines from Path (SURVEY
+            # contract: transport <-> batch table).
+            from fluent_bit_spark.sources import (
+                parse_syslog_rfc5424,
+                read_text_lines,
+            )
+
+            if not s.get("Path"):
+                raise ConfigError("syslog input needs a Path (file of "
+                                  "RFC5424 lines; socket transports have "
+                                  "no batch analog)")
+            lines = read_text_lines(spark, s.get("Path"))
+            return parse_syslog_rfc5424(lines).withColumn("tag", F.lit(tag))
+        if name == "kmsg":
+            # plugins/in_kmsg: /dev/kmsg line grammar; Path is the
+            # captured ring buffer (the device itself needs a kernel).
+            from fluent_bit_spark.sources import parse_kmsg, read_text_lines
+
+            if not s.get("Path"):
+                raise ConfigError("kmsg input needs a Path (captured "
+                                  "/dev/kmsg lines)")
+            lines = read_text_lines(spark, s.get("Path"))
+            return parse_kmsg(
+                lines, boot_time=s.get("Boot_Time", "2024-01-01 00:00:00")
+            ).withColumn("tag", F.lit(tag))
+        if name == "systemd":
+            # plugins/in_systemd: journal entries; Path is the journal
+            # EXPORT serialization (journalctl -o export), the wire
+            # form of what libsystemd yields.
+            from fluent_bit_spark.sources import (
+                parse_journal_export,
+                read_text_lines,
+            )
+
+            if not s.get("Path"):
+                raise ConfigError("systemd input needs a Path (journal "
+                                  "export file)")
+            lines = read_text_lines(spark, s.get("Path"))
+            keys = tuple(s.get_all("Key")) or (
+                "PRIORITY", "MESSAGE", "_SYSTEMD_UNIT", "_PID",
+            )
+            return parse_journal_export(lines, keys=keys).withColumn(
+                "tag", F.lit(tag)
+            )
+        if name == "statsd":
+            # plugins/in_statsd: one datagram per line from Path.
+            from fluent_bit_spark.sources import parse_statsd, read_text_lines
+
+            if not s.get("Path"):
+                raise ConfigError("statsd input needs a Path (datagram "
+                                  "lines)")
+            lines = read_text_lines(spark, s.get("Path"))
+            return parse_statsd(lines).withColumn("tag", F.lit(tag))
+        if name in ("cpu", "mem", "disk", "netif", "thermal", "random"):
+            # the periodic collectors (registered on a timer,
+            # src/flb_input.c:639): deterministic synthetic series.
+            from fluent_bit_spark.sources import synthetic_metrics
+
+            return synthetic_metrics(
+                spark,
+                metric=name,
+                samples=int(s.get("Samples", "60")),
+                start=s.get("Start_Time", "2024-01-01 00:00:00"),
+                interval_sec=int(s.get("Interval_Sec", "1")),
+                seed=int(s.get("Seed", "42")),
+                tag=tag,
+            )
         raise ConfigError(f"unsupported input plugin {name!r}")
 
     # -- filters ------------------------------------------------------------

@@ -1344,3 +1344,100 @@ def test_stream_task_missing_exec_errors(spark):
 """
     with pytest.raises(ConfigError, match="Exec"):
         ConfigPipeline(cfg).run_stream_tasks(spark)
+
+
+# ---------------------------------------------------------------------------
+# round-4 input dispatch: syslog / kmsg / systemd / statsd / collectors
+
+
+def test_syslog_input_from_path(spark, tmp_path):
+    f = tmp_path / "syslog.txt"
+    f.write_text(
+        "<165>1 2024-01-01T00:00:01.000000Z host1 app 42 ID47 - boom happened\n"
+        "garbage line\n"
+    )
+    cfg = f"""
+[INPUT]
+    Name syslog
+    Path {f}
+    Tag sys.a
+"""
+    rows = ConfigPipeline(cfg).frame(spark).collect()
+    ok = [r for r in rows if r["pri"] is not None]
+    assert len(rows) == 2 and len(ok) == 1
+    assert ok[0]["facility"] == 20 and ok[0]["severity"] == 5
+    assert ok[0]["message"] == "boom happened"
+    assert ok[0]["tag"] == "sys.a"
+
+
+def test_kmsg_input_from_path(spark, tmp_path):
+    f = tmp_path / "kmsg.txt"
+    f.write_text("6,100,5000000,-;hello kernel\n")
+    cfg = f"""
+[INPUT]
+    Name kmsg
+    Path {f}
+    Tag kernel
+"""
+    r = ConfigPipeline(cfg).frame(spark).collect()[0]
+    assert r["priority"] == 6 and r["sequence"] == 100
+    assert r["sec"] == 5 and r["msg"] == "hello kernel"
+
+
+def test_systemd_input_from_path(spark, tmp_path):
+    f = tmp_path / "journal.export"
+    f.write_text(
+        "PRIORITY=3\nMESSAGE=oops\n_SYSTEMD_UNIT=app.service\n_PID=7\n"
+        "\n"
+        "PRIORITY=6\nMESSAGE=fine\n_SYSTEMD_UNIT=db.service\n_PID=9\n"
+    )
+    cfg = f"""
+[INPUT]
+    Name systemd
+    Path {f}
+    Tag journal
+"""
+    rows = sorted(
+        ConfigPipeline(cfg).frame(spark).collect(),
+        key=lambda r: r["message"],
+    )
+    assert [r["message"] for r in rows] == ["fine", "oops"]
+    assert rows[1]["systemd_unit"] == "app.service"
+
+
+def test_statsd_input_from_path(spark, tmp_path):
+    f = tmp_path / "statsd.txt"
+    f.write_text("api.calls:3|c|@0.5\nload:0.7|g\n")
+    cfg = f"""
+[INPUT]
+    Name statsd
+    Path {f}
+    Tag metrics
+"""
+    rows = {r["bucket"]: r for r in ConfigPipeline(cfg).frame(spark).collect()}
+    assert rows["api.calls"]["mtype"] == "counter"
+    assert rows["api.calls"]["sample_rate"] == 0.5
+    assert rows["load"]["mtype"] == "gauge"
+
+
+def test_collector_input_synthetic(spark):
+    cfg = """
+[INPUT]
+    Name cpu
+    Samples 5
+    Tag host.cpu
+[OUTPUT]
+    Name counter
+    Match host.*
+"""
+    assert ConfigPipeline(cfg).run(spark) == {"counter_0": 5}
+
+
+def test_syslog_input_requires_path(spark):
+    cfg = """
+[INPUT]
+    Name syslog
+    Tag t
+"""
+    with pytest.raises(ConfigError, match="Path"):
+        ConfigPipeline(cfg).frame(spark)
