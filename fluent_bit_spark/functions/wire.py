@@ -120,6 +120,86 @@ def pack_event(sec: int, nsec: int, record: dict) -> bytes:
     return b"\x92" + pack_eventtime(sec, nsec) + msgpack_pack(record)
 
 
+# Specialized fast path for the transcript record shape.  Byte-identical
+# to pack_event(sec, nsec, {conv_id, turn_idx, role, text, tool}) — the
+# generic packer dispatches on type per value and builds a dict per row;
+# this inlines the five fixstr key headers as constants and calls the
+# scalar packers directly.  Equality with the generic path is pinned by
+# tests/test_wireformat.py (property test over the value space).
+_TK_CONV = b"\xa7conv_id"
+_TK_TURN = b"\xa8turn_idx"
+_TK_ROLE = b"\xa4role"
+_TK_TEXT = b"\xa4text"
+_TK_TOOL = b"\xa4tool"
+_TURN_PRELUDE = b"\x92\xd7\x00"  # fixarray2 + fixext8 type 0
+_PACKII = struct.Struct(">II")
+
+
+def pack_turn_event(
+    sec: int, nsec: int, conv_id: str, turn_idx: int, role: str,
+    text: str, tool,
+) -> bytes:
+    """pack_event specialized to the 5-key transcript map (same bytes)."""
+    return b"".join(
+        (
+            _TURN_PRELUDE,
+            _PACKII.pack(sec, nsec),
+            b"\x85",
+            _TK_CONV, _pack_str(conv_id),
+            _TK_TURN, _pack_int(turn_idx),
+            _TK_ROLE, _pack_str(role),
+            _TK_TEXT, _pack_str(text),
+            _TK_TOOL, b"\xc0" if tool is None else _pack_str(tool),
+        )
+    )
+
+
+def _read_str_at(buf: bytes, pos: int):
+    """Inline str decode (fixstr/str8/str16/str32) -> (s, next_pos)."""
+    b0 = buf[pos]
+    pos += 1
+    if 0xA0 <= b0 <= 0xBF:
+        n = b0 & 0x1F
+    elif b0 in (0xD9, 0xDA, 0xDB):
+        w = 1 << (b0 - 0xD9)
+        n = int.from_bytes(buf[pos : pos + w], "big")
+        pos += w
+    else:
+        raise ValueError(f"expected str header, got 0x{b0:02x}")
+    return buf[pos : pos + n].decode("utf-8"), pos + n
+
+
+def unpack_turn_event(buf: bytes):
+    """Decode what pack_turn_event wrote, verifying the fixed envelope
+    (prelude, map arity, key bytes) rather than trusting it — a wrong
+    byte raises instead of round-tripping silently.  Falls back to the
+    generic decoder for any shape it does not recognize."""
+    if buf[:3] != _TURN_PRELUDE or len(buf) < 12 or buf[11] != 0x85:
+        return None  # not the specialized shape; caller uses unpack_event
+    sec, nsec = _PACKII.unpack_from(buf, 3)
+    pos = 12
+    rec = {}
+    for key in (_TK_CONV, _TK_TURN, _TK_ROLE, _TK_TEXT, _TK_TOOL):
+        if buf[pos : pos + len(key)] != key:
+            return None
+        pos += len(key)
+        name = key[1:].decode("ascii")
+        b0 = buf[pos]
+        if name == "turn_idx":
+            v, pos = msgpack_unpack(buf, pos)
+            if not isinstance(v, int):
+                return None
+            rec[name] = v
+        elif b0 == 0xC0:
+            rec[name] = None
+            pos += 1
+        else:
+            rec[name], pos = _read_str_at(buf, pos)
+    if pos != len(buf):
+        return None
+    return sec, nsec, rec
+
+
 def msgpack_unpack(buf: bytes, pos: int = 0):
     """Decode one object; returns (obj, next_pos). EventTime ext
     decodes to the tuple ('eventtime', sec, nsec)."""

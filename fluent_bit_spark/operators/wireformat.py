@@ -30,7 +30,9 @@ from fluent_bit_spark.functions.wire import (
     avro_decode,
     avro_encode,
     pack_event,
+    pack_turn_event,
     unpack_event,
+    unpack_turn_event,
 )
 
 _OUT_SCHEMA = (
@@ -59,22 +61,35 @@ def msgpack_roundtrip(df: DataFrame) -> DataFrame:
 
     def fn(pdfs: Iterable[pd.DataFrame]):
         for pdf in pdfs:
+            # vectorized EventTime split: ns epoch -> (sec, nsec@µs grain)
+            # (to_numpy pins the ns unit; Series.astype would silently
+            # reinterpret a datetime64[us]-backed column as µs ints)
+            us = (
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1_000
+            )
+            secs = (us // 1_000_000).tolist()
+            nsecs = ((us % 1_000_000) * 1_000).tolist()
             rows = []
-            for r in pdf.itertuples(index=False):
-                us = _ts_to_us(r.ts)
-                sec, nsec = divmod(us, 1_000_000)
-                buf = pack_event(
-                    sec,
-                    nsec * 1000,
-                    {
-                        "conv_id": r.conv_id,
-                        "turn_idx": int(r.turn_idx),
-                        "role": r.role,
-                        "text": r.text,
-                        "tool": None if r.tool is None else r.tool,
-                    },
+            it = zip(
+                secs,
+                nsecs,
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                pdf["role"].tolist(),
+                pdf["text"].tolist(),
+                pdf["tool"].tolist(),
+            )
+            for sec, nsec, conv, ti, role, text, tool in it:
+                if tool is not None and tool != tool:  # pandas NaN
+                    tool = None
+                buf = pack_turn_event(
+                    sec, nsec, conv, int(ti), role, text, tool
                 )
-                dsec, dnsec, rec = unpack_event(buf)
+                decoded = unpack_turn_event(buf)
+                if decoded is None:  # fast decode declined: generic path
+                    decoded = unpack_event(buf)
+                dsec, dnsec, rec = decoded
                 rows.append(
                     (
                         rec["conv_id"],

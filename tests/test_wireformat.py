@@ -606,3 +606,75 @@ class TestKafkaProduceRequest:
         bad[5] = 9  # api_key -> 9 (Fetch would be 1; 9 is OffsetForLeader)
         with _pytest.raises(ValueError, match="not a Produce"):
             unpack_kafka_produce_request(bytes(bad))
+
+
+class TestTurnFastPath:
+    """pack_turn_event / unpack_turn_event must be byte-identical to the
+    generic codec over the whole transcript value space."""
+
+    def _cases(self):
+        from hypothesis import strategies as st
+        from hypothesis import given, settings
+
+        return given(
+            conv=st.text(min_size=0, max_size=80),
+            ti=st.integers(min_value=0, max_value=2**31 - 1),
+            role=st.sampled_from(["user", "assistant", "system", "tool", ""]),
+            text=st.text(min_size=0, max_size=300),
+            tool=st.one_of(st.none(), st.text(min_size=0, max_size=40)),
+            us=st.integers(min_value=0, max_value=2**31 * 1_000_000),
+        ), settings(max_examples=300, deadline=None)
+
+    def test_bytes_identical_to_generic(self):
+        from fluent_bit_spark.functions.wire import pack_turn_event
+
+        given_deco, settings_deco = self._cases()
+
+        @given_deco
+        @settings_deco
+        def check(conv, ti, role, text, tool, us):
+            sec, rem = divmod(us, 1_000_000)
+            nsec = rem * 1000
+            rec = {
+                "conv_id": conv, "turn_idx": ti, "role": role,
+                "text": text, "tool": tool,
+            }
+            assert pack_turn_event(
+                sec, nsec, conv, ti, role, text, tool
+            ) == pack_event(sec & 0xFFFFFFFF, nsec, rec)
+
+        check()
+
+    def test_fast_decode_agrees_with_generic(self):
+        from fluent_bit_spark.functions.wire import (
+            pack_turn_event,
+            unpack_turn_event,
+        )
+
+        given_deco, settings_deco = self._cases()
+
+        @given_deco
+        @settings_deco
+        def check(conv, ti, role, text, tool, us):
+            sec, rem = divmod(us, 1_000_000)
+            sec &= 0xFFFFFFFF
+            nsec = rem * 1000
+            buf = pack_turn_event(sec, nsec, conv, ti, role, text, tool)
+            fast = unpack_turn_event(buf)
+            assert fast is not None
+            gsec, gnsec, grec = unpack_event(buf)
+            assert fast == (gsec, gnsec, grec)
+
+        check()
+
+    def test_fast_decode_declines_foreign_shapes(self):
+        from fluent_bit_spark.functions.wire import unpack_turn_event
+
+        # different map keys -> decline (None), not a wrong decode
+        buf = pack_event(1, 0, {"other": "x"})
+        assert unpack_turn_event(buf) is None
+        # trailing garbage -> decline
+        from fluent_bit_spark.functions.wire import pack_turn_event
+
+        good = pack_turn_event(1, 0, "c", 1, "user", "t", None)
+        assert unpack_turn_event(good + b"\x00") is None
