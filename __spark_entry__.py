@@ -3910,7 +3910,6 @@ _GATE_PRIORITY_NEXT: list = [
     "fim_transform",
     "context_windows",
     "tokenizer_fertility",
-    "char_entropy",
     "ann_pq_sampled",
     "dim_trunc_eval",
     "centroid_assign",
@@ -3918,7 +3917,6 @@ _GATE_PRIORITY_NEXT: list = [
     "url_dedup",
     "edit_dedup",
     "dup_ngram_fraction",
-    "ngram_topk",
     # governance / privacy
     "k_anonymity",
     "k_anon_repair",
@@ -3943,14 +3941,19 @@ _GATE_PRIORITY_NEXT: list = [
     "skew_report",
     "zonemap_prune",
     "zorder_layout",
-    "clean_text",
-    "mad_outliers",
 ]
 
 # Local-oracle-only residue after the round-5 window: every name's
 # operator family already has (or will have) a driver row via a gated
 # representative; all remain value-checked against DuckDB in pytest.
 _GATE_LOCAL_TAIL: list = [
+    # moved from the r5 prefix (window is 50; these families already
+    # hold a driver-green representative: ccnet_buckets / c4_filter /
+    # pmi_topk / streaming_cms)
+    "char_entropy",
+    "clean_text",
+    "ngram_topk",
+    "mad_outliers",
     "rate_anomalies",
     "tool_pagerank",
     "len_percentiles",

@@ -98,6 +98,7 @@ def test_gate_rotation_partitions_all_queries():
     allq = set(entry_mod._all_queries())
 
     assert len(prio) == 50, "driver gate window is exactly 50"
+    assert len(nxt) <= 50, "round-5 prefix must fit the 50-slot gate window"
     sets = [set(prio), set(nxt), set(tail)]
     assert all(len(s) == len(l) for s, l in zip(sets, (prio, nxt, tail))), "duplicate names"
     union = set().union(*sets)
