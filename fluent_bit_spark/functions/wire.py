@@ -154,6 +154,28 @@ def pack_turn_event(
     )
 
 
+_TK_TIME = b"\xa4time"
+
+
+def pack_td_record(
+    t: int, conv_id: str, turn_idx: int, role: str, text: str, tool
+) -> bytes:
+    """msgpack_pack specialized to out_td's repacked map — the injected
+    leading 'time' int key followed by the five turn keys (same bytes
+    as the generic packer; pinned by tests/test_wireformat.py)."""
+    return b"".join(
+        (
+            b"\x86",
+            _TK_TIME, _pack_int(t),
+            _TK_CONV, _pack_str(conv_id),
+            _TK_TURN, _pack_int(turn_idx),
+            _TK_ROLE, _pack_str(role),
+            _TK_TEXT, _pack_str(text),
+            _TK_TOOL, b"\xc0" if tool is None else _pack_str(tool),
+        )
+    )
+
+
 def _read_str_at(buf: bytes, pos: int):
     """Inline str decode (fixstr/str8/str16/str32) -> (s, next_pos)."""
     b0 = buf[pos]

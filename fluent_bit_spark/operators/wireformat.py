@@ -557,7 +557,7 @@ def td_roundtrip(df: DataFrame) -> DataFrame:
     conversation-bounded state), codec work Arrow-batched."""
     import gzip as _gzip
 
-    from fluent_bit_spark.functions.wire import msgpack_pack, msgpack_unpack
+    from fluent_bit_spark.functions.wire import msgpack_unpack, pack_td_record
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
@@ -573,7 +573,9 @@ def td_roundtrip(df: DataFrame) -> DataFrame:
                     "tool": None if r.tool is None else r.tool,
                 }
             )
-        stream = b"".join(msgpack_pack(m) for m in recs)
+        # fast-path encode; the decode walk below stays on the generic
+        # decoder, so every run cross-verifies the specialized encoder
+        stream = b"".join(pack_td_record(*m.values()) for m in recs)
         body = _gzip.compress(stream, mtime=0)
         # decode back: gunzip, walk the concatenated maps
         out, pos, back = _gzip.decompress(body), 0, []

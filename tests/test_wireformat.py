@@ -678,3 +678,25 @@ class TestTurnFastPath:
 
         good = pack_turn_event(1, 0, "c", 1, "user", "t", None)
         assert unpack_turn_event(good + b"\x00") is None
+
+    def test_td_record_bytes_identical_to_generic(self):
+        from hypothesis import given, settings, strategies as st
+        from fluent_bit_spark.functions.wire import pack_td_record
+
+        @given(
+            t=st.integers(min_value=0, max_value=2**32 - 1),
+            conv=st.text(max_size=60),
+            ti=st.integers(min_value=0, max_value=2**31 - 1),
+            role=st.sampled_from(["user", "assistant", "system", "tool"]),
+            text=st.text(max_size=300),
+            tool=st.one_of(st.none(), st.text(max_size=40)),
+        )
+        @settings(max_examples=200, deadline=None)
+        def check(t, conv, ti, role, text, tool):
+            m = {
+                "time": t, "conv_id": conv, "turn_idx": ti,
+                "role": role, "text": text, "tool": tool,
+            }
+            assert pack_td_record(*m.values()) == msgpack_pack(m)
+
+        check()
