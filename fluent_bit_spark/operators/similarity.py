@@ -228,25 +228,53 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
-def _assign_l2_expr(sv: Column, cent_rows: list) -> Column:
+def _fmt_double(x) -> str:
+    """One double as Spark SQL literal text. repr() is the shortest
+    round-trip form and both CPython's float repr and Java's
+    Double.parseDouble are correctly rounded, so the parsed literal is
+    bit-identical to the driver value (the same guarantee F.lit gives
+    through py4j) — pinned by test_sql_double_literal_roundtrip."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return repr(x) + "D"
+
+
+def _vec_sql(v) -> str:
+    return "array(" + ",".join(_fmt_double(x) for x in v) + ")"
+
+
+def _assign_l2_expr(sv_sql: str, cent_rows: list) -> Column:
     """Literal-centroid variant of _assign_l2: the same (d asc, label
     asc) argmin — array_min over (round-6 ssq, label) structs is the
     lexicographic MIN _assign_l2 aggregates — but evaluated as a
     MAP-ONLY expression over driver-collected centroids, so an
     iteration's assignment costs zero shuffle (the DataFrame variant
     shuffles one pre-reduced row per id per round, which at 100 TB is
-    a corpus-sized exchange per iteration)."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(_ssq(sv, _lit_vec(c)), 6).alias("d"),
-                    F.lit(int(label)).cast("long").alias("cluster"),
-                )
-                for label, c in cent_rows
-            ]
-        )
-    )["cluster"]
+    a corpus-sized exchange per iteration).
+
+    `sv_sql` is a SQL fragment for the subvector (a column name or
+    e.g. a slice(...) call). The whole argmin is BUILT as one SQL
+    text over a single array-of-structs codebook literal: the earlier
+    Column-API construction paid ~k x dim py4j round-trips plus k
+    unrolled lambda-fold subtrees PER BUILD, a driver-side constant
+    that dominated small-scale wall-clock (5.4 s for a k=8 fit at 500
+    rows) and re-compiled per job; one expression parse and a
+    loop-not-unrolled codegen shrink it ~10x. Values are unchanged:
+    the same zip_with/aggregate fold order over bit-identical
+    literals."""
+    cents = "array(" + ",".join(
+        f"named_struct('cluster', CAST({int(label)} AS BIGINT), "
+        f"'cv', {_vec_sql(c)})"
+        for label, c in cent_rows
+    ) + ")"
+    return F.expr(
+        f"array_min(transform({cents}, s -> named_struct("
+        f"'d', round(aggregate(zip_with(({sv_sql}), s.cv, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        "(acc, w) -> acc + w), 6), "
+        "'cluster', s.cluster))).cluster"
+    )
 
 
 def _collect_centroids(cents: DataFrame) -> list:
@@ -272,7 +300,7 @@ def _py_norm(c) -> float:
     return math.sqrt(s)
 
 
-def _assign_cos_expr(v: Column, nv: Column, cent_rows: list) -> Column:
+def _assign_cos_expr(v_sql: str, nv_sql: str, cent_rows: list) -> Column:
     """Literal-centroid variant of assign_to_centroids' argmax: the
     same (round-6 cosine desc, label asc) rule — array_min over
     (_nk, cluster, cosine) structs where _nk = -(round-6 cosine x 1e6
@@ -283,43 +311,42 @@ def _assign_cos_expr(v: Column, nv: Column, cent_rows: list) -> Column:
     row per id per round (a corpus-sized exchange per iteration at
     100 TB).
 
-    `nv` is the caller's precomputed _norm(v) column (persisted
-    alongside the prepared vectors) and each centroid's norm folds to
-    a driver-side constant (_py_norm), so a k-centroid argmax costs k
-    dot-product folds per row instead of k full cosines — bit-exact vs
-    cosine_col because the when-condition and the divide see the
-    identical doubles in the identical order (a zero/NULL-norm side
-    still yields -1.0). Each cosine is built exactly once (the
-    two-level transform): higher-order-function subtrees get no
-    common-subexpression elimination, so repeating the expression in
-    two struct fields would double the per-row work. Returns the
-    winning struct; callers extract ["cluster"] / ["cosine"]."""
-    def one_cos(c):
-        nc = _py_norm(c)
-        if not nc > 0.0:
-            return F.lit(-1.0)
-        return F.when(
-            nv > F.lit(0.0), _dot(v, _lit_vec(c)) / (nv * F.lit(nc))
-        ).otherwise(F.lit(-1.0))
+    `nv_sql` is a SQL fragment for the caller's precomputed _norm(v)
+    column (persisted alongside the prepared vectors) and each
+    centroid's norm folds to a driver-side constant (_py_norm), so a
+    k-centroid argmax costs k dot-product folds per row instead of k
+    full cosines — bit-exact vs cosine_col because the when-condition
+    and the divide see the identical doubles in the identical order
+    (a zero/NULL-norm side still yields -1.0). Each cosine is built
+    exactly once (the two-level transform): higher-order-function
+    subtrees get no common-subexpression elimination, so repeating
+    the expression in two struct fields would double the per-row
+    work. Returns the winning struct; callers extract ["cluster"] /
+    ["cosine"].
 
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(one_cos(c), 6).alias("cosine"),
-                F.lit(int(label)).cast("long").alias("cluster"),
-            )
-            for label, c in cent_rows
-        ]
+    Built as ONE SQL text over a single array-of-structs codebook
+    literal (label, constant norm, vector) — see _assign_l2_expr for
+    why: the Column-API construction was a multi-second driver-side
+    constant per build at k=8 x dim=64. A zero-norm centroid keeps
+    the constant -1.0 cosine via the `s.nc > 0D` arm of the CASE
+    (same value the old per-centroid F.lit(-1.0) produced)."""
+    cents = "array(" + ",".join(
+        f"named_struct('cluster', CAST({int(label)} AS BIGINT), "
+        f"'nc', {_fmt_double(_py_norm(c))}, 'cv', {_vec_sql(c)})"
+        for label, c in cent_rows
+    ) + ")"
+    scored = (
+        f"transform({cents}, s -> named_struct("
+        f"'cosine', round(CASE WHEN s.nc > 0D AND ({nv_sql}) > 0D THEN "
+        f"aggregate(zip_with(({v_sql}), s.cv, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, w) -> acc + w) / (({nv_sql}) * s.nc) "
+        "ELSE -1.0D END, 6), "
+        "'cluster', s.cluster))"
     )
-    return F.array_min(
-        F.transform(
-            scored,
-            lambda s: F.struct(
-                (-F.round(s["cosine"] * 1_000_000).cast("long")).alias("_nk"),
-                s["cluster"].alias("cluster"),
-                s["cosine"].alias("cosine"),
-            ),
-        )
+    return F.expr(
+        f"array_min(transform({scored}, s -> named_struct("
+        "'_nk', -CAST(round(s.cosine * 1000000, 0) AS BIGINT), "
+        "'cluster', s.cluster, 'cosine', s.cosine)))"
     )
 
 
@@ -432,7 +459,7 @@ def pq_fit(
             train = sub
         for t in range(iters - 1):
             members = train.withColumn(
-                "label", _assign_l2_expr(F.col("sv"), cent_rows)
+                "label", _assign_l2_expr("sv", cent_rows)
             )
             cent_rows = _collect_centroids(
                 label_centroids(members, "sv", "label").select(
@@ -448,7 +475,7 @@ def pq_fit(
             F.struct(
                 F.lit(s).alias("sub"),
                 _assign_l2_expr(
-                    F.slice("_v", s * sd + 1, sd), fitted[s]
+                    f"slice(_v, {s * sd + 1}, {sd})", fitted[s]
                 ).alias("code"),
             )
             for s in range(m)
@@ -1070,21 +1097,35 @@ def semantic_dedup(
         prepped.select(
             F.col(id_col),
             F.col(vec_col).alias("_v"),
-            _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"].alias(
+            F.col("_nv"),
+            _assign_cos_expr(f"`{vec_col}`", "`_nv`", cent_rows)["cluster"].alias(
                 "cluster"
             ),
         )
     )
     a = labeled.select(
-        "cluster", F.col(id_col).alias("_a"), F.col("_v").alias("_va")
+        "cluster", F.col(id_col).alias("_a"),
+        F.col("_v").alias("_va"), F.col("_nv").alias("_na"),
     )
     b = labeled.select(
-        "cluster", F.col(id_col).alias("_b"), F.col("_v").alias("_vb")
+        "cluster", F.col(id_col).alias("_b"),
+        F.col("_v").alias("_vb"), F.col("_nv").alias("_nb"),
     )
+    # pair cosine reuses the persisted norms: dot/(na*nb) sees the
+    # identical doubles cosine_col's dot/(sqrt*sqrt) would (the norm
+    # column IS that sqrt, computed once per vector instead of once
+    # per pair), and the `na > 0` guard is exactly cosine_col's
+    # `norm2 > 0` (sqrt is exact at zero and monotone) — so round-6
+    # values are unchanged while the per-pair fold work drops from
+    # three O(dim) folds to one
+    pair_cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+    ).otherwise(F.lit(-1.0))
     dup = (
         a.join(b, "cluster")
         .filter(F.col("_a") < F.col("_b"))
-        .filter(F.round(cosine_col(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(F.round(pair_cos, 6) >= threshold)
         .select(F.col("_b").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
@@ -1175,7 +1216,7 @@ def _kmeans_fit(
         )
     for _ in range(iters - 1):
         members = prepped.select(
-            _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"].alias(
+            _assign_cos_expr(f"`{vec_col}`", "`_nv`", cent_rows)["cluster"].alias(
                 "label"
             ),
             F.col(vec_col),
@@ -1185,7 +1226,7 @@ def _kmeans_fit(
                 "label", "centroid"
             )
         )
-    best = _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)
+    best = _assign_cos_expr(f"`{vec_col}`", "`_nv`", cent_rows)
     assigned = prepped.select(
         F.col(id_col),
         best["cluster"].alias("cluster"),
@@ -1272,7 +1313,7 @@ def ivfpq_topk(
     # candidate cell labels are the fit's map-only literal expression —
     # no corpus self-join against the assignment frame
     cand_cells = prepped.filter(~is_query).withColumn(
-        "cluster", _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"]
+        "cluster", _assign_cos_expr(f"`{vec_col}`", "`_nv`", cent_rows)["cluster"]
     )
     pairs = cand_cells.join(
         F.broadcast(probes.select("query_id", "cluster")), "cluster"
@@ -1327,7 +1368,7 @@ def ivf_topk_fixed(
     # cell labels come from the fit's map-only literal expression —
     # no corpus self-join against the assignment frame
     cells = prepped.filter(~is_query).withColumn(
-        "cluster", _assign_cos_expr(F.col(vec_col), F.col("_nv"), cent_rows)["cluster"]
+        "cluster", _assign_cos_expr(f"`{vec_col}`", "`_nv`", cent_rows)["cluster"]
     )
     scored = cells.join(F.broadcast(probes), "cluster").withColumn(
         "cosine", F.round(cosine_col(F.col(vec_col), F.col("_qv")), 6)

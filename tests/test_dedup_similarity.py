@@ -751,3 +751,146 @@ def test_incremental_dedup_semantics(spark):
     )
     kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
     assert kept == [11, 13]
+
+
+def test_sql_double_literal_roundtrip(spark):
+    """_fmt_double's repr()-text literals must parse to the SAME double
+    bits py4j's F.lit would ship — adversarial values: subnormals,
+    shortest-repr edge cases, negative zero, huge/tiny exponents."""
+    import math
+    import random
+    import struct as st
+
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import _fmt_double
+
+    vals = [0.0, -0.0, 1.0, 0.1, 2.0 / 3.0, 1e-300, 5e-324, 1.7e308,
+            123456.789e-40, math.pi, -math.e, 1e22, 9007199254740993.0]
+    rng = random.Random(42)
+    for _ in range(60):
+        b = st.pack(">Q", rng.getrandbits(64))
+        (x,) = st.unpack(">d", b)
+        if x == x and abs(x) != float("inf"):
+            vals.append(x)
+    rows = [(i, x) for i, x in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    exprs = [
+        F.when(F.col("i") == i, F.expr(_fmt_double(x))).otherwise(None)
+        for i, x in enumerate(vals)
+    ]
+    got = df.select(
+        F.col("x"), F.coalesce(*exprs).alias("y")
+    ).collect()
+    for r in got:
+        assert st.pack(">d", r.x) == st.pack(">d", r.y), (r.x, r.y)
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _fmt_double(bad)
+
+
+def test_assign_cos_expr_matches_column_construction(spark):
+    """The SQL-text argmax must be value-identical to the Column-API
+    construction it replaced (round-6 cosine desc, label asc, zero-norm
+    arms included)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import (
+        _assign_cos_expr,
+        _dot,
+        _lit_vec,
+        _norm,
+        _py_norm,
+        as_double_array,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(200)
+    ]
+    rows.append((200, [0.0] * dim))  # zero-norm vector arm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    prepped = df.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("embedding"),
+    ).withColumn("_nv", _norm(F.col("embedding")))
+    cent_rows = [
+        (0, [rng.uniform(-2, 2) for _ in range(dim)]),
+        (1, [rng.uniform(-2, 2) for _ in range(dim)]),
+        (2, [0.0] * dim),  # zero-norm centroid arm
+        (3, [rng.uniform(-2, 2) for _ in range(dim)]),
+    ]
+
+    # the replaced Column-API construction, verbatim
+    def one_cos(c, nv):
+        nc = _py_norm(c)
+        if not nc > 0.0:
+            return F.lit(-1.0)
+        return F.when(
+            nv > F.lit(0.0),
+            _dot(F.col("embedding"), _lit_vec(c)) / (nv * F.lit(nc)),
+        ).otherwise(F.lit(-1.0))
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(one_cos(c, F.col("_nv")), 6).alias("cosine"),
+                F.lit(int(label)).cast("long").alias("cluster"),
+            )
+            for label, c in cent_rows
+        ]
+    )
+    old = F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                (-F.round(s["cosine"] * 1_000_000).cast("long")).alias("_nk"),
+                s["cluster"].alias("cluster"),
+                s["cosine"].alias("cosine"),
+            ),
+        )
+    )
+    new = _assign_cos_expr("`embedding`", "`_nv`", cent_rows)
+    got = prepped.select(
+        old["cluster"].alias("oc"), old["cosine"].alias("ocos"),
+        new["cluster"].alias("nc"), new["cosine"].alias("ncos"),
+    ).collect()
+    assert len(got) == 201
+    for r in got:
+        assert r.oc == r.nc and r.ocos == r.ncos, r
+
+
+def test_assign_l2_expr_matches_column_construction(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.similarity import (
+        _assign_l2_expr,
+        _lit_vec,
+        _ssq,
+    )
+
+    rng = random.Random(13)
+    dim = 8
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(dim)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, sv array<double>")
+    cent_rows = [(j, [rng.uniform(-3, 3) for _ in range(dim)]) for j in range(4)]
+
+    old = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_ssq(F.col("sv"), _lit_vec(c)), 6).alias("d"),
+                    F.lit(int(label)).cast("long").alias("cluster"),
+                )
+                for label, c in cent_rows
+            ]
+        )
+    )["cluster"]
+    new = _assign_l2_expr("sv", cent_rows)
+    got = df.select(old.alias("o"), new.alias("n")).collect()
+    assert len(got) == 150 and all(r.o == r.n for r in got)
