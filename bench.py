@@ -365,6 +365,10 @@ ISO_SUBSET = [
     "semantic_dedup",
     "minhash_eval",
     "bloom_contam",
+    # added r4 (this-session suite run read 8.6 s / 15.0 s for these
+    # two under neighbor pressure vs 2.2 s / 4.1 s isolated)
+    "dedup_minhash",
+    "hard_negatives",
 ]
 
 

@@ -332,13 +332,28 @@ def minhash_eval(
     ~64% candidate recall — a deliberately lossy operating point the
     scorecard should expose (the shipped dedup uses 2-row bands).
 
-    Scale shape: the truth side is the jaccard_pairs_blocked join
-    (block equi-join, never corpus-wide O(n^2)); the candidate side is
-    the banded equi-join; the final full-outer join and count run over
-    pair keys only. The shingle frame is built ONCE and persisted —
-    the signature path and both truth self-join sides consume it, so
+    Scale shape: the truth side is an inverted shingle index — a
+    (block, shingle) equi-join generates ONLY pairs that actually
+    share a shingle, a pair-level groupBy counts |A∩B|, and Jaccard
+    is |A∩B| / (|A| + |B| - |A∩B|). Exactly equivalent to the blocked
+    all-pairs array intersect for any threshold > 0 (a pair above
+    threshold shares >= 1 shingle, and shingle sets here are never
+    empty — shingles_from_tokens emits >= 1 entry per doc), but the
+    work is proportional to shared postings, not block^2: web-scale
+    blocks where most pairs share nothing cost almost nothing. The
+    per-(block, shingle) group size bounds the blowup — a stop-shingle
+    in s docs of a block emits s^2/2 pairs, still <= the all-pairs
+    block^2/2 it replaces. The candidate side is the banded equi-join;
+    the final full-outer join and count run over pair keys only. The
+    shingle frame is built ONCE and persisted — the signature path,
+    the postings self-join, and the size lookups all consume it, so
     the corpus is tokenized a single time.
     """
+    if threshold <= 0.0:
+        raise ValueError(
+            f"threshold must be > 0 (got {threshold}): at 0 the truth set "
+            "is all blocked pairs and the scorecard is meaningless"
+        )
     src = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
     sides = _persist(
         shingle_frame(df, text_col, id_col, shingle_k, spread).join(src, "id")
@@ -346,15 +361,36 @@ def minhash_eval(
     cand = minhash_candidates_from_shingles(
         sides.select("id", "sh"), num_perm, bands
     )
-    a = sides.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("blk").alias("blk_a")
+    posts = sides.select("blk", "id", F.explode("sh").alias("g"))
+    inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    b = sides.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("blk").alias("blk_b")
-    )
+    sizes = sides.select("id", F.size("sh").alias("_sz"))
     truth = (
-        a.join(b, on=[F.col("blk_a") == F.col("blk_b"), F.col("id_a") < F.col("id_b")])
-        .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .filter(
+            F.col("_n") / (F.col("_sza") + F.col("_szb") - F.col("_n"))
+            >= threshold
+        )
         .select("id_a", "id_b")
         .withColumn("_t", F.lit(True))
     )
