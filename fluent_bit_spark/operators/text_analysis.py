@@ -656,8 +656,13 @@ def bm25_topk(
 
     Scale shape: the (doc, term) tf table shuffles once; query terms
     join it on term (queries broadcast — the small side); doc length
-    and df join on their natural keys; N and avg_len ride in as a
-    1-row broadcast. No per-row Python anywhere.
+    joins on its natural key; N and avg_len ride in as a 1-row
+    broadcast. Document frequency is aggregated AFTER restricting tf
+    to query-vocabulary terms — df(term) counts the same docs either
+    way, but the aggregate shrinks from corpus-vocabulary size to
+    |query vocab| rows, so it broadcasts instead of shuffle-joining
+    (at web scale the full-vocab df pass is the dominant cost this
+    avoids). No per-row Python anywhere.
     """
     from fluent_bit_spark.operators.dedup import _persist
 
@@ -668,7 +673,6 @@ def bm25_topk(
     # the corpus is tokenized and aggregated once (dedup.py convention)
     tf = _persist(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("len_d"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.sum("len_d").alias("total_len")
     )
@@ -678,9 +682,14 @@ def bm25_topk(
             F.array_distinct(tokens(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
+    qvocab = qterms.select("term").distinct()
+    # query-vocab tf slice: map-side broadcast semi-restriction of the
+    # persisted tf — feeds both the df aggregate and the scoring join
+    tf_q = tf.join(F.broadcast(qvocab), "term", "left_semi")
+    dfreq = tf_q.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
         .join(dlen, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
