@@ -263,12 +263,19 @@ def _assign_l2_expr(sv_sql: str, cent_rows: list) -> Column:
     loop-not-unrolled codegen shrink it ~10x. Values are unchanged:
     the same zip_with/aggregate fold order over bit-identical
     literals."""
+    return F.expr(_assign_l2_sql(sv_sql, cent_rows))
+
+
+def _assign_l2_sql(sv_sql: str, cent_rows: list) -> str:
+    """The SQL text behind _assign_l2_expr — exposed so pq_fit can
+    splice per-subspace argmins into one CASE over an exploded
+    (sub, subvector) frame (one round = one job for all subspaces)."""
     cents = "array(" + ",".join(
         f"named_struct('cluster', CAST({int(label)} AS BIGINT), "
         f"'cv', {_vec_sql(c)})"
         for label, c in cent_rows
     ) + ")"
-    return F.expr(
+    return (
         f"array_min(transform({cents}, s -> named_struct("
         f"'d', round(aggregate(zip_with(({sv_sql}), s.cv, "
         "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
@@ -428,45 +435,81 @@ def pq_fit(
                 "raise it (or pass fit_fraction=None to fit on everything)"
             )
     spark = vectors.sparkSession
-    fitted: list[list] = []  # per-subspace sorted (label, centroid) rows
-    for s in range(m):
-        sub = prepped.select(
-            F.col(id_col), F.slice("_v", s * sd + 1, sd).alias("sv")
+    # driver-side literal fitting loop, ALL m subspaces per job: the
+    # codebooks are m x k_codes tiny rows, so each round collects them
+    # and re-embeds them as literals — assignments stay map-only
+    # expressions (zero shuffle per round; the only exchange left per
+    # round is label_centroids' m x k_codes x sub_dim key shuffle).
+    # Seeds come from ONE collect of the id < k_codes vectors, sliced
+    # driver-side (pure subsetting — bit-identical to F.slice), and
+    # each round fits every subspace from ONE exploded (sub, sv) pass
+    # with a per-sub CASE argmin and a composite sub * k_codes + label
+    # centroid key: the earlier per-subspace loop paid m seed collects
+    # up front and m sample scans + collect jobs PER ROUND (8 driver
+    # jobs for m=4, iters=2, where this shape pays 2).
+    seed_rows = prepped.filter(F.col(id_col) < k_codes).select(
+        F.col(id_col), F.col("_v")
+    ).collect()
+    if not seed_rows:
+        # the DataFrame loop silently emitted an empty codes frame
+        # here (crossJoin against empty cents); an empty codebook
+        # is always a caller error, so fail loudly instead
+        raise ValueError(
+            f"PQ seed codebook is empty: no rows with {id_col} < "
+            f"{k_codes} in the (dim-valid) corpus"
         )
-        # driver-side literal fitting loop: the codebook is k_codes
-        # tiny rows, so each round collects it and re-embeds it as
-        # literals — assignments become map-only expressions (zero
-        # shuffle per round; the only exchange left per round is
-        # label_centroids' #labels x sub_dim key shuffle)
-        cent_rows = _collect_centroids(
-            sub.filter(F.col(id_col) < k_codes).select(
-                F.col(id_col).alias("label"), F.col("sv").alias("centroid")
-            )
+    # per-subspace sorted (label, centroid) rows
+    fitted: list[list] = [
+        sorted(
+            (int(r[id_col]), list(r["_v"])[s * sd : (s + 1) * sd])
+            for r in seed_rows
         )
-        if not cent_rows:
-            # the DataFrame loop silently emitted an empty codes frame
-            # here (crossJoin against empty cents); an empty codebook
-            # is always a caller error, so fail loudly instead
-            raise ValueError(
-                f"PQ seed codebook is empty: no rows with {id_col} < "
-                f"{k_codes} in the (dim-valid) corpus"
-            )
+        for s in range(m)
+    ]
+    if iters > 1:
         if sampled:
             from fluent_bit_spark.operators.sampling import hash_sample
 
-            train = hash_sample(sub, id_col, fit_fraction, fit_salt)
+            train = hash_sample(prepped, id_col, fit_fraction, fit_salt)
         else:
-            train = sub
-        for t in range(iters - 1):
-            members = train.withColumn(
-                "label", _assign_l2_expr("sv", cent_rows)
+            train = prepped
+        subrows = train.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.slice("_v", s * sd + 1, sd).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_e")
+        ).select(F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+        for _ in range(iters - 1):
+            case_sql = (
+                "CASE sub "
+                + " ".join(
+                    f"WHEN {s} THEN ({_assign_l2_sql('sv', fitted[s])})"
+                    for s in range(m)
+                )
+                + " END"
             )
-            cent_rows = _collect_centroids(
-                label_centroids(members, "sv", "label").select(
+            members = subrows.select(
+                (F.col("sub") * F.lit(k_codes) + F.expr(case_sql)).alias(
+                    "_lab2"
+                ),
+                "sv",
+            )
+            packed = _collect_centroids(
+                label_centroids(members, "sv", "_lab2").select(
                     "label", "centroid"
                 )
             )
-        fitted.append(cent_rows)
+            fitted = [[] for _ in range(m)]
+            for lab2, c in packed:
+                fitted[lab2 // k_codes].append((lab2 % k_codes, c))
+            # packed is label-sorted, so each per-sub list stays sorted
     # every subspace's final encode is a literal expression, so ALL m
     # code columns come out of ONE map pass over the prepared frame
     # (the per-subspace frame union paid m corpus scans)
