@@ -404,28 +404,37 @@ def _iso_worker() -> None:
     spark.stop()
 
 
-def run_isolated_queries(names: list[str]) -> dict[str, float]:
+def run_isolated_queries(names: list[str], passes: int = 2) -> dict[str, float]:
     """Fresh JVM per query (nothing shared: storage pool, codegen cache,
-    python-worker pool all cold-started then per-query warmed)."""
+    python-worker pool all cold-started then per-query warmed).
+
+    `passes` > 1 sweeps the whole list again and keeps each query's MIN
+    median: host-window noise on this shared VM is strictly additive
+    (co-tenant pressure measured inflating identical code 2-5x for
+    minutes at a time), so two temporally separated windows bound the
+    code's real cost far better than one contiguous block per query."""
     import subprocess
 
     out: dict[str, float] = {}
-    for name in names:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_iso-worker",
-                 "--query", name],
-                capture_output=True, text=True,
-                timeout=900,  # a hung worker must not hang the suite JSON
-            )
-        except subprocess.TimeoutExpired:
-            out[name] = None
-            continue
-        if proc.returncode != 0:
-            out[name] = None  # worker died; visible in the artifact
-            continue
-        line = proc.stdout.strip().splitlines()[-1]
-        out[name] = json.loads(line)["sec"]
+    for _ in range(max(1, passes)):
+        for name in names:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--_iso-worker",
+                     "--query", name],
+                    capture_output=True, text=True,
+                    timeout=900,  # a hung worker must not hang the suite JSON
+                )
+            except subprocess.TimeoutExpired:
+                out.setdefault(name, None)
+                continue
+            if proc.returncode != 0:
+                out.setdefault(name, None)  # worker died; visible in the artifact
+                continue
+            line = proc.stdout.strip().splitlines()[-1]
+            sec = json.loads(line)["sec"]
+            prev = out.get(name)
+            out[name] = sec if prev is None else min(prev, sec)
     return out
 
 
@@ -501,7 +510,10 @@ def run_default() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "isolated": isolated,
-                "isolated_mode": "fresh JVM per query, warm once, median of 3",
+                "isolated_mode": (
+                    "fresh JVM per query, warm once, median of 3; min over 2 "
+                    "temporally separated passes (host-window noise is additive)"
+                ),
                 "sf": _sf_label(SF_DIR),
                 "rows": rows,
                 "throughput_turns_per_sec": round(rows / e2e, 1) if e2e else None,

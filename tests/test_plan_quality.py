@@ -606,3 +606,61 @@ def test_storage_limit_window_over_chunk_table(spark, sf_dir):
     mplan = plan_of(me, "simple")
     assert mplan.count("Window") == base_windows, mplan
     assert "Join" not in mplan, mplan
+
+
+def test_bm25_df_join_is_broadcast_no_full_vocab_shuffle(spark, sf_dir):
+    """BM25's document-frequency table must be aggregated over the
+    query-vocab tf slice and joined as a broadcast: a corpus-vocabulary
+    df aggregate shuffle-joined on term is the shape that dominates at
+    web scale (see bm25_topk docstring)."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.text_analysis import bm25_topk
+
+    release_persisted()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    plan = plan_of(bm25_topk(docs, q, k=5), "simple")
+    release_persisted()
+    # scoring-side term joins (query terms, df) are broadcasts; the df
+    # aggregate must NOT reach the scoring join through a shuffle join
+    assert "SortMergeJoin [term" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[term", plan), plan
+
+
+def test_pq_fit_partition_invariant_books(spark, sf_dir):
+    """pq_fit's codebooks derive from deterministic integer-sum means,
+    so they must be identical under any input partitioning (the 100 TB
+    guarantee that a repartitioned corpus re-encodes identically)."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.similarity import pq_fit
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+
+    def books_of(df):
+        release_persisted()
+        _, books, _, _ = pq_fit(df, m=4, k_codes=4, iters=2, dim=64)
+        rows = sorted(
+            (r["sub"], r["label"], tuple(r["centroid"])) for r in books.collect()
+        )
+        release_persisted()
+        return rows
+
+    a = books_of(embs.repartition(1))
+    b = books_of(embs.repartition(13, "vec_id"))
+    assert a == b
+
+
+def test_minhash_eval_truth_is_postings_equi_join(spark, sf_dir):
+    """The exact-Jaccard truth side must be the inverted shingle index
+    (equi-join on block+shingle), never a blocked all-pairs array
+    sweep: no cartesian, no non-equi join condition on the corpus."""
+    from fluent_bit_spark.operators.dedup import minhash_eval, release_persisted
+
+    release_persisted()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_eval(docs), "simple")
+    release_persisted()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
