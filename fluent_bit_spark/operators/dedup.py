@@ -615,9 +615,22 @@ def jaccard_pairs_blocked(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact token-set Jaccard for all pairs sharing a blocking key.
-    O(block^2) — for bounded blocks / oracle checking."""
-    # persisted: tokenization feeds both sides of the block self-join
+    """Exact token-set Jaccard for all pairs sharing a blocking key,
+    computed through an inverted token index: a (block, token)
+    equi-join generates only pairs that actually share a token, a
+    pair-level count gives |A∩B|, and sizes close the Jaccard. For
+    any threshold > 0 this is exactly the blocked all-pairs sweep it
+    replaces (a pair at or above threshold shares >= 1 token; a
+    zero-union pair scores 0.0 under jaccard_col and is excluded
+    either way), but work is proportional to shared postings, never
+    block^2 — the same truth-side shape as minhash_eval."""
+    if threshold <= 0.0:
+        raise ValueError(
+            f"threshold must be > 0 (got {threshold}): at 0 the result "
+            "is all blocked pairs — use an explicit block self-join for that"
+        )
+    # persisted: tokenization feeds the postings self-join and both
+    # size lookups
     docs = _persist(
         df.select(
             F.col(block_col).alias("blk"),
@@ -625,16 +638,36 @@ def jaccard_pairs_blocked(
             F.array_distinct(tokens_col(F.col(text_col))).alias("tok"),
         )
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    return (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
-        .withColumn("jaccard", jaccard_col(F.col("a.tok"), F.col("b.tok")))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+    posts = docs.select("blk", "id", F.explode("tok").alias("w"))
+    inter = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.w") == F.col("b.w"),
+                F.col("a.id") < F.col("b.id"),
+            ],
         )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    sizes = docs.select("id", F.size("tok").alias("_sz"))
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_n") / (F.col("_sza") + F.col("_szb") - F.col("_n")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -894,3 +894,79 @@ def test_assign_l2_expr_matches_column_construction(spark):
     new = _assign_l2_expr("sv", cent_rows)
     got = df.select(old.alias("o"), new.alias("n")).collect()
     assert len(got) == 150 and all(r.o == r.n for r in got)
+
+
+def test_jaccard_blocked_equals_all_pairs_on_adversarial_corpus(spark):
+    """The inverted-postings Jaccard must equal the literal blocked
+    all-pairs definition on every pair — including empty texts,
+    whitespace-only, identical docs, cross-block twins, and
+    single-token docs (the shapes where 'shares a posting' and
+    'jaccard >= threshold > 0' could conceivably diverge)."""
+    rows = [
+        (0, "a b c", "s1"),
+        (1, "a b c", "s1"),          # identical pair
+        (2, "a b d", "s1"),          # 0.5 with 0/1
+        (3, "", "s1"),               # empty tokens
+        (4, "   ", "s1"),            # whitespace-only -> empty tokens
+        (5, "", "s1"),               # empty-empty pair (0-union)
+        (6, "a b c", "s2"),          # twin in ANOTHER block: no pair
+        (7, "x", "s2"),              # single token
+        (8, "x", "s2"),              # exact single-token pair
+        (9, "x y z w", "s2"),        # 0.25 with 7/8
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for thr in (0.2, 0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs_blocked(docs, "source", threshold=thr).collect()
+        }
+        want = {}
+        for i, (ia, ta, ba) in enumerate(rows):
+            for ib, tb, bb in rows[i + 1:]:
+                if ba != bb:
+                    continue
+                sa, sb = set(ta.split()), set(tb.split())
+                j = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+                if j >= thr:
+                    want[(ia, ib)] = round(j, 6)
+        assert got == want, (thr, got, want)
+
+
+def test_minhash_eval_truth_matches_all_pairs_definition(spark):
+    """minhash_eval's n_truth must equal the literal blocked all-pairs
+    shingle-Jaccard count on a corpus with empty docs, exact dups, and
+    shared-shingle near-dups."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "s1"),
+        (1, "the quick brown fox jumps over the lazy cat", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "s1"),
+        (3, "", "s1"),
+        (4, "", "s1"),
+        (5, "completely different text with no overlap at all", "s1"),
+        (6, "the quick brown fox jumps over the lazy dog", "s2"),
+        (7, "short", "s2"),
+        (8, "short", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = D.minhash_eval(docs, threshold=0.5).collect()[0]
+
+    def shingles(t, k=3):
+        toks = t.split()
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    n_truth = 0
+    for i, (ia, ta, ba) in enumerate(rows):
+        for ib, tb, bb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            union = sa | sb
+            j = len(sa & sb) / len(union) if union else 0.0
+            if j >= 0.5:
+                n_truth += 1
+    assert got.n_truth == n_truth
+    # invariants of the scorecard join
+    assert got.tp + got.fn == got.n_truth
+    assert got.tp + got.fp == got.n_pred
