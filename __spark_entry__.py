@@ -3998,6 +3998,9 @@ _GATE_LOCAL_TAIL: list = [
     "flap_suppress",
     "schema_compat",
     "fk_orphans",
+    # added late-r4: skew-safe ranking variant (stable_order family
+    # already holds driver-green representatives)
+    "stable_order_skew",
 ]
 
 
@@ -4256,6 +4259,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k8s_meta": _q_k8s_meta,
         "ua_enrich": _q_ua_enrich,
         "sp_config_task": _q_sp_config_task,
+        "stable_order_skew": _q_stable_order_skew,
     }
 
 
@@ -4430,6 +4434,22 @@ def _q_sp_config_task(spark, sf_dir):
     Exec SELECT role, COUNT(*) AS n FROM STREAM:hot GROUP BY role;
 """
     return ConfigPipeline(cfg).run_stream_tasks(_prep(spark))["hot_counts"]
+
+
+def _q_stable_order_skew(spark, sf_dir):
+    """Skew-safe stable turn ordering (operators/skew.py
+    stable_turn_order_skew_safe): the range-sort + partition-offset
+    ranking that replaces the per-conv window when a hot conversation
+    outweighs a task — value-identical to row_number over
+    (conv, turn_idx, ts), checked here against the plain window SQL."""
+    from fluent_bit_spark.operators.skew import stable_turn_order_skew_safe
+
+    df = _transcripts(spark, sf_dir)
+    return (
+        stable_turn_order_skew_safe(df)
+        .filter(F.col("turn_rank") <= 3)
+        .select("conv_id", "turn_idx", "role", "turn_rank")
+    )
 
 
 def oracle_sql() -> dict[str, str]:

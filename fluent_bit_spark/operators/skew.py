@@ -107,6 +107,76 @@ def stable_turn_order(
     return df.withColumn(out, F.row_number().over(w))
 
 
+def stable_turn_order_skew_safe(
+    df: DataFrame,
+    conv: str = "conv_id",
+    idx: str = "turn_idx",
+    ts: str = "ts",
+    out: str = "turn_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """stable_turn_order for corpora with PATHOLOGICALLY hot
+    conversations: identical `out` values (row_number within conv by
+    (idx, ts)) without ever giving one task a whole conversation.
+
+    The plain window hash-partitions by conv, so a conversation with
+    10^9 turns is one task's sort — the single shape in this pipeline
+    a hot key can break at 10^12-turn scale. Here the global order
+    (conv, idx, ts) is built with a RANGE repartition (the range
+    partitioner splits a hot conversation across as many partitions
+    as it needs) + within-partition sort; a per-partition row_number
+    plus driver-side cumulative partition offsets (numPartitions tiny
+    rows — the only collect) yields each row's global rank, and the
+    within-conv rank is global_rank - min(global_rank per conv) + 1.
+    Conversations are contiguous in the global order, so the
+    subtraction reproduces the window's row_number exactly (pinned by
+    an equality pytest). The min-per-conv aggregate is map-side
+    combinable (skew-safe), and the join back rides AQE's skew-join
+    splitting.
+
+    Trade-off: one extra shuffle + a numPartitions-row collect vs the
+    plain window — use stable_turn_order when max conversation length
+    is bounded (the common case); this variant when skew_report shows
+    a conversation outweighing a whole task."""
+    from fluent_bit_spark.operators.dedup import _persist
+
+    ob = [F.col(conv), F.col(idx), F.col(ts)]
+    spark = df.sparkSession
+    n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    # persisted: the range layout feeds the offsets count AND the rank
+    # pass; recomputation must see the same partition boundaries
+    srt = _persist(
+        df.repartitionByRange(n, *ob)
+        .sortWithinPartitions(*ob)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    cnts = {
+        r["_pid"]: r["c"]
+        for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    if not cnts:
+        return stable_turn_order(
+            srt, conv, idx, ts, out
+        ).drop("_pid")  # empty input: plain window on nothing
+    offsets, acc = {}, 0
+    for p in sorted(cnts):
+        offsets[p] = acc
+        acc += cnts[p]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    wp = Window.partitionBy("_pid").orderBy(*ob)
+    g = srt.withColumn(
+        "_g", off_map[F.col("_pid")] + F.row_number().over(wp)
+    )
+    base = g.groupBy(conv).agg(F.min("_g").alias("_b"))
+    return (
+        g.join(base, conv)
+        .withColumn(out, (F.col("_g") - F.col("_b") + F.lit(1)).cast("int"))
+        .drop("_pid", "_g", "_b")
+    )
+
+
 def repartition_conversations(df: DataFrame, n: int, conv: str = "conv_id") -> DataFrame:
     """Hash-co-locate conversations ahead of per-conv windows/joins so
     downstream stages reuse one shuffle."""

@@ -4340,10 +4340,22 @@ FROM transcripts t JOIN uadim u ON u.i = t.turn_idx % 6"""
     sp_config_task = """
 SELECT role, COUNT(*) AS n FROM transcripts
 WHERE turn_idx >= 3 GROUP BY role"""
+    # stable_order_skew: the skew-safe range-sort ranking must equal
+    # the plain window row_number definition (operators/skew.py
+    # stable_turn_order_skew_safe docstring)
+    stable_order_skew = """
+SELECT conv_id, turn_idx, role, turn_rank FROM (
+    SELECT conv_id, turn_idx, role,
+           CAST(row_number() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx, ts) AS INT)
+               AS turn_rank
+    FROM transcripts)
+WHERE turn_rank <= 3"""
     return {
         "k8s_meta": k8s_meta,
         "ua_enrich": ua_enrich,
         "sp_config_task": sp_config_task,
+        "stable_order_skew": stable_order_skew,
     }
 
 

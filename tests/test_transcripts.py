@@ -106,3 +106,48 @@ def test_read_transcripts_iceberg_gate(spark, sf_dir, tmp_path):
         read_transcripts(spark, str(tmp_path), table_format="iceberg")
     # explicit parquet path still works
     assert read_transcripts(spark, f"{sf_dir}/events.parquet").count() > 0
+
+
+def test_stable_turn_order_skew_safe_equals_window(spark, sf_dir):
+    """The range-sort + partition-offset ranking must reproduce the
+    per-conv window row_number exactly — including under a
+    pathologically hot key (half the corpus remapped to one conv) and
+    across different partition counts — and clean up its helper
+    columns."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.skew import (
+        stable_turn_order,
+        stable_turn_order_skew_safe,
+    )
+    from fluent_bit_spark.transcripts import load_transcripts
+
+    df = load_transcripts(spark, sf_dir)
+    hot = df.withColumn(
+        "conv_id",
+        F.when(F.xxhash64("conv_id") % 2 == 0, F.lit("conv-hot")).otherwise(
+            F.col("conv_id")
+        ),
+    )
+    for frame in (df, hot):
+        want = stable_turn_order(frame).select(
+            "conv_id", "turn_idx", "turn_rank"
+        )
+        for parts in (3, 17):
+            got = stable_turn_order_skew_safe(frame, partitions=parts)
+            assert set(got.columns) == set(frame.columns) | {"turn_rank"}
+            diff = (
+                got.select("conv_id", "turn_idx", "turn_rank")
+                .exceptAll(want)
+                .count()
+                + want.exceptAll(
+                    got.select("conv_id", "turn_idx", "turn_rank")
+                ).count()
+            )
+            release_persisted()
+            assert diff == 0, (parts, diff)
+    # empty input: no driver-side offsets, still shaped correctly
+    empty = stable_turn_order_skew_safe(df.filter(F.lit(False)))
+    assert empty.count() == 0 and "turn_rank" in empty.columns
+    release_persisted()
