@@ -113,6 +113,7 @@ def apply_regex_parser(
     time_keep: bool = True,
     time_col: str = "event_time",
     gate: Column | None = None,
+    groups: list[str] | None = None,
 ) -> DataFrame:
     """Full regex-parser semantics: extract named groups as columns,
     apply per-key typecasts, then time-lookup on `time_key`.
@@ -121,8 +122,14 @@ def apply_regex_parser(
     entirely (lazy `when`) and get NULL fields. In a multi-parser
     pipeline, gating on the detected format means each row pays only
     its own grammar's matcher — a large win when this parser applies
-    to a minority of rows."""
-    groups = named_groups(pattern)
+    to a minority of rows.
+
+    `groups`: optional subset of the pattern's named groups to emit
+    (default: all). Groups are capture-only in Java regex — selecting
+    a subset never changes matching — so callers that derive some
+    fields more cheaply (e.g. flagship's span-group path/code) can
+    skip the per-group matcher runs they replace."""
+    groups = list(groups) if groups is not None else named_groups(pattern)
     if backend == "arrow":
         udf = regex_parse_arrow(pattern, groups)
         src = F.when(gate, F.col(source)) if gate is not None else F.col(source)

@@ -58,6 +58,16 @@ APACHE_RE = (
     r'^(?P<host>\S+) - (?P<http_user>\S+) \[(?P<atime>[^\]]+) \+0000\] '
     r'"(?P<method>\S+) (?P<path>\S+) HTTP/1\.1" (?P<code>\d+) (?P<size>\d+)$'
 )
+# APACHE_RE with a span group over the two fields the ROUTE path
+# consumes: `pc` = '{path} HTTP/1.1" {code}'. Groups are capture-only
+# (matching behavior is identical to APACHE_RE); one pc extract feeds
+# both fields where the per-group form paid the full matcher twice
+# per apache row. path = token 1 and code = last token of the span,
+# exactly, because \S+ / \d+ admit no spaces.
+APACHE_PC_RE = (
+    r'^(?P<host>\S+) - (?P<http_user>\S+) \[(?P<atime>[^\]]+) \+0000\] '
+    r'"(?P<method>\S+) (?P<pc>(?P<path>\S+) HTTP/1\.1" (?P<code>\d+)) (?P<size>\d+)$'
+)
 SYSLOG_RE = r"^<(?P<pri>\d+)>1 (?P<stime>\S+) (?P<shost>\S+) (?P<sapp>\S+) (?P<sproc>\d+) (?P<smsgid>\S+) - (?P<smsg>.*)$"
 
 _SYSLOG_JAVA = _re.sub(r"\(\?P<[^>]+>", "(", SYSLOG_RE)
@@ -130,18 +140,47 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
     )
     # apache (grok; named-group regex parser with typecast + time
     # lookup), gated on the detected format: only ~1/5 of rows run the
-    # 8-group matcher (any full-regex match implies the detection
-    # prefix, so gating is semantics-preserving)
+    # matcher (any full-regex match implies the detection prefix, so
+    # gating is semantics-preserving). path and code — the two fields
+    # the always-live route/parse_ok path consumes — come from ONE
+    # `pc` span extract (APACHE_PC_RE) instead of two full matcher
+    # runs; the remaining groups stay per-group extracts that only
+    # materialize when a consumer actually projects them.
     df = apply_regex_parser(
         df,
-        APACHE_RE,
+        APACHE_PC_RE,
         backend=backend,
-        types={"code": "integer", "size": "integer"},
+        types={"size": "integer"},
         time_key="atime",
         time_format="dd/MMM/yyyy:HH:mm:ss",
         time_keep=True,
         time_col="event_time",
         gate=F.col("fmt") == "apache",
+        groups=["host", "http_user", "atime", "method", "size"],
+    )
+    from fluent_bit_spark.operators.parse import _group_indices, _java_pattern
+
+    _pc = F.when(
+        F.col("fmt") == "apache",
+        F.nullif(
+            F.regexp_extract(
+                t, _java_pattern(APACHE_PC_RE), _group_indices(APACHE_PC_RE)["pc"]
+            ),
+            F.lit(""),
+        ),
+    )
+    df = df.withColumn("_pc", _pc)
+    df = df.withColumns(
+        {
+            # \S+ / \d+ admit no spaces, so the span's first and last
+            # tokens ARE the group values; a non-matching row has NULL
+            # _pc and NULL fields, exactly like the per-group extracts
+            "path": F.when(
+                F.col("_pc").isNotNull(),
+                F.substring_index(F.col("_pc"), " ", 1),
+            ),
+            "code": F.substring_index(F.col("_pc"), " ", -1).cast("long"),
+        }
     )
     # logfmt (unified fields via anchored extracts — JVM path)
     lf = lambda pat: F.nullif(F.regexp_extract(t, pat, 1), F.lit(""))
@@ -230,9 +269,9 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
         .when(F.col("fmt") == "ltsv", F.col("k1").isNotNull())
         .otherwise(F.lit(False)),
     )
-    # the parse-once helper structs are internal; CollapseProject will
+    # the parse-once helper columns are internal; CollapseProject will
     # not inline them back (non-cheap exprs referenced multiple times)
-    return df.drop("_j", "_lm")
+    return df.drop("_j", "_lm", "_pc")
 
 
 # ---------------------------------------------------------------------------
