@@ -72,6 +72,22 @@ SYSLOG_RE = r"^<(?P<pri>\d+)>1 (?P<stime>\S+) (?P<shost>\S+) (?P<sapp>\S+) (?P<s
 
 _SYSLOG_JAVA = _re.sub(r"\(\?P<[^>]+>", "(", SYSLOG_RE)
 
+# SYSLOG_RE with a span group over everything after '<' — the syslog
+# analog of APACHE_PC_RE: one `ps` extract feeds both pri and smsg
+# where the per-group form paid the full matcher twice per syslog
+# row. Derivations are exact: pri is the span's prefix up to the
+# first '>' (pri = \d+ admits no '>'), and smsg is the span's tokens
+# from position 8 on — the six header fields are \S+ separated by
+# single literal spaces, so they occupy tokens 1-6, the literal '-'
+# is token 7, and a single-space array_join of the tail reproduces
+# smsg byte-for-byte (split/join round-trips interior runs of spaces
+# through empty tokens).
+SYSLOG_PS_RE = (
+    r"^<(?P<ps>(?P<pri>\d+)>1 (?P<stime>\S+) (?P<shost>\S+) (?P<sapp>\S+) "
+    r"(?P<sproc>\d+) (?P<smsgid>\S+) - (?P<smsg>.*))$"
+)
+_SYSLOG_PS_JAVA = _re.sub(r"\(\?P<[^>]+>", "(", SYSLOG_PS_RE)
+
 JSON_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
@@ -211,16 +227,29 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
             "usage": F.col("_j")["usage"],
         }
     )
-    # syslog
+    # syslog — one ps span extract feeds pri and smsg (see
+    # SYSLOG_PS_RE); NULL span (non-syslog or non-matching row) makes
+    # both fields NULL, and the nullif keeps the per-group form's
+    # matched-but-empty-smsg -> NULL behavior
+    df = df.withColumn(
+        "_ps",
+        F.when(
+            F.col("fmt") == "syslog",
+            F.nullif(F.regexp_extract(t, _SYSLOG_PS_JAVA, 1), F.lit("")),
+        ),
+    )
+    _ps_toks = F.split(F.col("_ps"), " ")
     df = df.withColumns(
         {
-            "pri": F.when(
-                F.col("fmt") == "syslog",
-                F.nullif(F.regexp_extract(t, _SYSLOG_JAVA, 1), F.lit("")),
-            ).cast("long"),
-            "smsg": F.when(
-                F.col("fmt") == "syslog",
-                F.nullif(F.regexp_extract(t, _SYSLOG_JAVA, 7), F.lit("")),
+            "pri": F.substring_index(F.col("_ps"), ">", 1).cast("long"),
+            "smsg": F.nullif(
+                F.array_join(
+                    F.slice(
+                        _ps_toks, 8, F.greatest(F.size(_ps_toks) - 7, F.lit(0))
+                    ),
+                    " ",
+                ),
+                F.lit(""),
             ),
         }
     )
@@ -271,7 +300,7 @@ def parse_stage(df: DataFrame, backend: str = "native") -> DataFrame:
     )
     # the parse-once helper columns are internal; CollapseProject will
     # not inline them back (non-cheap exprs referenced multiple times)
-    return df.drop("_j", "_lm", "_pc")
+    return df.drop("_j", "_lm", "_pc", "_ps")
 
 
 # ---------------------------------------------------------------------------

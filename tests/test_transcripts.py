@@ -151,3 +151,55 @@ def test_stable_turn_order_skew_safe_equals_window(spark, sf_dir):
     empty = stable_turn_order_skew_safe(df.filter(F.lit(False)))
     assert empty.count() == 0 and "turn_rank" in empty.columns
     release_persisted()
+
+
+def test_parse_span_group_derivations_match_per_group_regex(spark):
+    """The apache pc / syslog ps span-group derivations must equal the
+    per-group regexp_extract definition on adversarial lines: empty
+    smsg, whitespace-only smsg, smsgid='-', smsg starting with '- ',
+    smsg with interior runs of spaces, and non-matching detections."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.plans.flagship import (
+        APACHE_RE,
+        SYSLOG_RE,
+        parse_stage,
+    )
+    import re
+
+    lines = [
+        # apache: normal, /api path, malformed (detection ok, match fail)
+        'h1 - u1 [10/Oct/2000:13:55:36 +0000] "GET /api/x HTTP/1.1" 200 5',
+        'h2 - u2 [10/Oct/2000:13:55:37 +0000] "POST /y HTTP/1.1" 500 0',
+        "h3 - u3 [broken",
+        # syslog: normal, smsgid='-', empty smsg, whitespace smsg,
+        # smsg starting '- ', interior double space, match fail
+        "<5>1 t1 host app 1 mid - hello world",
+        "<6>1 t2 host app 2 - - msg after dash id",
+        "<7>1 t3 host app 3 mid - ",
+        "<8>1 t4 host app 4 mid -   ",
+        "<9>1 t5 host app 5 mid - - leading dash",
+        "<10>1 t6 host app 6 mid - a  b",
+        "<11>bad syslog line",
+        # other formats
+        "level=info msg=\"evt ok\" latency_cents=3",
+        '{"id": 1, "word1": "w", "bytes": 2, "usage": 3}',
+        "plain chat text",
+    ]
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "turn_idx long, text string"
+    )
+    out = parse_stage(df).select("turn_idx", "text", "fmt", "path", "code", "pri", "smsg")
+    apache_re = re.compile(APACHE_RE.replace("?P<", "?<").replace("?<", "?P<"))
+    syslog_re = re.compile(SYSLOG_RE)
+    for r in out.collect():
+        am = apache_re.match(r.text) if r.fmt == "apache" else None
+        sm = syslog_re.match(r.text) if r.fmt == "syslog" else None
+        want_path = (am.group("path") or None) if am else None
+        want_code = int(am.group("code")) if am else None
+        want_pri = int(sm.group("pri")) if sm else None
+        want_smsg = (sm.group("smsg") or None) if sm else None
+        assert r.path == want_path, (r.text, r.path, want_path)
+        assert r.code == want_code, (r.text, r.code, want_code)
+        assert r.pri == want_pri, (r.text, r.pri, want_pri)
+        assert r.smsg == want_smsg, (r.text, r.smsg, want_smsg)
