@@ -408,16 +408,22 @@ def run_isolated_queries(names: list[str], passes: int = 2) -> dict[str, float]:
     """Fresh JVM per query (nothing shared: storage pool, codegen cache,
     python-worker pool all cold-started then per-query warmed).
 
-    `passes` > 1 sweeps the whole list again and keeps each query's MIN
+    `passes` > 1 sweeps the list again and keeps each query's MIN
     median: host-window noise on this shared VM is strictly additive
     (co-tenant pressure measured inflating identical code 2-5x for
     minutes at a time), so two temporally separated windows bound the
-    code's real cost far better than one contiguous block per query."""
+    code's real cost far better than one contiguous block per query.
+    Later passes only revisit queries that read slow (> 2.5 s) or
+    died on the earlier pass — fast readings are already credible
+    (noise inflates, never deflates), and skipping them keeps the
+    driver-run wall-time bounded."""
     import subprocess
 
     out: dict[str, float] = {}
-    for _ in range(max(1, passes)):
+    for p in range(max(1, passes)):
         for name in names:
+            if p > 0 and out.get(name) is not None and out[name] <= 2.5:
+                continue
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--_iso-worker",
@@ -511,8 +517,9 @@ def run_default() -> None:
                 "queries": timings,
                 "isolated": isolated,
                 "isolated_mode": (
-                    "fresh JVM per query, warm once, median of 3; min over 2 "
-                    "temporally separated passes (host-window noise is additive)"
+                    "fresh JVM per query, warm once, median of 3; slow (>2.5s) "
+                    "readings re-measured in a second temporally separated pass "
+                    "and the min kept (host-window noise is additive)"
                 ),
                 "sf": _sf_label(SF_DIR),
                 "rows": rows,
