@@ -1135,6 +1135,43 @@ def _q_streaming_dedup(spark, sf_dir):
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+def _q_streaming_throttle(spark, sf_dir):
+    """Eighth STREAMING-gated query: the per-key token-bucket rate
+    limiter (reference plugins/filter_throttle/throttle.c window pane)
+    running in the real streaming state store via
+    applyInPandasWithState (streaming/__init__.py throttle_stateful).
+    Parameters are chosen so every value in the bucket recurrence is
+    exact in binary floating point — burst=2 tokens, refill 0.5
+    token/s, rows exactly 1 s apart on integer-second epochs — which
+    gives the bucket a closed form per conversation: admit seq 0,1,2,
+    then every other row (even seq).  The DuckDB oracle re-derives that
+    closed form with a window row_number, so the state-store path is
+    value-checked end-to-end, not just stream==batch."""
+    from pyspark.sql import Window
+
+    from fluent_bit_spark.streaming import throttle_stateful
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (F.row_number().over(w) - 1).cast("long")
+    lines = t.select(
+        "conv_id",
+        seq.alias("seq"),
+        F.timestamp_seconds(F.lit(1_700_000_000).cast("long") + seq).alias("ts"),
+        "role",
+    )
+    out = _drain_stream(
+        spark,
+        lines,
+        lambda src: throttle_stateful(
+            src, key_col="conv_id", rate_per_sec=0.5, burst=2, ts_col="ts"
+        ),
+        "fbs_streaming_throttle",
+        output_mode="append",
+    )
+    return out.select("conv_id", "seq", "role")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: documents become opaque
     binary payloads (deterministic), run through the REAL Arrow-batched
@@ -3807,90 +3844,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver's correctness gate covers the FIRST 50 dict entries of
 # _raw_queries().  Rows earned in earlier rounds persist by name
-# (CORRECTNESS_r01/r02/r03 union: 98 distinct green names), so each
+# (CORRECTNESS_r01..r04 union: 148 distinct green names), so each
 # round rotates 50 never-yet-gated queries into the prefix.
 #
-# ROUND-4 PREFIX (this list): the delivery-envelope long tail added
-# late in round 3 (sink_kinesis ... sink_prometheus, websocket_frames,
-# metrics_endpoint, storage_limit), the two queries new this round
-# (sp_snapshot, resume_manifest), the wire codecs
-# (msgpack/avro/forward/kafka/gelf-datagram/mqtt/collectd/http-chunked),
-# the remaining sources (kmsg/journal/statsd), the filter/UDF gates
-# (expect, alter_size, lua-style record fn, tensorflow math path), the
-# dedup/text family without rows, and the multimodal/ANN-eval set.
+# ROUND-5 PREFIX (this list): executes the rotation committed in round
+# 4 as _GATE_PRIORITY_NEXT — the two §2 rows still lacking a dedicated
+# driver row (k8s_meta, ua_enrich), sp_config_task, the LLM-pipeline
+# locals (dedup variants, packing, drift, DSIR/mixture, sampling,
+# chat/FIM transforms), the governance/privacy set, the data-quality
+# set, and the ops/telemetry set.  ONE swap vs the committed list, per
+# the r4 verdict's own item #6 (gate a stateful-streaming row):
+# streaming_throttle (the applyInPandasWithState token bucket — the
+# only stateful streaming operator without driver evidence) takes the
+# slot of ann_pq_sampled (whose family already holds four driver-green
+# rows: ann_pq, ann_ivfpq, ann_recall_eval, maxsim_topk);
+# ann_pq_sampled moves to the round-6 schedule below.
 #
-# ROUND-5 PREFIX (_GATE_PRIORITY_NEXT): planned now so no query ships
-# ungated without a schedule; tests/test_entry_queries.py asserts the
-# three lists below + the r1-r3 green union exactly partition
-# _all_queries().  _GATE_LOCAL_TAIL is the residue that cannot fit the
-# 50/round window by round 5 -- lowest-priority names whose operator
-# families already have a gated representative; they stay covered by
-# the identical local DuckDB oracle in pytest.
+# ROUND-6 PREFIX (_GATE_PRIORITY_NEXT): drains the former
+# _GATE_LOCAL_TAIL to zero (verdict #2) — after round 6 every query
+# ever shipped has earned a driver row at least once and "family
+# representative" stops being load-bearing.  tests/test_entry_queries
+# asserts the lists below + the r1-r4 green union exactly partition
+# _all_queries(), and test_gate_tail_has_driver_green_representative
+# pins a name→representative map for every not-yet-gated name.
 _GATE_PRIORITY: list = [
-    # envelope sinks + ops endpoints (round-3 additions, VERDICT #1)
-    "sink_kinesis",
-    "sink_firehose",
-    "sink_http",
-    "sink_pgsql",
-    "sink_kafka_rest",
-    "sink_newrelic",
-    "sink_td",
-    "sink_es_bulk",
-    "sink_slack",
-    "sink_logdna",
-    "sink_nats",
-    "sink_cloudwatch",
-    "sink_bigquery",
-    "sink_azure",
-    "sink_prometheus",
-    "websocket_frames",
-    "metrics_endpoint",
-    "storage_limit",
-    # new this round (VERDICT #6, #8)
-    "sp_snapshot",
-    "resume_manifest",
-    # wire codecs
-    "msgpack_roundtrip",
-    "avro_roundtrip",
-    "forward_roundtrip",
-    "kafka_batch",
-    "kafka_produce",
-    "gelf_chunks",
-    "mqtt_frame",
-    "collectd_packet",
-    "http_chunked",
-    # sources
-    "kmsg_source",
-    "journal_source",
-    "statsd_source",
-    # filters / UDF surface
-    "expect_assert",
-    "alter_size_drop",
-    "record_function_udf",
-    "tf_inference",
-    # dedup / text without rows
-    "line_dedup",
-    "intra_doc_dedup",
-    "span_dedup",
-    "winnow_fp",
-    "conv_dedup",
-    "doc_sample",
-    "doc_split",
-    "quota_sample",
-    "curation_scorecard",
-    # multimodal / ANN eval
-    "media_features",
-    "media_ann",
-    "media_decode",
-    "maxsim_topk",
-    "ann_recall_eval",
-]
-
-_GATE_PRIORITY_NEXT: list = [
     "k8s_meta",
     "ua_enrich",
     "sp_config_task",
     "incremental_dedup",
+    # stateful streaming (r4 verdict #6; swapped for ann_pq_sampled)
+    "streaming_throttle",
     # LLM-data-pipeline family
     "fuzzy_contam",
     "dpo_pairs",
@@ -3910,7 +3893,6 @@ _GATE_PRIORITY_NEXT: list = [
     "fim_transform",
     "context_windows",
     "tokenizer_fertility",
-    "ann_pq_sampled",
     "dim_trunc_eval",
     "centroid_assign",
     "bpe_vocab",
@@ -3943,13 +3925,12 @@ _GATE_PRIORITY_NEXT: list = [
     "zorder_layout",
 ]
 
-# Local-oracle-only residue after the round-5 window: every name's
-# operator family already has (or will have) a driver row via a gated
-# representative; all remain value-checked against DuckDB in pytest.
-_GATE_LOCAL_TAIL: list = [
-    # moved from the r5 prefix (window is 50; these families already
-    # hold a driver-green representative: ccnet_buckets / c4_filter /
-    # pmi_topk / streaming_cms)
+_GATE_PRIORITY_NEXT: list = [
+    # displaced from the r5 window by streaming_throttle (see above)
+    "ann_pq_sampled",
+    # former _GATE_LOCAL_TAIL, drained per the r4 verdict's item #2;
+    # until gated, each name's family representative is pinned by
+    # test_gate_tail_has_driver_green_representative
     "char_entropy",
     "clean_text",
     "ngram_topk",
@@ -3998,10 +3979,13 @@ _GATE_LOCAL_TAIL: list = [
     "flap_suppress",
     "schema_compat",
     "fk_orphans",
-    # added late-r4: skew-safe ranking variant (stable_order family
-    # already holds driver-green representatives)
     "stable_order_skew",
 ]
+
+# Fully drained: every query is either driver-green (r1-r4 union) or
+# scheduled in a gate window above.  Kept as an (empty) list so the
+# partition pytest keeps its three-way structure.
+_GATE_LOCAL_TAIL: list = []
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4078,6 +4062,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_multiline": _q_streaming_multiline,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_throttle": _q_streaming_throttle,
         "media_features": _q_media_features,
         "doc_sample": _q_doc_sample,
         "doc_split": _q_doc_split,

@@ -4359,6 +4359,31 @@ WHERE turn_rank <= 3"""
     }
 
 
+def _round5_sql() -> dict[str, str]:
+    """Stateful-streaming mirrors (round 5).
+
+    streaming_throttle: the applyInPandasWithState token bucket
+    (streaming/__init__.py throttle_stateful, mirroring
+    plugins/filter_throttle/throttle.c) is fed rows exactly 1 s apart
+    with burst=2 tokens and refill 0.5 token/s — every value in the
+    recurrence is exact in binary floating point, so the bucket has a
+    closed form per conversation: admit seq 0,1,2 (burst drain), then
+    every other row once refill alternates the bucket between 0.5 and
+    1.0 tokens.  The oracle re-derives that closed form from a window
+    row_number, independently of the state store."""
+    streaming_throttle = """
+, thr AS (
+    SELECT conv_id,
+           CAST(row_number() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT)
+               AS seq,
+           role
+    FROM transcripts)
+SELECT conv_id, seq, role FROM thr
+WHERE seq <= 2 OR seq % 2 = 0"""
+    return {"streaming_throttle": streaming_throttle}
+
+
 def oracle_queries() -> dict[str, str]:
     c = pipeline_ctes()
     d = {
@@ -4380,6 +4405,7 @@ def oracle_queries() -> dict[str, str]:
         **{k: c + v for k, v in _wireformat_sql().items()},
         **{k: c + v for k, v in _dqsuite_sql().items()},
         **{k: c + v for k, v in _round4_sql().items()},
+        **{k: c + v for k, v in _round5_sql().items()},
         "transcripts": c + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "parse_fields": c + f"SELECT {PARSE_COLS} FROM unified",
         "parse_summary": c

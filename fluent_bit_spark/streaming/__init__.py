@@ -411,19 +411,31 @@ def throttle_stateful(
             tokens, last = state.get
         else:
             tokens, last = float(burst), 0.0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            keep_idx = []
-            for i, t in zip(pdf.index, pdf[ts_col]):
-                now = t.timestamp()
-                if last:
-                    tokens = min(float(burst), tokens + (now - last) * rate_per_sec)
-                last = now
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    keep_idx.append(i)
-            if keep_idx:
-                yield pdf.loc[keep_idx]
+        # a key's micro-batch slice can arrive as several Arrow chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch); the bucket is
+        # order-sensitive, so sort the WHOLE slice, not each chunk.
+        # Memory is bounded by the per-key slice, which the engine
+        # already materializes per group.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((tokens, last))
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        ).sort_values(ts_col)
+        keep_idx = []
+        for i, t in zip(pdf.index, pdf[ts_col]):
+            now = t.timestamp()
+            if last:
+                tokens = min(float(burst), tokens + (now - last) * rate_per_sec)
+            last = now
+            if tokens >= 1.0:
+                tokens -= 1.0
+                keep_idx.append(i)
+        if keep_idx:
+            yield pdf.loc[keep_idx]
         state.update((tokens, last))
 
     return df.groupBy(key_col).applyInPandasWithState(

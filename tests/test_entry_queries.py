@@ -72,9 +72,27 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
 
 
+def _driver_green_union() -> set[str]:
+    """Names with a green driver CORRECTNESS row in any prior round."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    green: set[str] = set()
+    for r in ("01", "02", "03", "04"):
+        path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                if v.get("rows_match") and v.get("schema_match") and not v.get("err"):
+                    green.add(k)
+    return green
+
+
 def test_gate_rotation_partitions_all_queries():
-    """No query ships ungated without a schedule: the r1-r3 driver-green
-    union, the round-4 prefix (_GATE_PRIORITY), the round-5 plan
+    """No query ships ungated without a schedule: the r1-r4 driver-green
+    union, the round-5 prefix (_GATE_PRIORITY), the round-6 plan
     (_GATE_PRIORITY_NEXT), and the documented local-only tail exactly
     partition _all_queries() -- no orphans, no duplicates, no name
     wasted re-gating an already-green query."""
@@ -83,7 +101,7 @@ def test_gate_rotation_partitions_all_queries():
 
     repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
     green: set[str] = set()
-    for r in ("01", "02", "03"):
+    for r in ("01", "02", "03", "04"):
         path = os.path.join(repo, f"CORRECTNESS_r{r}.json")
         if not os.path.exists(path):
             continue
@@ -107,3 +125,78 @@ def test_gate_rotation_partitions_all_queries():
     assert not union & green, f"slots wasted on green queries: {union & green}"
     orphans = allq - green - union
     assert not orphans, f"queries with no gate schedule: {orphans}"
+
+
+# r4 verdict #7: the "every not-yet-gated name has a driver-green
+# family representative" claim, as a checkable name -> representative
+# map instead of prose.  Keys must cover _GATE_PRIORITY_NEXT exactly;
+# every value must hold a green driver CORRECTNESS row.
+GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
+    "ann_pq_sampled": "ann_pq_topk",
+    "char_entropy": "gopher_quality",
+    "clean_text": "c4_filter",
+    "ngram_topk": "pmi_topk",
+    "mad_outliers": "streaming_cms",
+    "rate_anomalies": "forecast_hourly",
+    "tool_pagerank": "loop_detect",
+    "len_percentiles": "doc_stats",
+    "role_qa": "conv_scorecard",
+    "tool_transitions": "loop_detect",
+    "cms_tokens": "streaming_cms",
+    "hll_convs": "streaming_hll",
+    "hll_hourly": "streaming_hll",
+    "len_quantiles_hist": "doc_stats",
+    "role_len_quantiles": "doc_stats",
+    "funnel_steps": "sessions_per_conv",
+    "echo_overlap": "jaccard_blocked",
+    "interval_overlap": "range_enrich",
+    "tool_args": "merge_log",
+    "flow_rollup": "sink_flowcounter",
+    "cdc_chunks": "resume_manifest",
+    "alert_edges": "forecast_hourly",
+    "mix_manifest": "shard_manifest",
+    "tool_latency": "conv_stats",
+    "statsd_agg": "statsd_source",
+    "template_mine": "grok_parse",
+    "retention_budget": "storage_limit",
+    "watermark_report": "resume_manifest",
+    "conv_branching": "conv_stats",
+    "tool_reliability": "conv_scorecard",
+    "reply_latency": "conv_stats",
+    "retry_schedule": "storage_limit",
+    "burn_alerts": "metrics_endpoint",
+    "ttr_by_source": "metrics_endpoint",
+    "mtbf_report": "metrics_endpoint",
+    "scd2_history": "asof_enrich",
+    "late_data": "streaming_sessions",
+    "cdc_apply": "resume_manifest",
+    "compaction_plan": "storage_limit",
+    "template_novelty": "grok_parse",
+    "backpressure": "storage_limit",
+    "seasonal_anomaly": "forecast_hourly",
+    "route_diff": "route_fanout",
+    "heartbeat_gaps": "sessions_per_conv",
+    "cardinality_guard": "streaming_hll",
+    "streaming_backpressure": "streaming_dedup",
+    "flap_suppress": "throttle_hourly",
+    "schema_compat": "avro_roundtrip",
+    "fk_orphans": "enrich_lookup",
+    "stable_order_skew": "stable_order",
+}
+
+
+def test_gate_tail_has_driver_green_representative():
+    """Every name still waiting on a driver row (round-6 schedule +
+    any local tail) declares a same-family representative that actually
+    holds a green driver CORRECTNESS row — the map can't silently
+    orphan under renames."""
+    green = _driver_green_union()
+    if not green:
+        pytest.skip("no CORRECTNESS artifacts present")
+    waiting = set(entry_mod._GATE_PRIORITY_NEXT) | set(entry_mod._GATE_LOCAL_TAIL)
+    assert set(GATE_TAIL_REPRESENTATIVE) == waiting, (
+        f"map out of sync: missing={waiting - set(GATE_TAIL_REPRESENTATIVE)}, "
+        f"stale={set(GATE_TAIL_REPRESENTATIVE) - waiting}"
+    )
+    bad = {k: v for k, v in GATE_TAIL_REPRESENTATIVE.items() if v not in green}
+    assert not bad, f"representatives without a green driver row: {bad}"
