@@ -158,16 +158,22 @@ def stable_turn_order_skew_safe(
         return stable_turn_order(
             srt, conv, idx, ts, out
         ).drop("_pid")  # empty input: plain window on nothing
-    offsets, acc = {}, 0
-    for p in sorted(cnts):
-        offsets[p] = acc
-        acc += cnts[p]
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
+    # cumulative offsets as ONE array literal indexed by _pid:
+    # element_at on a constant array is O(1) per row and a single
+    # Literal node in the plan, vs a literal create_map whose
+    # GetMapValue is a linear scan over 2*numPartitions expression
+    # nodes — at the many-thousand-partition scale this operator
+    # targets that was a real per-row cost and plan blowup.
+    offsets, acc = [], 0
+    for p in range(max(cnts) + 1):
+        offsets.append(acc)
+        acc += cnts.get(p, 0)
+    off_arr = F.lit(offsets).cast("array<bigint>")
     wp = Window.partitionBy("_pid").orderBy(*ob)
     g = srt.withColumn(
-        "_g", off_map[F.col("_pid")] + F.row_number().over(wp)
+        "_g",
+        F.element_at(off_arr, F.col("_pid") + F.lit(1))
+        + F.row_number().over(wp),
     )
     base = g.groupBy(conv).agg(F.min("_g").alias("_b"))
     return (
