@@ -641,6 +641,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BM25 retrieval: top-`k` documents per query. Output
     (query_id, doc_id, score, rank), rank by (score desc, doc_id).
@@ -663,6 +664,14 @@ def bm25_topk(
     |query vocab| rows, so it broadcasts instead of shuffle-joining
     (at web scale the full-vocab df pass is the dominant cost this
     avoids). No per-row Python anywhere.
+
+    `broadcast_queries` guards the broadcast side's size assumption:
+    the default presumes a bounded query set (the serving / eval /
+    bounded-mining case — hard_negatives caps its query sample for
+    exactly this reason). A caller whose query set scales with the
+    corpus must pass False: the query-side joins (vocab semi-join,
+    query terms, df) then shuffle-join instead, identical values,
+    with hot-term skew riding AQE's skew-join splitting.
     """
     from fluent_bit_spark.operators.dedup import _persist
 
@@ -683,13 +692,14 @@ def bm25_topk(
         ).alias("term"),
     )
     qvocab = qterms.select("term").distinct()
+    _q = F.broadcast if broadcast_queries else (lambda d: d)
     # query-vocab tf slice: map-side broadcast semi-restriction of the
     # persisted tf — feeds both the df aggregate and the scoring join
-    tf_q = tf.join(F.broadcast(qvocab), "term", "left_semi")
+    tf_q = tf.join(_q(qvocab), "term", "left_semi")
     dfreq = tf_q.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf_q.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        tf_q.join(_q(qterms), "term")
+        .join(_q(dfreq), "term")
         .join(dlen, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -926,6 +936,7 @@ def inverted_postings(
     min_df: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Inverted-index posting lists: for every term appearing in at
     least `min_df` documents, the top-`k` documents by term frequency
@@ -952,13 +963,12 @@ def inverted_postings(
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     # broadcast is vocab-bound, not constant-bound: fine for the
-    # df-floored vocabularies this targets, but a corpus whose
-    # qualifying vocabulary approaches driver memory should shuffle-
-    # join instead (the tfidf/bm25 convention) and accept hot-term
-    # skew handling at the join
-    qualified = tf.join(
-        F.broadcast(dfreq.filter(F.col("_df") >= min_df)), "term"
-    )
+    # df-floored vocabularies this targets; a corpus whose qualifying
+    # vocabulary approaches driver memory passes broadcast_df=False —
+    # the df join then shuffles (identical values) with hot-term skew
+    # riding AQE's skew-join splitting
+    _b = F.broadcast if broadcast_df else (lambda d: d)
+    qualified = tf.join(_b(dfreq.filter(F.col("_df") >= min_df)), "term")
     return topk_per_group(
         qualified,
         ["term"],
@@ -975,6 +985,7 @@ def hard_negatives(
     n_neg: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """BM25 hard-negative mining for dense-retriever training (the
     DPR-style recipe): every `every`-th doc's first `qtokens` tokens
@@ -987,13 +998,29 @@ def hard_negatives(
 
     Scale shape: exactly bm25_topk's (queries are the every-th-doc
     sample, always the broadcast side) plus one per-query rank window
-    over the already-top-k lists."""
+    over the already-top-k lists.  The every-th-doc sample is
+    corpus-proportional, which at 100 TB would push a
+    corpus-vocabulary-sized side through bm25_topk's broadcasts —
+    `max_queries` caps it with a deterministic md5-ordered top-k
+    (distributed TakeOrdered, partition-invariant, same rule in the
+    DuckDB oracle), keeping the broadcast side constant-bounded no
+    matter the corpus.  Pass None to disable the cap; mine more
+    negatives by raising `every` instead of the cap where possible."""
+    from fluent_bit_spark.operators.dedup import md5_32
+
     q = docs.filter(F.col(id_col) % every == 0).select(
         F.col(id_col).alias("query_id"),
         F.array_join(
             F.slice(tokens(F.lower(F.col(text_col))), 1, qtokens), " "
         ).alias("text"),
     )
+    if max_queries is not None:
+        q = (
+            q.withColumn("_qh", md5_32(F.col("query_id").cast("string")))
+            .orderBy("_qh", "query_id")
+            .limit(max_queries)
+            .drop("_qh")
+        )
     res = bm25_topk(docs, q, k=n_neg + 1, text_col=text_col, id_col=id_col)
     w = Window.partitionBy("query_id").orderBy("rank")
     negs = (

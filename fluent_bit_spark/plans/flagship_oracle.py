@@ -1232,10 +1232,31 @@ SELECT query_id, doc_id, round(fx / 1000000.0, 6) AS rrf, n_lists, rank FROM (
                             ORDER BY fx DESC, doc_id) AS rank
   FROM hyg) WHERE rank <= 10"""
     # hard negatives: self-retrieval queries, positive = self (labeled,
-    # NULL score), negatives = top-5 others re-ranked after the drop
+    # NULL score), negatives = top-5 others re-ranked after the drop.
+    # The query sample is capped at max_queries=100000 by md5-ordered
+    # rank (text_analysis.hard_negatives keeps bm25's broadcast side
+    # constant-bounded at corpus scale); inert at bench SFs, mirrored
+    # here so the rule is oracle-pinned at any scale.
     n_neg = 5
-    hard_neg_sql = _bm25_core("TRUE", eval_queries, n_neg + 1) + f"""
-, hnq AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 25 = 0)
+    hn_cap = 100_000
+    hn_queries = f"""SELECT query_id,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')[1:8])) AS term
+          FROM (SELECT doc_id AS query_id, text,
+                       row_number() OVER (
+                         ORDER BY {_md5_32_sql('CAST(doc_id AS VARCHAR)')},
+                                  doc_id) AS qrk
+                FROM documents WHERE doc_id % 25 = 0)
+          WHERE qrk <= {hn_cap}"""
+    hard_neg_sql = _bm25_core("TRUE", hn_queries, n_neg + 1) + f"""
+, hnq AS (SELECT query_id FROM (
+            SELECT doc_id AS query_id,
+                   row_number() OVER (
+                     ORDER BY {_md5_32_sql('CAST(doc_id AS VARCHAR)')},
+                              doc_id) AS qrk
+            FROM documents WHERE doc_id % 25 = 0)
+          WHERE qrk <= {hn_cap})
 , hnn AS (SELECT query_id, doc_id, score,
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
                       AS INTEGER) AS neg_rank

