@@ -369,6 +369,10 @@ ISO_SUBSET = [
     # two under neighbor pressure vs 2.2 s / 4.1 s isolated)
     "dedup_minhash",
     "hard_negatives",
+    # added r5: the two r4 suite regressions (hard_negatives +5%,
+    # ip_anonymize +26%) tracked isolated per the r4 verdict #4 so
+    # noise and code are separable round over round
+    "ip_anonymize",
 ]
 
 
