@@ -3081,6 +3081,24 @@ def _q_msgpack_roundtrip(spark, sf_dir):
     return msgpack_roundtrip(_transcripts(spark, sf_dir))
 
 
+def _q_msgpack_wire_jvm(spark, sf_dir):
+    """The msgpack ENCODE hot path with zero Python in the plan
+    (functions/wire_expr.py): every byte of the reference chunk entry
+    built from Catalyst expressions inside whole-stage codegen —
+    production sinks only serialize, so this lifts the row-at-a-time
+    Python bound the r3/r4 verdicts carried for the codec family.
+    Byte-for-byte equality with the Python packer is pinned in
+    tests/test_wireformat.py; here the oracle re-derives the exact
+    per-row wire size from the spec's closed-form header/length
+    arithmetic."""
+    from fluent_bit_spark.functions.wire_expr import turn_event_bytes
+
+    t = _transcripts(spark, sf_dir)
+    return turn_event_bytes(
+        t.withColumn("ts", F.col("ts").cast("timestamp"))
+    ).select("conv_id", "turn_idx", "n_bytes")
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro binary encoding (src/flb_avro.c path, pure Python — no
     spark-avro jar in this image) roundtripped per turn; n_bytes is
@@ -3982,10 +4000,16 @@ _GATE_PRIORITY_NEXT: list = [
     "stable_order_skew",
 ]
 
-# Fully drained: every query is either driver-green (r1-r4 union) or
-# scheduled in a gate window above.  Kept as an (empty) list so the
-# partition pytest keeps its three-way structure.
-_GATE_LOCAL_TAIL: list = []
+# Drained at rotation time; operators ADDED after the round-5 window
+# was fixed land here (local DuckDB oracle in pytest + a driver-green
+# family representative in the map pinned by
+# test_gate_tail_has_driver_green_representative) until a future
+# window can gate them.
+_GATE_LOCAL_TAIL: list = [
+    # late-r5: whole-stage-codegen msgpack encoder (family
+    # representative: msgpack_roundtrip, driver-green r4)
+    "msgpack_wire_jvm",
+]
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4189,6 +4213,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_gaps": _q_heartbeat_gaps,
         "cardinality_guard": _q_cardinality_guard,
         "msgpack_roundtrip": _q_msgpack_roundtrip,
+        "msgpack_wire_jvm": _q_msgpack_wire_jvm,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,

@@ -268,6 +268,19 @@ def bench_queries(spark, source):
             F.sum("n_bytes").alias("total_bytes"), F.count("*").alias("n")
         )
 
+    def msgpack_pack_jvm_bench():
+        # the same serialize path with ZERO Python: whole-stage-codegen
+        # byte assembly (functions/wire_expr.py) — the production-sink
+        # encode shape; byte-equality with the Python packer is
+        # pytest-pinned
+        from fluent_bit_spark.functions.wire_expr import turn_event_bytes
+
+        return turn_event_bytes(
+            source.withColumn("ts", F.col("ts").cast("timestamp"))
+        ).select(
+            F.sum("n_bytes").alias("total_bytes"), F.count("*").alias("n")
+        )
+
     def tf_inference_bench():
         import __spark_entry__ as entry
 
@@ -343,6 +356,7 @@ def bench_queries(spark, source):
         "tool_args": tool_args_bench,
         "edit_dedup": edit_dedup_bench,
         "msgpack_pack": msgpack_pack_bench,
+        "msgpack_pack_jvm": msgpack_pack_jvm_bench,
         "tf_inference": tf_inference_bench,
         "docker_join": docker_join_bench,
         "zorder_layout": zorder_bench,

@@ -1,0 +1,150 @@
+"""JVM-side msgpack encoding of the transcript event shape — pure
+Catalyst expressions, no Python in the loop.
+
+The reference buffers every event as the msgpack pair
+``[EventTime ext0, map]`` (src/flb_pack.c; src/flb_time.c:141-181).
+`functions/wire.pack_turn_event` produces those bytes in Python inside
+Arrow-batched `mapInPandas` — correct, but row-at-a-time Python and
+therefore the one codec family the r3/r4 verdicts carried as `weak`.
+
+Production SINKS only ever ENCODE (the decode side of the roundtrip
+queries exists to prove the bytes are right); this module lifts the
+encode hot path into whole-stage codegen: every byte of the envelope is
+built from `encode`/`octet_length`/`hex`/`lpad`/`to_binary`/`concat`
+expressions, so the serialize stage runs JVM-side at scan speed with
+zero Python crossings.  Byte-for-byte equality with the Python packer
+is pinned by tests/test_wireformat.py (corpus + adversarial boundary
+property tests).
+
+Layout recap (canonical smallest encodings, msgpack-c behavior):
+  fixarray2 0x92 | fixext8 0xd7 type 0 | sec u32 BE | nsec u32 BE |
+  fixmap5 0x85 | fixstr key | value ...
+  str:  len<=31 -> 0xA0|len ; <=255 -> 0xd9 len ; <=65535 -> 0xda len16
+        ; else 0xdb len32       (len = utf8 OCTETS, not chars)
+  int:  0..127 fixint ; -32..-1 negative fixint ; then cc/cd/ce/cf
+        unsigned widths, d0/d1/d2/d3 signed widths
+  nil:  0xc0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _be(col: Column, n: int) -> Column:
+    """`n`-byte big-endian binary of a long already proven (by the
+    caller's CASE dispatch) to fit in `n` bytes; for negatives the
+    caller passes the two's-complement-masked value."""
+    return F.to_binary(
+        F.lpad(F.hex(col.cast("long")), 2 * n, "0"), F.lit("hex")
+    )
+
+
+def _byte(col: Column) -> Column:
+    """Single byte from a 0..255 long expression."""
+    return _be(col, 1)
+
+
+def pack_str_expr(s: Column) -> Column:
+    """msgpack str with canonical smallest header, from a string
+    Column.  Byte-identical to wire._pack_str."""
+    b = F.encode(s, "UTF-8")
+    n = F.octet_length(b)
+    header = (
+        F.when(n <= 31, _byte(F.lit(0xA0).cast("long") + n))
+        .when(n <= 0xFF, F.concat(F.lit(b"\xd9"), _byte(n)))
+        .when(n <= 0xFFFF, F.concat(F.lit(b"\xda"), _be(n, 2)))
+        .otherwise(F.concat(F.lit(b"\xdb"), _be(n, 4)))
+    )
+    return F.concat(header, b)
+
+
+def pack_int_expr(v: Column) -> Column:
+    """msgpack int with canonical smallest encoding, from a long
+    Column.  Byte-identical to wire._pack_int over the full int64
+    domain (two's complement via hex() for the 8-byte signed case,
+    bitwise masks for the narrower ones)."""
+    v = v.cast("long")
+    return (
+        F.when((v >= 0) & (v <= 0x7F), _byte(v))
+        .when((v < 0) & (v >= -32), _byte(v.bitwiseAND(F.lit(0xFF))))
+        .when((v > 0) & (v <= 0xFF), F.concat(F.lit(b"\xcc"), _byte(v)))
+        .when((v > 0) & (v <= 0xFFFF), F.concat(F.lit(b"\xcd"), _be(v, 2)))
+        .when(
+            (v > 0) & (v <= 0xFFFFFFFF),
+            F.concat(F.lit(b"\xce"), _be(v, 4)),
+        )
+        .when(v > 0xFFFFFFFF, F.concat(F.lit(b"\xcf"), _be(v, 8)))
+        .when(v >= -0x80, F.concat(F.lit(b"\xd0"), _byte(v.bitwiseAND(F.lit(0xFF)))))
+        .when(
+            v >= -0x8000,
+            F.concat(F.lit(b"\xd1"), _be(v.bitwiseAND(F.lit(0xFFFF)), 2)),
+        )
+        .when(
+            v >= -0x80000000,
+            F.concat(F.lit(b"\xd2"), _be(v.bitwiseAND(F.lit(0xFFFFFFFF)), 4)),
+        )
+        # hex() of a negative long is its 16-digit two's complement
+        .otherwise(F.concat(F.lit(b"\xd3"), _be(v, 8)))
+    )
+
+
+def pack_nullable_str_expr(s: Column) -> Column:
+    """msgpack str or nil (0xc0) for NULL — the `tool` column shape."""
+    return F.when(s.isNull(), F.lit(b"\xc0")).otherwise(pack_str_expr(s))
+
+
+# fixstr key headers, identical constants to functions/wire.py
+_TK_CONV = b"\xa7conv_id"
+_TK_TURN = b"\xa8turn_idx"
+_TK_ROLE = b"\xa4role"
+_TK_TEXT = b"\xa4text"
+_TK_TOOL = b"\xa4tool"
+_TURN_PRELUDE = b"\x92\xd7\x00"  # fixarray2 + fixext8 type 0
+
+
+def pack_turn_event_expr(
+    sec: Column,
+    nsec: Column,
+    conv_id: Column,
+    turn_idx: Column,
+    role: Column,
+    text: Column,
+    tool: Column,
+) -> Column:
+    """The reference chunk entry [EventTime ext0, 5-key map] as one
+    Catalyst expression — byte-identical to wire.pack_turn_event."""
+    return F.concat(
+        F.lit(_TURN_PRELUDE),
+        _be(sec, 4),
+        _be(nsec, 4),
+        F.lit(b"\x85"),
+        F.lit(_TK_CONV), pack_str_expr(conv_id),
+        F.lit(_TK_TURN), pack_int_expr(turn_idx),
+        F.lit(_TK_ROLE), pack_str_expr(role),
+        F.lit(_TK_TEXT), pack_str_expr(text),
+        F.lit(_TK_TOOL), pack_nullable_str_expr(tool),
+    )
+
+
+def turn_event_bytes(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Serialize a transcript frame to reference msgpack event bytes
+    entirely JVM-side: adds `wire` (binary) and `n_bytes` (exact wire
+    size).  EventTime carries (sec, nsec) split from the timestamp at
+    µs grain, matching operators/wireformat.msgpack_roundtrip."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    sec = F.floor(us / F.lit(1_000_000)).cast("long")
+    nsec = (us - sec * F.lit(1_000_000)) * F.lit(1_000)
+    wire = pack_turn_event_expr(
+        sec,
+        nsec,
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+    )
+    return df.withColumn("wire", wire).withColumn(
+        "n_bytes", F.octet_length("wire").cast("long")
+    )

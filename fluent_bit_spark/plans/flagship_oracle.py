@@ -3516,8 +3516,17 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
        CAST(SUM(esz) AS BIGINT) AS mp_bytes, TRUE AS gz_ok
 FROM td1 GROUP BY conv_id"""
 
+    # JVM-expression encoder (functions/wire_expr.py): per-row exact
+    # wire size of the [EventTime, 5-key map] entry, same closed form
+    # as msgpack_roundtrip's — the encode side re-derived with zero
+    # Python in the Spark plan
+    msgpack_jvm = f"""
+SELECT conv_id, turn_idx, CAST({esz} AS BIGINT) AS n_bytes
+FROM transcripts"""
+
     return {
         "msgpack_roundtrip": msgpack,
+        "msgpack_wire_jvm": msgpack_jvm,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,

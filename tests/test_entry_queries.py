@@ -182,6 +182,7 @@ GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
     "schema_compat": "avro_roundtrip",
     "fk_orphans": "enrich_lookup",
     "stable_order_skew": "stable_order",
+    "msgpack_wire_jvm": "msgpack_roundtrip",
 }
 
 

@@ -700,3 +700,111 @@ class TestTurnFastPath:
             assert pack_td_record(*m.values()) == msgpack_pack(m)
 
         check()
+
+
+class TestJvmExprEncoder:
+    """functions/wire_expr.py: the whole-stage-codegen msgpack encoder
+    must be byte-identical to the Python packer — corpus rows plus the
+    adversarial header boundaries (fixstr/str8/str16, fixint/uint
+    widths, negative widths, multibyte utf8 where octet_length !=
+    char length, NULL tool)."""
+
+    BOUNDARY_STRINGS = [
+        "",
+        "a" * 31,                 # fixstr max
+        "a" * 32,                 # first str8
+        "a" * 255,                # str8 max
+        "a" * 256,                # first str16
+        "a" * 65535,              # str16 max
+        "a" * 65536,              # first str32
+        "é" * 20,                 # 40 octets / 20 chars -> str8 not fixstr
+        "日本語テキスト",            # 3-byte utf8
+        "emoji \U0001f389 tail",  # 4-byte utf8
+        'quotes " and \\ and \n newline \t tab',
+    ]
+    BOUNDARY_INTS = [
+        0, 1, 127, 128, 255, 256, 65535, 65536,
+        2**32 - 1, 2**32, 2**63 - 1,
+        -1, -31, -32, -33, -127, -128, -129,
+        -32768, -32769, -(2**31), -(2**31) - 1, -(2**63),
+    ]
+
+    def _pairs(self, spark, rows):
+        """(python_bytes, jvm_bytes) per row via one Spark job."""
+        from fluent_bit_spark.functions.wire import pack_turn_event
+        from fluent_bit_spark.functions.wire_expr import pack_turn_event_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "sec long, nsec long, conv_id string, turn_idx long, "
+                  "role string, text string, tool string"
+        )
+        got = df.select(
+            pack_turn_event_expr(
+                F.col("sec"), F.col("nsec"), F.col("conv_id"),
+                F.col("turn_idx"), F.col("role"), F.col("text"),
+                F.col("tool"),
+            ).alias("wire"),
+            "*",
+        ).collect()
+        return [
+            (
+                pack_turn_event(
+                    r["sec"], r["nsec"], r["conv_id"], r["turn_idx"],
+                    r["role"], r["text"], r["tool"],
+                ),
+                bytes(r["wire"]),
+            )
+            for r in got
+        ]
+
+    def test_boundary_strings_and_ints_byte_identical(self, spark):
+        rows = [
+            (1700000000, 999999000, s, i, "user", s, None)
+            for s in self.BOUNDARY_STRINGS
+            for i in self.BOUNDARY_INTS[:6]
+        ] + [
+            (0, 0, "c", i, "assistant", "t", "bash")
+            for i in self.BOUNDARY_INTS
+        ]
+        for py, jvm in self._pairs(spark, rows):
+            assert py == jvm, (py.hex()[:80], jvm.hex()[:80])
+
+    def test_corpus_byte_identical_and_wire_size(self, spark, sf_dir):
+        """Every transcript row at sf0.001: JVM bytes == Python bytes,
+        and turn_event_bytes' n_bytes equals the Python wire size."""
+        from fluent_bit_spark.functions.wire import pack_turn_event
+        from fluent_bit_spark.functions.wire_expr import turn_event_bytes
+        from fluent_bit_spark.transcripts import load_transcripts
+
+        t = load_transcripts(spark, sf_dir)
+        out = turn_event_bytes(
+            t.withColumn("ts", t["ts"].cast("timestamp"))
+        ).collect()
+        assert len(out) > 0
+        for r in out:
+            us = r["ts"].replace(tzinfo=None)
+            import calendar
+
+            usec = calendar.timegm(us.timetuple()) * 1_000_000 + us.microsecond
+            py = pack_turn_event(
+                usec // 1_000_000,
+                (usec % 1_000_000) * 1_000,
+                r["conv_id"], r["turn_idx"], r["role"], r["text"],
+                r["tool"],
+            )
+            assert bytes(r["wire"]) == py
+            assert r["n_bytes"] == len(py)
+
+    def test_whole_stage_codegen_no_python(self, spark):
+        """The serialize stage must be pure JVM: no BatchEvalPython /
+        ArrowEvalPython / mapInPandas anywhere in the plan."""
+        from fluent_bit_spark.functions.wire_expr import turn_event_bytes
+
+        df = spark.createDataFrame(
+            [("c", 1, "user", "t", "bash", "2024-01-01 00:00:00")],
+            "conv_id string, turn_idx long, role string, text string, "
+            "tool string, ts string",
+        ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+        plan = turn_event_bytes(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
