@@ -3099,6 +3099,22 @@ def _q_msgpack_wire_jvm(spark, sf_dir):
     ).select("conv_id", "turn_idx", "n_bytes")
 
 
+def _q_avro_wire_jvm(spark, sf_dir):
+    """Avro binary ENCODE with zero Python in the plan
+    (functions/wire_expr.py): zigzag base-128 varints, length-prefixed
+    utf8, and the nullable-union index built from Catalyst bit-ops
+    inside whole-stage codegen — the src/flb_avro.c output path at
+    codegen speed.  Byte equality with the Python encoder is
+    property-pinned in tests/test_wireformat.py; the oracle re-derives
+    the exact per-row wire size from the varint closed form."""
+    from fluent_bit_spark.functions.wire_expr import avro_turn_bytes
+
+    t = _transcripts(spark, sf_dir)
+    return avro_turn_bytes(
+        t.withColumn("ts", F.col("ts").cast("timestamp"))
+    ).select("conv_id", "turn_idx", "n_bytes")
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro binary encoding (src/flb_avro.c path, pure Python — no
     spark-avro jar in this image) roundtripped per turn; n_bytes is
@@ -4006,9 +4022,11 @@ _GATE_PRIORITY_NEXT: list = [
 # test_gate_tail_has_driver_green_representative) until a future
 # window can gate them.
 _GATE_LOCAL_TAIL: list = [
-    # late-r5: whole-stage-codegen msgpack encoder (family
-    # representative: msgpack_roundtrip, driver-green r4)
+    # late-r5: whole-stage-codegen wire encoders (family
+    # representatives: msgpack_roundtrip / avro_roundtrip, both
+    # driver-green r4)
     "msgpack_wire_jvm",
+    "avro_wire_jvm",
 ]
 
 
@@ -4214,6 +4232,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_guard": _q_cardinality_guard,
         "msgpack_roundtrip": _q_msgpack_roundtrip,
         "msgpack_wire_jvm": _q_msgpack_wire_jvm,
+        "avro_wire_jvm": _q_avro_wire_jvm,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,

@@ -1,5 +1,5 @@
-"""JVM-side msgpack encoding of the transcript event shape — pure
-Catalyst expressions, no Python in the loop.
+"""JVM-side wire encoding (msgpack + Avro binary) of the transcript
+event shape — pure Catalyst expressions, no Python in the loop.
 
 The reference buffers every event as the msgpack pair
 ``[EventTime ext0, map]`` (src/flb_pack.c; src/flb_time.c:141-181).
@@ -125,6 +125,86 @@ def pack_turn_event_expr(
         F.lit(_TK_ROLE), pack_str_expr(role),
         F.lit(_TK_TEXT), pack_str_expr(text),
         F.lit(_TK_TOOL), pack_nullable_str_expr(tool),
+    )
+
+
+def zigzag_varint_expr(v: Column) -> Column:
+    """Avro zigzag + base-128 varint (little groups first) as one
+    Catalyst expression — byte-identical to wire._zigzag for every
+    |v| < 2^62 (beyond that Python's arbitrary-precision shift and
+    Java's wrapping shiftleft diverge; no field in this pipeline —
+    lengths, turn indexes, µs epochs — comes within 500x of the
+    boundary).  Branches on the varint byte count (1..10); the mapped
+    unsigned value always advances under shiftrightunsigned, so the
+    when-chain is total."""
+    v = v.cast("long")
+    u = F.shiftleft(v, 1).bitwiseXOR(F.shiftright(v, 63))
+
+    def byte_at(i: int, cont: bool) -> Column:
+        b = F.shiftrightunsigned(u, 7 * i).bitwiseAND(F.lit(0x7F))
+        if cont:
+            b = b.bitwiseOR(F.lit(0x80))
+        return _byte(b)
+
+    w = F.when(F.shiftrightunsigned(u, 7) == 0, byte_at(0, False))
+    for n in range(2, 10):  # shift distances stay < 64
+        w = w.when(
+            F.shiftrightunsigned(u, 7 * n) == 0,
+            F.concat(
+                *[byte_at(i, True) for i in range(n - 1)],
+                byte_at(n - 1, False),
+            ),
+        )
+    return w.otherwise(
+        F.concat(*[byte_at(i, True) for i in range(9)], byte_at(9, False))
+    )
+
+
+def avro_str_expr(s: Column) -> Column:
+    """Avro string: zigzag-varint octet length, then utf8 bytes."""
+    b = F.encode(s, "UTF-8")
+    return F.concat(zigzag_varint_expr(F.octet_length(b)), b)
+
+
+def avro_turn_record_expr(
+    conv_id: Column,
+    turn_idx: Column,
+    role: Column,
+    text: Column,
+    tool: Column,
+    ts_us: Column,
+) -> Column:
+    """The transcript record under operators/wireformat.py
+    AVRO_TRANSCRIPT_SCHEMA as one Catalyst expression — byte-identical
+    to wire.avro_encode (union index varint for the nullable tool:
+    zigzag(0)=0x00 null branch, zigzag(1)=0x02 string branch)."""
+    return F.concat(
+        avro_str_expr(conv_id),
+        zigzag_varint_expr(turn_idx),
+        avro_str_expr(role),
+        avro_str_expr(text),
+        F.when(tool.isNull(), F.lit(b"\x00")).otherwise(
+            F.concat(F.lit(b"\x02"), avro_str_expr(tool))
+        ),
+        zigzag_varint_expr(ts_us),
+    )
+
+
+def avro_turn_bytes(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Serialize a transcript frame to Avro binary entirely JVM-side:
+    adds `wire` (binary) and `n_bytes` (exact wire size), matching
+    operators/wireformat.avro_roundtrip's field mapping (ts -> µs
+    epoch long)."""
+    wire = avro_turn_record_expr(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+    )
+    return df.withColumn("wire", wire).withColumn(
+        "n_bytes", F.octet_length("wire").cast("long")
     )
 
 

@@ -3516,17 +3516,29 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_records,
        CAST(SUM(esz) AS BIGINT) AS mp_bytes, TRUE AS gz_ok
 FROM td1 GROUP BY conv_id"""
 
-    # JVM-expression encoder (functions/wire_expr.py): per-row exact
-    # wire size of the [EventTime, 5-key map] entry, same closed form
-    # as msgpack_roundtrip's — the encode side re-derived with zero
-    # Python in the Spark plan
+    # JVM-expression encoders (functions/wire_expr.py): per-row exact
+    # wire sizes of the [EventTime, 5-key map] msgpack entry and the
+    # Avro binary record — the encode sides re-derived with zero
+    # Python in the Spark plan; same closed forms as the roundtrips'
     msgpack_jvm = f"""
 SELECT conv_id, turn_idx, CAST({esz} AS BIGINT) AS n_bytes
+FROM transcripts"""
+    avro_jvm = f"""
+SELECT conv_id, turn_idx,
+       CAST({astr('conv_id')}
+            + {_varint_sz('2 * turn_idx')}
+            + {astr('role')}
+            + {astr('text')}
+            + 1
+            + CASE WHEN tool IS NULL THEN 0 ELSE {astr('tool')} END
+            + {_varint_sz('2 * epoch_us(ts)')}
+         AS BIGINT) AS n_bytes
 FROM transcripts"""
 
     return {
         "msgpack_roundtrip": msgpack,
         "msgpack_wire_jvm": msgpack_jvm,
+        "avro_wire_jvm": avro_jvm,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,

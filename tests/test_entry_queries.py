@@ -183,6 +183,7 @@ GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
     "fk_orphans": "enrich_lookup",
     "stable_order_skew": "stable_order",
     "msgpack_wire_jvm": "msgpack_roundtrip",
+    "avro_wire_jvm": "avro_roundtrip",
 }
 
 

@@ -808,3 +808,88 @@ class TestJvmExprEncoder:
         ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
         plan = turn_event_bytes(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+class TestJvmAvroEncoder:
+    """wire_expr avro encoder: byte-identical to wire.avro_encode over
+    varint byte-count boundaries (both signs), multibyte utf8, the
+    nullable union, and the corpus."""
+
+    # values straddling every 7-bit varint width boundary, both signs
+    VARINT_BOUNDARY_INTS = sorted(
+        {0, 1, -1}
+        | {s * (2 ** k + d) for k in (6, 13, 20, 27, 34, 41, 48, 55, 61)
+           for d in (-1, 0, 1) for s in (1, -1)}
+    )
+
+    def test_varint_boundaries_byte_identical(self, spark):
+        from fluent_bit_spark.functions.wire import _zigzag
+        from fluent_bit_spark.functions.wire_expr import zigzag_varint_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(v,) for v in self.VARINT_BOUNDARY_INTS], "v long"
+        )
+        got = df.select(
+            "v", zigzag_varint_expr(F.col("v")).alias("wire")
+        ).collect()
+        for r in got:
+            assert bytes(r["wire"]) == _zigzag(r["v"]), r["v"]
+
+    def test_record_byte_identical(self, spark):
+        from fluent_bit_spark.functions.wire import avro_encode
+        from fluent_bit_spark.functions.wire_expr import avro_turn_record_expr
+        from fluent_bit_spark.operators.wireformat import AVRO_TRANSCRIPT_SCHEMA
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("c1", 0, "user", "", None, 0),
+            ("", 127, "assistant", "é" * 40, "bash", 1_700_000_000_123_456),
+            ("x" * 300, -1, "tool", "日本語 \U0001f389", "a" * 200, 63),
+            ("conv", 2**31, "system", "plain", None, 2**55 + 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, role string, "
+                  "text string, tool string, ts_us long"
+        )
+        got = df.select(
+            avro_turn_record_expr(
+                F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+                F.col("text"), F.col("tool"), F.col("ts_us"),
+            ).alias("wire"),
+            "*",
+        ).collect()
+        for r in got:
+            rec = {
+                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                "role": r["role"], "text": r["text"], "tool": r["tool"],
+                "ts_us": r["ts_us"],
+            }
+            py = avro_encode(rec, AVRO_TRANSCRIPT_SCHEMA)
+            assert bytes(r["wire"]) == py, rec
+
+    def test_corpus_byte_identical_plan_python_free(self, spark, sf_dir):
+        from fluent_bit_spark.functions.wire import avro_encode
+        from fluent_bit_spark.functions.wire_expr import avro_turn_bytes
+        from fluent_bit_spark.operators.wireformat import AVRO_TRANSCRIPT_SCHEMA
+        from fluent_bit_spark.transcripts import load_transcripts
+        import calendar
+
+        t = load_transcripts(spark, sf_dir)
+        out_df = avro_turn_bytes(t.withColumn("ts", t["ts"].cast("timestamp")))
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
+        for r in out_df.collect():
+            naive = r["ts"].replace(tzinfo=None)
+            usec = (
+                calendar.timegm(naive.timetuple()) * 1_000_000
+                + naive.microsecond
+            )
+            rec = {
+                "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                "role": r["role"], "text": r["text"], "tool": r["tool"],
+                "ts_us": usec,
+            }
+            py = avro_encode(rec, AVRO_TRANSCRIPT_SCHEMA)
+            assert bytes(r["wire"]) == py
+            assert r["n_bytes"] == len(py)
