@@ -3115,6 +3115,24 @@ def _q_avro_wire_jvm(spark, sf_dir):
     ).select("conv_id", "turn_idx", "n_bytes")
 
 
+def _q_forward_wire_jvm(spark, sf_dir):
+    """Forward-mode message framing (out_forward's native send shape,
+    plugins/in_forward/fw_prot.c) with zero Python in the plan
+    (functions/wire_expr.forward_message_bytes): per-row event bytes
+    from the Catalyst msgpack encoder, conversation-bounded (tag,
+    conv_id) groups ordered by sort_array and concatenated with a
+    binary aggregate().  Byte-identity with wire.pack_forward_message
+    is corpus-pinned in tests/test_wireformat.py; the oracle
+    re-derives exact per-message wire sizes (full-generality tag and
+    array headers)."""
+    from fluent_bit_spark.functions.wire_expr import forward_message_bytes
+
+    r = _routed(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    return forward_message_bytes(r).select(
+        "tag", "conv_id", "n_events", "msg_bytes"
+    )
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro binary encoding (src/flb_avro.c path, pure Python — no
     spark-avro jar in this image) roundtripped per turn; n_bytes is
@@ -4027,6 +4045,7 @@ _GATE_LOCAL_TAIL: list = [
     # driver-green r4)
     "msgpack_wire_jvm",
     "avro_wire_jvm",
+    "forward_wire_jvm",
 ]
 
 
@@ -4233,6 +4252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msgpack_roundtrip": _q_msgpack_roundtrip,
         "msgpack_wire_jvm": _q_msgpack_wire_jvm,
         "avro_wire_jvm": _q_avro_wire_jvm,
+        "forward_wire_jvm": _q_forward_wire_jvm,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,

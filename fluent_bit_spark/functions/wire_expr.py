@@ -128,6 +128,59 @@ def pack_turn_event_expr(
     )
 
 
+def array_header_expr(n: Column) -> Column:
+    """msgpack array header (fixarray / array16 / array32) from a
+    non-negative long count — wire._pack* array head semantics."""
+    return (
+        F.when(n <= 15, _byte(F.lit(0x90).cast("long") + n))
+        .when(n <= 0xFFFF, F.concat(F.lit(b"\xdc"), _be(n, 2)))
+        .otherwise(F.concat(F.lit(b"\xdd"), _be(n, 4)))
+    )
+
+
+def forward_message_bytes(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Forward-mode framing (``[tag, [[EventTime, record], ...]]`` —
+    plugins/in_forward/fw_prot.c; out_forward's native send shape)
+    entirely JVM-side: per-row event bytes from pack_turn_event_expr,
+    grouped on (tag, conv_id) — conversation-bounded messages, the
+    same shuffle key as the rest of the pipeline — ordered by
+    turn_idx with sort_array and concatenated with a binary
+    aggregate().  Output (tag, conv_id, n_events, message, msg_bytes);
+    byte-identical to wire.pack_forward_message (pytest-pinned).
+    No Python anywhere: collect_list/sort_array/aggregate are all
+    JVM-side expressions, and message size is conv-bounded exactly
+    like the applyInPandas roundtrip it mirrors."""
+    ev = turn_event_bytes(df, ts_col=ts_col)
+    g = ev.groupBy("tag", "conv_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "wire"))
+        ).alias("_evs"),
+    )
+    # linear-time body assembly: hex is concatenation-compatible
+    # (unlike base64), so array_join over per-event hex strings builds
+    # the payload in one pass — a binary aggregate(concat) fold would
+    # re-copy the accumulator per element, O(events²) per conversation
+    body = F.unhex(
+        F.array_join(
+            F.transform(F.col("_evs"), lambda x: F.hex(x["wire"])), ""
+        )
+    )
+    msg = F.concat(
+        F.lit(b"\x92"),
+        pack_str_expr(F.col("tag")),
+        array_header_expr(F.col("n_events")),
+        body,
+    )
+    return g.select(
+        "tag",
+        "conv_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        msg.alias("message"),
+        F.octet_length(msg).cast("long").alias("msg_bytes"),
+    )
+
+
 def zigzag_varint_expr(v: Column) -> Column:
     """Avro zigzag + base-128 varint (little groups first) as one
     Catalyst expression — byte-identical to wire._zigzag for every

@@ -3534,11 +3534,23 @@ SELECT conv_id, turn_idx,
             + {_varint_sz('2 * epoch_us(ts)')}
          AS BIGINT) AS n_bytes
 FROM transcripts"""
+    # Forward-mode framing JVM-side (wire_expr.forward_message_bytes):
+    # msg = 0x92 + str(tag) + array header + sum of event entries;
+    # full generality on the tag header and array widths (the Python
+    # forward oracle above assumes fixstr tags / <=65535 events)
+    forward_jvm = f"""
+SELECT tag, conv_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 + {_msgpack_strsz(bl.format(c='tag'))}
+            + CASE WHEN COUNT(*) <= 15 THEN 1
+                   WHEN COUNT(*) <= 65535 THEN 3 ELSE 5 END
+            + SUM({esz}) AS BIGINT) AS msg_bytes
+FROM routed GROUP BY tag, conv_id"""
 
     return {
         "msgpack_roundtrip": msgpack,
         "msgpack_wire_jvm": msgpack_jvm,
         "avro_wire_jvm": avro_jvm,
+        "forward_wire_jvm": forward_jvm,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,

@@ -184,6 +184,7 @@ GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
     "stable_order_skew": "stable_order",
     "msgpack_wire_jvm": "msgpack_roundtrip",
     "avro_wire_jvm": "avro_roundtrip",
+    "forward_wire_jvm": "forward_roundtrip",
 }
 
 

@@ -893,3 +893,58 @@ class TestJvmAvroEncoder:
             py = avro_encode(rec, AVRO_TRANSCRIPT_SCHEMA)
             assert bytes(r["wire"]) == py
             assert r["n_bytes"] == len(py)
+
+
+class TestJvmForwardFraming:
+    """wire_expr.forward_message_bytes: the Forward-mode message per
+    (tag, conv_id) must be byte-identical to wire.pack_forward_message
+    over the corpus, with a Python-free plan."""
+
+    def test_corpus_messages_byte_identical(self, spark, sf_dir):
+        import calendar
+
+        from fluent_bit_spark.functions.wire import pack_forward_message
+        from fluent_bit_spark.functions.wire_expr import forward_message_bytes
+        from fluent_bit_spark.transcripts import load_transcripts
+        from pyspark.sql import functions as F
+
+        t = load_transcripts(spark, sf_dir).withColumn(
+            "tag", F.concat(F.lit("fbs."), F.col("role"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out_df = forward_message_bytes(t)
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
+
+        rows = t.collect()
+        groups: dict = {}
+        for r in rows:
+            naive = r["ts"].replace(tzinfo=None)
+            us = (
+                calendar.timegm(naive.timetuple()) * 1_000_000
+                + naive.microsecond
+            )
+            groups.setdefault((r["tag"], r["conv_id"]), []).append(
+                (
+                    r["turn_idx"],
+                    (
+                        us // 1_000_000,
+                        (us % 1_000_000) * 1_000,
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "role": r["role"],
+                            "text": r["text"],
+                            "tool": r["tool"],
+                        },
+                    ),
+                )
+            )
+        got = {(r["tag"], r["conv_id"]): r for r in out_df.collect()}
+        assert set(got) == set(groups)
+        for key, evs in groups.items():
+            evs = [e for _, e in sorted(evs, key=lambda p: p[0])]
+            py = pack_forward_message(key[0], evs)
+            r = got[key]
+            assert bytes(r["message"]) == py, key
+            assert r["msg_bytes"] == len(py)
+            assert r["n_events"] == len(evs)
