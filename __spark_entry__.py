@@ -3133,6 +3133,20 @@ def _q_forward_wire_jvm(spark, sf_dir):
     )
 
 
+def _q_mqtt_wire_jvm(spark, sf_dir):
+    """MQTT PUBLISH framing (mqtt_prot.c:222; Remaining-Length varint
+    :341-355) with zero Python in the plan
+    (functions/wire_expr.mqtt_frame_bytes) — same field mapping as the
+    gated mqtt_frame roundtrip; byte-identity with pack_mqtt_publish
+    is boundary+corpus-pinned in tests/test_wireformat.py and the
+    oracle re-derives the exact frame size closed-form."""
+    from fluent_bit_spark.functions.wire_expr import mqtt_frame_bytes
+
+    return mqtt_frame_bytes(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "n_bytes"
+    )
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro binary encoding (src/flb_avro.c path, pure Python — no
     spark-avro jar in this image) roundtripped per turn; n_bytes is
@@ -4046,6 +4060,7 @@ _GATE_LOCAL_TAIL: list = [
     "msgpack_wire_jvm",
     "avro_wire_jvm",
     "forward_wire_jvm",
+    "mqtt_wire_jvm",
 ]
 
 
@@ -4253,6 +4268,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msgpack_wire_jvm": _q_msgpack_wire_jvm,
         "avro_wire_jvm": _q_avro_wire_jvm,
         "forward_wire_jvm": _q_forward_wire_jvm,
+        "mqtt_wire_jvm": _q_mqtt_wire_jvm,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,

@@ -181,6 +181,75 @@ def forward_message_bytes(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def mqtt_remaining_length_expr(n: Column) -> Column:
+    """MQTT Remaining Length varint (7 bits/byte, high bit =
+    continuation, little groups first — plugins/in_mqtt/
+    mqtt_prot.c:341-355) from a long already range-checked by the
+    protocol (< 128^4).  Byte-identical to wire.mqtt_remaining_length."""
+
+    def grp(i: int, cont: bool) -> Column:
+        b = F.shiftrightunsigned(n, 7 * i).bitwiseAND(F.lit(0x7F))
+        if cont:
+            b = b.bitwiseOR(F.lit(0x80))
+        return _byte(b)
+
+    return (
+        F.when(n < 128, grp(0, False))
+        .when(n < 128 ** 2, F.concat(grp(0, True), grp(1, False)))
+        .when(
+            n < 128 ** 3,
+            F.concat(grp(0, True), grp(1, True), grp(2, False)),
+        )
+        .otherwise(
+            F.concat(grp(0, True), grp(1, True), grp(2, True), grp(3, False))
+        )
+    )
+
+
+def mqtt_publish_expr(
+    topic: Column, payload: Column, qos: Column, packet_id: Column
+) -> Column:
+    """MQTT 3.1.1 PUBLISH frame (DUP=0, RETAIN=0 — mqtt_prot.c:222
+    mqtt_handle_publish) as one Catalyst expression; `payload` is a
+    string column (utf8 bytes on the wire).  Byte-identical to
+    wire.pack_mqtt_publish."""
+    t = F.encode(topic, "UTF-8")
+    p = F.encode(payload, "UTF-8")
+    qos = qos.cast("long")
+    has_pid = qos > 0
+    rem = (
+        F.lit(2).cast("long")
+        + F.octet_length(t)
+        + F.when(has_pid, F.lit(2)).otherwise(F.lit(0))
+        + F.octet_length(p)
+    )
+    return F.concat(
+        _byte(F.lit(0x30).cast("long") + qos * 2),
+        mqtt_remaining_length_expr(rem),
+        _be(F.octet_length(t), 2),
+        t,
+        F.when(has_pid, _be(packet_id.cast("long"), 2)).otherwise(F.lit(b"")),
+        p,
+    )
+
+
+def mqtt_frame_bytes(df: DataFrame) -> DataFrame:
+    """One PUBLISH frame per turn, JVM-side, with exactly
+    operators/wireformat.mqtt_roundtrip's field mapping (topic
+    fbs/<conv_id>, qos = turn_idx % 3, packet id on the QoS>0
+    branch): adds `wire` and `n_bytes`."""
+    qos = (F.col("turn_idx") % 3).cast("long")
+    wire = mqtt_publish_expr(
+        F.concat(F.lit("fbs/"), F.col("conv_id")),
+        F.coalesce(F.col("text"), F.lit("")),
+        qos,
+        F.when(qos > 0, F.col("turn_idx") % 65536).otherwise(F.lit(0)),
+    )
+    return df.withColumn("wire", wire).withColumn(
+        "n_bytes", F.octet_length("wire").cast("long")
+    )
+
+
 def zigzag_varint_expr(v: Column) -> Column:
     """Avro zigzag + base-128 varint (little groups first) as one
     Catalyst expression — byte-identical to wire._zigzag for every

@@ -3545,12 +3545,23 @@ SELECT tag, conv_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    WHEN COUNT(*) <= 65535 THEN 3 ELSE 5 END
             + SUM({esz}) AS BIGINT) AS msg_bytes
 FROM routed GROUP BY tag, conv_id"""
+    mqtt_jvm = """
+SELECT conv_id, turn_idx,
+       CAST(1 + CASE WHEN rem < 128 THEN 1 WHEN rem < 16384 THEN 2
+                     WHEN rem < 2097152 THEN 3 ELSE 4 END
+              + rem AS BIGINT) AS n_bytes
+FROM (SELECT conv_id, turn_idx,
+             2 + octet_length(encode('fbs/' || conv_id))
+               + CASE WHEN turn_idx % 3 = 0 THEN 0 ELSE 2 END
+               + octet_length(encode(coalesce(text, ''))) AS rem
+      FROM transcripts)"""
 
     return {
         "msgpack_roundtrip": msgpack,
         "msgpack_wire_jvm": msgpack_jvm,
         "avro_wire_jvm": avro_jvm,
         "forward_wire_jvm": forward_jvm,
+        "mqtt_wire_jvm": mqtt_jvm,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,

@@ -185,6 +185,7 @@ GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
     "msgpack_wire_jvm": "msgpack_roundtrip",
     "avro_wire_jvm": "avro_roundtrip",
     "forward_wire_jvm": "forward_roundtrip",
+    "mqtt_wire_jvm": "mqtt_frame",
 }
 
 

@@ -948,3 +948,57 @@ class TestJvmForwardFraming:
             assert bytes(r["message"]) == py, key
             assert r["msg_bytes"] == len(py)
             assert r["n_events"] == len(evs)
+
+
+class TestJvmMqttEncoder:
+    """wire_expr.mqtt_publish_expr: byte-identical to
+    wire.pack_mqtt_publish over Remaining-Length varint width
+    boundaries, both QoS branches, multibyte utf8, and the corpus."""
+
+    def test_boundaries_byte_identical(self, spark):
+        from fluent_bit_spark.functions.wire import pack_mqtt_publish
+        from fluent_bit_spark.functions.wire_expr import mqtt_publish_expr
+        from pyspark.sql import functions as F
+
+        # payload sizes straddling the 1/2/3-byte Remaining-Length
+        # boundaries after the 2+topic(+2) header contribution
+        rows = []
+        for qos in (0, 1, 2):
+            for pn in (0, 1, 100, 120, 128, 16000, 16384, 2_100_000):
+                rows.append(("fbs/conv-é", "x" * pn, qos, 54321 if qos else 0))
+        df = spark.createDataFrame(
+            rows, "topic string, payload string, qos int, packet_id int"
+        )
+        got = df.select(
+            mqtt_publish_expr(
+                F.col("topic"), F.col("payload"), F.col("qos"),
+                F.col("packet_id"),
+            ).alias("wire"),
+            "*",
+        ).collect()
+        for r in got:
+            py = pack_mqtt_publish(
+                r["topic"], r["payload"].encode("utf-8"),
+                qos=r["qos"], packet_id=r["packet_id"],
+            )
+            assert bytes(r["wire"]) == py, (r["qos"], len(r["payload"]))
+
+    def test_corpus_byte_identical_plan_python_free(self, spark, sf_dir):
+        from fluent_bit_spark.functions.wire import pack_mqtt_publish
+        from fluent_bit_spark.functions.wire_expr import mqtt_frame_bytes
+        from fluent_bit_spark.transcripts import load_transcripts
+
+        t = load_transcripts(spark, sf_dir)
+        out_df = mqtt_frame_bytes(t)
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
+        for r in out_df.collect():
+            qos = r["turn_idx"] % 3
+            py = pack_mqtt_publish(
+                f"fbs/{r['conv_id']}",
+                (r["text"] or "").encode("utf-8"),
+                qos=qos,
+                packet_id=(r["turn_idx"] % 65536) if qos else 0,
+            )
+            assert bytes(r["wire"]) == py
+            assert r["n_bytes"] == len(py)
