@@ -14,6 +14,14 @@ same input at local[8] and local[32], report turns/sec at both and the
 scaling efficiency thr(32) / (4 * thr(8)); append results to
 BENCH/BASELINE.md.
 
+`--skew` mode: flagship e2e under uniform vs Zipf hot-conversation
+skew (synth hot_factor) on a balanced source layout — pins the
+"conversation skew produces no task-level hot spot" claim.
+
+`--stress` mode: flagship e2e at SPARK_GRAFT_STRESS_REPLICATE
+(default 1000 -> 100M rows at sf0.1) — the 10x-data row-linearity
+evidence.
+
 Work is forced with the `noop` write format (full computation, no
 driver collect).
 """
@@ -872,6 +880,111 @@ def run_scaling_procs(nshards: int = 4, cores: int = 8) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def _timed_e2e(spark, source, repeats: int = 3):
+    """(median sec, per-pass list) for the flagship e2e over a
+    persisted source (one warm pass first)."""
+    qs = bench_queries(spark, source)
+    _force(qs["pipeline_e2e"]())
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(qs["pipeline_e2e"]())
+        times.append(round(time.perf_counter() - t0, 3))
+    return sorted(times)[len(times) // 2], times
+
+
+def run_skew(replicate: int | None = None, hot_factor: int = 20) -> None:
+    """Flagship e2e under uniform vs hot-conversation skew, both on a
+    BALANCED source layout (round-robin repartition — what parquet
+    file splits give at scale), so only pipeline skew sensitivity is
+    measured, not the synthesis explode's input imbalance."""
+    from fluent_bit_spark.session import get_spark
+    from fluent_bit_spark.transcripts import synth_transcripts
+    from pyspark.sql import functions as F
+
+    rep = replicate or max(REPLICATE, 50)
+    spark = get_spark("fbs-skew", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    out = {}
+    for label, kwargs in (
+        ("uniform", dict(replicate=rep * 2, hot_factor=0)),
+        ("hot", dict(replicate=rep, hot_factor=hot_factor)),
+    ):
+        src = (
+            synth_transcripts(spark, SF_DIR, **kwargs)
+            .repartition(2 * CPUS)
+            .persist()
+        )
+        n = src.count()
+        top = (
+            src.groupBy("conv_id").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        med, times = _timed_e2e(spark, src)
+        out[label] = {
+            "rows": n,
+            "hottest_conv_rows": top,
+            "median_sec": med,
+            "times": times,
+            "turns_per_sec": round(n / med, 1),
+        }
+        src.unpersist()
+    spark.stop()
+    ratio = round(
+        out["hot"]["turns_per_sec"] / out["uniform"]["turns_per_sec"], 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "e2e throughput retention under hot-conv skew "
+                          "(balanced layout)",
+                "value": ratio,
+                "unit": "ratio",
+                "runs": out,
+                "hot_factor": hot_factor,
+                "sf": _sf_label(SF_DIR),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+def run_stress(replicate: int | None = None) -> None:
+    """Flagship e2e at 10x the standard row count (source persisted
+    MEMORY_AND_DISK like the scaling runs) — the row-linearity
+    evidence behind BENCH/BASELINE.md's stress section."""
+    from pyspark import StorageLevel
+
+    from fluent_bit_spark.session import get_spark
+    from fluent_bit_spark.transcripts import synth_transcripts
+
+    rep = replicate or int(os.environ.get("SPARK_GRAFT_STRESS_REPLICATE", "1000"))
+    spark = get_spark("fbs-stress", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    t0 = time.perf_counter()
+    src = synth_transcripts(spark, SF_DIR, replicate=rep).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rows = src.count()
+    derive = round(time.perf_counter() - t0, 3)
+    med, times = _timed_e2e(spark, src)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "e2e wall-clock at stress scale",
+                "value": med,
+                "unit": "sec",
+                "rows": rows,
+                "derive_and_persist_sec": derive,
+                "times": times,
+                "turns_per_sec": round(rows / med, 1),
+                "sf": _sf_label(SF_DIR),
+                "replicate": rep,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--_scale-worker" in sys.argv:
         _scale_worker()
@@ -886,5 +999,9 @@ if __name__ == "__main__":
         )
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew" in sys.argv:
+        run_skew()
+    elif "--stress" in sys.argv:
+        run_stress()
     else:
         run_default()
