@@ -3147,6 +3147,20 @@ def _q_mqtt_wire_jvm(spark, sf_dir):
     )
 
 
+def _q_http_chunked_wire_jvm(spark, sf_dir):
+    """HTTP/1.1 chunked transfer framing (flb_http_client.c:258) with
+    zero Python in the plan (wire_expr.http_chunked_frame_bytes):
+    per-chunk slices via transform/sequence/binary substring, linear
+    hex-join assembly.  Byte-identity with http_chunked_encode is
+    boundary+corpus-pinned; the oracle re-derives chunk counts and
+    exact on-wire sizes closed-form."""
+    from fluent_bit_spark.functions.wire_expr import http_chunked_frame_bytes
+
+    return http_chunked_frame_bytes(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "n_chunks", "n_bytes"
+    )
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro binary encoding (src/flb_avro.c path, pure Python — no
     spark-avro jar in this image) roundtripped per turn; n_bytes is
@@ -4061,6 +4075,7 @@ _GATE_LOCAL_TAIL: list = [
     "avro_wire_jvm",
     "forward_wire_jvm",
     "mqtt_wire_jvm",
+    "http_chunked_wire_jvm",
 ]
 
 
@@ -4269,6 +4284,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_wire_jvm": _q_avro_wire_jvm,
         "forward_wire_jvm": _q_forward_wire_jvm,
         "mqtt_wire_jvm": _q_mqtt_wire_jvm,
+        "http_chunked_wire_jvm": _q_http_chunked_wire_jvm,
         "avro_roundtrip": _q_avro_roundtrip,
         "tf_inference": _q_tf_inference,
         "forward_roundtrip": _q_forward_roundtrip,

@@ -250,6 +250,66 @@ def mqtt_frame_bytes(df: DataFrame) -> DataFrame:
     )
 
 
+def http_chunked_expr(payload: Column, chunk_size: int) -> Column:
+    """HTTP/1.1 chunked transfer encoding of a string payload's utf8
+    bytes (`<hex size>\\r\\n<bytes>\\r\\n` per chunk, 0-chunk
+    terminator — src/flb_http_client.c:258 process_chunked_data) as
+    one Catalyst expression.  Chunks come from `transform` over a
+    `sequence` of chunk indexes with binary `substring` slices,
+    joined linearly through the hex/array_join/unhex trick (hex is
+    concatenation-compatible).  Byte-identical to
+    wire.http_chunked_encode."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    p = F.encode(payload, "UTF-8")
+    big = F.octet_length(p).cast("long")
+    cs = F.lit(chunk_size).cast("long")
+    n = F.ceil(big / cs).cast("long")
+
+    def chunk_hex(i: Column) -> Column:
+        size = F.least(cs, big - i * cs)
+        header = F.concat(F.lower(F.hex(size)), F.lit("\r\n"))
+        return F.concat(
+            F.hex(F.encode(header, "UTF-8")),
+            F.hex(
+                F.substring(
+                    p, (i * cs + 1).cast("int"), F.lit(chunk_size)
+                )
+            ),
+            F.lit("0D0A"),
+        )
+
+    body_hex = F.when(big == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n - 1), chunk_hex
+            ),
+            "",
+        )
+    )
+    # terminator "0\r\n\r\n"
+    return F.unhex(F.concat(body_hex, F.lit("300D0A0D0A")))
+
+
+def http_chunked_frame_bytes(
+    df: DataFrame, chunk_size: int = 48
+) -> DataFrame:
+    """Chunk-encode each turn's text JVM-side with exactly
+    operators/wireformat.http_chunked_roundtrip's mapping: adds
+    `wire`, `n_chunks`, `n_bytes`."""
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    big = F.octet_length(F.encode(payload, "UTF-8")).cast("long")
+    wire = http_chunked_expr(payload, chunk_size)
+    return (
+        df.withColumn("wire", wire)
+        .withColumn(
+            "n_chunks",
+            F.ceil(big / F.lit(chunk_size).cast("long")).cast("long"),
+        )
+        .withColumn("n_bytes", F.octet_length("wire").cast("long"))
+    )
+
+
 def zigzag_varint_expr(v: Column) -> Column:
     """Avro zigzag + base-128 varint (little groups first) as one
     Catalyst expression — byte-identical to wire._zigzag for every

@@ -3397,6 +3397,24 @@ FROM (SELECT *,
                + CASE WHEN turn_idx % 3 = 0 THEN 0 ELSE 2 END
                + octet_length(encode(coalesce(text, ''))) AS rem
       FROM transcripts)"""
+    http_jvm = """
+, hcj0 AS (SELECT conv_id, turn_idx,
+                 CAST(octet_length(encode(coalesce(text, '')))
+                      AS BIGINT) AS L
+          FROM transcripts)
+, hcj1 AS (SELECT *,
+                 CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (L + 47) // 48 END AS n_chunks,
+                 CASE WHEN L = 0 THEN CAST(0 AS BIGINT)
+                      ELSE L - 48 * ((L + 47) // 48 - 1) END AS r
+          FROM hcj0)
+SELECT conv_id, turn_idx, n_chunks,
+       CAST(CASE WHEN L = 0 THEN 5
+                 ELSE (n_chunks - 1)
+                        * (length(printf('%x', 48)) + 4 + 48)
+                      + (length(printf('%x', r)) + 4 + r) + 5
+            END AS BIGINT) AS n_bytes
+FROM hcj1"""
 
     collectd = """
 SELECT conv_id, turn_idx, conv_id AS host, 'transcript' AS plugin,
@@ -3562,6 +3580,7 @@ FROM (SELECT conv_id, turn_idx,
         "avro_wire_jvm": avro_jvm,
         "forward_wire_jvm": forward_jvm,
         "mqtt_wire_jvm": mqtt_jvm,
+        "http_chunked_wire_jvm": http_jvm,
         "avro_roundtrip": avro,
         "mqtt_frame": mqtt,
         "collectd_packet": collectd,

@@ -186,6 +186,7 @@ GATE_TAIL_REPRESENTATIVE: dict[str, str] = {
     "avro_wire_jvm": "avro_roundtrip",
     "forward_wire_jvm": "forward_roundtrip",
     "mqtt_wire_jvm": "mqtt_frame",
+    "http_chunked_wire_jvm": "http_chunked",
 }
 
 

@@ -1002,3 +1002,47 @@ class TestJvmMqttEncoder:
             )
             assert bytes(r["wire"]) == py
             assert r["n_bytes"] == len(py)
+
+
+class TestJvmHttpChunkedEncoder:
+    """wire_expr.http_chunked_expr: byte-identical to
+    wire.http_chunked_encode over chunk-count boundaries, multibyte
+    utf8 split mid-codepoint at a chunk boundary, and the corpus."""
+
+    def test_boundaries_byte_identical(self, spark):
+        from fluent_bit_spark.functions.wire import http_chunked_encode
+        from fluent_bit_spark.functions.wire_expr import http_chunked_expr
+        from pyspark.sql import functions as F
+
+        payloads = [
+            "", "a", "a" * 15, "a" * 16, "a" * 47, "a" * 48, "a" * 49,
+            "a" * 96, "a" * 97, "x" * 500,
+            # 2-byte utf8 straddling the 48-byte boundary: 23 chars
+            # = 46 bytes, +1 ascii = 47, the é then splits 47|49
+            "b" * 47 + "é" + "tail",
+            "é" * 100,
+        ]
+        df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+        got = df.select(
+            "payload",
+            http_chunked_expr(F.col("payload"), 48).alias("wire"),
+        ).collect()
+        for r in got:
+            py = http_chunked_encode(r["payload"].encode("utf-8"), 48)
+            assert bytes(r["wire"]) == py, len(r["payload"])
+
+    def test_corpus_byte_identical_plan_python_free(self, spark, sf_dir):
+        from fluent_bit_spark.functions.wire import http_chunked_encode
+        from fluent_bit_spark.functions.wire_expr import http_chunked_frame_bytes
+        from fluent_bit_spark.transcripts import load_transcripts
+
+        t = load_transcripts(spark, sf_dir)
+        out_df = http_chunked_frame_bytes(t)
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
+        for r in out_df.collect():
+            payload = (r["text"] or "").encode("utf-8")
+            py = http_chunked_encode(payload, 48)
+            assert bytes(r["wire"]) == py
+            assert r["n_bytes"] == len(py)
+            assert r["n_chunks"] == -(-len(payload) // 48)
